@@ -3,36 +3,67 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+The engine lives in ``codebase_rag_spark``; query implementations and their
+oracle SQL are registered in ``codebase_rag_spark.queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from codebase_rag_spark.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: hybrid-retrieval-style
+    document ranking (reference flagship read path, SURVEY §3.1) — two
+    scoring branches merged with max-score-per-doc dedup (J8), heuristic
+    multiplicative ranking (W2), top-20."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.operators.ranking import hybrid_merge, rank_score
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = load_table(spark, sf_dir, "documents")
+    heur = d.select(
+        "doc_id",
+        rank_score(
+            F.col("text"),
+            terms=["join", "merge", "vector"],
+            exact=F.lower(F.col("text")).contains("spark"),
+            lang_match=F.col("lang") == "en",
+        ).alias("score"),
+        F.lit("heuristic").alias("branch"),
+    )
+    length = d.select(
+        "doc_id",
+        F.round(F.col("n_chars") / 2.0, 4).alias("score"),
+        F.lit("length").alias("branch"),
+    )
+    merged = hybrid_merge([heur, length], key_col="doc_id", score_col="score")
+    return merged.orderBy(F.desc("score"), F.col("doc_id")).limit(20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family from SURVEY.md §2.
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Each callable takes (spark, sf_dir) and returns a DataFrame with
+    column names matching the oracle SQL exactly.
     """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query, over the
+    pre-registered views (region nation customer supplier part orders
+    lineitem events documents embeddings)."""
+    return dict(ORACLES)

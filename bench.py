@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count-materialized) after a shared
+warmup query that absorbs session/JIT startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from codebase_rag_spark.queries import QUERIES  # noqa: E402
+from codebase_rag_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the scale-sensitive
+# ops (joins, windows, LSH, vector search).
+HEADLINE = [
+    "pricing_summary",
+    "revenue_filter",
+    "region_revenue",
+    "top_suppliers_per_nation",
+    "pack_budget_selection",
+    "rank_documents",
+    "exact_dedup_docs",
+    "minhash_signatures",
+    "lsh_candidates",
+    "simhash_groups",
+    "cosine_topk",
+    "centroid_assignment",
+    "hourly_tumbling",
+    "user_sessions",
+    "purchase_click_asof",
+    "region_two_hop",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("codebase-rag-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM/codegen spin-up on a trivial job
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

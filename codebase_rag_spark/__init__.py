@@ -1,0 +1,13 @@
+"""codebase_rag_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of royisme/codebase-rag (reference surveyed in
+/root/repo/SURVEY.md), re-expressed Spark-first.
+
+Everything is a DataFrame -> DataFrame transformation; tables are Parquet;
+Catalyst plans the physical execution. No services, no row-at-a-time loops.
+"""
+
+from codebase_rag_spark.session import get_spark
+from codebase_rag_spark.catalog import TABLES, load_table, register_views
+
+__all__ = ["get_spark", "TABLES", "load_table", "register_views"]
+__version__ = "0.1.0"

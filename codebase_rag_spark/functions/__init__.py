@@ -1,0 +1,5 @@
+"""Column-expression building blocks (all JVM-side, Catalyst-optimizable).
+
+UDF-free by design: every function here returns a pyspark Column built from
+pyspark.sql.functions, so the hot path stays inside whole-stage codegen.
+"""

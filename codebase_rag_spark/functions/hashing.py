@@ -1,0 +1,94 @@
+"""Deterministic hashing primitives: MinHash, SimHash, banded LSH keys,
+and a seeded hash-embedder.
+
+Design constraint: hashes must be engine-portable (same value in Spark and in
+the DuckDB oracle), so everything is built on md5 hex strings — the min of a
+set of md5 hex digests is a perfectly good minhash (uniform, deterministic,
+lexicographic min == numeric min on the hex prefix). No Python UDFs.
+
+At 100 TB these expressions run inside the parquet scan stage; the only
+shuffle in MinHash-LSH dedup is the band-key groupBy, which is exactly the
+shuffle the algorithm requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_hash(col: Column, seed: str) -> Column:
+    return F.md5(F.concat(col, F.lit("\x00" + seed)))
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (callers must guarantee
+    size(tokens) >= n, e.g. with a filter). Shingling makes MinHash keys
+    discriminative even over a small vocabulary — unigram minhash over a
+    tiny vocab collides massively and the LSH pair-join goes quadratic."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+
+
+def minhash(tokens: Column, seed: str) -> Column:
+    """min over tokens of a seeded md5 — one component of a MinHash signature."""
+    return F.array_min(F.transform(tokens, lambda t: md5_hash(t, seed)))
+
+
+def minhash_signature(tokens: Column, num_hashes: int) -> Column:
+    """array<string> MinHash signature of length num_hashes."""
+    return F.array(*[minhash(tokens, str(i)) for i in range(num_hashes)])
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: hash each contiguous slice of the signature.
+
+    Two docs sharing any band key become a candidate pair (join on key).
+    """
+    keys = []
+    for b in range(bands):
+        # slice() is 1-indexed
+        part = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+        keys.append(F.md5(F.concat(F.lit(f"band{b}:"), F.concat_ws("|", part))))
+    return F.array(*keys)
+
+
+def hex_nibble_bit(hexstr: Column, pos: int) -> Column:
+    """+1 if hex digit at 1-indexed `pos` is >= '8' (high bit set), else -1."""
+    d = F.substring(hexstr, pos, 1)
+    return F.when(d.isin("8", "9", "a", "b", "c", "d", "e", "f"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+
+
+def simhash_bits(tokens: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: per bit, sum +-1 votes across token
+    md5 digests; bit = 1 when the vote is positive. Returns a bit-string
+    column like '1011...' of length `bits` (<=32, one md5 hex nibble each).
+    """
+    assert bits <= 32
+    digest = F.transform(tokens, lambda t: F.md5(t))
+
+    def _voter(pos: int):
+        # two-arg lambda required: F.aggregate introspects the signature
+        return lambda acc, d: acc + hex_nibble_bit(d, pos)
+
+    cols = []
+    for i in range(bits):
+        vote = F.aggregate(digest, F.lit(0), _voter(i + 1))
+        cols.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*cols)
+
+
+def hash_embed(text: Column, dim: int = 16) -> Column:
+    """Deterministic hash-based pseudo-embedding (array<double>, unit-free).
+
+    Replaces the reference's provider embeddings (embeddings.py:7-202) with a
+    seeded, reproducible vectorizer so similarity queries are oracle-checkable.
+    Component i = (first 8 hex digits of md5(text + i) as fraction) - 0.5.
+    """
+    comps = []
+    for i in range(dim):
+        h = F.conv(F.substring(md5_hash(text, f"e{i}"), 1, 8), 16, 10).cast("double")
+        comps.append(h / F.lit(float(16**8)) - 0.5)
+    return F.array(*comps)

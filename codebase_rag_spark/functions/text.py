@@ -1,0 +1,78 @@
+"""Text-analysis expressions for the training-data-pipeline surface.
+
+Covers the reference's string/scalar family (SURVEY §2.8) plus the
+beyond-reference text ops (language-ID heuristic, quality scoring, token
+counting, fingerprinting). Everything is a Column expression — no UDFs —
+so a 100 TB documents scan stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword marker sets for the n-gram language-ID heuristic. Deterministic and
+# oracle-expressible (the DuckDB side uses the same CASE/contains chain).
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", " the "),
+    ("de", " der "),
+    ("fr", " le "),
+    ("es", " el "),
+    ("zh", " de "),
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the reference chunks on words too,
+    transformers.py:137-163)."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def avg_token_len(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"\s+", "")) / token_count(text)
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens — a quality signal."""
+    return F.size(distinct_tokens(text)).cast("double") / token_count(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: blends length, lexical diversity
+    and mean token length (reference analogue: heuristic ranker multipliers,
+    services/utils/ranker.py:12-62)."""
+    length_ok = F.when(F.length(text).between(50, 20000), F.lit(1.0)).otherwise(F.lit(0.5))
+    diversity = F.least(type_token_ratio(text) * 2.0, F.lit(1.0))
+    tok_len = avg_token_len(text)
+    tok_len_ok = F.when(tok_len.between(3.0, 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((length_ok + diversity + tok_len_ok) / 3.0, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """First-match stopword language-ID heuristic."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    expr = F.lit("unknown")
+    for lang, marker in reversed(LANG_MARKERS):
+        expr = F.when(padded.contains(marker), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text (reference analogue: sha256[:16] content hash,
+    code_ingestor.py:104-107)."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def sha_fingerprint(content: Column) -> Column:
+    """Reference-exact file sha: sha256 hex truncated to 16 chars
+    (code_ingestor.py:104-107)."""
+    return F.substring(F.sha2(content, 256), 1, 16)

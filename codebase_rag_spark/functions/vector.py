@@ -1,0 +1,48 @@
+"""Vector math over array<float|double> columns — pure Column expressions.
+
+Reference capability: Neo4j native vector index, dim 384
+(reference config/settings.py:28-29; neo4j_knowledge_service.py:163-178).
+Here similarity is an expression over an embedding column so Catalyst can
+pipeline it inside the scan stage — no UDF, no Python round-trip.
+
+All math is done in double: float->double widening is exact, and it keeps
+Spark numerically aligned with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum of elementwise products via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    a, b = as_double(a), as_double(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    a, b = as_double(a), as_double(b)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )

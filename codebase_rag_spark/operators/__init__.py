@@ -1,0 +1,5 @@
+"""DataFrame -> DataFrame operators (the engine's query surface).
+
+Each module maps to a SURVEY.md §2 operator family; docstrings cite the
+reference file:line whose semantics they reproduce.
+"""

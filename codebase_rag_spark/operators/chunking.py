@@ -1,0 +1,140 @@
+"""Chunking / flatMap operators (SURVEY §2.9 T1/T2/T8/T14).
+
+These are the reference's 1-row-to-N-rows transformers re-expressed as
+explode pipelines. T8 (fixed-window chunking) and T14 (marker extraction)
+are fully relational (posexplode + groupBy / regexp) — no Python in the hot
+path. T2 (sliding word windows with overlap) is also expressed relationally
+via sequence() over window indexes; T1 (markdown header split) uses a split
+regex.
+
+Scale: explode fan-out is pipelined (no shuffle); the only shuffle in T8 is
+the (doc, chunk_id) re-assembly groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fixed_window_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_per_chunk: int = 50,
+    split_pattern: str = r"\s+",
+) -> DataFrame:
+    """T8 (transformers.py:1009-1039): fixed N-token windows.
+
+    posexplode(split) -> chunk_id = pos / N -> groupBy re-assemble.
+    The reference chunks 50 LINES; over the testdata documents (single-line
+    text) the unit is tokens — same operator shape.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pattern)).alias("pos", "tok"),
+    )
+    return (
+        exploded.withColumn("chunk_id", (F.col("pos") / tokens_per_chunk).cast("int"))
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("pos", "tok"))).getField("tok")
+            ).alias("chunk_text"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def sliding_word_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """T2 (transformers.py:137-163): sliding word windows with overlap,
+    relationally: generate window starts with sequence(), then slice the
+    token array per start. Defaults mirror the reference's 512-char/50-word
+    shape scaled to tokens."""
+    step = chunk_tokens - overlap_tokens
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    starts = toks.withColumn(
+        "start",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.ceil((F.col("_n") - F.lit(chunk_tokens)) / step), F.lit(0))
+                * step,
+                F.lit(step),
+            )
+        ),
+    )
+    return starts.select(
+        F.col(id_col),
+        (F.col("start") / step).cast("int").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )
+
+
+def markdown_sections(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """T1 (transformers.py:47-115): split markdown into header-delimited
+    sections; emits (id, section_id, title, body)."""
+    sections = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"(?m)^(?=#{1,6}\s)")).alias(
+            "section_id", "section"
+        ),
+    ).filter(F.length(F.trim(F.col("section"))) > 0)
+    return sections.select(
+        F.col(id_col),
+        "section_id",
+        F.regexp_extract(F.col("section"), r"^(#{1,6})\s+(.*)", 2).alias("title"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("section"), r"^#{1,6}\s+[^\n]*", ""),
+            r"^\s+|\s+$",
+            "",
+        ).alias("body"),
+    )
+
+
+def extract_markers(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    markers: dict[str, tuple[str, float]] | None = None,
+) -> DataFrame:
+    """T14 (memory_extractor.py:697-772): find marker words, classify to a
+    memory type with an importance weight. markers: word -> (type, importance).
+    Default mirrors the reference: TODO->plan .5, FIXME/BUG->experience .7,
+    NOTE/IMPORTANT->convention .6, DECISION->decision .7."""
+    markers = markers or {
+        "TODO": ("plan", 0.5),
+        "FIXME": ("experience", 0.7),
+        "BUG": ("experience", 0.7),
+        "NOTE": ("convention", 0.6),
+        "IMPORTANT": ("convention", 0.6),
+        "DECISION": ("decision", 0.7),
+    }
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "line"),
+    )
+    marker_col = F.lit(None).cast("string")
+    type_col = F.lit(None).cast("string")
+    imp_col = F.lit(None).cast("double")
+    for word, (mtype, imp) in reversed(list(markers.items())):
+        hit = F.upper(F.col("line")).contains(word)
+        marker_col = F.when(hit, F.lit(word)).otherwise(marker_col)
+        type_col = F.when(hit, F.lit(mtype)).otherwise(type_col)
+        imp_col = F.when(hit, F.lit(imp)).otherwise(imp_col)
+    return (
+        lines.withColumn("marker", marker_col)
+        .withColumn("memory_type", type_col)
+        .withColumn("importance", imp_col)
+        .filter(F.col("marker").isNotNull())
+    )

@@ -1,0 +1,210 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Beyond-reference extension mandated by BASELINE.json's north star; the
+reference's closest analogues are content-sha caching
+(docs/architecture/dataflow.md:1538-1543) and keep-max-score dedup
+(pack_builder.py:131-167, neo4j_knowledge_service.py:99-110).
+
+Scale notes (100 TB):
+* exact dedup = one shuffle on the fingerprint (hash aggregate). Map-side
+  partial aggregation makes the shuffle carry ~one row per distinct doc.
+* MinHash-LSH = signature computed in the scan stage (pure expressions),
+  explode to (band_key, doc) — the ONLY shuffle is the band-key join, which
+  is the algorithm's irreducible shuffle. Skewed bands (e.g. empty docs all
+  hashing together) are handled by AQE skew-join splitting.
+* n-gram Jaccard / embedding-cosine are verification passes run on LSH
+  CANDIDATES only, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.hashing import (
+    band_keys,
+    minhash_signature,
+    shingles,
+)
+from codebase_rag_spark.functions.text import fingerprint, tokens
+from codebase_rag_spark.functions.vector import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) content fingerprint.
+
+    groupBy(md5) + min(id) is a hash aggregate with map-side combine — the
+    shuffle carries one row per distinct fingerprint, not per input row.
+    """
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via shingled MinHash + banded LSH.
+
+    Plan shape (the scale path):
+      1. shingle array built ONCE per doc, exploded to (id, shingle) rows —
+         pipelined inside the scan stage, no shuffle;
+      2. signature = groupBy(id) with num_hashes min(md5(shingle||seed))
+         aggregates — ONE shuffle with map-side partial aggregation;
+      3. band keys from the signature row, exploded, self-joined on
+         band_key — the algorithm's irreducible shuffle;
+      4. distinct (id_a < id_b) pairs.
+    Docs shorter than shingle_size tokens are excluded (both here and in the
+    oracle). Never builds the signature array expression twice: a naive
+    `array_min(transform(...))` per hash recomputes the shingle transform
+    num_hashes times, interpreted, ~20x slower at corpus scale.
+    """
+    from codebase_rag_spark.functions.hashing import md5_hash
+
+    rows = num_hashes // bands
+    toks = tokens(F.col(text_col))
+    base = df.filter(F.size(toks) >= shingle_size)
+    grams = shingles(toks, shingle_size) if shingle_size > 1 else toks
+    exploded = base.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("tok")
+    )
+    sigs = exploded.groupBy("_id").agg(
+        *[
+            F.min(md5_hash(F.col("tok"), str(i))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    keyed = sigs.select(
+        "_id",
+        F.explode(
+            band_keys(
+                F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]), bands, rows
+            )
+        ).alias("band_key"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Group docs by exact SimHash bit-string (near-dup blocking key).
+
+    Formulated as explode -> ONE md5 per token -> hash aggregate of +-1
+    votes per bit -> bit-string. (The array-fold formulation in
+    functions/hashing.simhash_bits recomputes the digest per bit — fine for
+    one-off column use, wrong shape for a corpus scan; this version is the
+    scale path: map-side partial aggregation, one shuffle keyed on id.)
+
+    For hamming-distance<=d matching, join on (bits/d)-bit sub-keys instead;
+    exact-simhash grouping is the zero-distance case.
+    """
+    from codebase_rag_spark.functions.hashing import hex_nibble_bit
+
+    digests = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("_id", F.md5(F.col("tok")).alias("d"))
+    votes = digests.groupBy("_id").agg(
+        *[
+            F.sum(hex_nibble_bit(F.col("d"), i + 1)).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    bit_str = F.concat(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+    return (
+        votes.select(F.col("_id"), bit_str.alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count("*").cast("bigint").alias("group_size"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token-set Jaccard similarity for candidate pairs.
+
+    When `candidates` (id_a, id_b) is given — normally the LSH output — only
+    those pairs are scored (two broadcast-able joins against the token sets).
+    Without candidates this is all-pairs and only suitable for small inputs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
+    )
+    left = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("a_toks"))
+    right = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("b_toks"))
+    if candidates is None:
+        pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = candidates.join(left, "id_a").join(right, "id_b")
+    inter = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
+    union = F.size(F.array_union(F.col("a_toks"), F.col("b_toks")))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine verification of candidate pairs (id_a, id_b)."""
+    vecs = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return (
+        candidates.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
+        )
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def keep_max_score_dedup(df: DataFrame, key_col: str, score_col: str) -> DataFrame:
+    """Reference J8/A10: keep the max-score row per key
+    (neo4j_knowledge_service.py:99-110; pack_builder.py:131-167)."""
+    w = Window.partitionBy(key_col).orderBy(F.desc(score_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

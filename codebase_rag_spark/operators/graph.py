@@ -1,0 +1,170 @@
+"""Property-graph operators over an edges table (SURVEY §2.3 J1-J6, §2.5 W4).
+
+Reference semantics reproduced:
+* J3 impact analysis — reverse CALLS*1..depth / IMPORTS*1..depth traversal
+  with depth-based CASE scoring (graph_service.py:572-628).
+* J4 shortest path — shortestPath((a)-[*]-(b)) (graph_service.py:268-278).
+* J5 bounded traversal — (start)-[*1..depth]-(connected)
+  (graph_service.py:260-266).
+* J6 node degree (graph_service.py:280-298).
+
+The graph is an adjacency-list DataFrame (src, dst, type). Variable-length
+traversal is an iterative self-join with per-iteration DISTINCT (cycle
+safety) and periodic localCheckpoint (plan-lineage truncation — without it
+the plan doubles each hop and Catalyst analysis time explodes). Depth is
+capped (reference caps at 5, graph_service.py:560).
+
+Scale: each hop is one shuffle join on dst/src. For power-law graphs the
+frontier join is skew-prone — AQE skew-join handles moderate skew; extreme
+hubs would call for a two-phase (salted) join, which Spark's AQE does
+automatically when enabled.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node out/in/total degree (J6, graph_service.py:280-298)."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )
+
+
+def bounded_traversal(
+    edges: DataFrame,
+    seeds: DataFrame,
+    depth: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    reverse: bool = False,
+    checkpoint_every: int = 1,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Nodes reachable in 1..depth hops from seed nodes (J5).
+
+    seeds: DataFrame with a single column `node`. Returns (node, depth) with
+    the MINIMUM depth per reached node (seeds excluded unless re-reached).
+    Cycle-safe: the frontier is anti-joined against visited each iteration.
+
+    broadcast_frontier=True ships the (usually small) frontier/visited sets
+    to the edge partitions so the big edges table is NEVER shuffled — each
+    hop is a broadcast-hash join over one edges scan. Set False when the
+    frontier can outgrow executor memory (e.g. BFS from thousands of seeds
+    on a power-law graph); then each hop is a shuffle join and AQE handles
+    the skew.
+    """
+    depth = min(depth, 5)  # reference cap, graph_service.py:560
+    step_src, step_dst = (dst, src) if reverse else (src, dst)
+    bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    frontier = seeds.select(F.col("node")).distinct()
+    visited = frontier.withColumn("depth", F.lit(0))
+    for d in range(1, depth + 1):
+        nxt = (
+            edges.join(bc(frontier.withColumnRenamed("node", step_src)), step_src)
+            .select(F.col(step_dst).alias("node"))
+            .distinct()
+            .join(bc(visited.select("node")), "node", "left_anti")
+        )
+        if d % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        frontier = nxt
+        visited = visited.unionByName(frontier.withColumn("depth", F.lit(d)))
+    return visited.filter(F.col("depth") > 0)
+
+
+def connected_within(
+    edges: DataFrame, seeds: DataFrame, depth: int = 2
+) -> DataFrame:
+    """Undirected bounded traversal (J5's (start)-[*1..depth]-(x))."""
+    undirected = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bounded_traversal(undirected, seeds, depth)
+
+
+def shortest_path_length(
+    edges: DataFrame, src_node: str, dst_node: str, max_depth: int = 5
+) -> int | None:
+    """BFS with early exit (J4). Returns hop count or None."""
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame([(src_node,)], ["node"])
+    frontier = seeds
+    visited = seeds
+    for d in range(1, max_depth + 1):
+        frontier = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.filter(F.col("node") == dst_node).limit(1).count() > 0:
+            return d
+        if frontier.isEmpty():
+            return None
+        visited = visited.unionByName(frontier)
+    return None
+
+
+def impact_analysis(
+    edges: DataFrame,
+    target: str,
+    depth: int = 3,
+    rel_types: tuple[str, ...] = ("CALLS", "IMPORTS"),
+) -> DataFrame:
+    """Reverse dependency impact with depth scoring (J3+W4,
+    graph_service.py:572-628).
+
+    Who (transitively) depends on `target`? Traverses edges BACKWARD along
+    rel_types; score = CASE depth 1 -> 1.0, 2 -> 0.7, else 0.5/depth
+    (reference's scoring shape, graph_service.py:609-617).
+    """
+    spark = edges.sparkSession
+    typed = edges.filter(F.col("type").isin(list(rel_types))) if "type" in edges.columns else edges
+    seeds = spark.createDataFrame([(target,)], ["node"])
+    reached = bounded_traversal(typed, seeds, depth, reverse=True)
+    return reached.select(
+        "node",
+        "depth",
+        F.when(F.col("depth") == 1, F.lit(1.0))
+        .when(F.col("depth") == 2, F.lit(0.7))
+        # greatest() guards ANSI div-by-zero: the otherwise-branch expression
+        # is codegen'd for every row, including depth<=2 ones
+        .otherwise(F.round(F.lit(0.5) / F.greatest(F.col("depth"), F.lit(3)), 4))
+        .alias("impact_score"),
+    ).orderBy(F.desc("impact_score"), "node")
+
+
+def edges_from_fk(
+    df: DataFrame, src_col: str, dst_col: str, rel_type: str,
+    src_prefix: str, dst_prefix: str,
+) -> DataFrame:
+    """Build typed string edges from a foreign-key pair — turns relational
+    tables into the adjacency-list graph (reference stores the same shape in
+    Neo4j, schema.cypher:82-103)."""
+    return df.select(
+        F.concat(F.lit(src_prefix), F.col(src_col).cast("string")).alias("src"),
+        F.concat(F.lit(dst_prefix), F.col(dst_col).cast("string")).alias("dst"),
+        F.lit(rel_type).alias("type"),
+    )
+
+
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -1,0 +1,104 @@
+"""Ranking / scoring / selection operators (SURVEY §2.5 W1-W7, §2.3 J8/J10).
+
+* rank_score — the reference's heuristic multiplicative ranker
+  (services/utils/ranker.py:12-62): x2 exact match, x(1+0.3*term hits),
+  x1.5 lang match, x1.2 core-dir boost, x0.5 test penalty. Pure column
+  expression -> runs in the scan stage; ORDER BY score LIMIT n compiles to
+  TakeOrderedAndProject (no global sort).
+* pack_budget — the greedy token-budget knapsack of the context pack builder
+  (services/code/pack_builder.py:63-129): rank order, per-category caps,
+  cumulative token estimate, cutoff at budget. Two windows: row_number per
+  category, then running sum over the capped set.
+* hybrid_merge — max-score-per-key dedup merging graph + vector retrieval
+  (neo4j_knowledge_service.py:99-110).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def term_overlap(text: Column, terms: list[str]) -> Column:
+    """Number of query terms contained in text (ranker.py:36-39, SO3)."""
+    lowered = F.lower(text)
+    return sum(
+        (F.when(lowered.contains(t.lower()), F.lit(1)).otherwise(F.lit(0)) for t in terms),
+        F.lit(0),
+    )
+
+
+def rank_score(
+    text: Column,
+    terms: list[str],
+    base: float = 100.0,
+    exact: Column | None = None,
+    lang_match: Column | None = None,
+    core_boost: Column | None = None,
+    test_penalty: Column | None = None,
+) -> Column:
+    """Multiplicative heuristic score (ranker.py:12-62 semantics)."""
+    score = F.lit(base) * (F.lit(1.0) + F.lit(0.3) * term_overlap(text, terms))
+    if exact is not None:
+        score = score * F.when(exact, F.lit(2.0)).otherwise(F.lit(1.0))
+    if lang_match is not None:
+        score = score * F.when(lang_match, F.lit(1.5)).otherwise(F.lit(1.0))
+    if core_boost is not None:
+        score = score * F.when(core_boost, F.lit(1.2)).otherwise(F.lit(1.0))
+    if test_penalty is not None:
+        score = score * F.when(test_penalty, F.lit(0.5)).otherwise(F.lit(1.0))
+    return F.round(score, 4)
+
+
+def pack_budget(
+    df: DataFrame,
+    score_col: str,
+    cost_col: str,
+    budget: float,
+    id_col: str,
+    category_col: str | None = None,
+    category_cap: int | None = None,
+) -> DataFrame:
+    """Greedy budget knapsack (W7, pack_builder.py:63-129).
+
+    Scan rows in (score desc, id asc) order, drop rows past a per-category
+    cap, keep rows while the running cost total stays <= budget. Cumulative
+    sum via an unbounded-preceding window — single pass, one sort.
+    """
+    order = [F.desc(score_col), F.col(id_col)]
+    work = df
+    if category_col is not None and category_cap is not None:
+        w_cat = Window.partitionBy(category_col).orderBy(*order)
+        work = work.withColumn("_cat_rn", F.row_number().over(w_cat)).filter(
+            F.col("_cat_rn") <= category_cap
+        ).drop("_cat_rn")
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        work.withColumn("cum_cost", F.sum(cost_col).over(w_cum))
+        .filter(F.col("cum_cost") <= budget)
+    )
+
+
+def hybrid_merge(
+    results: list[DataFrame], key_col: str, score_col: str
+) -> DataFrame:
+    """Union retrieval branches, keep max-score row per key (J8)."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), results)
+    w = Window.partitionBy(key_col).orderBy(F.desc(score_col))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, order_cols: list[Column], k: int
+) -> DataFrame:
+    """Per-group top-k via ranking window (W6, memory_store.py:589-595)."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,146 @@
+"""Vector similarity search (SURVEY §2.5 W5, §2.11 Q3).
+
+Reference: Neo4j native vector top-k via LlamaIndex VectorIndexRetriever
+(neo4j_knowledge_service.py:163-178, 922-968), dim 384.
+
+Three strategies behind one API, chosen by scale:
+
+* brute-force — exact; one pass over the embeddings scan, cosine computed
+  JVM-side, TakeOrderedAndProject for top-k. Right up to ~10^7 vectors/query.
+* knn_join — many query vectors at once: broadcast the (small) query side,
+  per-query top-k via window. The big side streams once; no shuffle of the
+  corpus.
+* ivf — two-level: assign corpus vectors to centroids (precomputed, e.g.
+  per-label or k-means), route each query to its nprobe nearest centroids,
+  search only those partitions. This is the 100 TB path: centroid routing
+  prunes the scan to nprobe/nlist of the data; corpus stored partitioned by
+  centroid_id so partition pruning applies at the parquet level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.vector import as_double, cosine_similarity
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity for ONE query vector.
+
+    The query is a literal array (constant-folded); similarity is computed in
+    the scan stage and top-k is TakeOrderedAndProject — no full sort, no
+    shuffle of the corpus.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = embeddings
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(exclude_ids))
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k corpus neighbors for EACH query row (broadcast the query side).
+
+    Plan shape: corpus scan x broadcast(queries) -> cosine -> per-query window
+    top-k. The corpus is read once and never shuffled; only (|queries| * k)
+    rows survive to the window, which AQE keeps small.
+    """
+    q = queries.select(
+        F.col(query_id), as_double(F.col(vec_col)).alias("_qvec")
+    )
+    sim = corpus.join(F.broadcast(q)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def build_centroids(
+    embeddings: DataFrame,
+    bucket_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-bucket centroid = elementwise mean. One shuffle on bucket_col.
+
+    posexplode -> groupBy(bucket, pos) avg -> re-assemble. Used as the IVF
+    coarse quantizer (buckets from labels, k-means, or any partitioner).
+    """
+    exploded = embeddings.select(
+        F.col(bucket_col), F.posexplode(as_double(F.col(vec_col))).alias("pos", "val")
+    )
+    return (
+        exploded.groupBy(bucket_col, "pos")
+        .agg(F.avg("val").alias("avg_val"))
+        .groupBy(bucket_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("avg_val")))
+            ).alias("_pairs")
+        )
+        .select(
+            F.col(bucket_col),
+            F.transform(F.col("_pairs"), lambda s: s.getField("avg_val")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: route the query to its nprobe nearest centroids, then
+    brute-force ONLY those buckets.
+
+    At scale the embeddings table is written partitioned by bucket_col, so the
+    `isin(probed)` filter becomes parquet partition pruning — the scan reads
+    nprobe/nlist of the corpus. Approximate (recall < 1) by design.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probed = [
+        r[0]
+        for r in centroids.select(
+            bucket_col, cosine_similarity(F.col("centroid"), q).alias("sim")
+        )
+        .orderBy(F.desc("sim"))
+        .limit(nprobe)
+        .collect()
+    ]
+    return cosine_topk(
+        embeddings.filter(F.col(bucket_col).isin(probed)),
+        query_vec,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

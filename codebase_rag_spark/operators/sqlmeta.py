@@ -1,0 +1,103 @@
+"""SQL-schema analysis operators (SURVEY §2.9 T9-T13, §2.4 A5/A6/A9/A11).
+
+Reference: regex DDL parsing (sql_schema_parser.py:99-210), dialect
+auto-detection (universal_sql_schema_parser.py:76-118), business-domain
+classification (sql_schema_parser.py:235-275), sqlglot parse/optimize/
+transpile (sql_parser.py:29-183).
+
+The relational parts (dialect detect, domain classify, column counting,
+type distribution) are pure column expressions. The deep parse (T10/T11)
+needs sqlglot, which is gated behind an import-try — absent in this
+container, the functions raise with a clear message but the module imports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - optional dependency
+    import sqlglot  # noqa: F401
+
+    HAS_SQLGLOT = True
+except Exception:  # pragma: no cover
+    HAS_SQLGLOT = False
+
+# keyword -> dialect, first match wins (universal_sql_schema_parser.py:76-118)
+DIALECT_MARKERS: list[tuple[str, list[str]]] = [
+    ("oracle", ["VARCHAR2", "NUMBER(", "CLOB", "NVL("]),
+    ("mysql", ["AUTO_INCREMENT", "TINYINT", "ENGINE=", "UNSIGNED"]),
+    ("postgres", ["SERIAL", "BYTEA", "JSONB", "::"]),
+    ("sqlserver", ["NVARCHAR", "IDENTITY(", "UNIQUEIDENTIFIER"]),
+]
+
+# table-name keyword -> business domain, first match wins
+# (sql_schema_parser.py:235-275 keyword-domain templates)
+DOMAIN_MARKERS: list[tuple[str, list[str]]] = [
+    ("insurance", ["POLICY", "CLAIM", "PREMIUM"]),
+    ("sales", ["ORDER", "INVOICE", "PRODUCT"]),
+    ("crm", ["CUSTOMER", "USER", "CONTACT"]),
+    ("system", ["CONFIG", "PARAM", "LOG"]),
+]
+
+
+def dialect_detect(ddl: Column) -> Column:
+    """T13 keyword-heuristic dialect detection."""
+    expr = F.lit("generic")
+    for dialect, markers in reversed(DIALECT_MARKERS):
+        hit = F.lit(False)
+        for m in markers:
+            hit = hit | F.upper(ddl).contains(m)
+        expr = F.when(hit, F.lit(dialect)).otherwise(expr)
+    return expr
+
+
+def domain_classify(table_name: Column) -> Column:
+    """A9 first-matching-keyword business-domain assignment."""
+    expr = F.lit("other")
+    for domain, markers in reversed(DOMAIN_MARKERS):
+        hit = F.lit(False)
+        for m in markers:
+            hit = hit | F.upper(table_name).contains(m)
+        expr = F.when(hit, F.lit(domain)).otherwise(expr)
+    return expr
+
+
+def table_name_from_ddl(ddl: Column) -> Column:
+    """T12: extract the table name from CREATE TABLE [schema.]name (...)."""
+    return F.regexp_extract(
+        ddl, r"(?i)CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)", 1
+    )
+
+
+def column_count(ddl: Column) -> Column:
+    """A6 column totals: count top-level commas + 1 inside the paren body.
+    (Exact for DDLs without nested commas; the reference's paren-balanced
+    splitter, sql_schema_parser.py:139-170, is the general path.)"""
+    body = F.regexp_extract(ddl, r"\(([\s\S]*)\)", 1)
+    return (F.size(F.split(body, ",")) ).cast("int")
+
+
+def analyze_ddl(df: DataFrame, ddl_col: str = "ddl") -> DataFrame:
+    """Combined T12/T13/A6/A9 projection over a DDL-text DataFrame."""
+    ddl = F.col(ddl_col)
+    name = table_name_from_ddl(ddl)
+    return df.select(
+        "*",
+        name.alias("table_name"),
+        dialect_detect(ddl).alias("dialect"),
+        domain_classify(name).alias("domain"),
+        column_count(ddl).alias("n_columns"),
+    )
+
+
+def transpile_sql(sql: str, read: str, write: str) -> str:
+    """T11 dialect transpilation via sqlglot (import-gated)."""
+    if not HAS_SQLGLOT:
+        raise NotImplementedError(
+            "sqlglot is not installed in this environment; "
+            "transpile_sql requires it (reference sql_parser.py:160-183)"
+        )
+    import sqlglot
+
+    return sqlglot.transpile(sql, read=read, write=write)[0]

@@ -1,0 +1,142 @@
+"""Temporal window operators over event streams (SURVEY §2.13 extensions).
+
+The reference is batch-only; these are the engine extensions the driver's
+`events` table is designated for (SURVEY §2.13): tumbling/sliding windows,
+gap-based sessionization, and as-of joins.
+
+All four are expressed so the SAME code works in batch and (for tumbling/
+sliding) under Structured Streaming — F.window() is the streaming-compatible
+primitive. Sessionize and as-of use analytic windows (lag / last-ignorenulls),
+the batch formulation; the streaming variants live in
+codebase_rag_spark.streaming.
+
+Scale: tumbling/sliding aggs are hash aggregates with map-side combine
+(shuffle carries one row per (window,key)). Sessionize shuffles once on the
+session key then sorts within partitions. As-of union-joins shuffle both
+sides once on the join key — no range-explosion, unlike the naive
+inequality join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling-window aggregation. Streaming-ready (add watermark upstream)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), duration), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Sliding-window aggregation (each event lands in duration/slide windows)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), duration, slide), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since the
+    previous event of the same key exceeds the gap.
+
+    lag -> boundary flag -> running sum = session index. One shuffle on the
+    key; sessions never span partitions because the window is keyed.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_us = gap_minutes * 60 * 1_000_000  # exact integer microseconds
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.withColumn("_new_session", is_new).withColumn(
+        "session_id",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_new_session")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts and the same key.
+
+    Union-tag-window formulation: union both sides tagged, sort by
+    (key, ts, side) and carry the last right value forward with
+    last(..., ignorenulls). ONE shuffle on the key — scales linearly, unlike
+    the O(n*m) inequality join a naive SQL formulation produces.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (key_col, right_ts)]
+    l_tag = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r_tag = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_left"].dataType).alias("_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    # right rows sort before left rows at equal ts (tie -> match allowed)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+    )
+    out = carried.filter(F.col("_side") == 1)
+    return out.select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"{c}{suffix}") for c in right_cols],
+        F.col(f"{right_ts}{suffix}"),
+    )

@@ -1,0 +1,33 @@
+"""Named query registry: the driver-facing surface of the engine.
+
+Each submodule exports QUERIES (name -> callable(spark, sf_dir) -> DataFrame)
+and ORACLES (name -> equivalent DuckDB SQL). __spark_entry__.py re-exports
+the merged dicts. Every SURVEY.md §2 operator family has entries here.
+
+Oracle-alignment rules (see tools/check_oracle.py):
+* every computed float is round()-ed in BOTH engines (double math both sides;
+  DuckDB float literals are DECIMAL, so oracles cast ::DOUBLE);
+* counts/sums of integers are cast to BIGINT in DuckDB (sum(int) is HUGEINT);
+* timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings;
+* every ORDER BY ... LIMIT has a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from codebase_rag_spark.queries import (
+    dedupops,
+    eventops,
+    graphops,
+    relational,
+    sqlmeta,
+    textops,
+    vectorops,
+)
+
+_MODULES = [relational, textops, dedupops, vectorops, eventops, graphops, sqlmeta]
+
+QUERIES = {}
+ORACLES = {}
+for _m in _MODULES:
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)

@@ -1,0 +1,149 @@
+"""Near-duplicate detection queries (beyond-reference training-data ops):
+MinHash signatures, banded-LSH candidate pairs, SimHash blocking,
+token-set Jaccard. All hash math is md5-based so the DuckDB oracle computes
+identical values (see functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.functions.hashing import minhash_signature
+from codebase_rag_spark.functions.text import tokens
+from codebase_rag_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+
+NUM_HASHES = 4
+BANDS = 2
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature components (computed in the scan stage —
+    no shuffle at all; .explain shows a single WholeStageCodegen)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(tokens(F.col("text")), NUM_HASHES)
+    return d.select(
+        "doc_id",
+        *[sig.getItem(i).alias(f"mh{i}") for i in range(NUM_HASHES)],
+    )
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs over 3-gram word shingles: 4-hash
+    signature, 2 bands x 2 rows. Shingling keeps band keys discriminative
+    (unigram minhash over a small vocab collides quadratically); the
+    band-key self-join is the algorithm's one irreducible shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+
+
+def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 blocking groups (exact-bits grouping = hamming distance 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_dedup(d, "doc_id", "text", bits=16)
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard >= 0.5 over a bounded pair set (doc_id < 40).
+    In production this runs on LSH candidates only (see
+    operators/dedup.py:ngram_jaccard_pairs)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+QUERIES = {
+    "minhash_signatures": minhash_signatures,
+    "lsh_candidates": lsh_candidates,
+    "simhash_groups": simhash_groups,
+    "jaccard_pairs": jaccard_pairs,
+}
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n               ".join(
+        f"min(md5(tok || chr(0) || '{i}')) AS mh{i}" for i in range(NUM_HASHES)
+    )
+
+
+_SIMHASH_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
+_SIMHASH_VOTES = ",\n               ".join(
+    f"sum(CASE WHEN substr(d, {i + 1}, 1) IN {_SIMHASH_HEX_HIGH} THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(16)
+)
+_SIMHASH_BITS = " || ".join(
+    f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
+)
+
+ORACLES = {
+    "minhash_signatures": rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+            FROM documents
+        )
+        SELECT doc_id,
+               {_minhash_sql_cols()}
+        FROM toks GROUP BY doc_id
+    """,
+    "lsh_candidates": rf"""
+        WITH base AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+            FROM documents
+            WHERE len(regexp_split_to_array(text, '\s+')) >= 3
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 2),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS tok
+            FROM base
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sql_cols()}
+            FROM toks GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, md5('band0:' || mh0 || '|' || mh1) AS band_key FROM sig
+            UNION ALL
+            SELECT doc_id, md5('band1:' || mh2 || '|' || mh3) AS band_key FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    """,
+    "simhash_groups": rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+            FROM documents
+        ),
+        digests AS (SELECT doc_id, md5(tok) AS d FROM toks),
+        votes AS (
+            SELECT doc_id,
+               {_SIMHASH_VOTES}
+            FROM digests GROUP BY doc_id
+        )
+        SELECT {_SIMHASH_BITS} AS simhash,
+               min(doc_id) AS keep_id,
+               count(*) AS group_size
+        FROM votes GROUP BY simhash
+    """,
+    "jaccard_pairs": r"""
+        WITH t AS (
+            SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS toks
+            FROM documents WHERE doc_id < 40
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+}

@@ -1,0 +1,179 @@
+"""Temporal queries over the events table (SURVEY §2.13 extensions):
+tumbling/sliding windows, sessionization, as-of join, JSON extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.operators.windows import (
+    asof_join,
+    sessionize,
+    sliding_agg,
+    tumbling_agg,
+)
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type. Streaming-compatible
+    (same F.window() works under readStream + watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = tumbling_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return agg.select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every 1 hour (each event lands in 2 windows)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = sliding_agg(
+        e,
+        "ts",
+        "2 hours",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n_events")],
+    )
+    return agg.select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) summarized per user.
+    One shuffle on user_id; exact integer-microsecond gap arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "ts", "user_id", gap_minutes=30)
+    per = s.groupBy("user_id", "session_id").agg(F.count("*").alias("n_ev"))
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_ev").alias("max_session_events"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
+
+
+def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it. Union-tag-window formulation — ONE shuffle on user_id, no
+    O(n*m) inequality join."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(purchases, clicks, key_col="user_id", right_cols=["value"])
+    return joined.select(
+        "event_id",
+        F.date_format("ts_asof", _FMT).alias("click_ts"),
+        F.round("value_asof", 2).alias("click_value"),
+    )
+
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (§2.8 JSON family; task payload parsing analogue,
+    task_storage.py:46-72): avg of props.k per event type."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 4).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+QUERIES = {
+    "hourly_tumbling": hourly_tumbling,
+    "sliding_2h": sliding_2h,
+    "user_sessions": user_sessions,
+    "purchase_click_asof": purchase_click_asof,
+    "props_json_stats": props_json_stats,
+}
+
+ORACLES = {
+    "hourly_tumbling": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sliding_2h": """
+        WITH w AS (
+            SELECT date_trunc('hour', ts) AS ws, event_type FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events
+        FROM w GROUP BY 1, 2
+    """,
+    "user_sessions": """
+        WITH s AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s2 AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM s
+        ),
+        per AS (
+            SELECT user_id, session_id, count(*) AS n_ev
+            FROM s2 GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(max(n_ev) AS BIGINT) AS max_session_events,
+               CAST(sum(n_ev) AS BIGINT) AS n_events
+        FROM per GROUP BY user_id
+    """,
+    "purchase_click_asof": """
+        WITH tagged AS (
+            SELECT user_id AS k, ts AS tts, 1 AS side, event_id,
+                   NULL::TIMESTAMP AS r_ts, NULL::DOUBLE AS r_value
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, 0, NULL, ts, value
+            FROM events WHERE event_type = 'click'
+        ),
+        carried AS (
+            SELECT *,
+                   last_value(r_ts IGNORE NULLS) OVER w AS c_ts,
+                   last_value(r_value IGNORE NULLS) OVER w AS c_value
+            FROM tagged
+            WINDOW w AS (PARTITION BY k ORDER BY tts, side
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id,
+               strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               round(c_value, 2) AS click_value
+        FROM carried WHERE side = 1
+    """,
+    "props_json_stats": """
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+}

@@ -1,0 +1,86 @@
+"""Graph traversal queries (SURVEY §2.3 J3/J5, §2.5 W4) over a property
+graph derived from the TPC-H FK chain region<-nation<-customer<-orders
+(the FIXTURES.md §8 mapping: 'region->nation->customer->orders as an edge
+chain').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.operators.graph import (
+    bounded_traversal,
+    edges_from_fk,
+    impact_analysis,
+    union_all,
+)
+
+
+def _edges(spark: SparkSession, sf_dir: str, with_orders: bool = False) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    parts = [
+        edges_from_fk(n, "n_nationkey", "n_regionkey", "IN_REGION", "n:", "r:"),
+        edges_from_fk(c, "c_custkey", "c_nationkey", "IN_NATION", "c:", "n:"),
+    ]
+    if with_orders:
+        o = load_table(spark, sf_dir, "orders")
+        parts.append(
+            edges_from_fk(o, "o_orderkey", "o_custkey", "PLACED_BY", "o:", "c:")
+        )
+    return union_all(parts)
+
+
+def region_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 bounded traversal ((start)-[*1..2]-(x), graph_service.py:260-266):
+    everything within 2 reverse hops of region 0 — its nations (depth 1) and
+    their customers (depth 2). Iterative self-join with per-hop DISTINCT."""
+    edges = _edges(spark, sf_dir)
+    seeds = spark.createDataFrame([("r:0",)], ["node"])
+    return bounded_traversal(edges, seeds, depth=2, reverse=True)
+
+
+def region_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+W4 impact analysis with depth scoring (graph_service.py:572-628):
+    reverse 3-hop from region 0 over nation/customer/orders edges; score
+    CASE depth 1->1.0, 2->0.7, 3->0.5/3; summarized per depth."""
+    edges = _edges(spark, sf_dir, with_orders=True)
+    impact = impact_analysis(
+        edges, "r:0", depth=3, rel_types=("IN_REGION", "IN_NATION", "PLACED_BY")
+    )
+    return impact.groupBy("depth", "impact_score").agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+QUERIES = {
+    "region_two_hop": region_two_hop,
+    "region_impact": region_impact,
+}
+
+ORACLES = {
+    "region_two_hop": """
+        SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS node, CAST(1 AS INTEGER) AS depth
+        FROM nation WHERE n_regionkey = 0
+        UNION ALL
+        SELECT 'c:' || CAST(c_custkey AS VARCHAR), CAST(2 AS INTEGER)
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 0
+    """,
+    "region_impact": """
+        WITH n1 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
+        c2 AS (
+            SELECT c_custkey FROM customer
+            JOIN n1 ON c_nationkey = n_nationkey
+        ),
+        o3 AS (SELECT o_orderkey FROM orders JOIN c2 ON o_custkey = c_custkey)
+        SELECT CAST(1 AS INTEGER) AS depth, 1.0::DOUBLE AS impact_score,
+               count(*) AS n_nodes FROM n1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 0.7::DOUBLE, count(*) FROM c2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), round(0.5::DOUBLE / 3, 4), count(*) FROM o3
+    """,
+}

@@ -1,0 +1,323 @@
+"""Relational core queries: filters, projections, joins, aggregations,
+windows, set ops (SURVEY §2.2-2.7) over the TPC-H-ish testdata.
+
+Each query cites the reference operator(s) whose semantics it exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.operators.ranking import pack_budget
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A7-family hash aggregate (TPC-H Q1 shape). Map-side partial agg;
+    the shuffle carries one row per (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-family predicate pushdown showcase (TPC-H Q6 shape): all three
+    filters reach the parquet scan (PushedFilters), projection pruned to
+    4 columns (P9 content-size-gate analogue, code_ingestor.py:96)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 FK-resolution equi-joins (graph_service.py:155-189,449-468):
+    lineitem->orders shuffles once; customer/nation/region are broadcast
+    (small dims) so no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def active_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO5/J9 left-semi join (routes.py:491-498): customers having orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+def inactive_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO5 left-anti join (pipeline.py:245 dir-exclusion semantics):
+    customers with no RECENT orders (since 2001), counted per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 per-group top-k (memory_store.py:589-595): top-3 suppliers by
+    account balance per nation."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.col("s_suppkey"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("acctbal"), "rank")
+    )
+
+
+def priority_top5_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per-type summary (memory_store.py:561-607): per order priority,
+    total count + value held by its top-5 orders."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.when(F.col("rn") <= 5, F.col("o_totalprice")).otherwise(0.0)), 2
+            ).alias("top5_value"),
+        )
+    )
+
+
+def customer_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 node degree (graph_service.py:280-298) as a histogram: orders per
+    customer (0 included via left join), then count customers per degree."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    deg = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_customers"))
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 distinct (sql_parser.py:82-123): distinct types/users in events."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def event_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 type histogram (metrics.py:280-285)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def pack_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 greedy budget knapsack (pack_builder.py:63-129): parts ranked by
+    retail price, per-brand cap 8 (category caps, pack_builder.py:86-95),
+    cumulative cost cutoff at budget 50000 (chars/4+50 token-estimate
+    analogue: size*10+50)."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "cost", (F.col("p_size") * 10 + 50).cast("bigint")
+    )
+    picked = pack_budget(
+        p,
+        score_col="p_retailprice",
+        cost_col="cost",
+        budget=50000,
+        id_col="p_partkey",
+        category_col="p_brand",
+        category_cap=8,
+    )
+    return picked.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("retailprice"),
+        F.col("cum_cost").cast("bigint").alias("cum_cost"),
+    )
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "revenue_filter": revenue_filter,
+    "region_revenue": region_revenue,
+    "active_segments": active_segments,
+    "inactive_by_nation": inactive_by_nation,
+    "top_suppliers_per_nation": top_suppliers_per_nation,
+    "priority_top5_value": priority_top5_value,
+    "customer_degree_histogram": customer_degree_histogram,
+    "distinct_counts": distinct_counts,
+    "event_type_histogram": event_type_histogram,
+    "pack_budget_selection": pack_budget_selection,
+}
+
+ORACLES = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_filter": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "region_revenue": """
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "active_segments": """
+        SELECT c_mktsegment, count(*) AS n_active
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "inactive_by_nation": """
+        SELECT n_name, count(*) AS n_inactive
+        FROM customer c
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY n_name
+    """,
+    "top_suppliers_per_nation": """
+        SELECT n_name, s_name, round(s_acctbal, 2) AS acctbal, rank
+        FROM (
+            SELECT n_name, s_name, s_acctbal,
+                   CAST(row_number() OVER (
+                       PARTITION BY n_name
+                       ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rank
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ) t
+        WHERE rank <= 3
+    """,
+    "priority_top5_value": """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(CASE WHEN rn <= 5 THEN o_totalprice ELSE 0.0::DOUBLE END), 2)
+                   AS top5_value
+        FROM ranked GROUP BY o_orderpriority
+    """,
+    "customer_degree_histogram": """
+        WITH deg AS (
+            SELECT c_custkey, count(o_orderkey) AS degree
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        )
+        SELECT degree, count(*) AS n_customers FROM deg GROUP BY degree
+    """,
+    "distinct_counts": """
+        SELECT count(DISTINCT event_type) AS n_types,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+    """,
+    "event_type_histogram": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS total_value,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "pack_budget_selection": """
+        WITH scored AS (
+            SELECT p_partkey, p_brand, p_retailprice,
+                   CAST(p_size * 10 + 50 AS BIGINT) AS cost,
+                   row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS cat_rn
+            FROM part
+        ),
+        capped AS (SELECT * FROM scored WHERE cat_rn <= 8),
+        cum AS (
+            SELECT p_partkey, round(p_retailprice, 2) AS retailprice,
+                   CAST(sum(cost) OVER (
+                       ORDER BY p_retailprice DESC, p_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_cost
+            FROM capped
+        )
+        SELECT p_partkey, retailprice, cum_cost FROM cum WHERE cum_cost <= 50000
+    """,
+}

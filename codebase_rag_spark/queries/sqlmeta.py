@@ -1,0 +1,111 @@
+"""SQL-schema analysis queries (T12/T13/A6/A9) over an inline DDL corpus.
+
+The testdata has no DDL table, so the corpus is a fixed literal list —
+identical VALUES on the DuckDB side (FIXTURES.md §7's shape: Oracle-,
+MySQL-, Postgres-flavored CREATE TABLEs across >=2 business domains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.operators.sqlmeta import analyze_ddl
+
+DDL_CORPUS: list[tuple[str, str]] = [
+    ("d1", "CREATE TABLE POLICY_MASTER (ID NUMBER(10) NOT NULL, NAME VARCHAR2(100), START_DT DATE)"),
+    ("d2", "CREATE TABLE CLAIM_EVENT (CLAIM_ID NUMBER(12), POLICY_ID NUMBER(10), AMOUNT NUMBER(14), NOTE CLOB)"),
+    ("d3", "CREATE TABLE ORDER_ITEMS (ID INT AUTO_INCREMENT, ORDER_ID INT, QTY TINYINT, PRICE DOUBLE)"),
+    ("d4", "CREATE TABLE CUSTOMER_CONTACT (ID SERIAL PRIMARY KEY, EMAIL TEXT, META JSONB)"),
+    ("d5", "CREATE TABLE CONFIG_PARAM (PARAM_KEY NVARCHAR(64), PARAM_VALUE NVARCHAR(256), ROW_ID INT IDENTITY(1;1))"),
+    ("d6", "CREATE TABLE MISC_STUFF (A INT, B TEXT)"),
+]
+
+
+def ddl_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 name extraction + T13 dialect detection + A6 column count +
+    A9 domain classification, one projection."""
+    df = spark.createDataFrame(DDL_CORPUS, ["ddl_id", "ddl"])
+    return analyze_ddl(df).select(
+        "ddl_id", "table_name", "dialect", "domain", "n_columns"
+    )
+
+
+def domain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 group-by-domain rollup with a deterministic member list
+    (sql_schema_parser.py:235-275)."""
+    df = analyze_ddl(spark.createDataFrame(DDL_CORPUS, ["ddl_id", "ddl"]))
+    return df.groupBy("domain").agg(
+        F.count("*").alias("n_tables"),
+        F.concat_ws(",", F.array_sort(F.collect_list("table_name"))).alias("tables"),
+        F.sum("n_columns").cast("bigint").alias("total_columns"),
+    )
+
+
+QUERIES = {
+    "ddl_analysis": ddl_analysis,
+    "domain_summary": domain_summary,
+}
+
+
+def _values_clause() -> str:
+    rows = ",\n            ".join(
+        "('{}', '{}')".format(i, d.replace("'", "''")) for i, d in DDL_CORPUS
+    )
+    return f"(VALUES\n            {rows}) AS t(ddl_id, ddl)"
+
+
+_ANALYZE = rf"""
+        SELECT ddl_id,
+               regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)
+                   AS table_name,
+               CASE
+                   WHEN contains(upper(ddl), 'VARCHAR2') OR contains(upper(ddl), 'NUMBER(')
+                        OR contains(upper(ddl), 'CLOB') OR contains(upper(ddl), 'NVL(')
+                       THEN 'oracle'
+                   WHEN contains(upper(ddl), 'AUTO_INCREMENT') OR contains(upper(ddl), 'TINYINT')
+                        OR contains(upper(ddl), 'ENGINE=') OR contains(upper(ddl), 'UNSIGNED')
+                       THEN 'mysql'
+                   WHEN contains(upper(ddl), 'SERIAL') OR contains(upper(ddl), 'BYTEA')
+                        OR contains(upper(ddl), 'JSONB') OR contains(upper(ddl), '::')
+                       THEN 'postgres'
+                   WHEN contains(upper(ddl), 'NVARCHAR') OR contains(upper(ddl), 'IDENTITY(')
+                        OR contains(upper(ddl), 'UNIQUEIDENTIFIER')
+                       THEN 'sqlserver'
+                   ELSE 'generic'
+               END AS dialect,
+               CASE
+                   WHEN contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'POLICY')
+                        OR contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'CLAIM')
+                        OR contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'PREMIUM')
+                       THEN 'insurance'
+                   WHEN contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'ORDER')
+                        OR contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'INVOICE')
+                        OR contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'PRODUCT')
+                       THEN 'sales'
+                   WHEN contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'CUSTOMER')
+                        OR contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'USER')
+                        OR contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'CONTACT')
+                       THEN 'crm'
+                   WHEN contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'CONFIG')
+                        OR contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'PARAM')
+                        OR contains(upper(regexp_extract(ddl, 'CREATE\s+TABLE\s+(?:\w+\.)?([A-Za-z_][\w$]*)', 1)), 'LOG')
+                       THEN 'system'
+                   ELSE 'other'
+               END AS domain,
+               CAST(len(string_split(regexp_extract(ddl, '\(([\s\S]*)\)', 1), ',')) AS INTEGER)
+                   AS n_columns
+        FROM {{values}}
+"""
+
+ORACLES = {
+    "ddl_analysis": _ANALYZE.format(values=_values_clause()),
+    "domain_summary": f"""
+        WITH analyzed AS ({_ANALYZE.format(values=_values_clause())})
+        SELECT domain,
+               count(*) AS n_tables,
+               string_agg(table_name, ',' ORDER BY table_name) AS tables,
+               CAST(sum(n_columns) AS BIGINT) AS total_columns
+        FROM analyzed GROUP BY domain
+    """,
+}

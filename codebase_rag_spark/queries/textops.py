@@ -1,0 +1,225 @@
+"""Text / ranking / chunking queries over the documents table
+(SURVEY §2.5 W1-W3, §2.8, §2.9 T8, plus beyond-reference text analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_count,
+    type_token_ratio,
+)
+from codebase_rag_spark.operators.chunking import fixed_window_chunks
+from codebase_rag_spark.operators.dedup import exact_dedup
+from codebase_rag_spark.operators.ranking import hybrid_merge, rank_score
+
+
+def rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 heuristic multiplicative ranker (services/utils/ranker.py:12-62):
+    x2 'exact' hit, x(1+0.3*term hits), x1.5 lang match, x1.2 core boost,
+    x0.5 penalty; ORDER BY score LIMIT compiles to TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    score = rank_score(
+        F.col("text"),
+        terms=["join", "merge", "vector"],
+        exact=F.lower(F.col("text")).contains("spark"),
+        lang_match=F.col("lang") == "en",
+        core_boost=F.col("source") == "src0",
+        test_penalty=F.col("source") == "src9",
+    )
+    return (
+        d.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+def hybrid_merge_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 hybrid retrieval merge (neo4j_knowledge_service.py:99-110): union
+    two scoring branches, keep max-score row per doc, summarize per branch."""
+    d = load_table(spark, sf_dir, "documents")
+    branch_tok = d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("double").alias("score"),
+        F.lit("tok").alias("branch"),
+    )
+    branch_chr = d.select(
+        "doc_id",
+        (F.col("n_chars") / F.lit(10.0)).alias("score"),
+        F.lit("chr").alias("branch"),
+    )
+    from pyspark.sql import Window
+
+    merged = branch_tok.unionByName(branch_chr)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("branch"))
+    best = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return best.groupBy("branch").agg(
+        F.count("*").alias("n_wins"),
+        F.round(F.sum("score"), 2).alias("total_score"),
+    )
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint (beyond-reference;
+    analogue: content-sha cache key, docs/architecture/dataflow.md:1538)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical diversity per language (beyond-reference
+    text-analysis op; tokenization mirrors transformers.py:137-163)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.round(F.avg(type_token_ratio(F.col("text"))), 4).alias("avg_ttr"),
+    )
+
+
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring per source (beyond-reference; multiplier
+    style mirrors ranker.py:12-62)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", quality_score(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword language-ID heuristic vs labeled lang (beyond-reference;
+    detection-by-content analogue of P1/P2 ext->type maps, base.py:138-202)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", lang_id(F.col("text")).alias("pred_lang")
+    ).agg(F.count("*").alias("n"))
+
+
+def fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 fixed-window chunking (transformers.py:1009-1039): 50-token
+    windows over documents; chunk text verified by md5."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunks = fixed_window_chunks(d, "doc_id", "text", tokens_per_chunk=50)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
+QUERIES = {
+    "rank_documents": rank_documents,
+    "hybrid_merge_branches": hybrid_merge_branches,
+    "exact_dedup_docs": exact_dedup_docs,
+    "token_stats": token_stats,
+    "quality_by_source": quality_by_source,
+    "lang_id_confusion": lang_id_confusion,
+    "fixed_chunks": fixed_chunks,
+}
+
+_TERM_HITS = (
+    "((CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END)"
+    " + (CASE WHEN contains(lower(text), 'merge') THEN 1 ELSE 0 END)"
+    " + (CASE WHEN contains(lower(text), 'vector') THEN 1 ELSE 0 END))"
+)
+
+ORACLES = {
+    "rank_documents": f"""
+        SELECT doc_id,
+               round(100.0::DOUBLE * (1.0::DOUBLE + 0.3::DOUBLE * {_TERM_HITS})
+                 * (CASE WHEN contains(lower(text), 'spark') THEN 2.0::DOUBLE ELSE 1.0::DOUBLE END)
+                 * (CASE WHEN lang = 'en' THEN 1.5::DOUBLE ELSE 1.0::DOUBLE END)
+                 * (CASE WHEN source = 'src0' THEN 1.2::DOUBLE ELSE 1.0::DOUBLE END)
+                 * (CASE WHEN source = 'src9' THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END),
+                 4) AS score
+        FROM documents
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+    "hybrid_merge_branches": r"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS score,
+                   'tok' AS branch
+            FROM documents
+            UNION ALL
+            SELECT doc_id, n_chars / 10.0::DOUBLE, 'chr' FROM documents
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, branch) AS rn
+            FROM s
+        )
+        SELECT branch, count(*) AS n_wins, round(sum(score), 2) AS total_score
+        FROM best WHERE rn = 1 GROUP BY branch
+    """,
+    "exact_dedup_docs": r"""
+        SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keep_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """,
+    "token_stats": r"""
+        SELECT lang, count(*) AS n_docs,
+               round(avg(len(regexp_split_to_array(text, '\s+'))), 4) AS avg_tokens,
+               round(avg(CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+                         / len(regexp_split_to_array(text, '\s+'))), 4) AS avg_ttr
+        FROM documents GROUP BY lang
+    """,
+    "quality_by_source": r"""
+        WITH q AS (
+            SELECT source,
+                   round((
+                       (CASE WHEN length(text) BETWEEN 50 AND 20000
+                             THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                     + least(CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+                             / len(regexp_split_to_array(text, '\s+')) * 2.0::DOUBLE,
+                             1.0::DOUBLE)
+                     + (CASE WHEN length(regexp_replace(text, '\s+', '', 'g'))
+                                  / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+                                  BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+                             THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                   ) / 3.0::DOUBLE, 4) AS q
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+        FROM q GROUP BY source
+    """,
+    "lang_id_confusion": """
+        SELECT lang,
+               CASE
+                   WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 'en'
+                   WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 'de'
+                   WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 'fr'
+                   WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 'es'
+                   WHEN contains(' ' || lower(text) || ' ', ' de ') THEN 'zh'
+                   ELSE 'unknown'
+               END AS pred_lang,
+               count(*) AS n
+        FROM documents GROUP BY lang, pred_lang
+    """,
+    "fixed_chunks": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\s+')) AS tok,
+                   generate_subscripts(regexp_split_to_array(text, '\s+'), 1) - 1 AS pos
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               CAST(pos // 50 AS INTEGER) AS chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5,
+               count(*) AS n_tokens
+        FROM toks GROUP BY doc_id, chunk_id
+    """,
+}

@@ -1,0 +1,118 @@
+"""Vector similarity queries (SURVEY §2.5 W5, Q3) over the embeddings table.
+
+Oracle note: DuckDB's list_cosine_similarity computes in float32, so the
+oracles use explicit double math (unnest -> sum of products) to match
+Spark's double-precision expressions exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.functions.vector import as_double
+from codebase_rag_spark.operators.similarity import build_centroids, cosine_topk
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 brute-force exact top-k (neo4j_knowledge_service.py:163-178):
+    query = vector of vec_id 0; cosine computed in the scan stage,
+    TakeOrderedAndProject for the top 10 — no shuffle of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    return cosine_topk(emb, qv, k=10, exclude_ids=[0])
+
+
+def centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer building block: per-label centroids (one shuffle),
+    assign every vector to its nearest centroid by squared L2, report
+    per-label how many of its vectors self-assign. At 100 TB the corpus is
+    written partitioned by assigned centroid -> partition-pruned ANN probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = build_centroids(emb, "label")
+    dist2 = F.aggregate(
+        F.zip_with(
+            as_double(F.col("embedding")),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(
+        F.broadcast(cents.withColumnRenamed("label", "clabel"))
+    ).select("vec_id", "label", "clabel", dist2.alias("dist2"))
+    w = Window.partitionBy("vec_id").orderBy("dist2", "clabel")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("pred_label"))
+    )
+    return best.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_self"),
+    )
+
+
+QUERIES = {
+    "cosine_topk": cosine_topk_query,
+    "centroid_assignment": centroid_assignment,
+}
+
+ORACLES = {
+    "cosine_topk": """
+        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        p AS (
+            SELECT vec_id,
+                   unnest(embedding)::DOUBLE AS x,
+                   unnest((SELECT e FROM q))::DOUBLE AS y
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        s AS (
+            SELECT vec_id,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS cosine
+            FROM p GROUP BY vec_id
+        )
+        SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    "centroid_assignment": """
+        WITH e AS (
+            SELECT vec_id, label,
+                   unnest(embedding)::DOUBLE AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        c AS (SELECT label AS clabel, pos, avg(v) AS cv FROM e GROUP BY label, pos),
+        d AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   sum((e.v - c.cv) * (e.v - c.cv)) AS dist2
+            FROM e JOIN c ON e.pos = c.pos
+            GROUP BY e.vec_id, e.label, c.clabel
+        ),
+        best AS (
+            SELECT vec_id, label, clabel AS pred_label,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+            FROM d
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_self
+        FROM best WHERE rn = 1 GROUP BY label
+    """,
+}

@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the configs below are the ones that matter at
+cluster scale too: AQE (runtime re-plan, skew-join splitting, partition
+coalescing), Arrow for the few pandas-UDF stages, and a shuffle-partition
+count sized to the parallelism at hand (at 100 TB this would be set to
+~2-3x total executor cores, or left to AQE's coalescing with a high initial
+value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "codebase-rag-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: str | int | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,27 @@
+"""Driver-contract smoke tests (mirrors reference test style: response
+shape + limit enforcement, tests/test_related.py:96-128)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "score", "branch"}
+
+
+def test_every_query_has_runnable_callable(spark, sf_dir):
+    qs = entrymod.queries()
+    assert len(qs) >= 30
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    for name in entrymod.oracle_sql():
+        assert name in qs

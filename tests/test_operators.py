@@ -1,0 +1,180 @@
+"""Unit tests on single operators with fixed inputs -> fixed outputs
+(reference test strategy: SURVEY §5 — ranker ordering invariants,
+pack-builder budget/caps, scan/dedup semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.text import lang_id, token_count
+from codebase_rag_spark.functions.vector import cosine_similarity
+from codebase_rag_spark.operators.chunking import (
+    extract_markers,
+    fixed_window_chunks,
+    markdown_sections,
+    sliding_word_chunks,
+)
+from codebase_rag_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+from codebase_rag_spark.operators.graph import (
+    bounded_traversal,
+    degrees,
+    impact_analysis,
+    shortest_path_length,
+)
+from codebase_rag_spark.operators.ranking import pack_budget
+from codebase_rag_spark.operators.similarity import cosine_topk, knn_join
+from codebase_rag_spark.operators.windows import asof_join, sessionize
+
+
+def test_cosine_similarity_exact(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"])
+    vals = [r[0] for r in df.select(F.round(cosine_similarity(F.col("a"), F.col("b")), 6)).collect()]
+    assert vals == [1.0, 0.0]
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    top = cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [1, 2]
+
+
+def test_knn_join_returns_k_per_query(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame([(100, [5.0, 1.0])], ["query_id", "embedding"])
+    out = knn_join(corpus, queries, k=3).collect()
+    assert len(out) == 3
+    assert all(r.query_id == 100 for r in out)
+
+
+def test_exact_dedup_groups_identical_content(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "hello world"), (3, "bye")], ["id", "text"]
+    )
+    out = {r.keep_id: r.dup_count for r in exact_dedup(df, "id", "text").collect()}
+    assert out == {1: 2, 3: 1}  # whitespace-normalized match
+
+
+def test_jaccard_all_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], ["id", "text"]
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.0).collect()}
+    assert out[(1, 2)] == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
+    assert out[(1, 3)] == 0.0
+
+
+def test_pack_budget_respects_budget_and_caps(spark):
+    rows = [(i, float(100 - i), 10, "cat") for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "score", "cost", "cat"])
+    picked = pack_budget(df, "score", "cost", budget=55, id_col="id",
+                         category_col="cat", category_cap=4).collect()
+    # cap kicks in before budget: only 4 rows from the single category
+    assert [r.id for r in picked] == [0, 1, 2, 3]
+    assert max(r.cum_cost for r in picked) <= 55
+    picked2 = pack_budget(df, "score", "cost", budget=35, id_col="id").collect()
+    assert len(picked2) == 3  # 3*10 <= 35 < 4*10
+
+
+def test_degrees(spark):
+    edges = spark.createDataFrame([("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"])
+    d = {r.node: (r.out_degree, r.in_degree) for r in degrees(edges).collect()}
+    assert d == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+def test_bounded_traversal_min_depth_and_cycle_safety(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    out = {r.node: r.depth for r in bounded_traversal(edges, seeds, depth=5).collect()}
+    # cycle a->b->c->a must terminate; min-depth per node
+    assert out == {"b": 1, "c": 2, "d": 3}
+
+
+def test_shortest_path_length(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"])
+    assert shortest_path_length(edges, "a", "c") == 2
+    assert shortest_path_length(edges, "a", "y") is None
+
+
+def test_impact_scores(spark):
+    edges = spark.createDataFrame(
+        [("b", "a", "CALLS"), ("c", "b", "CALLS"), ("d", "c", "IMPORTS")],
+        ["src", "dst", "type"],
+    )
+    out = {r.node: (r.depth, r.impact_score) for r in impact_analysis(edges, "a").collect()}
+    assert out == {"b": (1, 1.0), "c": (2, 0.7), "d": (3, 0.1667)}
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"), (1, "2024-01-01 02:00:00")],
+        ["user_id", "ts_str"],
+    ).select("user_id", F.to_timestamp("ts_str").alias("ts"))
+    out = sessionize(df, "ts", "user_id", gap_minutes=30).collect()
+    sessions = sorted(r.session_id for r in out)
+    assert sessions == [1, 1, 2]
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00")], ["k", "ts_str"]
+    ).select("k", F.to_timestamp("ts_str").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", 10.0), (1, "2024-01-01 00:59:00", 20.0),
+         (1, "2024-01-01 01:01:00", 30.0)],
+        ["k", "ts_str", "value"],
+    ).select("k", F.to_timestamp("ts_str").alias("ts"), "value")
+    out = asof_join(left, right, key_col="k", right_cols=["value"]).collect()
+    assert len(out) == 1 and out[0].value_asof == 20.0
+
+
+def test_fixed_window_chunks(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["id", "text"])
+    out = sorted(
+        fixed_window_chunks(df, "id", "text", tokens_per_chunk=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.chunk_id, r.chunk_text) for r in out] == [(0, "a b"), (1, "c d"), (2, "e")]
+
+
+def test_sliding_word_chunks_overlap(spark):
+    df = spark.createDataFrame([(1, " ".join(str(i) for i in range(10)))], ["id", "text"])
+    out = sorted(
+        sliding_word_chunks(df, "id", "text", chunk_tokens=4, overlap_tokens=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert out[0].chunk_text == "0 1 2 3"
+    assert out[1].chunk_text == "2 3 4 5"  # 2-token overlap
+
+
+def test_markdown_sections(spark):
+    md = "# Title\nintro\n## Sub\nbody text"
+    df = spark.createDataFrame([(1, md)], ["id", "text"])
+    out = sorted(markdown_sections(df, "id", "text").collect(), key=lambda r: r.section_id)
+    assert [r.title for r in out] == ["Title", "Sub"]
+    assert out[1].body == "body text"
+
+
+def test_extract_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "x = 1  # TODO: fix later\n# NOTE: convention here\nplain line")],
+        ["id", "text"],
+    )
+    out = {r.marker: (r.memory_type, r.importance) for r in extract_markers(df, "id", "text").collect()}
+    assert out == {"TODO": ("plan", 0.5), "NOTE": ("convention", 0.6)}
+
+
+def test_lang_id_and_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "der schnelle fuchs"), (3, "zzz qqq")],
+        ["id", "text"],
+    )
+    out = {r.id: (r.lang, r.n) for r in df.select(
+        "id", lang_id(F.col("text")).alias("lang"), token_count(F.col("text")).alias("n")
+    ).collect()}
+    assert out == {1: ("en", 4), 2: ("de", 3), 3: ("unknown", 2)}

@@ -1,0 +1,129 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry via Spark AND its oracle_sql()
+via DuckDB on the same sf dir, then compares row count, sorted column
+names, and order-insensitive values. Exit code 1 on any mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from codebase_rag_spark.catalog import TABLES  # noqa: E402
+from codebase_rag_spark.session import get_spark  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(sv, ov)) if not values_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            problems.append(
+                f"col {c}: {len(bad)} mismatches; first at sorted-row {i}: "
+                f"spark={x!r} oracle={y!r}"
+            )
+    # dtype drift is a warning, not a failure (driver may or may not care)
+    for c in s.columns:
+        if str(s[c].dtype) != str(o[c].dtype):
+            problems.append(f"WARN dtype {c}: spark={s[c].dtype} oracle={o[c].dtype}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed, warned = [], []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only check: {len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        hard = [p for p in problems if not p.startswith("WARN")]
+        soft = [p for p in problems if p.startswith("WARN")]
+        if hard:
+            print(f"FAIL {name} ({len(sdf)} rows)")
+            for p in hard + soft:
+                print(f"     {p}")
+            failed.append(name)
+        else:
+            flag = ""
+            if soft:
+                warned.append(name)
+                flag = "  [" + "; ".join(soft) + "]"
+            print(f"OK   {name} ({len(sdf)} rows){flag}")
+    print(
+        f"\n{len(queries) - len(failed)}/{len(queries)} OK"
+        + (f", {len(failed)} FAILED: {failed}" if failed else "")
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
