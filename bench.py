@@ -38,6 +38,8 @@ HEADLINE = [
     "user_sessions",
     "purchase_click_asof",
     "region_two_hop",
+    "fulltext_search",
+    "hybrid_retrieval",
 ]
 
 

@@ -1,0 +1,80 @@
+"""Memory store operators (SURVEY §1.1 Memory, §2.2 P6, §2.4 A3, §2.5 W3,
+supersede lineage).
+
+Reference: services/memory/memory_store.py — a temporal fact store with
+typed memories, tag filters, importance ranking and SUPERSEDES lineage.
+Spark-first: memories are a DataFrame (FIXTURES.md §5 schema); every
+operation is a transformation; supersede lineage is SCD-2-style columns
+(superseded_by + is_current) computed with windows, not per-row writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MEMORY_TYPES = ["decision", "preference", "experience", "convention", "plan", "note"]
+
+
+def search_memories(
+    memories: DataFrame,
+    project_id: str | None = None,
+    mem_type: str | None = None,
+    tags: list[str] | None = None,
+    min_importance: float | None = None,
+    limit: int = 20,
+) -> DataFrame:
+    """P6 filters (memory_store.py:263-300): project/type equality, tag
+    any-overlap, importance floor — then W3 ordering
+    (importance DESC, created_at DESC, id)."""
+    df = memories
+    if project_id is not None:
+        df = df.filter(F.col("project_id") == project_id)
+    if mem_type is not None:
+        df = df.filter(F.col("type") == mem_type)
+    if tags:
+        df = df.filter(
+            F.arrays_overlap(F.col("tags"), F.array(*[F.lit(t) for t in tags]))
+        )
+    if min_importance is not None:
+        df = df.filter(F.col("importance") >= min_importance)
+    return df.orderBy(
+        F.desc("importance"), F.desc("created_at"), F.col("id")
+    ).limit(limit)
+
+
+def memory_summary(memories: DataFrame, top_n: int = 5) -> DataFrame:
+    """A3 per-type summary (memory_store.py:561-607): count + top-N by
+    importance per type, members as a deterministic sorted list."""
+    w = Window.partitionBy("type").orderBy(
+        F.desc("importance"), F.desc("created_at"), F.col("id")
+    )
+    ranked = memories.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy("type").agg(
+        F.count("*").alias("n_memories"),
+        F.round(F.avg("importance"), 4).alias("avg_importance"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(F.when(F.col("_rn") <= top_n, F.col("id")))
+            ),
+        ).alias("top_ids"),
+    )
+
+
+def apply_supersedes(memories: DataFrame, lineage_key: str = "title") -> DataFrame:
+    """Supersede lineage (memory_store.py:490-559) as SCD-2: within a
+    lineage key, each row is superseded by the next one in time;
+    is_current marks the latest. Window lead() — one shuffle, no per-row
+    updates."""
+    w = Window.partitionBy("project_id", lineage_key).orderBy(
+        "created_at", "id"
+    )
+    nxt = F.lead("id").over(w)
+    return memories.withColumn("superseded_by", nxt).withColumn(
+        "is_current", nxt.isNull()
+    )
+
+
+def current_memories(memories: DataFrame, lineage_key: str = "title") -> DataFrame:
+    return apply_supersedes(memories, lineage_key).filter(F.col("is_current"))

@@ -1,0 +1,86 @@
+"""Inverted-index fulltext search (SURVEY §2.5 W1, §4 'custom Spark work').
+
+Reference: Neo4j fulltext index with relevance scores and a CONTAINS-scan
+fallback (graph_service.py:474-544). Spark has no fulltext index, so we
+build the classic one ourselves as a table:
+
+* build_inverted_index: documents -> (term, doc_id, tf) postings, one
+  explode + one groupBy. At 100 TB the postings table is written
+  partitioned/bucketed by term so a query's term lookup is a pruned scan.
+* search: query terms (tiny) broadcast-joined against postings; relevance =
+  sum of tf over matched terms (TF scoring; the reference exposes Lucene
+  scores — monotone-comparable, not value-identical). ORDER BY score LIMIT k
+  compiles to TakeOrderedAndProject.
+* contains_fallback: the reference's CONTAINS scan for when no index exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.text import tokens
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(term, id, tf) postings from whitespace-lowered tokens."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("term", "id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def search(
+    index: DataFrame,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k ids by summed term frequency over the query terms."""
+    spark = index.sparkSession
+    q = spark.createDataFrame([(t.lower(),) for t in terms], ["term"])
+    return (
+        index.join(F.broadcast(q), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("score"),
+            F.countDistinct("term").cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+
+def contains_fallback(
+    df: DataFrame, id_col: str, text_col: str, terms: list[str], k: int = 10
+) -> DataFrame:
+    """W1 fallback path (graph_service.py:522-533): CONTAINS scan scored by
+    number of matching terms."""
+    lowered = F.lower(F.col(text_col))
+    score = sum(
+        (
+            F.when(lowered.contains(t.lower()), F.lit(1)).otherwise(F.lit(0))
+            for t in terms
+        ),
+        F.lit(0),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), score.cast("bigint").alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+
+def topk_per_term(index: DataFrame, k: int = 5) -> DataFrame:
+    """Per-term top-k postings (W6 shape) — used to cap posting lists for
+    hot terms at scale (stopword skew control)."""
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.col("id"))
+    return index.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

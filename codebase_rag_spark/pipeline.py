@@ -1,0 +1,153 @@
+"""The ingestion ETL pipeline (SURVEY §3.2/§3.3): scan -> transform/chunk ->
+embed -> store, as ONE Spark dataflow.
+
+Reference shape: load -> transform -> _generate_embeddings_for_chunks ->
+store (pipeline.py:67-172, 283-307), run per-source with a Semaphore(5).
+Spark-first: the whole corpus is one DataFrame; concurrency, batching and
+retries are the scheduler's job, not ours. The reference's per-chunk Neo4j
+writes (storers.py:20-46) become partitioned parquet writes.
+
+Incremental embedding: the embeddings table is keyed by content sha
+(reference's advised cache, docs/architecture/dataflow.md:1534-1543) so
+re-ingestion anti-joins away already-embedded chunks — only new content
+pays the embed cost (the "60x faster" incremental claim, docs/index.md:168).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.hashing import hash_embed
+from codebase_rag_spark.functions.text import sha_fingerprint
+from codebase_rag_spark.operators.chunking import fixed_window_chunks
+from codebase_rag_spark.sources.cdc import changed_subset, merge_upsert
+from codebase_rag_spark.sources.scan import scan_directory
+
+STORE_CONTENT_CAP = 1000  # chars; reference storers.py:27
+
+
+def chunk_files(files: DataFrame, tokens_per_chunk: int = 50) -> DataFrame:
+    """Transform stage: 1 file -> N chunks (T8 generic chunking; language-
+    aware extractors in operators/code_extract.py handle code files).
+    Chunk ids are content-addressed (sha of file sha + chunk index)."""
+    chunks = fixed_window_chunks(
+        files.filter(F.col("content").isNotNull()),
+        id_col="path",
+        text_col="content",
+        tokens_per_chunk=tokens_per_chunk,
+    )
+    keyed = chunks.join(
+        files.select("path", "repo_id", "lang", "sha"), "path"
+    )
+    return keyed.select(
+        F.concat_ws("#", F.col("sha"), F.col("chunk_id")).alias("id"),
+        F.col("path").alias("source_id"),
+        "repo_id",
+        "lang",
+        F.lit("text").alias("chunk_type"),
+        F.substring(F.col("chunk_text"), 1, STORE_CONTENT_CAP).alias("content"),
+        sha_fingerprint(F.col("chunk_text")).alias("content_sha"),
+        "n_tokens",
+    )
+
+
+def embed_chunks(
+    chunks: DataFrame,
+    existing_embeddings: DataFrame | None = None,
+    dim: int = 16,
+) -> DataFrame:
+    """Embed stage (E1'): deterministic hash-embedder over content, with the
+    content-sha cache anti-join — chunks whose sha already has a vector are
+    skipped. Swap hash_embed for a pandas-UDF provider embedder in
+    production; the cache logic is identical."""
+    todo = chunks.select("content_sha", "content").dropDuplicates(["content_sha"])
+    if existing_embeddings is not None:
+        todo = todo.join(
+            existing_embeddings.select("content_sha"), "content_sha", "left_anti"
+        )
+    return todo.select(
+        "content_sha", hash_embed(F.col("content"), dim).alias("vector")
+    )
+
+
+def ingest_directory(
+    spark: SparkSession,
+    path: str,
+    store_dir: str,
+    repo_id: str = "repo",
+    incremental: bool = True,
+    include_globs: list[str] | None = None,
+    exclude_globs: list[str] | None = None,
+) -> dict[str, int]:
+    """Flagship write path (§3.2), one job graph:
+
+    scan (S1/S3) -> [anti-join previous snapshot (S12) if incremental]
+    -> chunk (T8) -> embed-with-cache (E1') -> merge-write files/chunks/
+    embeddings parquet (S13-S16), partitioned by repo_id.
+
+    Returns counters (A7 pipeline stats).
+    """
+    files_path = f"{store_dir}/files"
+    chunks_path = f"{store_dir}/chunks"
+    emb_path = f"{store_dir}/embeddings"
+
+    new_files = scan_directory(
+        spark, path, repo_id, include_globs, exclude_globs
+    )
+
+    old_files = _read_or_none(spark, files_path)
+    work = new_files
+    if incremental and old_files is not None:
+        work = changed_subset(new_files, old_files.filter(F.col("repo_id") == repo_id))
+    work = work.localCheckpoint(eager=True)  # scan once, reuse across stages
+
+    new_chunks = chunk_files(work)
+    old_emb = _read_or_none(spark, emb_path)
+    new_emb = embed_chunks(new_chunks, old_emb)
+
+    n_files, n_chunks, n_emb = work.count(), new_chunks.count(), new_emb.count()
+
+    merged_files = (
+        merge_upsert(old_files, new_files, ["repo_id", "path"])
+        if old_files is not None
+        else new_files
+    )
+    _overwrite(merged_files, files_path, ["repo_id"])
+
+    old_chunks = _read_or_none(spark, chunks_path)
+    merged_chunks = (
+        merge_upsert(
+            old_chunks.withColumn("_ord", F.lit(0)),
+            new_chunks.withColumn("_ord", F.lit(1)),
+            ["id"],
+            order_col="_ord",
+        ).drop("_ord")
+        if old_chunks is not None
+        else new_chunks
+    )
+    _overwrite(merged_chunks, chunks_path, ["repo_id"])
+
+    all_emb = (
+        old_emb.unionByName(new_emb) if old_emb is not None else new_emb
+    ).dropDuplicates(["content_sha"])
+    _overwrite(all_emb, emb_path, None)
+
+    return {"files": n_files, "chunks": n_chunks, "new_embeddings": n_emb}
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def _overwrite(df: DataFrame, path: str, partition_by: list[str] | None) -> None:
+    # localCheckpoint breaks lineage so overwriting the path we just read is
+    # safe (Spark cannot overwrite a table that is still being read lazily)
+    df = df.localCheckpoint(eager=True)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -19,12 +19,22 @@ from codebase_rag_spark.queries import (
     eventops,
     graphops,
     relational,
+    retrievalops,
     sqlmeta,
     textops,
     vectorops,
 )
 
-_MODULES = [relational, textops, dedupops, vectorops, eventops, graphops, sqlmeta]
+_MODULES = [
+    relational,
+    textops,
+    dedupops,
+    vectorops,
+    eventops,
+    graphops,
+    retrievalops,
+    sqlmeta,
+]
 
 QUERIES = {}
 ORACLES = {}

@@ -1,0 +1,240 @@
+"""Retrieval-engine queries: inverted-index fulltext (W1), the hybrid
+query path (Q1-Q4/§3.1), supersede lineage (SCD-2), and tag-overlap memory
+search (P6/W3) — each with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.functions.text import tokens
+from codebase_rag_spark.operators.fulltext import build_inverted_index, search
+from codebase_rag_spark.operators.graph import bounded_traversal
+from codebase_rag_spark.operators.ranking import hybrid_merge
+from codebase_rag_spark.operators.fulltext import contains_fallback
+
+TERMS = ["vector", "join", "merge"]
+
+
+def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (graph_service.py:474-511): inverted-index build + term search,
+    relevance = summed term frequency. The postings build is the one-off
+    indexing cost; the search joins a broadcast term list against it."""
+    d = load_table(spark, sf_dir, "documents")
+    index = build_inverted_index(d, "doc_id", "text")
+    return search(index, TERMS, k=15).withColumnRenamed("id", "doc_id")
+
+
+def _doc_chain_edges(d: DataFrame) -> DataFrame:
+    """Deterministic doc graph: each doc points at the next doc_id within
+    its source (the 'related document' chain)."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select(
+            F.col("doc_id").cast("string").alias("src"),
+            F.lead(F.col("doc_id").cast("string")).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q4/§3.1 flagship read path, oracle-checkable variant: graph
+    branch = contains-matched seeds + 2-hop chain expansion with
+    1/(1+depth) decay; text branch = occurrence-count scoring; J8 merge
+    keeps the max-score row per doc; top-15."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = _doc_chain_edges(d)
+    seeds = contains_fallback(d, "doc_id", "text", TERMS, k=10).select(
+        F.col("id").cast("string").alias("node")
+    )
+    reached = bounded_traversal(edges, seeds, depth=2)
+    graph_branch = (
+        seeds.select("node", F.lit(0).alias("depth"))
+        .unionByName(reached)
+        .select(
+            F.col("node").alias("id"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.col("depth")), 4).alias("score"),
+            F.lit("graph").alias("branch"),
+        )
+    )
+    tf = sum(
+        (F.regexp_count(F.col("text"), F.lit(t)) for t in TERMS), F.lit(0)
+    )
+    text_branch = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.round(tf / F.lit(10.0), 4).alias("score"),
+        F.lit("text").alias("branch"),
+    ).filter(F.col("score") > 0)
+    merged = hybrid_merge([graph_branch, text_branch], "id", "score")
+    return (
+        merged.select(F.col("id").cast("bigint").alias("doc_id"), "score", "branch")
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(15)
+    )
+
+
+def order_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supersede lineage as SCD-2 (memory_store.py:490-559 semantics):
+    within a customer, each order is superseded by the next one in time;
+    the latest is current. Window lead() — no per-row updates."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderkey").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        nxt.alias("superseded_by"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def memory_tag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 tag any-overlap + importance floor + W3 ordering
+    (memory_store.py:263-300) over memories derived from documents
+    (tags = first 5 tokens, importance = n_chars/1000)."""
+    d = load_table(spark, sf_dir, "documents")
+    mem = d.select(
+        F.col("doc_id"),
+        F.slice(tokens(F.col("text")), 1, 5).alias("tags"),
+        F.round(F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0)), 4).alias(
+            "importance"
+        ),
+    )
+    hits = mem.filter(
+        F.arrays_overlap(
+            F.col("tags"), F.array(*[F.lit(t) for t in TERMS])
+        )
+        & (F.col("importance") >= 0.1)
+    )
+    return (
+        hits.select(
+            "doc_id",
+            "importance",
+            F.concat_ws(",", F.col("tags")).alias("tags"),
+        )
+        .orderBy(F.desc("importance"), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "fulltext_search": fulltext_search,
+    "hybrid_retrieval": hybrid_retrieval,
+    "order_lineage": order_lineage,
+    "memory_tag_search": memory_tag_search,
+}
+
+_TERMS_SQL = "('vector'), ('join'), ('merge')"
+_TF_SQL = (
+    "(len(regexp_extract_all(text, 'vector'))"
+    " + len(regexp_extract_all(text, 'join'))"
+    " + len(regexp_extract_all(text, 'merge')))"
+)
+_CONTAINS_SCORE = (
+    "((CASE WHEN contains(lower(text), 'vector') THEN 1 ELSE 0 END)"
+    " + (CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END)"
+    " + (CASE WHEN contains(lower(text), 'merge') THEN 1 ELSE 0 END))"
+)
+
+ORACLES = {
+    "fulltext_search": rf"""
+        WITH postings AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+                FROM documents
+            ) t
+            GROUP BY term, doc_id
+        ),
+        q(term) AS (VALUES {_TERMS_SQL})
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS score,
+               CAST(count(DISTINCT postings.term) AS BIGINT) AS n_terms
+        FROM postings JOIN q ON postings.term = q.term
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 15
+    """,
+    "hybrid_retrieval": f"""
+        WITH seeds AS (
+            SELECT CAST(doc_id AS VARCHAR) AS node
+            FROM (
+                SELECT doc_id, {_CONTAINS_SCORE} AS s
+                FROM documents
+            ) t
+            WHERE s > 0
+            ORDER BY s DESC, doc_id
+            LIMIT 10
+        ),
+        edges AS (
+            SELECT CAST(doc_id AS VARCHAR) AS src,
+                   CAST(lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                        AS VARCHAR) AS dst
+            FROM documents
+            QUALIFY dst IS NOT NULL
+        ),
+        hop1 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN seeds s ON e.src = s.node
+            WHERE e.dst NOT IN (SELECT node FROM seeds)
+        ),
+        hop2 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN hop1 h ON e.src = h.node
+            WHERE e.dst NOT IN (SELECT node FROM seeds)
+              AND e.dst NOT IN (SELECT node FROM hop1)
+        ),
+        graph_branch AS (
+            SELECT node AS id, round(1.0::DOUBLE / 1.0, 4) AS score,
+                   'graph' AS branch FROM seeds
+            UNION ALL
+            SELECT node, round(1.0::DOUBLE / 2.0, 4), 'graph' FROM hop1
+            UNION ALL
+            SELECT node, round(1.0::DOUBLE / 3.0, 4), 'graph' FROM hop2
+        ),
+        text_branch AS (
+            SELECT * FROM (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       round({_TF_SQL} / 10.0::DOUBLE, 4) AS score,
+                       'text' AS branch
+                FROM documents
+            ) tb WHERE score > 0
+        ),
+        merged AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY id ORDER BY score DESC, branch) AS rn
+            FROM (SELECT * FROM graph_branch UNION ALL SELECT * FROM text_branch) u
+        )
+        SELECT CAST(id AS BIGINT) AS doc_id, score, branch
+        FROM merged WHERE rn = 1
+        ORDER BY score DESC, doc_id
+        LIMIT 15
+    """,
+    "order_lineage": """
+        SELECT o_custkey, o_orderkey,
+               lead(o_orderkey) OVER w AS superseded_by,
+               (lead(o_orderkey) OVER w IS NULL) AS is_current
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "memory_tag_search": r"""
+        WITH mem AS (
+            SELECT doc_id,
+                   (regexp_split_to_array(text, '\s+'))[1:5] AS tags,
+                   round(least(n_chars / 1000.0::DOUBLE, 1.0::DOUBLE), 4)
+                       AS importance
+            FROM documents
+        )
+        SELECT doc_id, importance, array_to_string(tags, ',') AS tags
+        FROM mem
+        WHERE len(list_intersect(tags, ['vector', 'join', 'merge'])) > 0
+          AND importance >= 0.1
+        ORDER BY importance DESC, doc_id
+        LIMIT 20
+    """,
+}

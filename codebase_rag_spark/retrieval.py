@@ -1,0 +1,120 @@
+"""The hybrid retrieval query engine (SURVEY §2.11 Q1-Q4, §3.1) — the
+reference's flagship read path as one Spark job.
+
+Reference lifecycle (neo4j_knowledge_service.py:596-741):
+  mode -> {run_graph, run_vector}; graph branch = entity seeds + depth-2
+  traversal; vector branch = embed query + top-k; merge = max-score-per-node
+  dedup; synthesis happens outside the engine.
+
+Here:
+  * graph branch: fulltext term match seeds -> bounded_traversal over the
+    edges table -> depth-decayed scores (W4 shape);
+  * vector branch: hash-embed the question -> cosine top-k (W5);
+  * merge: union + window max-per-id (J8);
+  * config: QueryConfig mirrors PipelineConfig (top_k=5, graph_depth=2
+    defaults, settings.py:89 / neo4j_knowledge_service.py:398-401).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.hashing import hash_embed
+from codebase_rag_spark.functions.vector import cosine_similarity
+from codebase_rag_spark.operators.fulltext import contains_fallback
+from codebase_rag_spark.operators.graph import bounded_traversal
+from codebase_rag_spark.operators.ranking import hybrid_merge
+
+
+@dataclass
+class QueryConfig:
+    mode: str = "hybrid"  # hybrid | graph_only | vector_only (Q1)
+    top_k: int = 5
+    graph_depth: int = 2
+
+    @property
+    def run_graph(self) -> bool:
+        return self.mode in ("hybrid", "graph_only")
+
+    @property
+    def run_vector(self) -> bool:
+        return self.mode in ("hybrid", "vector_only")
+
+
+def graph_retrieve(
+    docs: DataFrame,
+    edges: DataFrame,
+    terms: list[str],
+    config: QueryConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Q2: term-matched seed docs, expanded graph_depth hops; score decays
+    with depth (1/(1+depth))."""
+    seeds = contains_fallback(
+        docs, id_col, text_col, terms, k=config.top_k * 2
+    ).select(F.col("id").cast("string").alias("node"))
+    reached = bounded_traversal(edges, seeds, depth=config.graph_depth)
+    seeds_scored = seeds.select("node", F.lit(0).alias("depth"))
+    all_nodes = seeds_scored.unionByName(reached)
+    return all_nodes.select(
+        F.col("node").alias("id"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.col("depth")), 4).alias("score"),
+        F.lit("graph").alias("branch"),
+    )
+
+
+def vector_retrieve(
+    docs: DataFrame,
+    question: str,
+    config: QueryConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+) -> DataFrame:
+    """Q3: embed the question with the same embedder as the corpus, cosine
+    top-k. (With a real provider embedder this becomes a pandas-UDF stage;
+    the plan shape is identical.)"""
+    q_emb = hash_embed(F.lit(question), dim)
+    scored = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.round(
+            cosine_similarity(hash_embed(F.col(text_col), dim), q_emb), 4
+        ).alias("score"),
+        F.lit("vector").alias("branch"),
+    )
+    return scored.orderBy(F.desc("score"), F.col("id")).limit(config.top_k)
+
+
+def query_knowledge(
+    spark: SparkSession,
+    docs: DataFrame,
+    edges: DataFrame,
+    question_terms: list[str],
+    config: QueryConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Q1+Q4: mode-branched retrieval, merged with max-score-per-id dedup.
+
+    Returns (id, score, branch) rows, top_k after merge. One Spark job; the
+    reference's 4 network round-trips (LLM, embed, bolt x2) collapse into
+    the dataflow.
+    """
+    config = config or QueryConfig()
+    branches: list[DataFrame] = []
+    if config.run_graph:
+        branches.append(
+            graph_retrieve(docs, edges, question_terms, config, id_col, text_col)
+        )
+    if config.run_vector:
+        branches.append(
+            vector_retrieve(
+                docs, " ".join(question_terms), config, id_col, text_col
+            )
+        )
+    merged = hybrid_merge(branches, key_col="id", score_col="score")
+    return merged.orderBy(F.desc("score"), F.col("id")).limit(config.top_k)

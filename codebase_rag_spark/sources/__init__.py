@@ -1,0 +1,3 @@
+"""Sources & sinks: directory scanning, CDC snapshot diffs, merge writes
+(SURVEY §2.1 S1-S19).
+"""

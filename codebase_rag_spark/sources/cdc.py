@@ -1,0 +1,79 @@
+"""Change-data-capture and merge writes (SURVEY §2.1 S12/S16, §4).
+
+Reference: git-diff CDC (git_utils.py:104-217) gives added/modified/deleted
+paths, the "60x faster" incremental path (docs/index.md:168). Spark-first
+re-expression: compare the NEW scan snapshot against the STORED files table
+by (path, sha) — pure anti/semi joins, no git dependency:
+
+* added    = new paths not in old            (left_anti on path)
+* deleted  = old paths not in new            (left_anti on path)
+* modified = same path, different sha        (inner join + sha <>)
+* unchanged rows never leave the scan stage.
+
+merge_upsert is the reference's MERGE-keyed-on-(repoId,path) upsert
+(graph_service.py:414-472) done set-oriented: union old+new, keep the
+newest row per key via a window — one shuffle, idempotent.
+
+At scale: both snapshots are bucketed/partitioned by repo_id so the joins
+co-locate; the diff only shuffles (path, sha) pairs, not content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    new: DataFrame,
+    old: DataFrame,
+    key: str = "path",
+    fingerprint: str = "sha",
+) -> DataFrame:
+    """S12: returns (key, change) with change in added/modified/deleted."""
+    nk = new.select(F.col(key), F.col(fingerprint).alias("_new_fp"))
+    ok = old.select(F.col(key), F.col(fingerprint).alias("_old_fp"))
+    added = nk.join(ok, key, "left_anti").select(
+        key, F.lit("added").alias("change")
+    )
+    deleted = ok.join(nk, key, "left_anti").select(
+        key, F.lit("deleted").alias("change")
+    )
+    modified = (
+        nk.join(ok, key)
+        .filter(F.col("_new_fp") != F.col("_old_fp"))
+        .select(key, F.lit("modified").alias("change"))
+    )
+    return added.unionByName(modified).unionByName(deleted)
+
+
+def changed_subset(new: DataFrame, old: DataFrame, key: str = "path",
+                   fingerprint: str = "sha") -> DataFrame:
+    """S12+J9: rows of `new` that are added or modified vs `old` — the
+    incremental work set (semi-join shape, routes.py:491-498). The "60x"
+    win: downstream stages (chunk/embed/store) see only this subset."""
+    changed_keys = snapshot_diff(new, old, key, fingerprint).filter(
+        F.col("change") != "deleted"
+    )
+    return new.join(changed_keys.select(key), key, "left_semi")
+
+
+def merge_upsert(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    order_col: str = "updated",
+) -> DataFrame:
+    """S16: set-oriented MERGE — keep the newest row per key from old ∪ new.
+    new rows win ties (deterministic via the _src tag)."""
+    tagged_old = old.withColumn("_src", F.lit(0))
+    tagged_new = new.withColumn("_src", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), F.desc("_src")
+    )
+    return (
+        tagged_old.unionByName(tagged_new)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

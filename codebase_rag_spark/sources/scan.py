@@ -1,0 +1,140 @@
+"""Directory scanning as a Spark source (SURVEY §2.1 S1-S4, §2.2 P1-P4).
+
+Reference semantics reproduced set-oriented:
+* S1/S2 os.walk + include/exclude fnmatch (code_ingestor.py:42-74,
+  pipeline.py:215-281) -> binaryFile scan + regex path predicates. The scan
+  is distributed (Spark lists and reads files across executors), exclusion
+  is a pushed filter, never a driver loop.
+* S3 file info: ext->lang map, size, sha256[:16], content gate <100KB
+  (code_ingestor.py:86-117, :96).
+* P1/P2 suffix->type/lang detection (base.py:138-202, code_ingestor.py:17-36)
+  as a broadcast lookup join (a when-chain would work too; the lookup table
+  keeps the mapping data-driven).
+
+At 100 TB-of-repos scale the file listing itself is distributed
+(binaryFile source parallelizes listing) and the output is written
+partitioned by repo_id so downstream queries prune.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.text import sha_fingerprint
+
+# suffix -> (lang, source_type); reference ext maps code_ingestor.py:17-36,
+# base.py:138-202
+EXT_MAP: dict[str, tuple[str, str]] = {
+    "py": ("python", "code"),
+    "ts": ("typescript", "code"),
+    "tsx": ("typescript", "code"),
+    "js": ("javascript", "code"),
+    "jsx": ("javascript", "code"),
+    "java": ("java", "code"),
+    "go": ("go", "code"),
+    "php": ("php", "code"),
+    "rb": ("ruby", "code"),
+    "rs": ("rust", "code"),
+    "c": ("c", "code"),
+    "cpp": ("cpp", "code"),
+    "h": ("c", "code"),
+    "cs": ("csharp", "code"),
+    "sql": ("sql", "sql"),
+    "md": ("markdown", "document"),
+    "txt": ("text", "document"),
+    "rst": ("text", "document"),
+    "pdf": ("pdf", "document"),
+    "docx": ("docx", "document"),
+    "json": ("json", "config"),
+    "yaml": ("yaml", "config"),
+    "yml": ("yaml", "config"),
+    "toml": ("toml", "config"),
+    "ini": ("ini", "config"),
+}
+
+CONTENT_SIZE_GATE = 100_000  # bytes; reference code_ingestor.py:96
+
+DEFAULT_EXCLUDES = [
+    "**/node_modules/**",
+    "**/.git/**",
+    "**/__pycache__/**",
+    "**/dist/**",
+    "**/build/**",
+]
+
+
+def _glob_to_regex(globs: list[str]) -> str:
+    return "|".join(f"(?:{fnmatch.translate(g)})" for g in globs)
+
+
+def lang_lookup_df(spark: SparkSession) -> DataFrame:
+    rows = [(ext, lang, typ) for ext, (lang, typ) in EXT_MAP.items()]
+    return spark.createDataFrame(rows, ["ext", "lang", "source_type"])
+
+
+def scan_directory(
+    spark: SparkSession,
+    path: str,
+    repo_id: str = "repo",
+    include_globs: list[str] | None = None,
+    exclude_globs: list[str] | None = None,
+) -> DataFrame:
+    """S1+S3: distributed directory scan -> files DataFrame
+    (repo_id, path, ext, lang, source_type, size, content, sha, updated).
+
+    content is NULL for files >= 100KB (the reference's read gate); sha is
+    sha256[:16] of the raw bytes. Exclusion globs become a pushed filter on
+    the path column.
+    """
+    exclude_globs = (
+        DEFAULT_EXCLUDES if exclude_globs is None else exclude_globs
+    )
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    rel = F.regexp_replace(
+        F.col("path"), "^file:" + path.rstrip("/") + "/", ""
+    )
+    df = df.select(
+        rel.alias("path"),
+        F.col("length").alias("size"),
+        F.col("content").alias("bytes"),
+    )
+    # match against '/'+path so '**/dir/**' globs anchor at the repo root too
+    matchable = F.concat(F.lit("/"), F.col("path"))
+    if include_globs:
+        df = df.filter(matchable.rlike(_glob_to_regex(include_globs)))
+    if exclude_globs:
+        df = df.filter(~matchable.rlike(_glob_to_regex(exclude_globs)))
+    df = df.select(
+        F.lit(repo_id).alias("repo_id"),
+        "path",
+        F.lower(F.element_at(F.split(F.col("path"), r"\."), -1)).alias("ext"),
+        "size",
+        # P9 content gate: decode only under the size cap
+        F.when(
+            F.col("size") < CONTENT_SIZE_GATE, F.col("bytes").cast("string")
+        ).alias("content"),
+        sha_fingerprint(F.col("bytes").cast("string")).alias("sha"),
+        F.current_timestamp().alias("updated"),
+    )
+    lookup = F.broadcast(lang_lookup_df(spark))
+    return (
+        df.join(lookup, "ext", "left")
+        .fillna({"lang": "unknown", "source_type": "unknown"})
+        .select(
+            "repo_id",
+            "path",
+            "lang",
+            "source_type",
+            "size",
+            "content",
+            "sha",
+            "updated",
+        )
+    )

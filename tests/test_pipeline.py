@@ -1,0 +1,99 @@
+"""End-to-end ingestion pipeline tests (reference test style: mini-repo
+fixture per-session, conftest.py:24-60; ingest->verify flow,
+tests/test_ingest.py:130-163)."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.pipeline import chunk_files, embed_chunks, ingest_directory
+from codebase_rag_spark.sources.cdc import merge_upsert, snapshot_diff
+from codebase_rag_spark.sources.scan import scan_directory
+
+
+@pytest.fixture(scope="module")
+def mini_repo(tmp_path_factory) -> pathlib.Path:
+    root = tmp_path_factory.mktemp("mini_repo")
+    (root / "main.py").write_text("def main():\n    helper()\n")
+    (root / "utils").mkdir()
+    (root / "utils" / "helpers.py").write_text(
+        "def helper():\n    pass\n\nclass Tool:\n    pass\n"
+    )
+    (root / "src").mkdir()
+    (root / "src" / "app.ts").write_text("export function handler() {}\n")
+    (root / "README.md").write_text("# Mini\n\nwords " * 30)
+    nm = root / "node_modules" / "junk"
+    nm.mkdir(parents=True)
+    (nm / "x.js").write_text("ignored()")
+    return root
+
+
+def test_scan_directory_excludes_and_projects(spark, mini_repo):
+    files = scan_directory(spark, str(mini_repo), repo_id="r1")
+    rows = {r.path: r for r in files.collect()}
+    assert "main.py" in rows and "utils/helpers.py" in rows
+    assert not any("node_modules" in p for p in rows)  # P4 exclusion
+    assert rows["main.py"].lang == "python"
+    assert rows["src/app.ts"].lang == "typescript"
+    assert rows["README.md"].source_type == "document"
+    assert len(rows["main.py"].sha) == 16  # S3 sha256[:16]
+    assert rows["main.py"].content.startswith("def main")
+
+
+def test_scan_include_globs(spark, mini_repo):
+    files = scan_directory(spark, str(mini_repo), include_globs=["*.py"])
+    paths = [r.path for r in files.collect()]
+    assert paths and all(p.endswith(".py") for p in paths)
+
+
+def test_snapshot_diff_add_modify_delete(spark):
+    old = spark.createDataFrame(
+        [("a.py", "s1"), ("b.py", "s2"), ("c.py", "s3")], ["path", "sha"]
+    )
+    new = spark.createDataFrame(
+        [("a.py", "s1"), ("b.py", "CHANGED"), ("d.py", "s4")], ["path", "sha"]
+    )
+    diff = {r.path: r.change for r in snapshot_diff(new, old).collect()}
+    assert diff == {"b.py": "modified", "c.py": "deleted", "d.py": "added"}
+
+
+def test_merge_upsert_keeps_newest(spark):
+    old = spark.createDataFrame([("a", 1, 10), ("b", 1, 10)], ["k", "v", "updated"])
+    new = spark.createDataFrame([("a", 2, 20), ("c", 3, 20)], ["k", "v", "updated"])
+    out = {r.k: r.v for r in merge_upsert(old, new, ["k"]).collect()}
+    assert out == {"a": 2, "b": 1, "c": 3}
+
+
+def test_chunk_and_embed_with_cache(spark):
+    files = spark.createDataFrame(
+        [("r", "f1.txt", "text", "doc", 10, "w1 w2 w3 w4", "sha1")],
+        ["repo_id", "path", "lang", "source_type", "size", "content", "sha"],
+    )
+    chunks = chunk_files(files, tokens_per_chunk=2)
+    assert chunks.count() == 2
+    emb = embed_chunks(chunks)
+    assert emb.count() == 2
+    first = emb.first()
+    assert len(first.vector) == 16
+    # cache: nothing new to embed on re-run
+    assert embed_chunks(chunks, existing_embeddings=emb).count() == 0
+
+
+def test_ingest_directory_full_then_incremental(spark, mini_repo, tmp_path):
+    store = str(tmp_path / "store")
+    stats1 = ingest_directory(spark, str(mini_repo), store, repo_id="r1")
+    assert stats1["files"] >= 4 and stats1["chunks"] > 0
+    files = spark.read.parquet(f"{store}/files")
+    n_files_stored = files.count()
+    assert files.filter(F.col("repo_id") == "r1").count() == stats1["files"]
+    # no changes -> incremental re-ingest embeds nothing (the "60x" path)
+    stats2 = ingest_directory(spark, str(mini_repo), store, repo_id="r1")
+    assert stats2["files"] == 0 and stats2["new_embeddings"] == 0
+    # modify one file -> exactly that file re-processes
+    (mini_repo / "main.py").write_text("def main():\n    changed()\n")
+    stats3 = ingest_directory(spark, str(mini_repo), store, repo_id="r1")
+    assert stats3["files"] == 1
+    assert spark.read.parquet(f"{store}/files").count() == n_files_stored

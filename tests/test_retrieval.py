@@ -1,0 +1,94 @@
+"""Hybrid retrieval + fulltext + memory store tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.memory import (
+    apply_supersedes,
+    memory_summary,
+    search_memories,
+)
+from codebase_rag_spark.operators.fulltext import (
+    build_inverted_index,
+    contains_fallback,
+    search,
+)
+from codebase_rag_spark.retrieval import QueryConfig, query_knowledge
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark join merge engine"),
+            (2, "vector search index"),
+            (3, "unrelated words entirely"),
+            (4, "join join join heavy"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def _edges(spark):
+    return spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("4", "1")], ["src", "dst"]
+    )
+
+
+def test_inverted_index_and_search(spark):
+    idx = build_inverted_index(_docs(spark), "doc_id", "text")
+    top = search(idx, ["join"], k=2).collect()
+    assert top[0].id == 4 and top[0].score == 3  # tf weighting
+    assert top[1].id == 1
+
+
+def test_contains_fallback_scores_by_terms(spark):
+    out = contains_fallback(_docs(spark), "doc_id", "text", ["join", "vector"]).collect()
+    assert out[0].score == 1
+    ids = {r.id for r in out}
+    assert ids == {1, 2, 4}  # doc 3 filtered (score 0)
+
+
+def test_query_knowledge_modes(spark):
+    docs, edges = _docs(spark), _edges(spark)
+    hybrid = query_knowledge(spark, docs, edges, ["join"], QueryConfig("hybrid", top_k=5))
+    assert set(hybrid.columns) == {"id", "score", "branch"}
+    assert hybrid.count() > 0
+    graph_only = query_knowledge(spark, docs, edges, ["join"], QueryConfig("graph_only"))
+    assert {r.branch for r in graph_only.collect()} == {"graph"}
+    vec_only = query_knowledge(spark, docs, edges, ["join"], QueryConfig("vector_only"))
+    assert {r.branch for r in vec_only.collect()} == {"vector"}
+
+
+def _memories(spark):
+    return spark.createDataFrame(
+        [
+            ("m1", "p1", "decision", "use spark", ["arch", "spark"], 0.9, 1),
+            ("m2", "p1", "decision", "use spark", ["arch"], 0.7, 2),
+            ("m3", "p1", "note", "misc", ["trivia"], 0.2, 3),
+            ("m4", "p2", "plan", "other project", ["arch"], 0.8, 4),
+        ],
+        ["id", "project_id", "type", "title", "tags", "importance", "created_at"],
+    )
+
+
+def test_search_memories_filters_and_order(spark):
+    out = search_memories(
+        _memories(spark), project_id="p1", tags=["arch"], min_importance=0.5
+    ).collect()
+    assert [r.id for r in out] == ["m1", "m2"]  # importance desc
+
+
+def test_memory_summary_per_type(spark):
+    out = {r.type: r for r in memory_summary(_memories(spark)).collect()}
+    assert out["decision"].n_memories == 2
+    assert "m1" in out["decision"].top_ids
+
+
+def test_supersede_lineage(spark):
+    out = {r.id: (r.superseded_by, r.is_current) for r in
+           apply_supersedes(_memories(spark)).collect()}
+    # m2 is newer than m1 with the same (project, title) -> m1 superseded
+    assert out["m1"] == ("m2", False)
+    assert out["m2"] == (None, True)
+    assert out["m3"] == (None, True)
