@@ -1,0 +1,203 @@
+"""Code-structure extraction (SURVEY §2.9 T3-T8): source files -> symbol
+chunks + relation edges.
+
+Reference semantics:
+* T3 Python: ast.parse walk — function chunks (name/args/docstring/line
+  span), class chunks (bases/methods), CALLS / INHERITS / IMPORTS relations
+  (transformers.py:198-410).
+* T4 JS/TS: regex functions/arrow-fns/classes, ES6+CommonJS imports
+  (transformers.py:412-554).
+* T8 generic fallback: fixed line windows (transformers.py:1009-1039).
+
+Spark treatment: T3 is genuinely non-relational (a real parser), so it runs
+as mapInPandas — Arrow-batched, one Python interpreter call per PARTITION,
+never per row. T4's regexes are pure column expressions (regexp_extract_all
++ explode), JVM-side. The dispatch (S9/LoaderRegistry analogue) is a
+per-lang DataFrame branch union.
+
+Scale: parse cost is linear in bytes and embarrassingly parallel —
+mapInPandas scales to any corpus as long as partitions stay ~128MB. Skew
+(one 2GB file) is bounded by the scan's content gate (scan.py).
+
+Output entity schema (both extractors):
+  path, lang, entity_kind (function|class|module|call|inherit|import),
+  name, target, line_start, line_end, summary
+"""
+
+from __future__ import annotations
+
+import ast
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("entity_kind", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("target", T.StringType()),
+        T.StructField("line_start", T.IntegerType()),
+        T.StructField("line_end", T.IntegerType()),
+        T.StructField("summary", T.StringType()),
+    ]
+)
+
+
+def _python_entities(path: str, content: str) -> Iterator[dict]:
+    try:
+        tree = ast.parse(content)
+    except SyntaxError as e:
+        yield {
+            "path": path, "lang": "python", "entity_kind": "error",
+            "name": None, "target": None,
+            "line_start": e.lineno, "line_end": e.lineno,
+            "summary": f"SyntaxError: {e.msg}",
+        }
+        return
+    yield {
+        "path": path, "lang": "python", "entity_kind": "module",
+        "name": path, "target": None, "line_start": 1,
+        "line_end": content.count("\n") + 1,
+        "summary": ast.get_docstring(tree),
+    }
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            yield {
+                "path": path, "lang": "python", "entity_kind": "function",
+                "name": node.name,
+                "target": ",".join(a.arg for a in node.args.args),
+                "line_start": node.lineno,
+                "line_end": getattr(node, "end_lineno", node.lineno),
+                "summary": ast.get_docstring(node),
+            }
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Call):
+                    callee = None
+                    if isinstance(sub.func, ast.Name):
+                        callee = sub.func.id
+                    elif isinstance(sub.func, ast.Attribute):
+                        callee = sub.func.attr
+                    if callee:
+                        yield {
+                            "path": path, "lang": "python",
+                            "entity_kind": "call", "name": node.name,
+                            "target": callee, "line_start": sub.lineno,
+                            "line_end": sub.lineno, "summary": None,
+                        }
+        elif isinstance(node, ast.ClassDef):
+            bases = [
+                b.id if isinstance(b, ast.Name)
+                else b.attr if isinstance(b, ast.Attribute) else None
+                for b in node.bases
+            ]
+            yield {
+                "path": path, "lang": "python", "entity_kind": "class",
+                "name": node.name,
+                "target": ",".join(b for b in bases if b),
+                "line_start": node.lineno,
+                "line_end": getattr(node, "end_lineno", node.lineno),
+                "summary": ast.get_docstring(node),
+            }
+            for b in bases:
+                if b:
+                    yield {
+                        "path": path, "lang": "python",
+                        "entity_kind": "inherit", "name": node.name,
+                        "target": b, "line_start": node.lineno,
+                        "line_end": node.lineno, "summary": None,
+                    }
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                yield {
+                    "path": path, "lang": "python", "entity_kind": "import",
+                    "name": path, "target": alias.name,
+                    "line_start": node.lineno, "line_end": node.lineno,
+                    "summary": None,
+                }
+        elif isinstance(node, ast.ImportFrom):
+            yield {
+                "path": path, "lang": "python", "entity_kind": "import",
+                "name": path, "target": ("." * node.level) + (node.module or ""),
+                "line_start": node.lineno, "line_end": node.lineno,
+                "summary": None,
+            }
+
+
+def extract_python(files: DataFrame) -> DataFrame:
+    """T3: Python AST extraction via mapInPandas (Arrow-batched flatMap).
+
+    Input needs (path, content); other columns are ignored. One output row
+    per entity/relation — the UDTF shape (1 row -> N rows).
+    """
+    cols = files.select("path", "content").where(F.col("content").isNotNull())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out.extend(_python_entities(path, content))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ENTITY_SCHEMA.fields]
+            )
+
+    return cols.mapInPandas(run, ENTITY_SCHEMA)
+
+
+# T4: JS/TS extraction — pure column expressions (regexp_extract_all).
+JS_FUNCTION_RE = r"function\s+(\w+)\s*\("
+JS_ARROW_RE = r"(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s*)?\([^)]*\)\s*=>"
+JS_CLASS_RE = r"class\s+(\w+)"
+JS_IMPORT_RE = r"""import\s+(?:[\w{}\s,*]+\s+from\s+)?['"]([^'"]+)['"]"""
+JS_REQUIRE_RE = r"""require\(\s*['"]([^'"]+)['"]\s*\)"""
+
+
+def _extract_all(kind: str, pattern: str) -> list:
+    return [
+        F.lit(kind).alias("entity_kind"),
+        F.explode(
+            F.regexp_extract_all(F.col("content"), F.lit(pattern), F.lit(1))
+        ).alias("name"),
+    ]
+
+
+def extract_js(files: DataFrame) -> DataFrame:
+    """T4: regex-based JS/TS entity extraction, fully JVM-side.
+
+    Emits (path, lang, entity_kind, name) — functions, arrow functions,
+    classes, ES6 imports, CommonJS requires.
+    """
+    base = files.select("path", "lang", "content").where(
+        F.col("content").isNotNull()
+    )
+    parts = []
+    for kind, pattern in [
+        ("function", JS_FUNCTION_RE),
+        ("function", JS_ARROW_RE),
+        ("class", JS_CLASS_RE),
+        ("import", JS_IMPORT_RE),
+        ("import", JS_REQUIRE_RE),
+    ]:
+        parts.append(base.select("path", "lang", *_extract_all(kind, pattern)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def call_edges(entities: DataFrame) -> DataFrame:
+    """J1-shape: (src, dst, type) edges from extracted call/inherit/import
+    entities — feeds the graph operators (impact, traversal)."""
+    e = entities.filter(
+        F.col("entity_kind").isin("call", "inherit", "import")
+    )
+    return e.select(
+        F.col("name").alias("src"),
+        F.col("target").alias("dst"),
+        F.upper(F.col("entity_kind")).alias("type"),
+        F.col("path"),
+    )

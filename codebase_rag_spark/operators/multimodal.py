@@ -1,0 +1,130 @@
+"""Multimodal columns (beyond-reference, BASELINE.json north star):
+image/audio/video as opaque binary columns with typed metadata, processed
+by Arrow-batched pandas stages.
+
+Design (the part that must be right at 100 TB):
+* media is `binary` + a typed metadata struct — never base64 strings;
+* decode / feature-extract / resize / frame-sample run via mapInPandas:
+  one Python call per partition, Arrow transfer, batch-shaped numpy work;
+* real codecs (PIL/librosa/av) are NOT in this container, so decode_media
+  dispatches to a clearly-marked deterministic fake; install the libs and
+  pass decoder="pil" etc. for the real path (raises NotImplementedError
+  here). The Spark-side plumbing — schema, batching, partitioning — is
+  identical for fake and real decoders, which is what the tests pin down.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("data", T.BinaryType()),
+        T.StructField("meta_json", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.DoubleType()),
+    ]
+)
+
+
+def fake_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic media synthesizer for tests/oracles: bytes = md5(text)
+    digest (16 bytes), media_type cycles by id."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.to_binary(F.md5(F.col(text_col)), F.lit("hex")).alias("data"),
+        F.to_json(F.struct(F.length(F.col(text_col)).alias("src_len"))).alias(
+            "meta_json"
+        ),
+    )
+
+
+def _fake_decode(media_id: int, media_type: str, data: bytes) -> dict:
+    """STUB decoder — deterministic function of the bytes, NOT a real codec.
+    width/height from the first two bytes, feature = mean byte / 255."""
+    b = bytes(data or b"")
+    width = (b[0] % 64 + 1) if b else 0
+    height = (b[1] % 64 + 1) if len(b) > 1 else 0
+    feature = round(sum(b) / len(b) / 255.0, 6) if b else 0.0
+    return {
+        "media_id": media_id,
+        "media_type": media_type,
+        "width": int(width),
+        "height": int(height),
+        "n_bytes": len(b),
+        "feature": float(feature),
+    }
+
+
+def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode stage over mapInPandas. decoder='fake' is the deterministic
+    stub; 'pil'/'librosa'/'av' are the real paths, unavailable in this
+    container."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r} needs codec libraries not present in this "
+            "environment; only the deterministic 'fake' decoder is available"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _fake_decode(mid, mtype, data)
+                for mid, mtype, data in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["data"]
+                )
+            ]
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "media_type", "data").mapInPandas(
+        run, DECODED_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:
+    """Frame-sampling plumbing demo: explode each video's bytes into
+    'frames' (every Nth byte) — the real implementation swaps the byte
+    slicer for a codec, the Spark shape (1 row -> N frame rows) is this."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(data or b"")
+                for i, off in enumerate(range(0, len(b), every_n_bytes)):
+                    rows.append(
+                        {"media_id": mid, "frame_no": i, "frame_byte": b[off]}
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_byte"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_byte", T.IntegerType()),
+        ]
+    )
+    return media.filter(F.col("media_type") == "video").select(
+        "media_id", "data"
+    ).mapInPandas(run, schema)

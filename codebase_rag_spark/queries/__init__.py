@@ -15,6 +15,7 @@ Oracle-alignment rules (see tools/check_oracle.py):
 from __future__ import annotations
 
 from codebase_rag_spark.queries import (
+    codeops,
     dedupops,
     eventops,
     graphops,
@@ -33,6 +34,7 @@ _MODULES = [
     eventops,
     graphops,
     retrievalops,
+    codeops,
     sqlmeta,
 ]
 

@@ -1,0 +1,175 @@
+"""Code-extraction, multimodal, and embedding queries.
+
+code_entity_extract runs a REAL parser (Python ast via mapInPandas) — not
+SQL-expressible, so it has no oracle entry (driver records the rows-only
+check, as the contract allows). The JS regex extraction, the multimodal
+fake-decode and the hash-embedder are deterministic arithmetic, so they get
+full oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.functions.hashing import hash_embed
+from codebase_rag_spark.operators.code_extract import extract_js, extract_python
+from codebase_rag_spark.operators.multimodal import decode_media, fake_media_from_text
+
+PY_CORPUS = [
+    (
+        "src/auth/token.py",
+        '"""Token helpers."""\n'
+        "import hashlib\n"
+        "from ..config import settings\n\n"
+        "def generate_token(user, scope):\n"
+        '    """Make a token."""\n'
+        "    raw = serialize(user)\n"
+        "    return hashlib.sha256(raw).hexdigest()\n\n"
+        "class TokenStore(BaseStore):\n"
+        '    """Storage."""\n'
+        "    def get(self, key):\n"
+        "        return lookup(key)\n",
+    ),
+    (
+        "src/bad.py",
+        "def broken(:\n    pass\n",
+    ),
+]
+
+JS_CORPUS = [
+    (
+        "src/api/routes.ts",
+        "import { Router } from 'express';\n"
+        "const handler = async (req, res) => { res.send('ok'); };\n"
+        "export function register(app) { app.use(handler); }\n"
+        "class ApiServer { }\n"
+        "const db = require('./db');\n",
+    ),
+    (
+        "src/ui/app.js",
+        "import React from 'react';\n"
+        "function App() { return null; }\n"
+        "const mount = () => {};\n",
+    ),
+]
+
+
+def code_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 Python AST extraction (transformers.py:198-410) via mapInPandas —
+    functions/classes/calls/inherits/imports + a syntax-error row. Rows-only
+    check (a parser is not SQL)."""
+    files = spark.createDataFrame(PY_CORPUS, ["path", "content"])
+    return extract_python(files).orderBy("path", "entity_kind", "name", "line_start")
+
+
+def js_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 JS/TS regex extraction (transformers.py:412-554), fully JVM-side
+    (regexp_extract_all + explode)."""
+    files = spark.createDataFrame(
+        [(p, "javascript", c) for p, c in JS_CORPUS], ["path", "lang", "content"]
+    )
+    return extract_js(files).select("path", "entity_kind", "name")
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column (synthesized from md5
+    bytes) -> Arrow-batched decode stub -> typed metadata. The oracle
+    recomputes the stub's arithmetic from the hex digest."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = fake_media_from_text(d, "doc_id", "text")
+    return decode_media(media, decoder="fake")
+
+
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1' deterministic hash-embedder (replaces provider embeddings,
+    embeddings.py:7-202): first 4 components per doc."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    emb = hash_embed(F.col("text"), dim=4)
+    return d.select(
+        "doc_id",
+        *[F.round(emb.getItem(i), 6).alias(f"e{i}") for i in range(4)],
+    )
+
+
+QUERIES = {
+    "code_entity_extract": code_entity_extract,
+    "js_entity_extract": js_entity_extract,
+    "media_metadata": media_metadata,
+    "embed_documents": embed_documents,
+}
+
+
+def _js_values() -> str:
+    rows = ",\n            ".join(
+        "('{}', '{}')".format(p, c.replace("'", "''").replace("\n", "\\n"))
+        for p, c in JS_CORPUS
+    )
+    return rows
+
+
+_JS_PATTERNS = [
+    ("function", r"function\s+(\w+)\s*\("),
+    ("function", r"(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s*)?\([^)]*\)\s*=>"),
+    ("class", r"class\s+(\w+)"),
+    ("import", r"""import\s+(?:[\w{}\s,*]+\s+from\s+)?['"]([^'"]+)['"]"""),
+    ("import", r"""require\(\s*['"]([^'"]+)['"]\s*\)"""),
+]
+
+
+def _js_union() -> str:
+    parts = []
+    for kind, pattern in _JS_PATTERNS:
+        esc = pattern.replace("\\", "\\\\").replace("'", "''")
+        parts.append(
+            f"SELECT path, '{kind}' AS entity_kind,\n"
+            f"       unnest(regexp_extract_all(replace(content, '\\n', chr(10)), "
+            f"e'{esc}', 1)) AS name\n"
+            "FROM corpus"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_EMBED_COMPONENT = (
+    "round(('0x' || substr(md5(text || chr(0) || 'e{i}'), 1, 8))::BIGINT"
+    " / 4294967296.0::DOUBLE - 0.5::DOUBLE, 6)"
+)
+
+ORACLES = {
+    "js_entity_extract": f"""
+        WITH corpus(path, content) AS (VALUES
+            {_js_values()})
+        {_js_union()}
+    """,
+    "media_metadata": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT]
+                       AS media_type,
+                   md5(text) AS h
+            FROM documents WHERE doc_id < 100
+        ),
+        b AS (
+            SELECT media_id, media_type,
+                   list_transform(generate_series(1, 16),
+                                  i -> ('0x' || substr(h, 2*i - 1, 2))::INT)
+                       AS bytes
+            FROM m
+        )
+        SELECT media_id, media_type,
+               CAST(bytes[1] % 64 + 1 AS INTEGER) AS width,
+               CAST(bytes[2] % 64 + 1 AS INTEGER) AS height,
+               CAST(16 AS BIGINT) AS n_bytes,
+               round(list_sum(bytes) / 16.0::DOUBLE / 255.0::DOUBLE, 6) AS feature
+        FROM b
+    """,
+    "embed_documents": f"""
+        SELECT doc_id,
+               {_EMBED_COMPONENT.format(i=0)} AS e0,
+               {_EMBED_COMPONENT.format(i=1)} AS e1,
+               {_EMBED_COMPONENT.format(i=2)} AS e2,
+               {_EMBED_COMPONENT.format(i=3)} AS e3
+        FROM documents WHERE doc_id < 100
+    """,
+}

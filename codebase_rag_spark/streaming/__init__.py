@@ -1,0 +1,6 @@
+"""Structured Streaming surface (SURVEY §2.13).
+
+The reference is batch-only; its incremental ingestion (git-diff CDC,
+routes.py:446-521) and task-progress notifications are the closest
+analogues. Here the batch window operators get their streaming twins.
+"""

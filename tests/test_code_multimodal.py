@@ -1,0 +1,112 @@
+"""Code-extraction (T3/T4), multimodal plumbing, and hash-embedder tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.hashing import hash_embed
+from codebase_rag_spark.operators.code_extract import (
+    call_edges,
+    extract_js,
+    extract_python,
+)
+from codebase_rag_spark.operators.multimodal import (
+    decode_media,
+    fake_media_from_text,
+    sample_frames,
+)
+
+PY = '''"""Mod doc."""
+import os
+from .utils import helper
+
+def top(a, b):
+    """Doc."""
+    helper(a)
+    return os.path.join(a, b)
+
+class Child(Base):
+    def method(self):
+        top(1, 2)
+'''
+
+
+def test_extract_python_entities(spark):
+    files = spark.createDataFrame([("m.py", PY)], ["path", "content"])
+    ents = extract_python(files).collect()
+    by_kind = {}
+    for r in ents:
+        by_kind.setdefault(r.entity_kind, []).append(r)
+    assert [r.name for r in by_kind["function"]] == ["top", "method"]
+    assert by_kind["function"][0].target == "a, b".replace(" ", "")
+    assert by_kind["function"][0].summary == "Doc."
+    assert [r.name for r in by_kind["class"]] == ["Child"]
+    assert by_kind["class"][0].target == "Base"
+    assert {(r.name, r.target) for r in by_kind["inherit"]} == {("Child", "Base")}
+    assert {r.target for r in by_kind["import"]} == {"os", ".utils"}
+    calls = {(r.name, r.target) for r in by_kind["call"]}
+    assert ("top", "helper") in calls and ("method", "top") in calls
+    assert by_kind["module"][0].summary == "Mod doc."
+
+
+def test_extract_python_syntax_error_row(spark):
+    files = spark.createDataFrame([("bad.py", "def x(:\n")], ["path", "content"])
+    out = extract_python(files).collect()
+    assert len(out) == 1 and out[0].entity_kind == "error"
+
+
+def test_call_edges_from_entities(spark):
+    files = spark.createDataFrame([("m.py", PY)], ["path", "content"])
+    edges = call_edges(extract_python(files))
+    types = {r.type for r in edges.collect()}
+    assert types == {"CALL", "INHERIT", "IMPORT"}
+
+
+def test_extract_js(spark):
+    js = (
+        "import React from 'react';\n"
+        "function App() {}\n"
+        "const go = async (x) => x;\n"
+        "class Store {}\n"
+        "const db = require('./db');\n"
+    )
+    files = spark.createDataFrame([("a.js", "javascript", js)], ["path", "lang", "content"])
+    out = {(r.entity_kind, r.name) for r in extract_js(files).collect()}
+    assert out == {
+        ("import", "react"),
+        ("function", "App"),
+        ("function", "go"),
+        ("class", "Store"),
+        ("import", "./db"),
+    }
+
+
+def test_media_decode_deterministic(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "world"), (3, "x")], ["doc_id", "text"])
+    media = fake_media_from_text(docs, "doc_id", "text")
+    assert {r.media_type for r in media.collect()} == {"image", "audio", "video"}
+    decoded = decode_media(media).collect()
+    assert all(r.n_bytes == 16 for r in decoded)  # md5 digest length
+    assert all(1 <= r.width <= 64 and 1 <= r.height <= 64 for r in decoded)
+    # deterministic: same input -> same feature
+    again = decode_media(fake_media_from_text(docs, "doc_id", "text")).collect()
+    assert {(r.media_id, r.feature) for r in again} == {
+        (r.media_id, r.feature) for r in decoded
+    }
+
+
+def test_sample_frames_shape(spark):
+    docs = spark.createDataFrame([(2, "video doc")], ["doc_id", "text"])  # 2%3+1 -> video
+    media = fake_media_from_text(docs, "doc_id", "text")
+    frames = sample_frames(media, every_n_bytes=4).collect()
+    assert len(frames) == 4  # 16 bytes / 4
+    assert [r.frame_no for r in sorted(frames, key=lambda r: r.frame_no)] == [0, 1, 2, 3]
+
+
+def test_hash_embed_unit_range_and_determinism(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("xyz",)], ["text"])
+    out = df.select(hash_embed(F.col("text"), 8).alias("v")).collect()
+    assert len(out[0].v) == 8
+    assert all(-0.5 <= x <= 0.5 for x in out[0].v)
+    assert out[0].v == out[1].v  # deterministic
+    assert out[0].v != out[2].v
