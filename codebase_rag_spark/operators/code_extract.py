@@ -30,7 +30,7 @@ import ast
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -148,12 +148,47 @@ def extract_python(files: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, ENTITY_SCHEMA)
 
 
-# T4: JS/TS extraction — pure column expressions (regexp_extract_all).
+# T4-T7: regex extraction patterns — pure column expressions
+# (regexp_extract_all), one registry entry per language
+# (reference transformers.py:412-1007).
 JS_FUNCTION_RE = r"function\s+(\w+)\s*\("
 JS_ARROW_RE = r"(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s*)?\([^)]*\)\s*=>"
 JS_CLASS_RE = r"class\s+(\w+)"
 JS_IMPORT_RE = r"""import\s+(?:[\w{}\s,*]+\s+from\s+)?['"]([^'"]+)['"]"""
 JS_REQUIRE_RE = r"""require\(\s*['"]([^'"]+)['"]\s*\)"""
+
+LANG_PATTERNS: dict[str, list[tuple[str, str]]] = {
+    # T4 (transformers.py:412-554)
+    "javascript": [
+        ("function", JS_FUNCTION_RE),
+        ("function", JS_ARROW_RE),
+        ("class", JS_CLASS_RE),
+        ("import", JS_IMPORT_RE),
+        ("import", JS_REQUIRE_RE),
+    ],
+    # T5 Java (transformers.py:560-690)
+    "java": [
+        ("class", r"(?:public\s+|abstract\s+|final\s+)*class\s+(\w+)"),
+        ("inherit", r"class\s+\w+\s+extends\s+(\w+)"),
+        ("interface", r"interface\s+(\w+)"),
+        ("import", r"import\s+(?:static\s+)?([\w.]+(?:\.\*)?)\s*;"),
+    ],
+    # T6 PHP (transformers.py:696-849)
+    "php": [
+        ("class", r"class\s+(\w+)"),
+        ("function", r"function\s+(\w+)\s*\("),
+        ("import", r"use\s+([\w\\]+)"),
+        ("import", r"""require(?:_once)?\s*\(?\s*['"]([^'"]+)['"]"""),
+    ],
+    # T7 Go (transformers.py:855-1007)
+    "go": [
+        ("function", r"func\s+(?:\([^)]*\)\s*)?(\w+)\s*\("),
+        ("struct", r"type\s+(\w+)\s+struct"),
+        ("interface", r"type\s+(\w+)\s+interface"),
+        ("import", r"""import\s+"([^"]+)\""""),
+    ],
+}
+LANG_PATTERNS["typescript"] = LANG_PATTERNS["javascript"]
 
 
 def _extract_all(kind: str, pattern: str) -> list:
@@ -165,28 +200,76 @@ def _extract_all(kind: str, pattern: str) -> list:
     ]
 
 
-def extract_js(files: DataFrame) -> DataFrame:
-    """T4: regex-based JS/TS entity extraction, fully JVM-side.
+def extract_by_patterns(files: DataFrame, lang: str) -> DataFrame:
+    """T4-T7: regex entity extraction for `lang`, fully JVM-side.
 
-    Emits (path, lang, entity_kind, name) — functions, arrow functions,
-    classes, ES6 imports, CommonJS requires.
+    Emits (path, lang, entity_kind, name) — one union branch per pattern;
+    Catalyst collapses them over a single scan.
     """
     base = files.select("path", "lang", "content").where(
-        F.col("content").isNotNull()
+        F.col("content").isNotNull() & (F.col("lang") == lang)
     )
-    parts = []
-    for kind, pattern in [
-        ("function", JS_FUNCTION_RE),
-        ("function", JS_ARROW_RE),
-        ("class", JS_CLASS_RE),
-        ("import", JS_IMPORT_RE),
-        ("import", JS_REQUIRE_RE),
-    ]:
-        parts.append(base.select("path", "lang", *_extract_all(kind, pattern)))
+    parts = [
+        base.select("path", "lang", *_extract_all(kind, pattern))
+        for kind, pattern in LANG_PATTERNS[lang]
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def extract_js(files: DataFrame) -> DataFrame:
+    """T4 JS/TS (kept as the named entry point)."""
+    return extract_by_patterns(files, "javascript")
+
+
+def extract_code(files: DataFrame) -> DataFrame:
+    """S9-style dispatch: Python -> AST (mapInPandas), pattern languages ->
+    regex extraction; emits the unified entity schema (regex entities carry
+    null spans)."""
+    parts = [extract_python(files.filter(F.col("lang") == "python"))]
+    for lang in sorted(set(LANG_PATTERNS) - {"typescript"}):
+        ents = extract_by_patterns(files, lang)
+        parts.append(
+            ents.select(
+                "path",
+                "lang",
+                "entity_kind",
+                "name",
+                F.lit(None).cast("string").alias("target"),
+                F.lit(None).cast("int").alias("line_start"),
+                F.lit(None).cast("int").alias("line_end"),
+                F.lit(None).cast("string").alias("summary"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# T15: conventional-commit classification (memory_extractor.py:674-695)
+COMMIT_PREFIXES = [
+    ("feat", "feature"),
+    ("fix", "bugfix"),
+    ("refactor", "refactor"),
+    ("docs", "documentation"),
+    ("test", "testing"),
+    ("chore", "maintenance"),
+]
+
+
+def classify_commit(msg: Column) -> Column:
+    """First-match prefix classification; '!' after the type marks
+    breaking."""
+    lowered = F.lower(msg)
+    out = F.lit("other")
+    for prefix, label in reversed(COMMIT_PREFIXES):
+        hit = lowered.startswith(prefix + ":") | lowered.startswith(prefix + "(")
+        out = F.when(hit, F.lit(label)).otherwise(out)
+    breaking = lowered.rlike(r"^\w+(\([^)]*\))?!:")
+    return F.when(breaking, F.lit("breaking")).otherwise(out)
 
 
 def call_edges(entities: DataFrame) -> DataFrame:

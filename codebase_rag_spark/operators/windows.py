@@ -86,6 +86,57 @@ def sessionize(
     ).drop("_new_session")
 
 
+def bounded_range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_id: str,
+    lookback_minutes: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Interval join: per left row, COUNT right rows of the same key with
+    right_ts in [left_ts - lookback, left_ts].
+
+    Bucketized equi-join formulation: both sides bucketed by the lookback
+    width; each right row is duplicated into its own bucket and the next
+    one, so every qualifying pair meets on an EQUI key (key, bucket) and
+    the exact interval predicate only filters the residue. Turns the O(n*m)
+    inequality join a naive SQL formulation produces into one hash
+    shuffle + a bounded 2x fan-out of the right side.
+    """
+    width_us = lookback_minutes * 60 * 1_000_000
+    lb = left.select(
+        F.col(left_id),
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).alias("_lts"),
+        (F.unix_micros(F.col(left_ts)) / width_us).cast("bigint").alias("_b"),
+    )
+    rb = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).alias("_rts"),
+        F.explode(
+            F.array(
+                (F.unix_micros(F.col(right_ts)) / width_us).cast("bigint"),
+                (F.unix_micros(F.col(right_ts)) / width_us).cast("bigint") + 1,
+            )
+        ).alias("_b"),
+    )
+    matches = (
+        lb.join(rb, ["_k", "_b"])
+        .filter(
+            (F.unix_micros(F.col("_rts")) >= F.unix_micros(F.col("_lts")) - width_us)
+            & (F.col("_rts") <= F.col("_lts"))
+        )
+        .groupBy(left_id)
+        .agg(F.count("*").alias("_n"))
+    )
+    return lb.join(matches, left_id, "left").select(
+        F.col(left_id),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_matches"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

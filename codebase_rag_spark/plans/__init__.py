@@ -1,0 +1,54 @@
+"""Physical-plan introspection helpers (SURVEY §4).
+
+The engine's performance contract is a plan shape, not a hope: filters
+reach the parquet scan, small dims broadcast, top-k compiles to
+TakeOrderedAndProject, hot paths stay in whole-stage codegen. These helpers
+let tests assert that contract so regressions fail loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters lines from the formatted plan."""
+    return [
+        line.strip()
+        for line in explain_str(df).splitlines()
+        if "PushedFilters" in line
+    ]
+
+
+def scan_columns(df: DataFrame) -> list[str]:
+    """ReadSchema lines — what each parquet scan actually reads."""
+    return [
+        line.strip()
+        for line in explain_str(df).splitlines()
+        if "ReadSchema" in line
+    ]
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    plan = explain_str(df, "simple")
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in explain_str(df, "simple")

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.functions.hashing import hash_embed
-from codebase_rag_spark.operators.code_extract import extract_js, extract_python
+from codebase_rag_spark.operators.code_extract import (
+    classify_commit,
+    extract_js,
+    extract_python,
+)
 from codebase_rag_spark.operators.multimodal import decode_media, fake_media_from_text
 
 PY_CORPUS = [
@@ -93,11 +97,35 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMMIT_CORPUS = [
+    (1, "feat: add vector search"),
+    (2, "feat(api): expose top-k param"),
+    (3, "fix: null handling in ranker"),
+    (4, "refactor!: drop legacy loader"),
+    (5, "docs: update readme"),
+    (6, "test: cover lsh bands"),
+    (7, "chore(deps): bump pyarrow"),
+    (8, "merge branch main"),
+    (9, "Fix: case-insensitive prefix"),
+]
+
+
+def commit_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 conventional-commit classification
+    (memory_extractor.py:674-695): first-match prefix -> label, '!' marks
+    breaking."""
+    df = spark.createDataFrame(COMMIT_CORPUS, ["commit_id", "message"])
+    return df.select(
+        "commit_id", classify_commit(F.col("message")).alias("category")
+    )
+
+
 QUERIES = {
     "code_entity_extract": code_entity_extract,
     "js_entity_extract": js_entity_extract,
     "media_metadata": media_metadata,
     "embed_documents": embed_documents,
+    "commit_classification": commit_classification,
 }
 
 
@@ -163,6 +191,37 @@ ORACLES = {
                CAST(16 AS BIGINT) AS n_bytes,
                round(list_sum(bytes) / 16.0::DOUBLE / 255.0::DOUBLE, 6) AS feature
         FROM b
+    """,
+    "commit_classification": """
+        WITH commits(commit_id, message) AS (VALUES
+            (1, 'feat: add vector search'),
+            (2, 'feat(api): expose top-k param'),
+            (3, 'fix: null handling in ranker'),
+            (4, 'refactor!: drop legacy loader'),
+            (5, 'docs: update readme'),
+            (6, 'test: cover lsh bands'),
+            (7, 'chore(deps): bump pyarrow'),
+            (8, 'merge branch main'),
+            (9, 'Fix: case-insensitive prefix'))
+        SELECT CAST(commit_id AS BIGINT) AS commit_id,
+               CASE
+                   WHEN regexp_matches(lower(message), '^\\w+(\\([^)]*\\))?!:')
+                       THEN 'breaking'
+                   WHEN starts_with(lower(message), 'feat:')
+                        OR starts_with(lower(message), 'feat(') THEN 'feature'
+                   WHEN starts_with(lower(message), 'fix:')
+                        OR starts_with(lower(message), 'fix(') THEN 'bugfix'
+                   WHEN starts_with(lower(message), 'refactor:')
+                        OR starts_with(lower(message), 'refactor(') THEN 'refactor'
+                   WHEN starts_with(lower(message), 'docs:')
+                        OR starts_with(lower(message), 'docs(') THEN 'documentation'
+                   WHEN starts_with(lower(message), 'test:')
+                        OR starts_with(lower(message), 'test(') THEN 'testing'
+                   WHEN starts_with(lower(message), 'chore:')
+                        OR starts_with(lower(message), 'chore(') THEN 'maintenance'
+                   ELSE 'other'
+               END AS category
+        FROM commits
     """,
     "embed_documents": f"""
         SELECT doc_id,

@@ -13,6 +13,7 @@ from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.functions.hashing import minhash_signature
 from codebase_rag_spark.functions.text import tokens
 from codebase_rag_spark.operators.dedup import (
+    embedding_near_dups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_dedup,
@@ -58,11 +59,24 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
 
 
+def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified by embedding cosine
+    (the verify pass runs on CANDIDATES only, never all pairs). Candidate
+    doc ids are joined to the embeddings table by id."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    return embedding_near_dups(emb, cands, id_col="vec_id", threshold=-1.0)
+
+
 QUERIES = {
     "minhash_signatures": minhash_signatures,
     "lsh_candidates": lsh_candidates,
     "simhash_groups": simhash_groups,
     "jaccard_pairs": jaccard_pairs,
+    "near_dup_verify": near_dup_verify,
 }
 
 
@@ -133,6 +147,7 @@ ORACLES = {
                count(*) AS group_size
         FROM votes GROUP BY simhash
     """,
+    "near_dup_verify": None,  # filled in below from the lsh_candidates SQL
     "jaccard_pairs": r"""
         WITH t AS (
             SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS toks
@@ -147,3 +162,19 @@ ORACLES = {
         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
     """,
 }
+
+ORACLES["near_dup_verify"] = f"""
+        WITH cand AS (SELECT * FROM ({ORACLES["lsh_candidates"]}) q),
+        pa AS (
+            SELECT c.id_a, c.id_b,
+                   unnest(ea.embedding)::DOUBLE AS x,
+                   unnest(eb.embedding)::DOUBLE AS y
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+        )
+        SELECT id_a, id_b,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                   AS cosine
+        FROM pa GROUP BY id_a, id_b
+"""

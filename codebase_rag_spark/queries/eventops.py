@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.operators.windows import (
     asof_join,
+    bounded_range_join_count,
     sessionize,
     sliding_agg,
     tumbling_agg,
@@ -85,6 +86,30 @@ def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join (beyond-reference; the interval-join family the
+    survey notes is absent upstream): clicks per user within the 10 minutes
+    preceding each purchase — bucketized equi-join, not an O(n*m)
+    inequality join."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    return bounded_range_join_count(
+        purchases, clicks, key_col="user_id", left_id="event_id",
+        lookback_minutes=10,
+    ).withColumnRenamed("n_matches", "n_clicks")
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (Spark-native extension; Catalyst expands the
+    grouping sets — subtotal rows carry NULL group keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction (§2.8 JSON family; task payload parsing analogue,
     task_storage.py:46-72): avg of props.k per event type."""
@@ -100,6 +125,8 @@ QUERIES = {
     "sliding_2h": sliding_2h,
     "user_sessions": user_sessions,
     "purchase_click_asof": purchase_click_asof,
+    "purchase_click_window": purchase_click_window,
+    "rollup_pricing": rollup_pricing,
     "props_json_stats": props_json_stats,
 }
 
@@ -169,6 +196,23 @@ ORACLES = {
                strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
                round(c_value, 2) AS click_value
         FROM carried WHERE side = 1
+    """,
+    "purchase_click_window": """
+        SELECT p.event_id,
+               CAST((SELECT count(*) FROM events c
+                     WHERE c.event_type = 'click'
+                       AND c.user_id = p.user_id
+                       AND c.ts <= p.ts
+                       AND c.ts >= p.ts - INTERVAL 10 MINUTE) AS BIGINT)
+                   AS n_clicks
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
+    "rollup_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "props_json_stats": """
         SELECT event_type,

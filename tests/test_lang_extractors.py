@@ -1,0 +1,111 @@
+"""T5-T7 language extractors, T15 commit classification, bounded range
+join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.operators.code_extract import (
+    classify_commit,
+    extract_by_patterns,
+    extract_code,
+)
+from codebase_rag_spark.operators.windows import bounded_range_join_count
+
+
+def test_extract_java(spark):
+    java = (
+        "import java.util.List;\n"
+        "import static org.junit.Assert.*;\n"
+        "public class OrderService extends BaseService {\n"
+        "}\n"
+        "interface Repo {}\n"
+    )
+    files = spark.createDataFrame([("A.java", "java", java)], ["path", "lang", "content"])
+    out = {(r.entity_kind, r.name) for r in extract_by_patterns(files, "java").collect()}
+    assert ("class", "OrderService") in out
+    assert ("inherit", "BaseService") in out
+    assert ("interface", "Repo") in out
+    assert ("import", "java.util.List") in out
+    assert ("import", "org.junit.Assert.*") in out
+
+
+def test_extract_go(spark):
+    go = (
+        'import "fmt"\n'
+        "type Server struct {}\n"
+        "type Handler interface {}\n"
+        "func (s *Server) Run(port int) {}\n"
+        "func main() {}\n"
+    )
+    files = spark.createDataFrame([("m.go", "go", go)], ["path", "lang", "content"])
+    out = {(r.entity_kind, r.name) for r in extract_by_patterns(files, "go").collect()}
+    assert ("struct", "Server") in out
+    assert ("interface", "Handler") in out
+    assert ("function", "Run") in out and ("function", "main") in out
+    assert ("import", "fmt") in out
+
+
+def test_extract_php(spark):
+    php = (
+        "use App\\Models\\User;\n"
+        "require_once('bootstrap.php');\n"
+        "class Controller {\n"
+        "  function index() {}\n"
+        "}\n"
+    )
+    files = spark.createDataFrame([("c.php", "php", php)], ["path", "lang", "content"])
+    out = {(r.entity_kind, r.name) for r in extract_by_patterns(files, "php").collect()}
+    assert ("class", "Controller") in out
+    assert ("function", "index") in out
+    assert ("import", "App\\Models\\User") in out
+    assert ("import", "bootstrap.php") in out
+
+
+def test_extract_code_dispatch(spark):
+    files = spark.createDataFrame(
+        [
+            ("a.py", "python", "def f():\n    pass\n"),
+            ("b.go", "go", "func g() {}\n"),
+        ],
+        ["path", "lang", "content"],
+    )
+    out = extract_code(files)
+    kinds = {(r.lang, r.entity_kind, r.name) for r in out.collect()}
+    assert ("python", "function", "f") in kinds
+    assert ("go", "function", "g") in kinds
+
+
+def test_classify_commit(spark):
+    df = spark.createDataFrame(
+        [
+            ("feat: x",), ("feat(scope): y",), ("fix: z",), ("refactor!: w",),
+            ("feat(a)!: v",), ("random message",),
+        ],
+        ["m"],
+    )
+    out = [r[0] for r in df.select(classify_commit(F.col("m"))).collect()]
+    assert out == ["feature", "feature", "bugfix", "breaking", "breaking", "other"]
+
+
+def test_bounded_range_join_count(spark):
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(100, 1, base)], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base - dt.timedelta(minutes=9)),   # in window
+            (1, base - dt.timedelta(minutes=10)),  # boundary: inclusive
+            (1, base - dt.timedelta(minutes=11)),  # out
+            (1, base + dt.timedelta(minutes=1)),   # future: out
+            (2, base - dt.timedelta(minutes=5)),   # other user
+        ],
+        ["user_id", "ts"],
+    )
+    out = bounded_range_join_count(
+        left, right, key_col="user_id", left_id="event_id", lookback_minutes=10
+    ).collect()
+    assert out[0].n_matches == 2

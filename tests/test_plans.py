@@ -1,0 +1,50 @@
+"""Physical-plan contract tests: the optimizations SURVEY §4 promises must
+show up in the actual plans (pushdown, pruning, broadcast, top-k,
+shuffle counts)."""
+
+from __future__ import annotations
+
+from codebase_rag_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    scan_columns,
+)
+from codebase_rag_spark.queries import QUERIES
+
+
+def test_revenue_filter_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["revenue_filter"](spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    rs = " ".join(scan_columns(df))
+    # column pruning: only the 4 needed columns are read
+    assert "l_quantity" in rs and "l_orderkey" not in rs and "l_returnflag" not in rs
+
+
+def test_region_revenue_broadcasts_dims_single_shuffle(spark, sf_dir):
+    df = QUERIES["region_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # only the final groupBy shuffles (all joins broadcast at this scale)
+    assert count_exchanges(df) <= 2
+
+
+def test_cosine_topk_is_take_ordered(spark, sf_dir):
+    df = QUERIES["cosine_topk"](spark, sf_dir)
+    assert has_take_ordered(df)
+    pf = " ".join(pushed_filters(df))
+    assert "vec_id" in pf  # exclusion filter reaches the scan
+
+
+def test_rank_documents_take_ordered_no_shuffle(spark, sf_dir):
+    df = QUERIES["rank_documents"](spark, sf_dir)
+    assert has_take_ordered(df)
+    assert count_exchanges(df) == 0  # scoring is scan-stage only
+
+
+def test_lsh_bounded_shuffles(spark, sf_dir):
+    # signature agg + band self-join + distinct: the algorithm's shuffles,
+    # nothing extra
+    df = QUERIES["lsh_candidates"](spark, sf_dir)
+    assert count_exchanges(df) <= 5
