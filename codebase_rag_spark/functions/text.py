@@ -65,6 +65,16 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: letter runs, digit runs, and punctuation
+    count separately (a cheap proxy for BPE token counts — the
+    training-data budget metric)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text (reference analogue: sha256[:16] content hash,

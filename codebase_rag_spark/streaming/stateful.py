@@ -1,0 +1,92 @@
+"""Custom stateful streaming operator (SURVEY §2.13 extension):
+gap-based session tracking with explicit per-key state via
+applyInPandasWithState.
+
+This is the streaming twin of operators/windows.sessionize: the batch
+version computes sessions with a lag/cumsum window; here the per-user state
+(last event time, running session count, events in current session)
+survives across micro-batches in the state store. Arrow-batched — state
+function runs once per key per batch, not per row.
+
+Scale: state is partitioned by the grouping key across executors; the
+state store (RocksDB in production configs) bounds memory; eviction policy
+would use GroupStateTimeout.ProcessingTimeTimeout for abandoned keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("current_session_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("current_session_events", T.LongType()),
+    ]
+)
+
+
+def _session_fn(gap_minutes: int):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts_us, n_events, n_sessions, cur = state.get
+        else:
+            last_ts_us, n_events, n_sessions, cur = None, 0, 0, 0
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if last_ts_us is None or ts_us - last_ts_us > gap_us:
+                    n_sessions += 1
+                    cur = 0
+                cur += 1
+                n_events += 1
+                last_ts_us = ts_us
+        state.update((last_ts_us, n_events, n_sessions, cur))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n_events,
+                    "n_sessions": n_sessions,
+                    "current_session_events": cur,
+                }
+            ]
+        )
+
+    return update
+
+
+def stateful_session_counts(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user running (n_events, n_sessions, current_session_events),
+    maintained in the state store across micro-batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

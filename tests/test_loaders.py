@@ -1,0 +1,34 @@
+"""S4/S6 loader tests: charset decode and gated pdf/docx extraction."""
+
+from __future__ import annotations
+
+from codebase_rag_spark.sources.loaders import decode_text, extract_documents
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, ["path", "bytes"])
+
+
+def test_decode_text_utf8(spark):
+    df = _files(spark, [("a.txt", "héllo wörld".encode())])
+    out = decode_text(df).collect()
+    assert out[0].content == "héllo wörld"
+
+
+def test_decode_text_charset(spark):
+    df = _files(spark, [("a.txt", "café".encode("ISO-8859-1"))])
+    out = decode_text(df, charset="ISO-8859-1").collect()
+    assert out[0].content == "café"
+
+
+def test_extract_documents_text_and_gated_pdf(spark):
+    df = _files(
+        spark,
+        [("notes.txt", b"plain text"), ("doc.pdf", b"%PDF-fake")],
+    )
+    out = {r.path: r for r in extract_documents(df).collect()}
+    assert out["notes.txt"].text == "plain text"
+    assert out["notes.txt"].extract_error is None
+    # codec libs absent: clean per-row error, job does not die
+    assert out["doc.pdf"].text is None
+    assert "PyPDF2" in out["doc.pdf"].extract_error

@@ -1,0 +1,79 @@
+"""applyInPandasWithState: state must survive across micro-batches AND
+across stream restarts (checkpoint recovery), matching batch sessionize."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.streaming.events import stream_events
+from codebase_rag_spark.streaming.stateful import stateful_session_counts
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _rows(ids_minutes):
+    return [
+        (i, BASE + dt.timedelta(minutes=m), u, "click", 1.0, "{}")
+        for i, (u, m) in enumerate(ids_minutes)
+    ]
+
+
+def _drain(spark, src, ckpt, out):
+    """Run the stateful query over all available input via a foreachBatch
+    parquet sink (supports checkpoint recovery, unlike the memory sink)."""
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stateful_session_counts(stream_events(spark, src), gap_minutes=30)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:  # update mode: keep the most-advanced row per user
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.user_id] = (r.n_events, r.n_sessions, r.current_session_events)
+    return latest
+
+
+def test_state_survives_restart(spark, tmp_path):
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    spark.createDataFrame(_rows([(1, 0), (1, 5)]), COLS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got1 = _drain(spark, src, ckpt, out)
+    assert got1[1] == (2, 1, 2)
+
+    # new file lands; restarted run recovers state from the checkpoint:
+    # user 1's event 90+ min later MUST open session 2, not session 1
+    spark.createDataFrame(_rows([(1, 95), (2, 0)]), COLS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got2 = _drain(spark, src, ckpt, out)
+    assert got2[1] == (3, 2, 1)
+    assert got2[2] == (1, 1, 1)
+
+
+def test_stateful_matches_batch_sessionize(spark, tmp_path):
+    from codebase_rag_spark.operators.windows import sessionize
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    data = _rows([(1, 0), (1, 10), (1, 50), (2, 0), (2, 45), (2, 46)])
+    spark.createDataFrame(data, COLS).write.mode("append").parquet(src)
+    streaming = {u: v[1] for u, v in _drain(spark, src, ckpt, out).items()}
+    batch = (
+        sessionize(spark.read.parquet(src), "ts", "user_id", gap_minutes=30)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+    )
+    assert streaming == {r.user_id: r.n_sessions for r in batch.collect()}
