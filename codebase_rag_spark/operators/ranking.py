@@ -94,6 +94,35 @@ def hybrid_merge(
     )
 
 
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for skewed keys.
+
+    Phase 1 groups by (key, salt) — the hot key's rows spread over
+    salt_buckets reducers; phase 2 merges the partials per key. aggs maps
+    column -> 'sum'|'count'|'min'|'max' (the re-aggregatable functions;
+    avg = sum/count composed by the caller). AQE's skew handling covers
+    joins; this is the aggregation-side equivalent for pathological keys.
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    phase1 = []
+    for col, how in aggs.items():
+        fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[how]
+        phase1.append(fn(col).alias(f"_p_{col}"))
+    partial = salted.groupBy(*key_cols, "_salt").agg(*phase1)
+    phase2 = []
+    for col, how in aggs.items():
+        merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[how]
+        phase2.append(merge(f"_p_{col}").alias(f"{how}_{col}"))
+    return partial.groupBy(*key_cols).agg(*phase2)
+
+
 def topk_per_group(
     df: DataFrame, group_col: str, order_cols: list[Column], k: int
 ) -> DataFrame:

@@ -91,6 +91,44 @@ def analyze_ddl(df: DataFrame, ddl_col: str = "ddl") -> DataFrame:
     )
 
 
+# A11 industry templates (universal_sql_schema_parser.py:503-549 shape)
+INDUSTRY_TEMPLATES: dict[str, list[str]] = {
+    "insurance": ["POLICY", "CLAIM", "PREMIUM", "COVERAGE"],
+    "ecommerce": ["ORDER", "PRODUCT", "CART", "CUSTOMER"],
+    "banking": ["ACCOUNT", "TRANSACTION", "LOAN", "BALANCE"],
+    "erp": ["CONFIG", "PARAM", "INVENTORY", "VENDOR"],
+}
+
+
+def industry_template_scores(tables: DataFrame, name_col: str) -> DataFrame:
+    """A11 (universal_sql_schema_parser.py:156-171): per template, the
+    fraction of tables whose name hits any template keyword.
+
+    crossJoin tables x keywords (both tiny; broadcast) -> per (template,
+    table) any-match -> per template avg. Caller takes argmax with
+    orderBy desc limit 1.
+    """
+    spark = tables.sparkSession
+    kw = spark.createDataFrame(
+        [(t, k) for t, kws in INDUSTRY_TEMPLATES.items() for k in kws],
+        ["template", "keyword"],
+    )
+    matched = (
+        tables.crossJoin(F.broadcast(kw))
+        .withColumn(
+            "hit",
+            F.when(
+                F.upper(F.col(name_col)).contains(F.col("keyword")), 1
+            ).otherwise(0),
+        )
+        .groupBy("template", name_col)
+        .agg(F.max("hit").alias("table_hit"))
+    )
+    return matched.groupBy("template").agg(
+        F.round(F.avg("table_hit"), 4).alias("match_score")
+    )
+
+
 def transpile_sql(sql: str, read: str, write: str) -> str:
     """T11 dialect transpilation via sqlglot (import-gated)."""
     if not HAS_SQLGLOT:

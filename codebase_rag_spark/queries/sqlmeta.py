@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from codebase_rag_spark.operators.sqlmeta import analyze_ddl
+from codebase_rag_spark.operators.sqlmeta import (
+    INDUSTRY_TEMPLATES,
+    analyze_ddl,
+    industry_template_scores,
+)
 
 DDL_CORPUS: list[tuple[str, str]] = [
     ("d1", "CREATE TABLE POLICY_MASTER (ID NUMBER(10) NOT NULL, NAME VARCHAR2(100), START_DT DATE)"),
@@ -42,9 +46,21 @@ def domain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def industry_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (universal_sql_schema_parser.py:120-171): keyword-match fraction
+    per industry template over the corpus table names; argmax = best
+    template."""
+    names = analyze_ddl(spark.createDataFrame(DDL_CORPUS, ["ddl_id", "ddl"])).select(
+        "table_name"
+    )
+    scores = industry_template_scores(names, "table_name")
+    return scores.orderBy(F.desc("match_score"), F.col("template")).limit(1)
+
+
 QUERIES = {
     "ddl_analysis": ddl_analysis,
     "domain_summary": domain_summary,
+    "industry_template_match": industry_template_match,
 }
 
 
@@ -109,3 +125,24 @@ ORACLES = {
         FROM analyzed GROUP BY domain
     """,
 }
+
+_TEMPLATE_KW_VALUES = ",\n            ".join(
+    f"('{t}', '{k}')" for t, kws in INDUSTRY_TEMPLATES.items() for k in kws
+)
+
+ORACLES["industry_template_match"] = f"""
+        WITH analyzed AS ({_ANALYZE.format(values=_values_clause())}),
+        kw(template, keyword) AS (VALUES
+            {_TEMPLATE_KW_VALUES}),
+        matched AS (
+            SELECT kw.template, analyzed.table_name,
+                   max(CASE WHEN contains(upper(table_name), keyword)
+                            THEN 1 ELSE 0 END) AS table_hit
+            FROM analyzed CROSS JOIN kw
+            GROUP BY kw.template, analyzed.table_name
+        )
+        SELECT template, round(avg(table_hit), 4) AS match_score
+        FROM matched GROUP BY template
+        ORDER BY match_score DESC, template
+        LIMIT 1
+"""

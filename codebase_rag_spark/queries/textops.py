@@ -120,8 +120,29 @@ def fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ref_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 ref-handle generate + inverse parse (ranker.py:76-79,
+    memory_store.py:211-234): ref://doc/{id}#L1-L{n} round-trip."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    ref = F.concat(
+        F.lit("ref://doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("#L1-L"),
+        F.col("n_chars").cast("string"),
+    )
+    with_ref = d.select("doc_id", ref.alias("ref"))
+    pat = r"ref://doc/(\d+)#L(\d+)-L(\d+)"
+    return with_ref.select(
+        "doc_id",
+        "ref",
+        F.regexp_extract(F.col("ref"), pat, 1).cast("bigint").alias("parsed_id"),
+        F.regexp_extract(F.col("ref"), pat, 3).cast("bigint").alias("parsed_end"),
+    )
+
+
 QUERIES = {
     "rank_documents": rank_documents,
+    "ref_handles": ref_handles,
     "hybrid_merge_branches": hybrid_merge_branches,
     "exact_dedup_docs": exact_dedup_docs,
     "token_stats": token_stats,
@@ -137,6 +158,20 @@ _TERM_HITS = (
 )
 
 ORACLES = {
+    "ref_handles": r"""
+        WITH r AS (
+            SELECT doc_id,
+                   'ref://doc/' || CAST(doc_id AS VARCHAR) || '#L1-L'
+                       || CAST(n_chars AS VARCHAR) AS ref
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id, ref,
+               CAST(regexp_extract(ref, 'ref://doc/(\d+)#L(\d+)-L(\d+)', 1)
+                    AS BIGINT) AS parsed_id,
+               CAST(regexp_extract(ref, 'ref://doc/(\d+)#L(\d+)-L(\d+)', 3)
+                    AS BIGINT) AS parsed_end
+        FROM r
+    """,
     "rank_documents": f"""
         SELECT doc_id,
                round(100.0::DOUBLE * (1.0::DOUBLE + 0.3::DOUBLE * {_TERM_HITS})
