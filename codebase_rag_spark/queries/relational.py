@@ -192,8 +192,56 @@ def pack_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING filter on an aggregate, then join back and
+    rank (over-fetch-then-rerank pattern, routes.py:574). The HAVING
+    aggregate runs BEFORE the join, so only qualifying orderkeys join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session_window() (the engine primitive behind
+    streaming sessionization): per (user, session) span + event count;
+    oracle reproduces the gap-merge with lag/cumsum."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "big_orders": big_orders,
+    "user_session_windows": user_session_windows,
     "revenue_filter": revenue_filter,
     "region_revenue": region_revenue,
     "active_segments": active_segments,
@@ -207,6 +255,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "big_orders": """
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING round(sum(l_quantity), 2) > 180
+        )
+        SELECT c_name, o_orderkey, round(o_totalprice, 2) AS totalprice,
+               total_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 20
+    """,
+    "user_session_windows": """
+        WITH f AS (SELECT user_id, ts FROM events WHERE user_id < 20),
+        s AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s2 AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM s
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events
+        FROM s2 GROUP BY user_id, sid
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -33,5 +33,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep metastore/warehouse clutter out of the repo (bucketed tables)
+        .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/spark-graft-derby"
+        )
         .getOrCreate()
     )

@@ -59,3 +59,30 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     )
     want = {r.l_returnflag: (round(r.s, 2), r.c) for r in plain.collect()}
     assert got == want
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located join: both sides bucketed+sorted on the join key ->
+    SortMergeJoin with ZERO shuffle exchanges (the pre-partitioning
+    strategy for repeated big-big joins at scale)."""
+    import shutil
+
+    from codebase_rag_spark.plans import count_exchanges
+
+    for t in ("li_bucketed", "o_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/spark-graft-warehouse/{t}", ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("o_bucketed")
+    j = spark.table("li_bucketed").join(
+        spark.table("o_bucketed"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert count_exchanges(j) == 0
+    assert j.count() > 0
