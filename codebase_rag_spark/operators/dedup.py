@@ -199,6 +199,42 @@ def embedding_near_dups(
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup removal — the training-data pipeline entry point:
+
+      1. exact dedup (normalized-content fingerprint, keep min id);
+      2. MinHash-LSH candidates over shingles;
+      3. token-Jaccard verification of candidates only;
+      4. union-find-lite: drop the higher id of each verified pair
+         (transitive chains collapse to their minimum id across passes).
+
+    Returns the surviving rows of `df`. Shuffles: one fingerprint agg, one
+    signature agg, one band join, two candidate joins — all keyed, no
+    all-pairs work anywhere.
+    """
+    keep_exact = exact_dedup(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    survivors = df.join(keep_exact, id_col, "left_semi")
+    cands = minhash_lsh_candidates(
+        survivors, id_col, text_col, num_hashes, bands, shingle_size
+    )
+    verified = ngram_jaccard_pairs(
+        survivors, id_col, text_col, candidates=cands,
+        threshold=jaccard_threshold,
+    )
+    drop = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return survivors.join(drop, id_col, "left_anti")
+
+
 def keep_max_score_dedup(df: DataFrame, key_col: str, score_col: str) -> DataFrame:
     """Reference J8/A10: keep the max-score row per key
     (neo4j_knowledge_service.py:99-110; pack_builder.py:131-167)."""

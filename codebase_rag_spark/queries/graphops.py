@@ -30,7 +30,8 @@ def _edges(spark: SparkSession, sf_dir: str, with_orders: bool = False) -> DataF
         parts.append(
             edges_from_fk(o, "o_orderkey", "o_custkey", "PLACED_BY", "o:", "c:")
         )
-    return union_all(parts)
+    # materialize once: every traversal hop re-reads the edge union otherwise
+    return union_all(parts).localCheckpoint(eager=True)
 
 
 def region_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:

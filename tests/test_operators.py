@@ -178,3 +178,20 @@ def test_lang_id_and_token_count(spark):
         "id", lang_id(F.col("text")).alias("lang"), token_count(F.col("text")).alias("n")
     ).collect()}
     assert out == {1: ("en", 4), 2: ("de", 3), 3: ("unknown", 2)}
+
+
+def test_dedup_corpus_end_to_end(spark):
+    from codebase_rag_spark.operators.dedup import dedup_corpus
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog today"),    # near dup
+        (4, "completely different words about spark and parquet files"),
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    kept = sorted(r.id for r in dedup_corpus(df, "id", "text",
+                                             jaccard_threshold=0.7).collect())
+    assert 2 not in kept          # exact dup dropped
+    assert 3 not in kept          # near dup dropped (jaccard 9/11 > 0.7)
+    assert kept == [1, 4]

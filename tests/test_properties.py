@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) — the randomized coverage the
+reference's own suite lacks (SURVEY §5 'Absent'). Few examples per property
+(Spark round-trips are slow); each property is an invariant, not a golden
+value."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.operators.dedup import dedup_corpus, exact_dedup
+from codebase_rag_spark.operators.ranking import pack_budget
+from codebase_rag_spark.operators.windows import sessionize
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(alphabet="abcd ", min_size=1, max_size=30).map(
+        lambda s: " ".join(s.split()) or "x"
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=texts)
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_ids(spark, texts):
+    """Every input id appears in exactly one fingerprint group; group sizes
+    sum to the input size."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+    groups = exact_dedup(df, "id", "text").collect()
+    assert sum(g.dup_count for g in groups) == len(texts)
+    keep_ids = [g.keep_id for g in groups]
+    assert len(set(keep_ids)) == len(keep_ids)
+
+
+@given(texts=texts)
+@settings(**SETTINGS)
+def test_dedup_corpus_idempotent_and_bounded(spark, texts):
+    """dedup output is a subset of input, contains at least one row, and
+    running it twice changes nothing (idempotence)."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+    once = dedup_corpus(df, "id", "text", jaccard_threshold=0.9)
+    ids1 = {r.id for r in once.collect()}
+    assert 1 <= len(ids1) <= len(texts)
+    twice = dedup_corpus(once, "id", "text", jaccard_threshold=0.9)
+    assert {r.id for r in twice.collect()} == ids1
+
+
+@given(
+    costs=st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=15),
+    budget=st.integers(min_value=1, max_value=100),
+)
+@settings(**SETTINGS)
+def test_pack_budget_invariants(spark, costs, budget):
+    """Selected cumulative cost never exceeds the budget; selection is a
+    prefix of the score ordering (greedy semantics,
+    pack_builder.py:63-129)."""
+    rows = [(i, float(len(costs) - i), c) for i, c in enumerate(costs)]
+    df = spark.createDataFrame(rows, ["id", "score", "cost"])
+    picked = sorted(
+        pack_budget(df, "score", "cost", budget, id_col="id").collect(),
+        key=lambda r: r.id,
+    )
+    if picked:
+        assert max(r.cum_cost for r in picked) <= budget
+    assert [r.id for r in picked] == list(range(len(picked)))  # prefix
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=90), min_size=1, max_size=10)
+)
+@settings(**SETTINGS)
+def test_sessionize_counts_match_gap_rule(spark, gaps):
+    """Number of sessions == 1 + number of inter-event gaps > threshold."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ts, cur = [], base
+    for g in gaps:
+        cur = cur + dt.timedelta(minutes=g)
+        ts.append(cur)
+    df = spark.createDataFrame([(1, t) for t in ts], ["user_id", "ts"])
+    out = sessionize(df, "ts", "user_id", gap_minutes=30)
+    n_sessions = out.agg(F.max("session_id")).first()[0]
+    expected = 1 + sum(1 for g in gaps[1:] if g > 30)
+    assert n_sessions == expected
