@@ -238,10 +238,61 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated subquery DECORRELATED the Spark way:
+    the per-part avg is a grouped aggregate joined back (Catalyst does the
+    same rewrite for scalar subqueries; writing it explicitly keeps the
+    plan obvious: one agg + one broadcast-able join, no per-row subquery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cutoff")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — matches DuckDB
+    quantile_cont). At 100 TB swap for approx_percentile: one pass,
+    mergeable sketches, bounded error."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+    )
+
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile bucketing of customers by account balance."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "big_orders": big_orders,
     "user_session_windows": user_session_windows,
+    "small_quantity_revenue": small_quantity_revenue,
+    "event_value_percentiles": event_value_percentiles,
+    "customer_value_deciles": customer_value_deciles,
     "revenue_filter": revenue_filter,
     "region_revenue": region_revenue,
     "active_segments": active_segments,
@@ -255,6 +306,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "small_quantity_revenue": """
+        WITH cutoff AS (
+            SELECT l_partkey, 0.2::DOUBLE * avg(l_quantity) AS qty_cutoff
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0::DOUBLE, 2) AS avg_yearly,
+               count(*) AS n_rows
+        FROM lineitem
+        JOIN part   ON l_partkey = p_partkey
+        JOIN cutoff ON cutoff.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#1' AND l_quantity < qty_cutoff
+    """,
+    "event_value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               round(min(value), 2) AS min_v,
+               round(max(value), 2) AS max_v
+        FROM events GROUP BY event_type
+    """,
+    "customer_value_deciles": """
+        WITH d AS (
+            SELECT c_acctbal,
+                   ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+            FROM customer
+        )
+        SELECT CAST(decile AS INTEGER) AS decile,
+               count(*) AS n_customers,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM d GROUP BY decile
+    """,
     "big_orders": """
         WITH big AS (
             SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
