@@ -76,6 +76,42 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
+def stream_stream_purchase_clicks(
+    events: DataFrame,
+    join_window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user clicks in
+    the preceding join_window. Both sides watermarked — the engine buffers
+    only watermark-bounded state per side; the time-range predicate bounds
+    how long a click waits for a purchase. The streaming twin of the batch
+    bounded_range_join (operators/windows.py)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {join_window}")),
+    ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+
+
 def foreach_batch_ingest(
     events: DataFrame,
     store_path: str,

@@ -1,0 +1,81 @@
+"""The full user story, end to end: ingest a repo -> stores on disk ->
+fulltext + vector search + hybrid retrieval over the STORED tables (not
+in-memory frames). This is the reference's §3.1/§3.2 lifecycle as one
+Spark workflow."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.operators.code_extract import call_edges, extract_python
+from codebase_rag_spark.operators.fulltext import build_inverted_index, search
+from codebase_rag_spark.operators.similarity import knn_join
+from codebase_rag_spark.pipeline import ingest_directory
+from codebase_rag_spark.retrieval import QueryConfig, query_knowledge
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory) -> pathlib.Path:
+    root = tmp_path_factory.mktemp("proj")
+    (root / "search.py").write_text(
+        '"""Vector search module."""\n'
+        "def cosine_search(query, index):\n"
+        '    """Find nearest vectors."""\n'
+        "    return rank(score(query, index))\n"
+    )
+    (root / "ingest.py").write_text(
+        '"""Ingest pipeline."""\n'
+        "from search import cosine_search\n\n"
+        "def ingest(path):\n"
+        "    chunks = chunk(path)\n"
+        "    return embed(chunks)\n"
+    )
+    (root / "README.md").write_text(
+        "# Project\n\nvector search and ingest pipeline for code chunks\n"
+    )
+    return root
+
+
+def test_ingest_then_search_then_hybrid(spark, project, tmp_path):
+    store = str(tmp_path / "store")
+    stats = ingest_directory(spark, str(project), store, repo_id="proj")
+    assert stats["files"] == 3 and stats["new_embeddings"] > 0
+
+    chunks = spark.read.parquet(f"{store}/chunks")
+    emb = spark.read.parquet(f"{store}/embeddings")
+
+    # fulltext over the stored chunks
+    index = build_inverted_index(chunks, "id", "content")
+    hits = search(index, ["vector", "search"], k=5).collect()
+    assert hits and hits[0].score >= 1
+
+    # vector search over the stored embeddings (query = a stored vector)
+    queries = emb.limit(1).select(
+        F.lit(0).alias("query_id"), F.col("vector").alias("embedding")
+    )
+    knn = knn_join(
+        emb.select("content_sha", "vector").withColumnRenamed("vector", "embedding"),
+        queries,
+        k=3,
+        corpus_id="content_sha",
+    ).collect()
+    assert len(knn) == 3 and knn[0].cosine == 1.0  # self-match first
+
+    # hybrid retrieval over stored chunks + code-graph edges
+    files = spark.read.parquet(f"{store}/files")
+    edges = call_edges(extract_python(files)).select("src", "dst")
+    result = query_knowledge(
+        spark,
+        chunks.withColumnRenamed("id", "doc_id").withColumnRenamed(
+            "content", "text"
+        ),
+        edges,
+        ["vector", "search"],
+        QueryConfig(mode="hybrid", top_k=5),
+    )
+    rows = result.collect()
+    assert 0 < len(rows) <= 5
+    assert {r.branch for r in rows} <= {"graph", "vector"}

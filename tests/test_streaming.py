@@ -66,3 +66,40 @@ def test_foreach_batch_ingest_partitions_by_date(spark, tmp_path):
     q2 = foreach_batch_ingest(stream_events(spark, src), store, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(store).count() == 40
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream windowed join result == the batch range join over the
+    same data."""
+    import datetime as dt
+
+    from codebase_rag_spark.streaming.events import stream_stream_purchase_clicks
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base - dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (2, base - dt.timedelta(minutes=15), 1, "click", 1.0, "{}"),  # too old
+        (3, base, 1, "purchase", 9.0, "{}"),
+        (4, base - dt.timedelta(minutes=2), 2, "click", 1.0, "{}"),
+        (5, base, 2, "purchase", 9.0, "{}"),
+        (6, base, 3, "purchase", 9.0, "{}"),  # no clicks
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("append").parquet(src)
+
+    joined = stream_stream_purchase_clicks(stream_events(spark, src))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == {(3, 1), (5, 4)}  # old click excluded, user 3 unmatched
