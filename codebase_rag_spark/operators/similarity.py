@@ -110,6 +110,43 @@ def build_centroids(
     )
 
 
+def train_ivf_kmeans(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Train an IVF coarse quantizer with MLlib KMeans.
+
+    Returns (assignments, centroids): assignments = (id, bucket) for every
+    corpus vector; centroids = (bucket, centroid array<double>) usable by
+    ivf_topk. The assignment column is what the corpus gets
+    `partitionBy()`-written on, turning probes into partition pruning.
+    MLlib's KMeans is the distributed Lloyd's loop (sampled init, map-side
+    cost aggregation) — exactly the iterative algorithm one should not
+    hand-roll with DataFrame self-joins.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = embeddings.select(
+        F.col(id_col),
+        array_to_vector(as_double(F.col(vec_col))).alias("features"),
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(ml_df)
+    assignments = model.transform(ml_df).select(
+        F.col(id_col), F.col("prediction").alias("bucket")
+    )
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["bucket", "centroid"],
+    )
+    return assignments, cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: DataFrame,

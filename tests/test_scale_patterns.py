@@ -86,3 +86,23 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     )
     assert count_exchanges(j) == 0
     assert j.count() > 0
+
+
+def test_kmeans_ivf_trainer(spark, sf_dir):
+    """MLlib KMeans coarse quantizer: every vector assigned to one of nlist
+    buckets; trained centroids drive ivf_topk end to end."""
+    from codebase_rag_spark.operators.similarity import train_ivf_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, cents = train_ivf_kmeans(emb, nlist=4, max_iter=5)
+    assert cents.count() == 4
+    n = emb.count()
+    assert assignments.count() == n
+    buckets = {r.bucket for r in assignments.select("bucket").distinct().collect()}
+    assert buckets <= {0, 1, 2, 3}
+    # searchable: attach buckets and probe (embeddings already has 'label',
+    # so the trained bucket keeps its own name)
+    corpus = emb.drop("label").join(assignments, "vec_id")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = ivf_topk(corpus, cents, q, k=3, nprobe=4, bucket_col="bucket").collect()
+    assert got[0].vec_id == 0 and got[0].cosine == 1.0  # self-match
