@@ -150,16 +150,24 @@ def ngram_jaccard_pairs(
     text_col: str,
     candidates: DataFrame | None = None,
     threshold: float = 0.5,
+    n: int = 1,
 ) -> DataFrame:
-    """Token-set Jaccard similarity for candidate pairs.
+    """n-gram-set Jaccard similarity for candidate pairs (n=1: token sets;
+    n>1: word-shingle sets — docs shorter than n tokens are excluded).
 
     When `candidates` (id_a, id_b) is given — normally the LSH output — only
-    those pairs are scored (two broadcast-able joins against the token sets).
+    those pairs are scored (two broadcast-able joins against the gram sets).
     Without candidates this is all-pairs and only suitable for small inputs.
     """
+    base_toks = tokens(F.col(text_col))
+    if n > 1:
+        df = df.filter(F.size(base_toks) >= n)
+        grams = shingles(base_toks, n)
+    else:
+        grams = base_toks
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
+        F.array_distinct(grams).alias("_toks"),
     )
     left = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("a_toks"))
     right = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("b_toks"))

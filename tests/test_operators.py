@@ -195,3 +195,16 @@ def test_dedup_corpus_end_to_end(spark):
     assert 2 not in kept          # exact dup dropped
     assert 3 not in kept          # near dup dropped (jaccard 9/11 > 0.7)
     assert kept == [1, 4]
+
+
+def test_jaccard_ngram_mode(spark):
+    from codebase_rag_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "b a d c")], ["id", "text"]
+    )
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.0, n=2).collect()}
+    # bigrams: d1={ab,bc,cd} d2={ab,bc,cx} -> 2/4; d3={ba,ad,dc} disjoint from d1
+    assert out[(1, 2)] == 0.5
+    assert out[(1, 3)] == 0.0  # word ORDER matters with n>1, unlike token sets
