@@ -152,6 +152,82 @@ def impact_analysis(
     ).orderBy(F.desc("impact_score"), "node")
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected simple graph.
+
+    Canonicalize each edge to (lo, hi), then the classic two-join counting:
+    wedges (a<b<c with a-b, b-c) joined against closing edges (a-c). Three
+    shuffles on edge endpoints; at scale the standard refinement is
+    degree-ordered orientation (each edge directed low-degree -> high-
+    degree) which this canonical a<b ordering approximates for random ids.
+    Returns a single row (n_triangles bigint).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    closing = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return wedges.join(closing, ["x", "z"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """PageRank with a fixed iteration count (deterministic — oracle-
+    checkable by unrolling the same iterations in SQL).
+
+    Dangling-node mass is dropped (not redistributed), matching the naive
+    textbook formulation. Each iteration: contribs = rank/out_degree
+    shuffled to targets + one aggregate; localCheckpoint truncates lineage
+    so the plan stays constant-size per iteration (without it, analysis
+    time grows exponentially with iterations).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    base = F.lit((1.0 - damping) / n_nodes)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def edges_from_fk(
     df: DataFrame, src_col: str, dst_col: str, rel_type: str,
     src_prefix: str, dst_prefix: str,

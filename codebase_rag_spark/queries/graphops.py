@@ -10,10 +10,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codebase_rag_spark.catalog import load_table
+from pyspark.sql import Window
+
 from codebase_rag_spark.operators.graph import (
     bounded_traversal,
     edges_from_fk,
     impact_analysis,
+    pagerank,
+    triangle_count,
     union_all,
 )
 
@@ -56,9 +60,41 @@ def region_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_chain(spark: SparkSession, sf_dir: str, hops: int) -> DataFrame:
+    """String-id edges doc -> next doc(s) within a source (lead 1..hops)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    parts = []
+    for h in range(1, hops + 1):
+        parts.append(
+            d.select(
+                F.col("doc_id").cast("string").alias("src"),
+                F.lead(F.col("doc_id").cast("string"), h).over(w).alias("dst"),
+            ).filter(F.col("dst").isNotNull())
+        )
+    return union_all(parts).distinct()
+
+
+def doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (standard distributed graph-analytics benchmark) over
+    the doc chain with 1- and 2-step edges (every consecutive triple in a
+    source closes a triangle)."""
+    return triangle_count(_doc_chain(spark, sf_dir, hops=2))
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank, 3 fixed iterations, damping 0.85, over the
+    1-step doc chain — the oracle unrolls the identical iterations in SQL.
+    localCheckpoint keeps the per-iteration plan constant-size."""
+    ranks = pagerank(_doc_chain(spark, sf_dir, hops=1), iterations=3)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
 QUERIES = {
     "region_two_hop": region_two_hop,
     "region_impact": region_impact,
+    "doc_triangles": doc_triangles,
+    "doc_pagerank": doc_pagerank,
 }
 
 ORACLES = {
@@ -85,3 +121,53 @@ ORACLES = {
         SELECT CAST(3 AS INTEGER), round(0.5::DOUBLE / 3, 4), count(*) FROM o3
     """,
 }
+
+_CHAIN_1 = """
+            SELECT CAST(doc_id AS VARCHAR) AS src,
+                   CAST(lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id)
+                        AS VARCHAR) AS dst
+            FROM documents QUALIFY dst IS NOT NULL
+"""
+_CHAIN_2 = """
+            SELECT CAST(doc_id AS VARCHAR) AS src,
+                   CAST(lead(doc_id, 2) OVER (PARTITION BY source ORDER BY doc_id)
+                        AS VARCHAR) AS dst
+            FROM documents QUALIFY dst IS NOT NULL
+"""
+
+_PR_ITER = """
+        it{i} AS (
+            SELECT nodes.node,
+                   (0.15::DOUBLE / (SELECT n FROM params))
+                   + 0.85::DOUBLE * coalesce(sum(r.rank / deg.od), 0.0::DOUBLE)
+                       AS rank
+            FROM nodes
+            LEFT JOIN e ON e.dst = nodes.node
+            LEFT JOIN it{prev} r ON r.node = e.src
+            LEFT JOIN deg ON deg.src = e.src
+            GROUP BY nodes.node
+        )"""
+
+ORACLES["doc_triangles"] = f"""
+        WITH e AS ({_CHAIN_1} UNION {_CHAIN_2}),
+        canon AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM canon e1
+        JOIN canon e2 ON e2.a = e1.b
+        JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+ORACLES["doc_pagerank"] = f"""
+        WITH e AS ({_CHAIN_1}),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        it0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM params) AS rank FROM nodes),
+        {_PR_ITER.format(i=1, prev=0)},
+        {_PR_ITER.format(i=2, prev=1)},
+        {_PR_ITER.format(i=3, prev=2)}
+        SELECT node, round(rank, 8) AS rank FROM it3
+"""

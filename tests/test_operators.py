@@ -208,3 +208,25 @@ def test_jaccard_ngram_mode(spark):
     # bigrams: d1={ab,bc,cd} d2={ab,bc,cx} -> 2/4; d3={ba,ad,dc} disjoint from d1
     assert out[(1, 2)] == 0.5
     assert out[(1, 3)] == 0.0  # word ORDER matters with n>1, unlike token sets
+
+
+def test_triangle_count(spark):
+    from codebase_rag_spark.operators.graph import triangle_count
+
+    # K4 minus one edge = 2 triangles; direction/duplicates must not matter
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "d"),
+         ("b", "d")],
+        ["src", "dst"],
+    )
+    assert triangle_count(edges).first().n_triangles == 2
+
+
+def test_pagerank_sink_accumulates(spark):
+    from codebase_rag_spark.operators.graph import pagerank
+
+    # star a->c, b->c: sink c must outrank sources; ranks deterministic
+    edges = spark.createDataFrame([("a", "c"), ("b", "c")], ["src", "dst"])
+    r = {row.node: row.rank for row in pagerank(edges, iterations=3).collect()}
+    assert r["c"] > r["a"] == r["b"]
+    assert abs(r["a"] - 0.05) < 1e-9  # (1-d)/3 with no in-links
