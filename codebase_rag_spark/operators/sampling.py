@@ -1,0 +1,72 @@
+"""Dataset splitting / sampling / profiling for training-data pipelines
+(beyond-reference, BASELINE.json north star).
+
+Splits are content-hash-deterministic (md5 of the id), NOT rand()-based:
+the same row lands in the same split on every run, on any cluster size,
+with no coordination — the property training pipelines actually need
+(rand(seed) is partition-layout-dependent in Spark; a content hash is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column, buckets: int = 100, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, buckets) from md5(id || salt) —
+    engine-portable (same arithmetic expressible in any SQL engine)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % buckets).cast("int")
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.2,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a `split` column ('train'|'test') by deterministic hash bucket."""
+    cutoff = int(round(test_fraction * 100))
+    bucket = hash_bucket(F.col(id_col), 100, salt)
+    return df.withColumn(
+        "split",
+        F.when(bucket < cutoff, F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-quality profile: one row per column with null rate, distinct
+    count, min/max (as strings). One pass over the data per metric family
+    (all aggregates computed in a single job)."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = df.agg(F.count("*").alias("__n"), *aggs).first()
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            int(row["__n"]),
+            int(row[f"{c}__nulls"]),
+            round(row[f"{c}__nulls"] / row["__n"], 4) if row["__n"] else 0.0,
+            int(row[f"{c}__distinct"]),
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+        )
+        for c in columns
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_nulls bigint, null_rate double, "
+        "n_distinct bigint, min_value string, max_value string",
+    )

@@ -21,6 +21,7 @@ from codebase_rag_spark.queries import (
     graphops,
     relational,
     retrievalops,
+    sampleops,
     sqlmeta,
     textops,
     vectorops,
@@ -35,6 +36,7 @@ _MODULES = [
     graphops,
     retrievalops,
     codeops,
+    sampleops,
     sqlmeta,
 ]
 

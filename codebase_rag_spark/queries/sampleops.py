@@ -1,0 +1,91 @@
+"""Dataset-splitting and profiling queries (training-data pipeline ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.operators.sampling import profile_columns, train_test_split
+
+
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash 80/20 split of documents, summarized per
+    (split, lang). Hash is md5-based, so the same doc lands in the same
+    split on every engine and every run."""
+    d = load_table(spark, sf_dir, "documents")
+    split = train_test_split(d, "doc_id", test_fraction=0.2)
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null rate / distinct / min / max) over lineitem —
+    the data-quality pass every training pipeline runs before use."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+    )
+
+
+QUERIES = {
+    "doc_train_test_split": doc_train_test_split,
+    "profile_lineitem": profile_lineitem,
+}
+
+_BUCKET = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::BIGINT % 100)"
+)
+
+ORACLES = {
+    "doc_train_test_split": f"""
+        WITH s AS (
+            SELECT lang, n_chars,
+                   CASE WHEN {_BUCKET} < 20 THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        )
+        SELECT split, lang, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM s GROUP BY split, lang
+    """,
+    "profile_lineitem": """
+        WITH m AS (SELECT count(*) AS n FROM lineitem)
+        SELECT 'l_returnflag' AS column, (SELECT n FROM m) AS n_rows,
+               CAST(count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+               round(count(CASE WHEN l_returnflag IS NULL THEN 1 END)
+                     / CAST((SELECT n FROM m) AS DOUBLE), 4) AS null_rate,
+               count(DISTINCT l_returnflag) AS n_distinct,
+               min(CAST(l_returnflag AS VARCHAR)) AS min_value,
+               max(CAST(l_returnflag AS VARCHAR)) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', (SELECT n FROM m),
+               CAST(count(CASE WHEN l_linestatus IS NULL THEN 1 END) AS BIGINT),
+               round(count(CASE WHEN l_linestatus IS NULL THEN 1 END)
+                     / CAST((SELECT n FROM m) AS DOUBLE), 4),
+               count(DISTINCT l_linestatus),
+               min(CAST(l_linestatus AS VARCHAR)),
+               max(CAST(l_linestatus AS VARCHAR))
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', (SELECT n FROM m),
+               CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT),
+               round(count(CASE WHEN l_quantity IS NULL THEN 1 END)
+                     / CAST((SELECT n FROM m) AS DOUBLE), 4),
+               count(DISTINCT l_quantity),
+               min(CAST(l_quantity AS VARCHAR)),
+               max(CAST(l_quantity AS VARCHAR))
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', (SELECT n FROM m),
+               CAST(count(CASE WHEN l_discount IS NULL THEN 1 END) AS BIGINT),
+               round(count(CASE WHEN l_discount IS NULL THEN 1 END)
+                     / CAST((SELECT n FROM m) AS DOUBLE), 4),
+               count(DISTINCT l_discount),
+               min(CAST(l_discount AS VARCHAR)),
+               max(CAST(l_discount AS VARCHAR))
+        FROM lineitem
+    """,
+}

@@ -230,3 +230,29 @@ def test_pagerank_sink_accumulates(spark):
     r = {row.node: row.rank for row in pagerank(edges, iterations=3).collect()}
     assert r["c"] > r["a"] == r["b"]
     assert abs(r["a"] - 0.05) < 1e-9  # (1-d)/3 with no in-links
+
+
+def test_train_test_split_deterministic_and_disjoint(spark):
+    from codebase_rag_spark.operators.sampling import train_test_split
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["id"])
+    s1 = {r.id: r.split for r in train_test_split(df, "id").collect()}
+    s2 = {r.id: r.split for r in train_test_split(df, "id").collect()}
+    assert s1 == s2  # deterministic across runs
+    n_test = sum(1 for v in s1.values() if v == "test")
+    assert 20 <= n_test <= 60  # ~20% of 200, hash variance allowed
+    # different salt -> different partition (not a constant function)
+    s3 = {r.id: r.split for r in train_test_split(df, "id", salt="other").collect()}
+    assert s3 != s1
+
+
+def test_profile_columns(spark):
+    from codebase_rag_spark.operators.sampling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a")], ["id", "v"]
+    )
+    out = {r.column: r for r in profile_columns(df, ["id", "v"]).collect()}
+    assert out["v"].n_nulls == 1 and out["v"].null_rate == 0.25
+    assert out["v"].n_distinct == 2
+    assert out["id"].min_value == "1" and out["id"].max_value == "4"

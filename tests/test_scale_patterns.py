@@ -106,3 +106,18 @@ def test_kmeans_ivf_trainer(spark, sf_dir):
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     got = ivf_topk(corpus, cents, q, k=3, nprobe=4, bucket_col="bucket").collect()
     assert got[0].vec_id == 0 and got[0].cosine == 1.0  # self-match
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """The sketch family for 100 TB: HLL distinct and quantile sketches
+    must land within their error bounds of the exact answers (exact
+    versions are what the oracles check; sketches are the scale swap-in)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+    ).first()
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.10
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.05
