@@ -228,6 +228,49 @@ def pagerank(
     return ranks
 
 
+def connected_components(
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Connected components by min-label propagation with a FIXED iteration
+    count (deterministic -> oracle-checkable by unrolling; converged iff
+    iterations >= graph diameter — callers pick iterations or loop to a
+    fixpoint with the same body).
+
+    Each iteration: label(v) = min(label(v), min over neighbors) on the
+    undirected edge set — one shuffle join + one aggregate per iteration.
+    The production-scale refinement is the large-star/small-star algorithm
+    (O(log n) rounds); this simple propagation is the building block.
+    """
+    undirected = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        undirected.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for i in range(iterations):
+        neighbor_min = (
+            undirected.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
 def edges_from_fk(
     df: DataFrame, src_col: str, dst_col: str, rel_type: str,
     src_prefix: str, dst_prefix: str,

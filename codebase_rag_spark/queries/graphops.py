@@ -14,6 +14,7 @@ from pyspark.sql import Window
 
 from codebase_rag_spark.operators.graph import (
     bounded_traversal,
+    connected_components,
     edges_from_fk,
     impact_analysis,
     pagerank,
@@ -90,11 +91,22 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (3 fixed min-label-propagation iterations) over
+    the 1-step doc chain; summarized as component-size histogram. String
+    min: labels are string ids, so 'min' is lexicographic — identically so
+    in the oracle."""
+    labels = connected_components(_doc_chain(spark, sf_dir, hops=1), iterations=3)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+
+
 QUERIES = {
     "region_two_hop": region_two_hop,
     "region_impact": region_impact,
     "doc_triangles": doc_triangles,
     "doc_pagerank": doc_pagerank,
+    "doc_components": doc_components,
 }
 
 ORACLES = {
@@ -170,4 +182,26 @@ ORACLES["doc_pagerank"] = f"""
         {_PR_ITER.format(i=2, prev=1)},
         {_PR_ITER.format(i=3, prev=2)}
         SELECT node, round(rank, 8) AS rank FROM it3
+"""
+
+_CC_ITER = """
+        l{i} AS (
+            SELECT l.node,
+                   least(l.component,
+                         coalesce(min(r.component), l.component)) AS component
+            FROM l{prev} l
+            LEFT JOIN u ON u.dst = l.node
+            LEFT JOIN l{prev} r ON r.node = u.src
+            GROUP BY l.node, l.component
+        )"""
+
+ORACLES["doc_components"] = f"""
+        WITH e AS ({_CHAIN_1}),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS component FROM u),
+        {_CC_ITER.format(i=1, prev=0)},
+        {_CC_ITER.format(i=2, prev=1)},
+        {_CC_ITER.format(i=3, prev=2)},
+        sizes AS (SELECT component, count(*) AS size FROM l3 GROUP BY component)
+        SELECT size, count(*) AS n_components FROM sizes GROUP BY size
 """

@@ -256,3 +256,16 @@ def test_profile_columns(spark):
     assert out["v"].n_nulls == 1 and out["v"].null_rate == 0.25
     assert out["v"].n_distinct == 2
     assert out["id"].min_value == "1" and out["id"].max_value == "4"
+
+
+def test_connected_components(spark):
+    from codebase_rag_spark.operators.graph import connected_components
+
+    # two components: {a,b,c} chain and {x,y}
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    out = {r.node: r.component for r in
+           connected_components(edges, iterations=3).collect()}
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["x"] == out["y"] == "x"
