@@ -40,6 +40,10 @@ HEADLINE = [
     "region_two_hop",
     "fulltext_search",
     "hybrid_retrieval",
+    "doc_pagerank",
+    "doc_components",
+    "doc_train_test_split",
+    "doc_sequence_packing",
 ]
 
 

@@ -201,7 +201,11 @@ def pagerank(
     )
     n_nodes = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
-    base = F.lit((1.0 - damping) / n_nodes)
+    # IEEE-op-for-op base: (1.0 - d) / N as double ops, NOT a Python-folded
+    # constant — a SQL oracle computing (1.0 - 0.85) gets the identical
+    # double, so rounding ties (ranks land exactly on half-decimals on
+    # chain graphs) resolve the same way in both engines
+    base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n_nodes))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
         contribs = (

@@ -39,6 +39,41 @@ def train_test_split(
     )
 
 
+def sequence_packing(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    seq_len: int = 2048,
+    order_col: str | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing layout: documents are laid out
+    end-to-end in id order and cut into fixed seq_len windows.
+
+    Emits per doc: n_tokens, start_offset (tokens before it), bin_id
+    (window containing its first token) and crosses_boundary (doc spans a
+    window cut -> would be split). The cumulative sum is a single-pass
+    window; at corpus scale the order column is a precomputed global sort
+    key (e.g. shard id + intra-shard position) so the window runs
+    per-shard, not globally.
+    """
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = token_count_col.cast("bigint")
+    cum = F.sum(toks).over(w)
+    start = (cum - toks).alias("start_offset")
+    return df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        start,
+        ((cum - toks) / seq_len).cast("bigint").alias("bin_id"),
+        (((cum - toks) / seq_len).cast("bigint") != ((cum - 1) / seq_len).cast("bigint")).alias(
+            "crosses_boundary"
+        ),
+    )
+
+
 def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """Data-quality profile: one row per column with null rate, distinct
     count, min/max (as strings). One pass over the data per metric family

@@ -150,7 +150,7 @@ _CHAIN_2 = """
 _PR_ITER = """
         it{i} AS (
             SELECT nodes.node,
-                   (0.15::DOUBLE / (SELECT n FROM params))
+                   ((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM params))
                    + 0.85::DOUBLE * coalesce(sum(r.rank / deg.od), 0.0::DOUBLE)
                        AS rank
             FROM nodes

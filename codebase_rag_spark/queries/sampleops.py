@@ -6,7 +6,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codebase_rag_spark.catalog import load_table
-from codebase_rag_spark.operators.sampling import profile_columns, train_test_split
+from codebase_rag_spark.functions.text import token_count
+from codebase_rag_spark.operators.sampling import (
+    profile_columns,
+    sequence_packing,
+    train_test_split,
+)
 
 
 def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,9 +35,19 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout of documents into 512-token training
+    sequences: offsets, bin assignment, boundary-crossing flags."""
+    d = load_table(spark, sf_dir, "documents")
+    return sequence_packing(
+        d, "doc_id", token_count(F.col("text")), seq_len=512
+    )
+
+
 QUERIES = {
     "doc_train_test_split": doc_train_test_split,
     "profile_lineitem": profile_lineitem,
+    "doc_sequence_packing": doc_sequence_packing,
 }
 
 _BUCKET = (
@@ -89,3 +104,25 @@ ORACLES = {
         FROM lineitem
     """,
 }
+
+ORACLES["doc_sequence_packing"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
+               CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+               ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS crosses_boundary
+        FROM c
+"""

@@ -269,3 +269,14 @@ def test_connected_components(spark):
            connected_components(edges, iterations=3).collect()}
     assert out["a"] == out["b"] == out["c"] == "a"
     assert out["x"] == out["y"] == "x"
+
+
+def test_sequence_packing_layout(spark):
+    from codebase_rag_spark.operators.sampling import sequence_packing
+
+    df = spark.createDataFrame([(1, 30), (2, 80), (3, 20)], ["id", "n"])
+    out = {r.id: (r.start_offset, r.bin_id, r.crosses_boundary)
+           for r in sequence_packing(df, "id", F.col("n"), seq_len=100).collect()}
+    assert out[1] == (0, 0, False)    # tokens 0-29
+    assert out[2] == (30, 0, True)    # tokens 30-109 crosses the 100 cut
+    assert out[3] == (110, 1, False)  # tokens 110-129
