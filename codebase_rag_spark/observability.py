@@ -1,0 +1,36 @@
+"""Job metrics side-outputs (SURVEY §2.11 Q5: per-step node counts and
+trace summaries, neo4j_knowledge_service.py:112-132).
+
+The reference logs per-step dicts; Spark's native mechanism is
+DataFrame.observe: named aggregate metrics computed DURING the job (no
+second pass over the data) and collected from the QueryExecution listener
+or, for batch jobs, read back after an action via the observation object.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+
+
+def observed(
+    df: DataFrame, name: str, metrics: list[Column]
+) -> tuple[DataFrame, Observation]:
+    """Attach named metrics to a dataflow step. Returns (df, observation);
+    after any action on df, observation.get yields the metric dict — the
+    engine's per-step trace (Q5) with zero extra scans."""
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs
+
+
+def pipeline_trace(
+    steps: list[tuple[str, DataFrame, list[Column]]]
+) -> tuple[list[DataFrame], dict[str, Observation]]:
+    """Instrument multiple steps; returns the instrumented frames plus a
+    name->Observation map to read after the job runs."""
+    out_frames: list[DataFrame] = []
+    observations: dict[str, Observation] = {}
+    for name, df, metrics in steps:
+        inst, obs = observed(df, name, metrics)
+        out_frames.append(inst)
+        observations[name] = obs
+    return out_frames, observations

@@ -13,6 +13,16 @@ from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.operators.ranking import pack_budget
 
 
+def _dsum(col, scale: int = 2):
+    """Sum with per-row DECIMAL(18,6) quantization: the quantized values are
+    identical in every engine (same doubles, same nearest-decimal), and
+    decimal addition is exact, so the sum is summation-order-insensitive —
+    no rounding-boundary flakes between Spark and the oracle."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(F.sum(col.cast("decimal(18,6)")).cast("double"), scale)
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A7-family hash aggregate (TPC-H Q1 shape). Map-side partial agg;
     the shuffle carries one row per (returnflag, linestatus)."""
@@ -21,11 +31,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            # big sums go through per-row DECIMAL quantization: exact and
+            # summation-order-insensitive -> bitwise oracle-stable at any SF
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -44,9 +56,7 @@ def revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count("*").alias("n_rows"),
     )
 
@@ -67,9 +77,9 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
     )
@@ -375,9 +385,13 @@ ORACLES = {
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS sum_disc_price,
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_discount), 4) AS avg_disc,
                count(*) AS count_order
@@ -386,7 +400,8 @@ ORACLES = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "revenue_filter": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                                   AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -396,7 +411,8 @@ ORACLES = {
     """,
     "region_revenue": """
         SELECT r_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey

@@ -127,12 +127,15 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codebase_rag_spark.catalog import register_views
 
     register_views(spark, sf_dir)
+    # revenue summed in DECIMAL after per-row quantization: exact and
+    # summation-order-insensitive, so it matches any other engine bit-for-bit
     return spark.sql(
         """
         SELECT o_orderpriority,
                year(o_orderdate) AS order_year,
                count(DISTINCT o_orderkey) AS n_orders,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority, year(o_orderdate)
         """
@@ -246,7 +249,8 @@ ORACLES = {
         SELECT o_orderpriority,
                CAST(year(o_orderdate) AS INTEGER) AS order_year,
                count(DISTINCT o_orderkey) AS n_orders,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority, year(o_orderdate)
     """,

@@ -92,3 +92,33 @@ def test_supersede_lineage(spark):
     assert out["m1"] == ("m2", False)
     assert out["m2"] == (None, True)
     assert out["m3"] == (None, True)
+
+
+def test_observed_metrics_collected_during_job(spark):
+    from codebase_rag_spark.observability import observed
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "v"])
+    inst, obs = observed(
+        df.filter(F.col("id") >= 50), "step1",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("total")],
+    )
+    assert inst.count() == 50  # the action that materializes the metrics
+    got = obs.get
+    assert got["n"] == 50 and got["total"] == sum(float(i) for i in range(50, 100))
+
+
+def test_pipeline_trace_multiple_steps(spark):
+    from codebase_rag_spark.observability import pipeline_trace
+
+    d1 = spark.range(10).toDF("id")
+    d2 = spark.range(20).toDF("id")
+    frames, obs = pipeline_trace(
+        [
+            ("scan", d1, [F.count(F.lit(1)).alias("rows")]),
+            ("expand", d2, [F.count(F.lit(1)).alias("rows")]),
+        ]
+    )
+    for f in frames:
+        f.count()
+    assert obs["scan"].get["rows"] == 10
+    assert obs["expand"].get["rows"] == 20
