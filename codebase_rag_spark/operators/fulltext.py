@@ -77,6 +77,26 @@ def contains_fallback(
     )
 
 
+def update_inverted_index(
+    index: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental index maintenance (the CDC path of W1): drop postings of
+    changed+deleted docs (anti-join), append fresh postings for changed
+    docs. Work is proportional to the change set — the same '60x' shape as
+    incremental ingestion. deleted_ids: DataFrame with a single `id`
+    column, or None."""
+    stale = changed_docs.select(F.col(id_col).alias("id"))
+    if deleted_ids is not None:
+        stale = stale.unionByName(deleted_ids.select("id")).distinct()
+    kept = index.join(stale, "id", "left_anti")
+    fresh = build_inverted_index(changed_docs, id_col, text_col)
+    return kept.unionByName(fresh)
+
+
 def topk_per_term(index: DataFrame, k: int = 5) -> DataFrame:
     """Per-term top-k postings (W6 shape) — used to cap posting lists for
     hot terms at scale (stopword skew control)."""

@@ -122,3 +122,28 @@ def test_pipeline_trace_multiple_steps(spark):
         f.count()
     assert obs["scan"].get["rows"] == 10
     assert obs["expand"].get["rows"] == 20
+
+
+def test_incremental_index_equals_rebuild(spark):
+    from codebase_rag_spark.operators.fulltext import (
+        build_inverted_index,
+        update_inverted_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "delta")], ["doc_id", "text"]
+    )
+    index = build_inverted_index(v1, "doc_id", "text")
+    # doc 2 changes, doc 3 deleted, doc 4 added
+    changed = spark.createDataFrame(
+        [(2, "beta beta epsilon"), (4, "zeta")], ["doc_id", "text"]
+    )
+    deleted = spark.createDataFrame([(3,)], ["id"])
+    updated = update_inverted_index(index, changed, deleted, "doc_id", "text")
+    v2 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta beta epsilon"), (4, "zeta")],
+        ["doc_id", "text"],
+    )
+    rebuilt = build_inverted_index(v2, "doc_id", "text")
+    as_set = lambda df: {(r.term, r.id, r.tf) for r in df.collect()}
+    assert as_set(updated) == as_set(rebuilt)
