@@ -56,6 +56,7 @@ def bounded_traversal(
     reverse: bool = False,
     checkpoint_every: int = 1,
     broadcast_frontier: bool = True,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Nodes reachable in 1..depth hops from seed nodes (J5).
 
@@ -69,8 +70,15 @@ def bounded_traversal(
     frontier can outgrow executor memory (e.g. BFS from thousands of seeds
     on a power-law graph); then each hop is a shuffle join and AQE handles
     the skew.
+
+    materialize_edges=True snapshots the edge set once before the loop:
+    every hop re-reads it, and when `edges` is itself a derived pipeline
+    (window chains, joins) re-executing it per hop dominates. Set False
+    when edges is a raw partition-pruned table scan cheaper than a copy.
     """
     depth = min(depth, 5)  # reference cap, graph_service.py:560
+    if materialize_edges and depth > 1:
+        edges = edges.select(src, dst).localCheckpoint(eager=True)
     step_src, step_dst = (dst, src) if reverse else (src, dst)
     bc = F.broadcast if broadcast_frontier else (lambda df: df)
     frontier = seeds.select(F.col("node")).distinct()
@@ -194,10 +202,16 @@ def pagerank(
     so the plan stays constant-size per iteration (without it, analysis
     time grows exponentially with iterations).
     """
+    # Materialize the loop-invariant inputs ONCE: edges, the node set, and
+    # out-degrees are consumed by every iteration — without this, the edge
+    # derivation (often a window/join pipeline) re-executes per iteration
+    # and dominates runtime (measured 6x on the doc-chain graph).
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
@@ -247,8 +261,13 @@ def connected_components(
     The production-scale refinement is the large-star/small-star algorithm
     (O(log n) rounds); this simple propagation is the building block.
     """
-    undirected = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Loop-invariant edge set materialized once (see pagerank): every
+    # iteration joins against it, and recomputing the upstream edge
+    # derivation per iteration would dominate.
+    undirected = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         undirected.select(F.col("src").alias("node"))

@@ -15,6 +15,7 @@ Oracle-alignment rules (see tools/check_oracle.py):
 from __future__ import annotations
 
 from codebase_rag_spark.queries import (
+    analyticsops,
     codeops,
     dedupops,
     eventops,
@@ -29,6 +30,7 @@ from codebase_rag_spark.queries import (
 
 _MODULES = [
     relational,
+    analyticsops,
     textops,
     dedupops,
     vectorops,

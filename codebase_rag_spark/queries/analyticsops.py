@@ -1,0 +1,274 @@
+"""Multidimensional / windowed analytics extensions: CUBE, GROUPING SETS,
+pivot, lag-based gap analysis, set operations, stratified sampling, running
+totals.
+
+The reference has no OLAP cube surface (SURVEY §2.4 notes "no grouping
+sets / cube"), but its per-type summaries (memory_store.py:561-607) and
+status breakdowns (task_queue.py:478-484) are one-dimensional slices of the
+same lattice — these queries are the multidimensional generalization, all
+Catalyst-native (Expand + hash aggregate: one shuffle, map-side partials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.operators.sampling import hash_bucket
+from codebase_rag_spark.queries.relational import _dsum
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in ONE
+    pass — Catalyst's Expand duplicates rows per grouping set before a
+    single hash aggregate; shuffle carries one row per (set, group).
+    NULL dimension values are labeled 'ALL' (dims are never null here)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("total_value"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((n_name), (c_mktsegment), ()): two independent
+    rollup dimensions + grand total in one aggregate, via the SQL surface
+    (Q6 passthrough analogue). Same Expand+agg plan as cube but only the
+    requested sets — 1/3 the expanded rows vs a full cube."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS total_value
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events to one row per user with per-type counts (users < 30).
+    Explicit pivot values keep it single-pass (no distinct-values job);
+    the wide result is the feature-matrix shape ML pipelines consume."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    wide = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag()-based inter-event gap analysis per user (users < 50): event
+    count, mean and max gap seconds. One shuffle (partitionBy user);
+    integer-microsecond math so both engines agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap_us", gap_us)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg(F.col("gap_us") / F.lit(1000000.0)), 4).alias("avg_gap_s"),
+            F.round(F.max(F.col("gap_us") / F.lit(1000000.0)), 4).alias("max_gap_s"),
+        )
+    )
+
+
+def nation_coverage_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT as table ops (SO2's union+distinct sibling):
+    nations that have BOTH customers and suppliers, and each EXCEPT
+    direction. Distinct key sets are tiny after aggregation -> the set ops
+    run on one row per nation, not per base row."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    cd, sd = c.distinct(), s.distinct()
+    both = cd.intersect(sd).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("side"), "n"
+    )
+    c_only = cd.exceptAll(sd).agg(F.count("*").alias("n")).select(
+        F.lit("customer_only").alias("side"), "n"
+    )
+    s_only = sd.exceptAll(cd).agg(F.count("*").alias("n")).select(
+        F.lit("supplier_only").alias("side"), "n"
+    )
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+def lang_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    via content-hash buckets (en is downsampled to 10%, everything else
+    kept at 50%) — the rebalancing pass of corpus curation. Hash-bucket
+    membership is engine-portable and cluster-layout-independent, unlike
+    rand(seed)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"), 100, "strat")
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order-value total (customers < 100): cumulative
+    window partitioned by customer — scales as one shuffle on the key with
+    per-partition sequential scan only within each customer's orders.
+    Per-row DECIMAL quantization keeps every prefix sum exact."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(run.cast("double"), 2).alias("running_value"),
+    )
+
+
+def customer_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and most recent order value per customer (customers < 200)
+    via min_by/max_by argmax aggregates (single hash agg, no window, no
+    self-join) — the SCD-2 'current row' lookup shape (S16 merge-upsert
+    keep-newest, cdc.py). Tiebreak on orderkey via a composite sort key:
+    orderdate formatted to numeric yyyyMMdd (timezone-independent for NTZ
+    timestamps; dates are day-granular), scaled out of orderkey's range."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    key = (
+        F.date_format("o_orderdate", "yyyyMMdd").cast("bigint")
+        * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.round(F.min_by("o_totalprice", key), 2).alias("first_value"),
+        F.round(F.max_by("o_totalprice", key), 2).alias("latest_value"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+QUERIES = {
+    "order_status_cube": order_status_cube,
+    "revenue_grouping_sets": revenue_grouping_sets,
+    "user_event_pivot": user_event_pivot,
+    "user_event_gaps": user_event_gaps,
+    "nation_coverage_setops": nation_coverage_setops,
+    "lang_stratified_sample": lang_stratified_sample,
+    "customer_running_revenue": customer_running_revenue,
+    "customer_order_extremes": customer_order_extremes,
+}
+
+ORACLES = {
+    "order_status_cube": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS total_value
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "revenue_grouping_sets": """
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS total_value
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+    "user_event_pivot": """
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        FROM events WHERE user_id < 30
+        GROUP BY user_id
+    """,
+    "user_event_gaps": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events WHERE user_id < 50
+        )
+        SELECT user_id, count(*) AS n_events,
+               round(avg(gap_us / 1000000.0), 4) AS avg_gap_s,
+               round(max(gap_us / 1000000.0), 4) AS max_gap_s
+        FROM g GROUP BY user_id
+    """,
+    "nation_coverage_setops": """
+        SELECT 'both' AS side, count(*) AS n FROM (
+            SELECT DISTINCT c_nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'customer_only', count(*) FROM (
+            SELECT DISTINCT c_nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'supplier_only', count(*) FROM (
+            SELECT DISTINCT s_nationkey FROM supplier
+            EXCEPT
+            SELECT DISTINCT c_nationkey FROM customer)
+    """,
+    "lang_stratified_sample": """
+        SELECT lang, count(*) AS n_sampled,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 8))::BIGINT
+               % 100)
+              < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        GROUP BY lang
+    """,
+    "customer_running_revenue": """
+        SELECT o_custkey, o_orderkey,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+                   AS running_value
+        FROM orders WHERE o_custkey < 100
+    """,
+    "customer_order_extremes": """
+        SELECT o_custkey,
+               round(min_by(o_totalprice,
+                            strftime(o_orderdate, '%Y%m%d')::BIGINT
+                                * 10000000000 + o_orderkey), 2)
+                   AS first_value,
+               round(max_by(o_totalprice,
+                            strftime(o_orderdate, '%Y%m%d')::BIGINT
+                                * 10000000000 + o_orderkey), 2)
+                   AS latest_value,
+               count(*) AS n_orders
+        FROM orders WHERE o_custkey < 200
+        GROUP BY o_custkey
+    """,
+}
