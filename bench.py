@@ -34,6 +34,10 @@ HEADLINE = [
     "simhash_groups",
     "cosine_topk",
     "centroid_assignment",
+    "rp_lsh_ann",
+    "top_tokens",
+    "order_status_cube",
+    "user_event_gaps",
     "hourly_tumbling",
     "user_sessions",
     "purchase_click_asof",

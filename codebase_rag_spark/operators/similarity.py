@@ -147,6 +147,73 @@ def train_ivf_kmeans(
     return assignments, cents
 
 
+def _plane_weights(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane entries from md5(plane:dim) — the same
+    weights are reproducible in any engine (and in the DuckDB oracle) with
+    no RNG-state coupling."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def random_hyperplane_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Signed-random-projection (SimHash-for-vectors) LSH bucketing: the
+    third ANN strategy next to brute-force and IVF — no training step, and
+    cosine-similar vectors land in the same bucket with probability
+    1 - theta/pi per plane.
+
+    Plan shape: posexplode the vectors once, broadcast-join the tiny
+    (num_planes x dim) plane table, ONE hash aggregate for all plane dot
+    products (map-side partials), then an integer bit-pack per vector.
+    Per-plane dot products are summed in DECIMAL after per-term
+    quantization, so the sign bit — and therefore the bucket — is
+    summation-order-independent (a double sum could flip sign near 0
+    depending on partition order).
+
+    At corpus scale the output is the `partitionBy("bucket")` write key;
+    probing a query's bucket (plus optional multi-probe bit-flips) becomes
+    parquet partition pruning, same as the IVF path.
+    """
+    spark = embeddings.sparkSession
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    rows = [
+        (p, d, w)
+        for p in range(num_planes)
+        for d, w in enumerate(_plane_weights(p, dim))
+    ]
+    planes = spark.createDataFrame(rows, "plane int, pos int, w double")
+    e = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    proj = (
+        e.join(F.broadcast(planes), "pos")
+        .groupBy("_id", "plane")
+        .agg(F.sum((F.col("val") * F.col("w")).cast("decimal(28,10)")).alias("dot"))
+    )
+    bit = F.when(F.col("dot") > 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        proj.select("_id", "plane", bit.alias("bit"))
+        .groupBy("_id")
+        .agg(
+            F.sum(F.expr("bit * shiftleft(1, plane)")).cast("bigint").alias("bucket")
+        )
+        .select(F.col("_id").alias(id_col), "bucket")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -129,6 +129,33 @@ def industry_template_scores(tables: DataFrame, name_col: str) -> DataFrame:
     )
 
 
+TABLE_REF_PATTERN = r"(?:from|join)\s+([a-z_][a-z0-9_]*)"
+FUNCTION_PATTERN = r"([a-z_][a-z0-9_]*)\s*\("
+
+
+def analyze_sql_text(df: DataFrame, sql_col: str = "sql") -> DataFrame:
+    """T10 (sql_parser.py:29-123) relational core without sqlglot: extract
+    referenced tables (FROM/JOIN targets) and called functions from SQL
+    text with JVM-side regexp_extract_all — the sqlglot UDF path
+    (transpile_sql) stays import-gated for full-fidelity parsing.
+
+    Adds: tables / functions (sorted distinct arrays), n_tables,
+    n_functions. Pure scan-stage expressions — zero shuffles."""
+    lowered = F.lower(F.col(sql_col))
+    tables = F.array_sort(
+        F.array_distinct(F.regexp_extract_all(lowered, F.lit(TABLE_REF_PATTERN), 1))
+    )
+    funcs = F.array_sort(
+        F.array_distinct(F.regexp_extract_all(lowered, F.lit(FUNCTION_PATTERN), 1))
+    )
+    return (
+        df.withColumn("tables", tables)
+        .withColumn("functions", funcs)
+        .withColumn("n_tables", F.size("tables"))
+        .withColumn("n_functions", F.size("functions"))
+    )
+
+
 def transpile_sql(sql: str, read: str, write: str) -> str:
     """T11 dialect transpilation via sqlglot (import-gated)."""
     if not HAS_SQLGLOT:

@@ -13,8 +13,25 @@ from pyspark.sql import functions as F
 from codebase_rag_spark.operators.sqlmeta import (
     INDUSTRY_TEMPLATES,
     analyze_ddl,
+    analyze_sql_text,
     industry_template_scores,
 )
+
+SQL_CORPUS: list[tuple[str, str]] = [
+    (
+        "q1",
+        "SELECT c.name, sum(o.total) FROM customers c "
+        "JOIN orders o ON o.cust_id = c.id "
+        "WHERE year(o.created) = 2024 GROUP BY c.name",
+    ),
+    ("q2", "SELECT count(*) FROM events WHERE type = 'click'"),
+    (
+        "q3",
+        "SELECT upper(p.name), round(avg(l.price), 2) FROM parts p "
+        "JOIN lineitems l ON l.part_id = p.id GROUP BY p.name",
+    ),
+    ("q4", "SELECT * FROM logs"),
+]
 
 DDL_CORPUS: list[tuple[str, str]] = [
     ("d1", "CREATE TABLE POLICY_MASTER (ID NUMBER(10) NOT NULL, NAME VARCHAR2(100), START_DT DATE)"),
@@ -57,10 +74,26 @@ def industry_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.orderBy(F.desc("match_score"), F.col("template")).limit(1)
 
 
+def sql_query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 table/function extraction from SQL statements (regex core;
+    sqlglot path import-gated). Arrays emitted as csv for hash-stable
+    comparison."""
+    df = spark.createDataFrame(SQL_CORPUS, ["query_id", "sql"])
+    out = analyze_sql_text(df, "sql")
+    return out.select(
+        "query_id",
+        F.concat_ws(",", "tables").alias("tables"),
+        F.concat_ws(",", "functions").alias("functions"),
+        "n_tables",
+        "n_functions",
+    )
+
+
 QUERIES = {
     "ddl_analysis": ddl_analysis,
     "domain_summary": domain_summary,
     "industry_template_match": industry_template_match,
+    "sql_query_analysis": sql_query_analysis,
 }
 
 
@@ -145,4 +178,32 @@ ORACLES["industry_template_match"] = f"""
         FROM matched GROUP BY template
         ORDER BY match_score DESC, template
         LIMIT 1
+"""
+
+
+def _sql_corpus_values() -> str:
+    rows = ",\n            ".join(
+        "('{}', '{}')".format(i, s.replace("'", "''")) for i, s in SQL_CORPUS
+    )
+    return f"(VALUES\n            {rows}) AS t(query_id, sql)"
+
+
+ORACLES["sql_query_analysis"] = rf"""
+        WITH c AS (SELECT * FROM {_sql_corpus_values()}),
+        x AS (
+            SELECT query_id,
+                   list_sort(list_distinct(regexp_extract_all(
+                       lower(sql), '(?:from|join)\s+([a-z_][a-z0-9_]*)', 1)))
+                       AS tables_l,
+                   list_sort(list_distinct(regexp_extract_all(
+                       lower(sql), '([a-z_][a-z0-9_]*)\s*\(', 1)))
+                       AS functions_l
+            FROM c
+        )
+        SELECT query_id,
+               coalesce(array_to_string(tables_l, ','), '') AS tables,
+               coalesce(array_to_string(functions_l, ','), '') AS functions,
+               CAST(len(tables_l) AS INTEGER) AS n_tables,
+               CAST(len(functions_l) AS INTEGER) AS n_functions
+        FROM x
 """

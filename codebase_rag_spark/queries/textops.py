@@ -13,6 +13,7 @@ from codebase_rag_spark.functions.text import (
     lang_id,
     quality_score,
     token_count,
+    tokens,
     type_token_ratio,
 )
 from codebase_rag_spark.operators.chunking import fixed_window_chunks
@@ -140,8 +141,27 @@ def ref_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: corpus-wide top-25 tokens by frequency — vocabulary
+    curation / stopword discovery pass. explode -> hash aggregate with
+    map-side combine (shuffle carries one row per DISTINCT token per map
+    partition, not per occurrence); top-k is TakeOrderedAndProject. At
+    extreme cardinality swap the exact count for a count-min/approx pass
+    and keep the same top-k tail."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("token"))
+        .limit(25)
+    )
+
+
 QUERIES = {
     "rank_documents": rank_documents,
+    "top_tokens": top_tokens,
     "ref_handles": ref_handles,
     "hybrid_merge_branches": hybrid_merge_branches,
     "exact_dedup_docs": exact_dedup_docs,
@@ -158,6 +178,17 @@ _TERM_HITS = (
 )
 
 ORACLES = {
+    "top_tokens": r"""
+        WITH t AS (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+            FROM documents
+        )
+        SELECT token, count(*) AS n
+        FROM t WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 25
+    """,
     "ref_handles": r"""
         WITH r AS (
             SELECT doc_id,

@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.functions.vector import as_double
-from codebase_rag_spark.operators.similarity import build_centroids, cosine_topk
+from codebase_rag_spark.operators.similarity import (
+    _plane_weights,
+    build_centroids,
+    cosine_topk,
+    random_hyperplane_buckets,
+)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -67,9 +72,37 @@ def centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (8 planes -> <=256 buckets):
+    the bucketing pass that precedes a partitioned-by-bucket ANN store.
+    Bucket membership is decimal-exact, so it is reproducible across
+    engines and cluster layouts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = random_hyperplane_buckets(emb, num_planes=8, dim=64)
+    return b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+def rp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: probe ONLY the query's bucket, then
+    exact-cosine rank the candidates (top-5). Approximate by design —
+    recall traded for scanning 1/2^planes of the corpus; multi-probe
+    (flipping low-margin bits) buys recall back without widening the scan
+    materially."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = random_hyperplane_buckets(emb, num_planes=8, dim=64)
+    qb = b.filter(F.col("vec_id") == 0).first()["bucket"]
+    cands = emb.join(
+        b.filter(F.col("bucket") == qb).select("vec_id"), "vec_id", "left_semi"
+    )
+    qv = _query_vector(spark, sf_dir, 0)
+    return cosine_topk(cands, qv, k=5, exclude_ids=[0])
+
+
 QUERIES = {
     "cosine_topk": cosine_topk_query,
     "centroid_assignment": centroid_assignment,
+    "rp_lsh_buckets": rp_lsh_buckets,
+    "rp_lsh_ann": rp_lsh_ann,
 }
 
 ORACLES = {
@@ -116,3 +149,66 @@ ORACLES = {
         FROM best WHERE rn = 1 GROUP BY label
     """,
 }
+
+
+def _planes_values_sql(num_planes: int = 8, dim: int = 64) -> str:
+    """Inline VALUES table of the SAME deterministic hyperplane weights the
+    Spark operator uses (similarity._plane_weights) — both engines compute
+    sign bits from identical inputs."""
+    rows = []
+    for p in range(num_planes):
+        for d, w in enumerate(_plane_weights(p, dim)):
+            rows.append(f"({p},{d},{w:.1f})")
+    return ",".join(rows)
+
+
+_RP_BUCKETS_CTE = f"""
+        planes(plane, pos, w) AS (VALUES {_planes_values_sql()}),
+        ev AS (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+                   generate_subscripts(embedding, 1) - 1 AS pos
+            FROM embeddings
+        ),
+        proj AS (
+            SELECT vec_id, plane,
+                   sum(CAST(val * w AS DECIMAL(28,10))) AS dot
+            FROM ev JOIN planes USING (pos)
+            GROUP BY vec_id, plane
+        ),
+        bkt AS (
+            SELECT vec_id,
+                   CAST(sum((CASE WHEN dot > 0 THEN 1 ELSE 0 END)
+                            * (1 << plane)) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id
+        )
+"""
+
+ORACLES["rp_lsh_buckets"] = f"""
+        WITH {_RP_BUCKETS_CTE}
+        SELECT bucket, count(*) AS n_vecs FROM bkt GROUP BY bucket
+"""
+
+ORACLES["rp_lsh_ann"] = f"""
+        WITH {_RP_BUCKETS_CTE},
+        q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        cand AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id <> 0
+              AND vec_id IN (
+                  SELECT vec_id FROM bkt
+                  WHERE bucket = (SELECT bucket FROM bkt WHERE vec_id = 0))
+        ),
+        p AS (
+            SELECT vec_id,
+                   unnest(embedding)::DOUBLE AS x,
+                   unnest((SELECT e FROM q))::DOUBLE AS y
+            FROM cand
+        ),
+        s AS (
+            SELECT vec_id,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS cosine
+            FROM p GROUP BY vec_id
+        )
+        SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 5
+"""

@@ -76,6 +76,25 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
+def streaming_dedup_events(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drops duplicate keys arriving
+    within the watermark horizon, turning at-least-once delivery (Kafka
+    replays, file re-delivery) into effectively-once downstream — the
+    streaming twin of the batch exact_dedup (operators/dedup.py).
+
+    State is one entry per key, partitioned by key across executors and
+    EXPIRED by the watermark — unbounded-retention dropDuplicates would
+    grow state forever at 100 TB/day; the watermark bound is what makes
+    this deployable."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_stream_purchase_clicks(
     events: DataFrame,
     join_window: str = "10 minutes",

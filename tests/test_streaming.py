@@ -103,3 +103,34 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj").collect()
     }
     assert got == {(3, 1), (5, 4)}  # old click excluded, user 3 unmatched
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids delivered across micro-batch files collapse to
+    one row each; distinct ids all survive."""
+    import datetime as dt
+
+    from codebase_rag_spark.streaming.events import streaming_dedup_events
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3, "click", float(i), "{}")
+        for i in range(10)
+    ]
+    dupes = rows[:4]  # re-delivered
+    src = str(tmp_path / "src")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    spark.createDataFrame(rows, cols).write.mode("append").parquet(src)
+    spark.createDataFrame(dupes, cols).write.mode("append").parquet(src)
+
+    deduped = streaming_dedup_events(stream_events(spark, src))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_sink").collect()]
+    assert sorted(got) == list(range(10))
