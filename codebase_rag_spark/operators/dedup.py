@@ -243,6 +243,53 @@ def dedup_corpus(
     return survivors.join(drop, id_col, "left_anti")
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprint scheme):
+    hash every k-char gram of the normalized text, slide a w-hash window,
+    keep each window's MINIMUM hash, emit the distinct selected hashes per
+    doc. Guarantees every shared substring of length >= k + w - 1 produces
+    at least one shared fingerprint — the partial-overlap detector that
+    whole-document hashing (fingerprint()) cannot provide.
+
+    Shapes: gram explode happens in the scan stage; the one shuffle is the
+    per-doc window sort (partitionBy id). Hashing each gram directly
+    replaces the sequential rolling-hash update — same output, no
+    cross-row dependency, embarrassingly parallel. Output (id, fp) is
+    join-ready: near-dup candidates = self-join on fp.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    min_len = k + w - 1
+    base = df.select(F.col(id_col).alias("_id"), norm.alias("_t")).filter(
+        F.length("_t") >= min_len
+    )
+    grams = base.select(
+        "_id",
+        F.length("_t").alias("_len"),
+        F.explode(F.sequence(F.lit(1), F.length("_t") - k + 1)).alias("pos"),
+        F.col("_t"),
+    ).select(
+        "_id",
+        "_len",
+        "pos",
+        F.md5(F.col("_t").substr(F.col("pos"), F.lit(k))).alias("hv"),
+    )
+    w_min = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    selected = (
+        grams.withColumn("sel", F.min("hv").over(w_min))
+        # windows must be full: the last window starts at len-k-w+2
+        .filter(F.col("pos") <= F.col("_len") - k - w + 2)
+        .select(F.col("_id").alias(id_col), F.col("sel").alias("fp"))
+        .distinct()
+    )
+    return selected
+
+
 def keep_max_score_dedup(df: DataFrame, key_col: str, score_col: str) -> DataFrame:
     """Reference J8/A10: keep the max-score row per key
     (neo4j_knowledge_service.py:99-110; pack_builder.py:131-167)."""

@@ -71,12 +71,28 @@ def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, cands, id_col="vec_id", threshold=-1.0)
 
 
+def winnowing_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sketch (k=8 char-grams, window 4) per doc
+    (doc_id < 200): fingerprint count + lexicographic min — the
+    partial-overlap detection layer of the dedup stack (shared substrings
+    >= 11 chars guarantee a shared fingerprint)."""
+    from codebase_rag_spark.operators.dedup import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fps = winnowing_fingerprints(d, "doc_id", "text", k=8, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
 QUERIES = {
     "minhash_signatures": minhash_signatures,
     "lsh_candidates": lsh_candidates,
     "simhash_groups": simhash_groups,
     "jaccard_pairs": jaccard_pairs,
     "near_dup_verify": near_dup_verify,
+    "winnowing_sketch": winnowing_sketch,
 }
 
 
@@ -177,4 +193,34 @@ ORACLES["near_dup_verify"] = f"""
                round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
                    AS cosine
         FROM pa GROUP BY id_a, id_b
+"""
+
+ORACLES["winnowing_sketch"] = r"""
+        WITH d AS (
+            SELECT doc_id,
+                   lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 200
+        ),
+        b AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 11),
+        p AS (
+            SELECT doc_id, t, n, unnest(range(1, n - 8 + 2)) AS pos
+            FROM b
+        ),
+        h AS (
+            SELECT doc_id, n, pos, md5(substr(t, pos::INTEGER, 8)) AS hv
+            FROM p
+        ),
+        m AS (
+            SELECT doc_id, n, pos,
+                   min(hv) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+            FROM h
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, sel
+            FROM m WHERE pos <= n - 8 - 4 + 2
+        )
+        SELECT doc_id, count(*) AS n_fps, min(sel) AS min_fp
+        FROM fps GROUP BY doc_id
 """

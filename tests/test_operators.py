@@ -280,3 +280,28 @@ def test_sequence_packing_layout(spark):
     assert out[1] == (0, 0, False)    # tokens 0-29
     assert out[2] == (30, 0, True)    # tokens 30-109 crosses the 100 cut
     assert out[3] == (110, 1, False)  # tokens 110-129
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k+w-1 share at least one
+    fingerprint; disjoint-content docs share none."""
+    from codebase_rag_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"AAAA {shared} BBBB"),
+        (2, f"XXXX {shared} YYYY"),
+        (3, "qwerty uiop zxcvbnm 12345 67890 asdfgh jkl"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=8, w=4)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id")
+        .agg(__import__("pyspark.sql.functions", fromlist=["collect_set"])
+             .collect_set("fp").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
