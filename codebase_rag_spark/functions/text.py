@@ -75,6 +75,38 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_PATTERN = r"\d{3}-\d{2}-\d{4}"
+PHONE_PATTERN = r"\+?\d[\d -]{7,}\d"
+
+
+def redact_pii(text: Column) -> Column:
+    """PII scrubbing (training-data compliance pass): emails, SSNs, and
+    phone-like digit runs replaced by typed placeholders. SSN first —
+    its shape is a subset of the phone pattern. Pure regexp_replace chain:
+    scan-stage, codegen'd, zero shuffles; patterns are RE2-safe (no
+    backrefs) so any engine applies the identical rewrite."""
+    no_ssn = F.regexp_replace(text, SSN_PATTERN, "[SSN]")
+    no_phone = F.regexp_replace(no_ssn, PHONE_PATTERN, "[PHONE]")
+    return F.regexp_replace(no_phone, EMAIL_PATTERN, "[EMAIL]")
+
+
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of duplicate word n-grams
+    (1 - distinct/total). High values mark boilerplate/spam for corpus
+    filtering. Docs with < n tokens yield NULL (no n-grams)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text (reference analogue: sha256[:16] content hash,

@@ -159,9 +159,64 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_CORPUS: list[tuple[str, str]] = [
+    ("r1", "Contact Jane at jane.doe@example.com or +1 555-123-4567."),
+    ("r2", "SSN 123-45-6789 leaked; backup email bob_smith99@mail.example.org."),
+    ("r3", "No sensitive data here, just text."),
+    ("r4", "Call 555 867 5309 and cc admin@internal.example."),
+]
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit counts (compliance pass every training pipeline
+    runs before release). Counts are computed on the pre-redaction text
+    (SSNs removed before phone counting — the SSN shape is a subset of
+    the phone pattern)."""
+    from codebase_rag_spark.functions.text import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        SSN_PATTERN,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(PII_CORPUS, ["row_id", "text"])
+    no_ssn = F.regexp_replace(F.col("text"), SSN_PATTERN, "[SSN]")
+    return df.select(
+        "row_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(no_ssn, F.lit(PHONE_PATTERN)).alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(SSN_PATTERN)).alias("n_ssn"),
+    )
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: per language, how many docs survive a
+    duplicate-bigram-fraction <= 0.2 filter, and the mean fraction. The
+    signal is a scan-stage expression; the only shuffle is the per-lang
+    aggregate."""
+    from codebase_rag_spark.functions.text import dup_ngram_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    frac = dup_ngram_fraction(F.col("text"), n=2)
+    return (
+        d.select("lang", frac.alias("frac"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("frac") <= 0.2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(F.avg("frac"), 4).alias("avg_frac"),
+        )
+    )
+
+
 QUERIES = {
     "rank_documents": rank_documents,
     "top_tokens": top_tokens,
+    "pii_redaction": pii_redaction,
+    "repetition_filter": repetition_filter,
     "ref_handles": ref_handles,
     "hybrid_merge_branches": hybrid_merge_branches,
     "exact_dedup_docs": exact_dedup_docs,
@@ -293,3 +348,59 @@ ORACLES = {
         FROM toks GROUP BY doc_id, chunk_id
     """,
 }
+
+
+def _pii_values() -> str:
+    rows = ",\n            ".join(
+        "('{}', '{}')".format(i, t.replace("'", "''")) for i, t in PII_CORPUS
+    )
+    return f"(VALUES\n            {rows}) AS t(row_id, text)"
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SSN_RE = "\\d{3}-\\d{2}-\\d{4}"
+_PHONE_RE = "\\+?\\d[\\d -]{7,}\\d"
+
+ORACLES["pii_redaction"] = f"""
+        SELECT row_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_SSN_RE}', '[SSN]', 'g'),
+                       '{_PHONE_RE}', '[PHONE]', 'g'),
+                   '{_EMAIL_RE}', '[EMAIL]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(text, '{_SSN_RE}', '[SSN]', 'g'),
+                   '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(text, '{_SSN_RE}')) AS INTEGER)
+                   AS n_ssn
+        FROM {_pii_values()}
+"""
+
+ORACLES["repetition_filter"] = r"""
+        WITH t AS (
+            SELECT lang, regexp_split_to_array(text, '\s+') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT lang,
+                   list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1]) AS grams
+            FROM t
+        ),
+        f AS (
+            SELECT lang,
+                   CASE WHEN len(grams) > 0
+                        THEN 1.0::DOUBLE
+                             - CAST(len(list_distinct(grams)) AS DOUBLE)
+                               / len(grams)
+                   END AS frac
+            FROM g
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN frac <= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               round(avg(frac), 4) AS avg_frac
+        FROM f GROUP BY lang
+"""
