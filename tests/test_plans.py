@@ -48,3 +48,50 @@ def test_lsh_bounded_shuffles(spark, sf_dir):
     # nothing extra
     df = QUERIES["lsh_candidates"](spark, sf_dir)
     assert count_exchanges(df) <= 5
+
+
+def test_cube_is_one_expand_one_shuffle(spark, sf_dir):
+    """CUBE compiles to Expand + a single hash-aggregate shuffle — all 4
+    grouping sets in one pass, not 4 scans."""
+    from codebase_rag_spark.plans import explain_str
+
+    df = QUERIES["order_status_cube"](spark, sf_dir)
+    assert "Expand" in explain_str(df)
+    assert count_exchanges(df) == 1
+
+
+def test_grouping_sets_expand_with_broadcast_dims(spark, sf_dir):
+    from codebase_rag_spark.plans import explain_str
+
+    df = QUERIES["revenue_grouping_sets"](spark, sf_dir)
+    assert "Expand" in explain_str(df)
+    assert has_broadcast_join(df)  # customer/nation broadcast
+    assert count_exchanges(df) == 1  # only the aggregate shuffles
+
+
+def test_single_shuffle_aggregations(spark, sf_dir):
+    """Scan-stage expression + one hash aggregate: the shape every
+    per-group text/gap/argmax metric should compile to."""
+    for name in (
+        "user_event_gaps",
+        "repetition_filter",
+        "customer_order_extremes",
+        "winnowing_sketch",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) == 1, name
+
+
+def test_top_tokens_take_ordered_single_shuffle(spark, sf_dir):
+    df = QUERIES["top_tokens"](spark, sf_dir)
+    assert has_take_ordered(df)  # no global sort for top-k
+    assert count_exchanges(df) == 1  # map-side combine feeds one shuffle
+
+
+def test_rp_lsh_buckets_broadcast_planes(spark, sf_dir):
+    """The plane table joins by broadcast (never shuffles the exploded
+    vectors on pos) and the per-plane + per-vector aggregates bound the
+    shuffles."""
+    df = QUERIES["rp_lsh_buckets"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3
