@@ -1,0 +1,87 @@
+"""User-defined function surface (SURVEY §2.12): the engine's extension
+points across every Spark UDF flavor.
+
+The hot paths use built-in expressions (Catalyst-optimizable) or
+Arrow-batched pandas UDFs (operators/code_extract.py, multimodal.py).
+This module adds the remaining flavors as first-class, tested primitives:
+
+* Python UDTF (1 row -> N rows with a declared schema) — the shape of the
+  reference's transformer registry entries (T1-T9, transformers.py): each
+  takes one source row and yields chunk rows.
+* pandas grouped-agg UDAF — custom aggregation semantics Spark lacks as a
+  built-in (exact weighted median below), Arrow-batched per group.
+
+Both are the SLOW path relative to built-ins: use them only for semantics
+the native functions cannot express (the UDTF here has a native sibling in
+operators/chunking.markdown_sections; the weighted median has none).
+
+Constructors are lazy (registered on first use) because UDF return-type
+DDL parsing requires an active SparkSession.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class _MarkdownSectionsUDTF:
+    """T1 markdown header split (transformers.py:47-115) as a Python UDTF:
+    one document row in, one row per `#`-headed section out. Runs
+    per-partition in the Python worker; the declared schema lets Catalyst
+    treat the output relationally (no post-hoc parsing)."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        import re
+
+        parts = re.split(r"(?m)^(#{1,6}\s+.*)$", text)
+        # parts = [preamble, header, body, header, body, ...]
+        if parts[0].strip():
+            yield (0, "", parts[0].strip())
+        n = 1
+        for i in range(1, len(parts) - 1, 2):
+            yield (n, parts[i].strip().lstrip("#").strip(), parts[i + 1].strip())
+            n += 1
+
+
+def markdown_sections_udtf():
+    """The UDTF handle (constructed lazily — needs an active session)."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(
+        _MarkdownSectionsUDTF,
+        returnType="section_no: int, title: string, body: string",
+    )
+
+
+def markdown_sections_via_udtf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Apply the UDTF laterally to each row (1->N) keeping the doc id."""
+    fn = markdown_sections_udtf()
+    return df.lateralJoin(fn(F.col(text_col).outer())).select(
+        id_col, "section_no", "title", "body"
+    )
+
+
+def _weighted_median_impl(values: "pd.Series", weights: "pd.Series") -> float:
+    # Series -> float type hints mark this as a GROUPED_AGG pandas UDF
+    df = pd.DataFrame({"v": values, "w": weights}).dropna().sort_values("v")
+    if df.empty or df["w"].sum() <= 0:
+        return None
+    cum = df["w"].cumsum()
+    half = df["w"].sum() / 2.0
+    return float(df.loc[cum >= half, "v"].iloc[0])
+
+
+def weighted_median(values: Column, weights: Column) -> Column:
+    """Exact weighted median as a pandas grouped-agg UDAF: the smallest v
+    whose cumulative weight reaches half the total. No Spark built-in
+    expresses this (percentile() is unweighted); the UDAF runs once per
+    group on Arrow batches — use AFTER aggregation-friendly filtering, on
+    groups that fit in memory (it is a full-group materialization)."""
+    from pyspark.sql.functions import pandas_udf
+
+    fn = pandas_udf(_weighted_median_impl, "double")
+    return fn(values, weights)

@@ -1,0 +1,66 @@
+"""§2.12 UDF-surface tests: Python UDTF (1->N with declared schema) and
+pandas grouped-agg UDAF."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.udfs import (
+    markdown_sections_via_udtf,
+    weighted_median,
+)
+
+MD = """# Title
+intro text
+
+## Usage
+run it
+
+## Notes
+be careful
+"""
+
+
+def test_markdown_udtf_splits_sections(spark):
+    df = spark.createDataFrame([(1, MD), (2, "no headers here")], ["doc_id", "text"])
+    out = markdown_sections_via_udtf(df, "doc_id", "text")
+    rows = {(r.doc_id, r.section_no): (r.title, r.body) for r in out.collect()}
+    assert rows[(1, 1)][0] == "Title"
+    assert rows[(1, 2)] == ("Usage", "run it")
+    assert rows[(1, 3)] == ("Notes", "be careful")
+    # headerless doc -> single preamble section
+    assert rows[(2, 0)] == ("", "no headers here")
+
+
+def test_markdown_udtf_matches_native_section_count(spark):
+    """The UDTF agrees with the native pandas-UDF implementation on
+    section counts (same T1 semantics, two execution strategies)."""
+    from codebase_rag_spark.operators.chunking import markdown_sections
+
+    df = spark.createDataFrame([(1, MD)], ["doc_id", "text"])
+    native_n = markdown_sections(df, "doc_id", "text").count()
+    udtf_n = (
+        markdown_sections_via_udtf(df, "doc_id", "text")
+        .filter(F.col("body") != "")
+        .count()
+    )
+    assert udtf_n == native_n
+
+
+def test_weighted_median_udaf(spark):
+    rows = [
+        ("a", 1.0, 1.0),
+        ("a", 2.0, 1.0),
+        ("a", 100.0, 10.0),  # heavy weight drags the median to 100
+        ("b", 5.0, 1.0),
+        ("b", 7.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    got = {
+        r.k: r.wm
+        for r in df.groupBy("k")
+        .agg(weighted_median(F.col("v"), F.col("w")).alias("wm"))
+        .collect()
+    }
+    assert got["a"] == 100.0
+    assert got["b"] == 5.0  # cum weight 1.0 >= half(1.0) at the first value
