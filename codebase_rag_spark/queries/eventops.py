@@ -120,7 +120,75 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity date, and
+    for each day offset 0..7, how many of the cohort were active again.
+    Two hash aggregates + one join on user_id — the cohort table is tiny
+    (one row per user) and broadcasts; no event row is read twice."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        e.join(F.broadcast(first), "user_id")
+        .withColumn("day_offset", F.datediff("d", F.col("cohort")))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_date"),
+            "day_offset",
+            "n_active",
+        )
+    )
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase within 7 days of the first
+    view: per step, how many users progressed. Each step is a conditional
+    min-aggregate joined to the previous step's survivors (monotonically
+    shrinking, broadcast-able) — never a per-user event sort."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+        .withColumn("deadline", F.col("v_ts") + F.expr("INTERVAL 7 DAYS"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(views), "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("deadline")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"), F.min("deadline").alias("deadline"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(clicks), "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("deadline")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    spark_rows = [
+        views.agg(F.count("*").alias("n_users")).select(
+            F.lit("1_view").alias("step"), "n_users"
+        ),
+        clicks.agg(F.count("*").alias("n_users")).select(
+            F.lit("2_view_click").alias("step"), "n_users"
+        ),
+        purchases.agg(F.count("*").alias("n_users")).select(
+            F.lit("3_view_click_purchase").alias("step"), "n_users"
+        ),
+    ]
+    out = spark_rows[0]
+    for r in spark_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
+    "cohort_retention": cohort_retention,
+    "funnel_steps": funnel_steps,
     "hourly_tumbling": hourly_tumbling,
     "sliding_2h": sliding_2h,
     "user_sessions": user_sessions,
@@ -221,3 +289,41 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
 }
+
+ORACLES["cohort_retention"] = """
+        WITH e AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        first AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+               CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM e JOIN first ON e.user_id = first.user_id
+        WHERE date_diff('day', cohort, d) <= 7
+        GROUP BY cohort, day_offset
+"""
+
+ORACLES["funnel_steps"] = """
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts, min(ts) + INTERVAL 7 DAY AS deadline
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS c_ts, min(v.deadline) AS deadline
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts AND e.ts <= v.deadline
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+              AND e.ts <= c.deadline
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS step, count(*) AS n_users FROM v
+        UNION ALL
+        SELECT '2_view_click', count(*) FROM c
+        UNION ALL
+        SELECT '3_view_click_purchase', count(*) FROM p
+"""
