@@ -169,8 +169,22 @@ def customer_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_matrix_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: the wide per-user feature matrix (user_event_pivot)
+    back to long (user_id, event_type, n) — the inverse reshaping every
+    feature pipeline needs. Zero-filled cells survive the round trip."""
+    wide = user_event_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["user_id"],
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type",
+        "n",
+    ).withColumn("event_type", F.expr("substring(event_type, 3)"))
+
+
 QUERIES = {
     "order_status_cube": order_status_cube,
+    "event_matrix_unpivot": event_matrix_unpivot,
     "revenue_grouping_sets": revenue_grouping_sets,
     "user_event_pivot": user_event_pivot,
     "user_event_gaps": user_event_gaps,
@@ -272,3 +286,18 @@ ORACLES = {
         GROUP BY o_custkey
     """,
 }
+
+ORACLES["event_matrix_unpivot"] = """
+        WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 30),
+        t(event_type) AS (
+            VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')
+        ),
+        c AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events WHERE user_id < 30
+            GROUP BY user_id, event_type
+        )
+        SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM u CROSS JOIN t
+        LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""

@@ -1,0 +1,46 @@
+"""Output-layout control: the write-side half of scan performance.
+
+Partition pruning and min/max file skipping only work if the writer laid
+the data out for them. These helpers encode the two layout rules every
+100 TB table needs:
+
+* files sized to the reader (too many small files -> listing/open overhead
+  dominates; too few giant files -> no parallelism);
+* files ORDERED and NON-OVERLAPPING on the scan key (each file covers a
+  tight key range -> parquet footer min/max skips whole files for
+  range-predicate scans — the poor man's Z-order for 1-D keys).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+
+def write_sized_sorted(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    target_rows_per_file: int = 1_000_000,
+    row_count: int | None = None,
+) -> int:
+    """Write `df` as range-partitioned parquet: globally ordered on
+    order_cols, one tight key range per file, <= target_rows_per_file rows
+    each. Returns the partition count used.
+
+    repartitionByRange samples the sort key to build equi-depth range
+    boundaries (one extra sampling pass, no full sort), so files do not
+    overlap on the key; maxRecordsPerFile caps stragglers. Pass row_count
+    when known to skip the count() job.
+    """
+    n = row_count if row_count is not None else df.count()
+    n_part = max(1, math.ceil(n / target_rows_per_file))
+    (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )
+    return n_part

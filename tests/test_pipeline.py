@@ -97,3 +97,40 @@ def test_ingest_directory_full_then_incremental(spark, mini_repo, tmp_path):
     stats3 = ingest_directory(spark, str(mini_repo), store, repo_id="r1")
     assert stats3["files"] == 1
     assert spark.read.parquet(f"{store}/files").count() == n_files_stored
+
+
+def test_write_sized_sorted_layout(spark, tmp_path):
+    """Range-partitioned write: row counts preserved, files capped at the
+    target size, and per-file key ranges DISJOINT (footer min/max can skip
+    whole files on range predicates)."""
+    import glob
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.sources.layout import write_sized_sorted
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    total = li.count()
+    out = str(tmp_path / "sized")
+    n_part = write_sized_sorted(
+        li, out, ["l_orderkey"], target_rows_per_file=2000, row_count=total
+    )
+    assert n_part == -(-total // 2000)
+    back = spark.read.parquet(out)
+    assert back.count() == total
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= n_part
+    ranges = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .selectExpr(
+                "min(l_orderkey) AS lo", "max(l_orderkey) AS hi", "count(*) AS n"
+            )
+            .first()
+        )
+        assert row.n <= 2000
+        ranges.append((row.lo, row.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # non-overlapping key ranges
