@@ -74,6 +74,38 @@ def sequence_packing(
     )
 
 
+def normalize_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score normalization via applyInPandas (grouped-map):
+    the §2.12 extension point for group-local logic needing the whole
+    group in one pandas frame (Arrow-batched, one shuffle on the group
+    key). THIS semantics is also native-expressible (window avg +
+    stddev_pop) — the parity test pins the two implementations equal, so
+    the grouped-map path serves as the documented template for semantics
+    that are NOT native-expressible (model scoring, per-group fits).
+
+    Each group must fit in executor memory — that is the applyInPandas
+    contract; for unbounded groups use the native window formulation.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def _norm(pdf):
+        mu = pdf[value_col].mean()
+        sd = pdf[value_col].std(ddof=0)
+        pdf[out_col] = 0.0 if (sd == 0 or sd != sd) else (pdf[value_col] - mu) / sd
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(_norm, out_schema)
+
+
 def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """Data-quality profile: one row per column with null rate, distinct
     count, min/max (as strings). One pass over the data per metric family

@@ -77,3 +77,37 @@ def merge_upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def merge_aggregate_state(
+    state: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch's partial
+    aggregates into the stored per-key state (count + sums) WITHOUT
+    re-reading history — the materialized-view-maintenance pattern that
+    makes per-batch cost proportional to the batch, not the corpus
+    (the same property the sha anti-join gives ingestion).
+
+    state schema: keys + n_rows + sum_<col>... (as produced by this
+    function; pass None to bootstrap). Only re-aggregatable measures
+    belong here (count/sum/min/max); avg is derived sum/count at read
+    time. Works as the foreachBatch body of a streaming query or as a
+    scheduled batch job.
+    """
+    partial = batch.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+    )
+    if state is None:
+        return partial
+    return (
+        state.unionByName(partial)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+    )

@@ -305,3 +305,63 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.ranking import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(1000)], ["k", "v"]
+    )  # key 0/1/2, skewed shape
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
+    plain = big.join(small, "k").groupBy("k", "name").agg(F.sum("v").alias("s"))
+    salted = (
+        salted_join(big, small, "k", salt_buckets=8)
+        .groupBy("k", "name")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_normalize_per_group_matches_native_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.sampling import normalize_per_group
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(10)] + [("b", 5.0), ("b", 5.0)],
+        ["g", "v"],
+    )
+    grouped = {
+        (r.g, r.v): round(r.z, 10)
+        for r in normalize_per_group(df, "g", "v").collect()
+    }
+    w = Window.partitionBy("g")
+    native = df.withColumn(
+        "z",
+        F.when(F.stddev_pop("v").over(w) == 0, F.lit(0.0)).otherwise(
+            (F.col("v") - F.avg("v").over(w)) / F.stddev_pop("v").over(w)
+        ),
+    )
+    for r in native.collect():
+        assert grouped[(r.g, r.v)] == round(r.z, 10)
+
+
+def test_merge_aggregate_state_incremental_equals_full(spark):
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.sources.cdc import merge_aggregate_state
+
+    b1 = spark.createDataFrame([("x", 1.0), ("x", 2.0), ("y", 3.0)], ["k", "v"])
+    b2 = spark.createDataFrame([("x", 4.0), ("z", 5.0)], ["k", "v"])
+    state = merge_aggregate_state(None, b1, ["k"], ["v"])
+    state = merge_aggregate_state(state, b2, ["k"], ["v"])
+    got = {(r.k): (r.n_rows, r.sum_v) for r in state.collect()}
+    full = b1.unionByName(b2).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    want = {r.k: (r.n, r.s) for r in full.collect()}
+    assert got == want
