@@ -214,6 +214,46 @@ def random_hyperplane_buckets(
     )
 
 
+def rp_lsh_topk(
+    embeddings: DataFrame,
+    buckets: DataFrame,
+    query_vec: list[float],
+    query_bucket: int,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_bits: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """ANN search over random-hyperplane buckets with MULTI-PROBE: probe
+    the query's bucket plus every bucket within hamming distance
+    `probe_bits` of it (bit flips = planes the query was near). probe_bits
+    0 scans 1/2^planes of the corpus; 1 scans (planes+1)/2^planes — recall
+    bought back for a linear, not exponential, widening. probe_bits =
+    num_planes degenerates to exact brute force (recall 1.0), which the
+    tests use as the equivalence anchor.
+
+    At scale `buckets` is the partition column of the stored corpus, so
+    the isin(probe list) filter is parquet partition pruning.
+    """
+    probes = {query_bucket}
+    frontier = {query_bucket}
+    for _ in range(probe_bits):
+        frontier = {b ^ (1 << p) for b in frontier for p in range(num_planes)}
+        probes |= frontier
+    cands = embeddings.join(
+        F.broadcast(
+            buckets.filter(F.col("bucket").isin(sorted(probes))).select(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    return cosine_topk(
+        cands, query_vec, k, id_col=id_col, vec_col=vec_col, exclude_ids=exclude_ids
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: DataFrame,

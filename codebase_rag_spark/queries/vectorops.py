@@ -89,7 +89,11 @@ def rp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flipping low-margin bits) buys recall back without widening the scan
     materially."""
     emb = load_table(spark, sf_dir, "embeddings")
-    b = random_hyperplane_buckets(emb, num_planes=8, dim=64)
+    # bucket table is consumed twice (query-bucket lookup + candidate
+    # semi-join) — snapshot once instead of recomputing the projection agg
+    b = random_hyperplane_buckets(emb, num_planes=8, dim=64).localCheckpoint(
+        eager=True
+    )
     qb = b.filter(F.col("vec_id") == 0).first()["bucket"]
     cands = emb.join(
         b.filter(F.col("bucket") == qb).select("vec_id"), "vec_id", "left_semi"

@@ -365,3 +365,37 @@ def test_merge_aggregate_state_incremental_equals_full(spark):
     )
     want = {r.k: (r.n, r.s) for r in full.collect()}
     assert got == want
+
+
+def test_rp_lsh_multiprobe_recall_monotone_and_exact_at_full_probe(spark):
+    """Multi-probe LSH: candidate sets grow monotonically with probe_bits,
+    and probing all bits equals exact brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.operators.similarity import (
+        cosine_topk,
+        random_hyperplane_buckets,
+        rp_lsh_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    b = random_hyperplane_buckets(emb, num_planes=8, dim=64).localCheckpoint(
+        eager=True
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qb = b.filter(F.col("vec_id") == 0).first()["bucket"]
+
+    exact = [r.vec_id for r in cosine_topk(emb, qv, k=5, exclude_ids=[0]).collect()]
+    hits = []
+    for bits in (0, 1, 8):
+        got = [
+            r.vec_id
+            for r in rp_lsh_topk(
+                emb, b, qv, qb, k=5, probe_bits=bits, exclude_ids=[0]
+            ).collect()
+        ]
+        hits.append(len(set(got) & set(exact)))
+    assert hits[0] <= hits[1] <= hits[2]
+    assert hits[2] == 5  # full probe == brute force
