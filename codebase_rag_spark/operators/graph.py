@@ -160,6 +160,96 @@ def impact_analysis(
     ).orderBy(F.desc("impact_score"), "node")
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+
+
+def _attach_min(und: DataFrame) -> DataFrame:
+    """Per source node: m = min(neighborhood ∪ {self})."""
+    m = und.groupBy("src").agg(F.min("dst").alias("_mn"))
+    return und.join(
+        m.select("src", F.least("_mn", F.col("src")).alias("m")), "src"
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm that replaces simple min-label
+    propagation (connected_components) when the graph diameter is large:
+    propagation needs diameter rounds, star contraction needs ~log n.
+
+    large-star: every node links its LARGER neighbors to the minimum of
+    its neighborhood; small-star: canonicalized smaller neighbors link to
+    the minimum. Each round is two groupBy-min aggregates + joins; edges
+    converge to stars rooted at component minima. Rounds are checkpointed
+    (lineage truncation) and the loop exits early on fixpoint.
+
+    Node ids must be orderable (any comparable type). Returns
+    (node, component) for every node appearing in `edges`.
+    """
+    cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # large-star
+        und = _attach_min(_symmetrize(cur))
+        cur_ls = (
+            und.filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star on canonical (larger -> smaller) edges
+        canon = (
+            cur_ls.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        withm = _attach_min(canon)
+        out = (
+            withm.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                withm.filter(F.col("src") != F.col("m")).select(
+                    "src", F.col("m").alias("dst")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the canonical edge set stopped changing
+        if (
+            out.count() == cur.count()
+            and out.exceptAll(cur).isEmpty()
+        ):
+            cur = out
+            break
+        cur = out
+    # stars: src -> component root (dst); roots label themselves
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over an undirected simple graph.
 

@@ -399,3 +399,32 @@ def test_rp_lsh_multiprobe_recall_monotone_and_exact_at_full_probe(spark):
         hits.append(len(set(got) & set(exact)))
     assert hits[0] <= hits[1] <= hits[2]
     assert hits[2] == 5  # full probe == brute force
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Large-star/small-star CC equals min-label propagation on a graph
+    whose diameter (9) far exceeds the star algorithm's round count."""
+    from codebase_rag_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(9)]
+    tri = [(100, 101), (101, 102), (102, 100)]
+    pair = [(200, 201)]
+    edges = spark.createDataFrame(chain + tri + pair, ["src", "dst"])
+
+    star = {r.node: r.component for r in connected_components_star(edges).collect()}
+    prop = {
+        r.node: r.component
+        for r in connected_components(edges, iterations=10).collect()
+    }
+    # same partition of the node set (labels themselves may differ)
+    def groups(lab):
+        g = {}
+        for n, c in lab.items():
+            g.setdefault(c, set()).add(n)
+        return sorted(map(frozenset, g.values()), key=min)
+
+    assert groups(star) == groups(prop)
+    assert len(groups(star)) == 3
