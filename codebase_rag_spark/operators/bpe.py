@@ -1,0 +1,101 @@
+"""Byte-pair-encoding merge learning — distributed tokenizer training
+(beyond-reference training-data op; the trained sibling of the BPE-ish
+regex counter in functions/text.py).
+
+Classic BPE (Sennrich et al. 2016): start from character symbols, repeat
+"count adjacent symbol pairs over the corpus, merge the most frequent
+pair". Each round is ONE distributed pass — explode the per-word symbol
+arrays to adjacent pairs, hash-aggregate counts with map-side combine,
+take the argmax on the driver (k=1 rows), and apply the merge as an array
+rewrite. The corpus is pre-aggregated to (word, weight) once up front, so
+every round's cost is proportional to the DISTINCT vocabulary, not the
+corpus: the standard trick that makes tokenizer training tractable at
+corpus scale.
+
+The merge application is a native higher-order-function fold (filter on a
+boolean vector computed from zip_with against the shifted array) — no
+Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words_with_weights(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, weight) vocabulary: the corpus collapsed to distinct words.
+    One shuffle; everything after runs on vocabulary-sized data."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+
+
+def _apply_merge(symbols_col, a: str, b: str):
+    """Replace every adjacent (a, b) symbol pair with a+b, left-to-right
+    non-overlapping, as a single aggregate() fold over the array."""
+    merged = a + b
+    return F.aggregate(
+        symbols_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+) -> list[tuple[str, str]]:
+    """Learn n_merges BPE merges from the corpus. Returns the ordered merge
+    list (the tokenizer artifact). Ties break lexicographically so training
+    is deterministic on any cluster layout."""
+    vocab = _words_with_weights(df, text_col).withColumn(
+        "syms", F.split(F.col("w"), "")
+    )
+    vocab = vocab.select("syms", "weight").localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+            F.col("weight"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("weight").alias("n"))
+            .orderBy(F.desc("n"), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] is None:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            _apply_merge(F.col("syms"), a, b).alias("syms"), "weight"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list to segment text into BPE tokens: adds a
+    `bpe_tokens` array column (per word, concatenated in order)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    out = df.withColumn("_words", F.filter(words, lambda w: w != ""))
+    syms_per_word = F.transform(F.col("_words"), lambda w: F.split(w, ""))
+    col = syms_per_word
+    for a, b in merges:
+        col = F.transform(col, lambda s: _apply_merge(s, a, b))
+    return out.withColumn("bpe_tokens", F.flatten(col)).drop("_words")

@@ -1,0 +1,28 @@
+"""BPE merge-learning tests (the Sennrich toy corpus)."""
+
+from __future__ import annotations
+
+from codebase_rag_spark.operators.bpe import bpe_segment, learn_bpe_merges
+
+
+def test_learn_bpe_merges_toy_corpus(spark):
+    df = spark.createDataFrame(
+        [("low low low lower lowest",)], ["text"]
+    )
+    merges = learn_bpe_merges(df, "text", n_merges=3)
+    # (l,o) and (o,w) tie at 5; lexicographic tiebreak picks (l,o) first
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "e")]
+
+
+def test_bpe_segment_applies_merges(spark):
+    df = spark.createDataFrame([("low lowest",)], ["text"])
+    merges = [("l", "o"), ("lo", "w"), ("low", "e")]
+    out = bpe_segment(df, "text", merges).first()["bpe_tokens"]
+    assert out == ["low", "lowe", "s", "t"]
+
+
+def test_bpe_determinism_across_partitionings(spark):
+    text = "aa ab aa ab ba bb aa"
+    one = spark.createDataFrame([(text,)], ["text"]).repartition(1)
+    many = spark.createDataFrame([(w,) for w in text.split()], ["text"]).repartition(8)
+    assert learn_bpe_merges(one, "text", 2) == learn_bpe_merges(many, "text", 2)
