@@ -128,3 +128,42 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:
     return media.filter(F.col("media_type") == "video").select(
         "media_id", "data"
     ).mapInPandas(run, schema)
+
+
+PNG_SIGNATURE_HEX = "89504E470D0A1A0A"
+
+
+def png_dimensions(data_col) -> "F.Column":
+    """Parse width/height from a PNG binary column with NATIVE expressions
+    — no codec library, no Python worker: substring the IHDR chunk's
+    big-endian u32s out of the first 24 bytes and hex-decode them. Returns
+    a struct (is_png, width, height); non-PNG bytes yield (false, NULL,
+    NULL).
+
+    This is header-sniffing, not decoding — the pattern for cheap metadata
+    extraction over petabytes of media (filter/route/shard by dimensions
+    BEFORE any expensive Python decode touches the survivors)."""
+    sig_ok = F.hex(F.substring(data_col, 1, 8)) == F.lit(PNG_SIGNATURE_HEX)
+    ihdr_ok = F.substring(data_col, 13, 4).cast("string") == F.lit("IHDR")
+    is_png = sig_ok & ihdr_ok & (F.length(data_col) >= 24)
+    width = F.conv(F.hex(F.substring(data_col, 17, 4)), 16, 10).cast("int")
+    height = F.conv(F.hex(F.substring(data_col, 21, 4)), 16, 10).cast("int")
+    return F.struct(
+        is_png.alias("is_png"),
+        F.when(is_png, width).alias("width"),
+        F.when(is_png, height).alias("height"),
+    )
+
+
+def media_header_stats(media: DataFrame, data_col: str = "data") -> DataFrame:
+    """Header-sniff a media table: adds is_png/width/height columns from
+    the binary header (scan-stage only). The routing step before
+    decode_media — at scale, dimension/type filters prune the expensive
+    Arrow+Python decode to the rows that need it."""
+    parsed = png_dimensions(F.col(data_col))
+    return media.withColumn("_hdr", parsed).select(
+        "*",
+        F.col("_hdr.is_png").alias("is_png"),
+        F.col("_hdr.width").alias("width"),
+        F.col("_hdr.height").alias("height"),
+    ).drop("_hdr")

@@ -110,3 +110,37 @@ def test_hash_embed_unit_range_and_determinism(spark):
     assert all(-0.5 <= x <= 0.5 for x in out[0].v)
     assert out[0].v == out[1].v  # deterministic
     assert out[0].v != out[2].v
+
+
+def test_png_header_parse_native(spark):
+    """Real PNG bytes parsed JVM-side: width/height from IHDR; non-PNG
+    binary yields nulls."""
+    import struct
+    import zlib
+
+    def minimal_png(w, h):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        ihdr = (
+            struct.pack(">I", len(ihdr_data))
+            + b"IHDR"
+            + ihdr_data
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+        )
+        return sig + ihdr  # truncated but header-complete
+
+    from codebase_rag_spark.operators.multimodal import media_header_stats
+
+    rows = [
+        (1, "image", bytearray(minimal_png(320, 240)), "{}"),
+        (2, "image", bytearray(minimal_png(64, 4096)), "{}"),
+        (3, "audio", bytearray(b"RIFF....WAVE"), "{}"),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "media_type", "data", "meta_json"])
+    got = {
+        r.media_id: (r.is_png, r.width, r.height)
+        for r in media_header_stats(df).collect()
+    }
+    assert got[1] == (True, 320, 240)
+    assert got[2] == (True, 64, 4096)
+    assert got[3] == (False, None, None)
