@@ -296,8 +296,64 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter -> 3-way join -> revenue agg ->
+    top-10. Segment/date filters push into the scans; customer broadcasts;
+    top-10 is TakeOrderedAndProject (per-partition heaps, no global
+    sort)."""
+    cut = F.to_timestamp(F.lit("1998-06-30"))
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio — PROMO parts' share of
+    one month's revenue. The part join broadcasts; the CASE lives inside
+    the aggregate (one pass, map-side partials)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-03-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(18,6)")).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "shipping_priority": shipping_priority,
+    "promo_revenue_share": promo_revenue_share,
     "big_orders": big_orders,
     "user_session_windows": user_session_windows,
     "small_quantity_revenue": small_quantity_revenue,
@@ -503,3 +559,33 @@ ORACLES = {
         SELECT p_partkey, retailprice, cum_cost FROM cum WHERE cum_cost <= 50000
     """,
 }
+
+ORACLES["shipping_priority"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-30'
+          AND l_shipdate  > TIMESTAMP '1998-06-30'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+"""
+
+ORACLES["promo_revenue_share"] = """
+        SELECT round(100.0::DOUBLE
+                   * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct,
+               count(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
