@@ -44,3 +44,28 @@ def write_sized_sorted(
         .parquet(path)
     )
     return n_part
+
+
+def z_order_key(x, y, bits: int = 16):
+    """Morton/Z-order curve key for two non-negative int columns: bit
+    interleave via native shift/mask expressions (no UDF). Sorting or
+    range-partitioning on this key clusters rows that are close in BOTH
+    dimensions into the same files, so parquet min/max skipping works for
+    predicates on EITHER column — the 2-D generalization of
+    write_sized_sorted's 1-D ordering (what Delta/Iceberg call Z-ORDER).
+
+    bits bounds the per-column domain (values >= 2^bits alias); rescale or
+    hash-bucket wider domains first.
+    """
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import functions as F
+
+    terms = []
+    for i in range(bits):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        terms.append(F.shiftleft(xbit.cast("bigint"), 2 * i))
+        terms.append(F.shiftleft(ybit.cast("bigint"), 2 * i + 1))
+    return reduce(add, terms)

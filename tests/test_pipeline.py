@@ -134,3 +134,59 @@ def test_write_sized_sorted_layout(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next  # non-overlapping key ranges
+
+
+def test_z_order_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.sources.layout import z_order_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (3, 3), (255, 255)],
+        ["x", "y"],
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", z_order_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    assert got[(1, 1)] == 3 and got[(2, 0)] == 4 and got[(0, 2)] == 8
+    assert got[(3, 3)] == 15 and got[(255, 255)] == 65535
+
+
+def test_z_order_layout_clusters_both_dims(spark, tmp_path):
+    """Files written in z-order have bounded min/max ranges on BOTH key
+    columns (each file covers a quadrant-ish region, not a full-x stripe)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.sources.layout import write_sized_sorted, z_order_key
+
+    n = 1 << 12
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("int").alias("y")
+        )
+        .withColumn("z", z_order_key(F.col("x"), F.col("y"), bits=6))
+    )
+    out = str(tmp_path / "zorder")
+    write_sized_sorted(df, out, ["z"], target_rows_per_file=256, row_count=n)
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        r = (
+            spark.read.parquet(f)
+            .selectExpr(
+                "max(x) - min(x) AS sx", "max(y) - min(y) AS sy", "count(*) AS c"
+            )
+            .first()
+        )
+        if r.c >= 64:  # skip boundary slivers
+            spans_x.append(r.sx)
+            spans_y.append(r.sy)
+    # a 1-D sort on x would give full-range y spans (63) in every file;
+    # z-order keeps BOTH spans well under the full 64-wide domain
+    assert max(spans_x) <= 32 and max(spans_y) <= 32
