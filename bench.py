@@ -38,8 +38,12 @@ HEADLINE = [
     "top_tokens",
     "order_status_cube",
     "user_event_gaps",
+    "shipping_priority",
+    "winnowing_sketch",
     "hourly_tumbling",
     "user_sessions",
+    "cohort_retention",
+    "funnel_steps",
     "purchase_click_asof",
     "region_two_hop",
     "fulltext_search",
