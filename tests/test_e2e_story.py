@@ -79,3 +79,67 @@ def test_ingest_then_search_then_hybrid(spark, project, tmp_path):
     rows = result.collect()
     assert 0 < len(rows) <= 5
     assert {r.branch for r in rows} <= {"graph", "vector"}
+
+
+def test_corpus_curation_pipeline_end_to_end(spark, tmp_path):
+    """Training-data curation as ONE composed dataflow over the real
+    documents table: PII scrub -> repetition gate -> quality gate ->
+    exact+near dedup -> deterministic split -> sequence packing. Asserts
+    the invariants each stage must preserve (monotone shrinkage,
+    no PII survivors, split disjointness, packing offsets contiguous)."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.functions.text import (
+        EMAIL_PATTERN,
+        dup_ngram_fraction,
+        quality_score,
+        redact_pii,
+        token_count,
+    )
+    from codebase_rag_spark.operators.dedup import dedup_corpus
+    from codebase_rag_spark.operators.sampling import (
+        sequence_packing,
+        train_test_split,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n0 = d.count()
+
+    # 1. PII scrub (content rewrite, row count unchanged)
+    scrubbed = d.withColumn("text", redact_pii(F.col("text")))
+    assert scrubbed.filter(F.col("text").rlike(EMAIL_PATTERN)).count() == 0
+    assert scrubbed.count() == n0
+
+    # 2-3. repetition + quality gates (monotone shrinkage)
+    gated = scrubbed.filter(
+        (dup_ngram_fraction(F.col("text"), 2) <= 0.9)
+        & (quality_score(F.col("text")) >= 0.3)
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated <= n0
+
+    # 4. exact + LSH near dedup
+    deduped = dedup_corpus(gated, "doc_id", "text")
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= n_gated
+
+    # 5. deterministic split: disjoint, exhaustive, stable
+    split = train_test_split(deduped, "doc_id", test_fraction=0.2)
+    counts = dict(
+        (r.split, r.n)
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert sum(counts.values()) == n_dedup
+    again = train_test_split(deduped, "doc_id", test_fraction=0.2)
+    assert split.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")
+    ).isEmpty()
+
+    # 6. pack the train split into 512-token sequences
+    train = split.filter(F.col("split") == "train")
+    packed = sequence_packing(train, "doc_id", token_count(F.col("text")), 512)
+    rows = packed.orderBy("doc_id").collect()
+    assert len(rows) == counts["train"]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start_offset == prev.start_offset + prev.n_tokens
