@@ -55,10 +55,66 @@ def decode_text(files: DataFrame, charset: str | None = None) -> DataFrame:
     return files.withColumn("content", col)
 
 
+_PDF_TJ = rb"\(((?:\\.|[^()\\])*)\)\s*Tj"
+_PDF_TJ_ARRAY = rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ"
+_PDF_STR = rb"\(((?:\\.|[^()\\])*)\)"
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    import re
+
+    def sub(m: "re.Match[bytes]") -> bytes:
+        e = m.group(1)
+        if e in (b"(", b")", b"\\"):
+            return e
+        if e == b"n":
+            return b"\n"
+        if e.isdigit():
+            return bytes([int(e, 8) & 0xFF])
+        return e
+
+    return re.sub(rb"\\(\d{1,3}|.)", sub, raw).decode("latin-1")
+
+
+def naive_pdf_text(data: bytes) -> str | None:
+    """Dependency-free extraction of UNCOMPRESSED PDF text objects: the
+    `(string) Tj` / `[(a)(b)] TJ` show operators parsed straight off the
+    bytes. Returns None when nothing is found (e.g. FlateDecode streams —
+    those genuinely need a codec library). Covers the
+    plain-text-generator PDFs that dominate bulk document dumps."""
+    import re
+
+    parts = [m.group(1) for m in re.finditer(_PDF_TJ, data)]
+    for arr in re.finditer(_PDF_TJ_ARRAY, data):
+        parts.extend(m.group(1) for m in re.finditer(_PDF_STR, arr.group(1)))
+    if not parts:
+        return None
+    return " ".join(_pdf_unescape(p) for p in parts)
+
+
+def docx_text(data: bytes) -> str:
+    """DOCX extraction with the STANDARD LIBRARY only: a .docx is a zip;
+    the body lives in word/document.xml; text runs are <w:t> elements.
+    python-docx adds styles/tables fidelity — not needed for corpus text."""
+    import io
+    import re
+    import zipfile
+    from xml.sax.saxutils import unescape
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        xml = z.read("word/document.xml").decode("utf-8", errors="replace")
+    # paragraph boundaries -> newlines, then collect text runs
+    xml = re.sub(r"</w:p>", "\n", xml)
+    runs = re.findall(r"<w:t[^>]*>(.*?)</w:t>|\n", xml, flags=re.S)
+    return unescape("".join(r if r else "\n" for r in runs)).strip()
+
+
 def extract_documents(files: DataFrame) -> DataFrame:
     """S6: pdf/docx text extraction behind mapInPandas. Emits
-    (path, text, extract_error); rows error cleanly when codecs are
-    missing — the job never dies on one bad file."""
+    (path, text, extract_error); rows error cleanly — the job never dies
+    on one bad file. PDF uses PyPDF2 when installed, else the
+    dependency-free uncompressed-text parser (naive_pdf_text); DOCX is
+    fully handled with the stdlib zip+XML path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -67,19 +123,37 @@ def extract_documents(files: DataFrame) -> DataFrame:
                 ext = path.rsplit(".", 1)[-1].lower()
                 try:
                     if ext == "pdf":
-                        if not HAS_PDF:
-                            raise NotImplementedError(
-                                "PDF extraction requires PyPDF2/pdfplumber "
-                                "(not installed in this environment)"
+                        if HAS_PDF:
+                            import io
+
+                            import PyPDF2
+
+                            reader = PyPDF2.PdfReader(io.BytesIO(bytes(data)))
+                            text = "\n".join(
+                                p.extract_text() or "" for p in reader.pages
                             )
-                        raise NotImplementedError("real PDF path unreachable here")
+                        else:
+                            text = naive_pdf_text(bytes(data))
+                            if text is None:
+                                raise NotImplementedError(
+                                    "compressed PDF streams require "
+                                    "PyPDF2/pdfplumber (not installed); only "
+                                    "uncompressed text objects are parsed "
+                                    "natively"
+                                )
+                        rows.append(
+                            {"path": path, "text": text, "extract_error": None}
+                        )
+                        continue
                     elif ext == "docx":
-                        if not HAS_DOCX:
-                            raise NotImplementedError(
-                                "DOCX extraction requires python-docx "
-                                "(not installed in this environment)"
-                            )
-                        raise NotImplementedError("real DOCX path unreachable here")
+                        rows.append(
+                            {
+                                "path": path,
+                                "text": docx_text(bytes(data)),
+                                "extract_error": None,
+                            }
+                        )
+                        continue
                     else:  # plain text family
                         rows.append(
                             {
@@ -89,7 +163,7 @@ def extract_documents(files: DataFrame) -> DataFrame:
                             }
                         )
                         continue
-                except NotImplementedError as e:
+                except Exception as e:  # noqa: BLE001 — per-row error rows
                     rows.append(
                         {"path": path, "text": None, "extract_error": str(e)}
                     )

@@ -32,3 +32,48 @@ def test_extract_documents_text_and_gated_pdf(spark):
     # codec libs absent: clean per-row error, job does not die
     assert out["doc.pdf"].text is None
     assert "PyPDF2" in out["doc.pdf"].extract_error
+
+
+def _minimal_pdf(text: str) -> bytes:
+    body = f"BT /F1 12 Tf 72 712 Td ({text}) Tj ET".encode()
+    return (
+        b"%PDF-1.4\n1 0 obj<</Type/Catalog>>endobj\n"
+        b"2 0 obj<</Length " + str(len(body)).encode() + b">>stream\n"
+        + body
+        + b"\nendstream endobj\ntrailer<<>>\n%%EOF"
+    )
+
+
+def _minimal_docx(paragraphs: list[str]) -> bytes:
+    import io
+    import zipfile
+
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="ns"><w:body>'
+        + "".join(f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs)
+        + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def test_extract_documents_real_pdf_and_docx(spark):
+    """S6 without codec libraries: uncompressed PDF text objects and
+    stdlib-zip DOCX both extract real text; a corrupt file errors
+    per-row without failing the job."""
+    from codebase_rag_spark.sources.loaders import extract_documents
+
+    rows = [
+        ("a.pdf", bytearray(_minimal_pdf("Hello PDF world"))),
+        ("b.docx", bytearray(_minimal_docx(["First para", "Second para"]))),
+        ("c.docx", bytearray(b"not a zip at all")),
+        ("d.txt", bytearray("plain text".encode())),
+    ]
+    df = spark.createDataFrame(rows, ["path", "bytes"])
+    got = {r.path: (r.text, r.extract_error) for r in extract_documents(df).collect()}
+    assert got["a.pdf"][0] == "Hello PDF world" and got["a.pdf"][1] is None
+    assert got["b.docx"][0] == "First para\nSecond para"
+    assert got["c.docx"][0] is None and got["c.docx"][1]
+    assert got["d.txt"] == ("plain text", None)
