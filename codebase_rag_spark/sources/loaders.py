@@ -172,3 +172,35 @@ def extract_documents(files: DataFrame) -> DataFrame:
             )
 
     return files.select("path", "bytes").mapInPandas(run, EXTRACTED_SCHEMA)
+
+
+DOCUMENT_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def read_jsonl_documents(spark, path: str) -> DataFrame:
+    """JSONL document source (the interchange format of most public text
+    corpora): explicit schema — NEVER schema inference, which costs a full
+    extra pass at corpus scale and drifts across shards. Malformed lines
+    land in PERMISSIVE nulls rather than failing the read; filter
+    `text IS NOT NULL` downstream (the reference's per-row error-tolerance
+    posture, pipeline.py:138-144)."""
+    return spark.read.schema(DOCUMENT_SOURCE_SCHEMA).json(path)
+
+
+def read_csv_documents(spark, path: str, header: bool = True) -> DataFrame:
+    """CSV document source with the same explicit-schema rule; multiline
+    quoted text fields enabled (documents contain newlines)."""
+    return (
+        spark.read.schema(DOCUMENT_SOURCE_SCHEMA)
+        .option("header", header)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )

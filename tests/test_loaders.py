@@ -77,3 +77,31 @@ def test_extract_documents_real_pdf_and_docx(spark):
     assert got["b.docx"][0] == "First para\nSecond para"
     assert got["c.docx"][0] is None and got["c.docx"][1]
     assert got["d.txt"] == ("plain text", None)
+
+
+def test_jsonl_and_csv_document_sources(spark, tmp_path):
+    """JSONL/CSV readers: explicit schema, malformed rows -> nulls (not
+    job failure), multiline CSV text preserved."""
+    from codebase_rag_spark.sources.loaders import (
+        read_csv_documents,
+        read_jsonl_documents,
+    )
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1"}\n'
+        "this line is not json\n"
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s1"}\n'
+    )
+    got = read_jsonl_documents(spark, str(jl))
+    ok = got.filter("text IS NOT NULL")
+    assert ok.count() == 2
+    assert got.count() == 3  # malformed row kept as nulls, job alive
+
+    cs = tmp_path / "docs.csv"
+    cs.write_text(
+        'doc_id,text,lang,source\n1,"multi\nline text",en,s2\n2,plain,fr,s2\n'
+    )
+    rows = {r.doc_id: r.text for r in read_csv_documents(spark, str(cs)).collect()}
+    assert rows[1] == "multi\nline text"
+    assert rows[2] == "plain"
