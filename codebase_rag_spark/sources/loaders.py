@@ -2,10 +2,11 @@
 
 The text/code/sql paths are pure column expressions over the binaryFile
 scan (see scan.py). The pdf/docx extraction (S6, loaders.py:51-129 in the
-reference, via PyPDF2/pdfplumber/python-docx) needs codec libraries that
-are NOT in this container — those loaders are import-gated: the dispatch
-and the mapInPandas plumbing are real and tested, the codec call raises
-NotImplementedError until the libs are installed.
+reference, via PyPDF2/pdfplumber/python-docx) runs behind mapInPandas with
+dependency-free default paths: uncompressed PDF text objects are parsed
+straight off the bytes, DOCX via stdlib zip+XML; PyPDF2 (import-gated)
+upgrades the PDF path to compressed streams when installed. JSONL/CSV
+corpus readers round out the source formats.
 """
 
 from __future__ import annotations
