@@ -47,6 +47,7 @@ HEADLINE = [
     "purchase_click_asof",
     "region_two_hop",
     "fulltext_search",
+    "bm25_documents",
     "hybrid_retrieval",
     "doc_pagerank",
     "doc_components",

@@ -56,6 +56,74 @@ def search(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 ranking — the real IR scoring the reference delegates to
+    Lucene (graph_service.py:474-511), built relationally:
+
+      idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+      score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Plan shape: postings (reused if passed), per-term df aggregate over a
+    BROADCAST query-filtered slice, doc lengths in the scan stage, one
+    final per-doc aggregate -> TakeOrderedAndProject. Corpus stats (N,
+    avgdl) are two scalars — computed once, folded into the expression.
+    At scale: postings bucketed by term; df/N/avgdl maintained
+    incrementally with update_inverted_index.
+    """
+    idx = index if index is not None else build_inverted_index(docs, id_col, text_col)
+    spark = docs.sparkSession
+    q = spark.createDataFrame([(t.lower(),) for t in terms], ["term"])
+    matched = idx.join(F.broadcast(q), "term")
+
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(tokens(F.lower(F.col(text_col))))).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    df_counts = matched.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    dl = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("double").alias("dl"),
+    )
+    contrib = (
+        matched.join(F.broadcast(df_counts.withColumn("idf", idf)), "term")
+        .join(dl, "id")
+        .select(
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(F.round(F.sum("c"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.col("id"))
+        .limit(k)
+    )
+
+
 def contains_fallback(
     df: DataFrame, id_col: str, text_col: str, terms: list[str], k: int = 10
 ) -> DataFrame:

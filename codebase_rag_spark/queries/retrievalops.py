@@ -27,6 +27,18 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(index, TERMS, k=15).withColumnRenamed("id", "doc_id")
 
 
+def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 over the documents table (W1 with real IR
+    scoring instead of raw term frequency — see operators/fulltext.py:
+    bm25_search for the plan shape)."""
+    from codebase_rag_spark.operators.fulltext import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_search(d, TERMS, "doc_id", "text", k=15).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def _doc_chain_edges(d: DataFrame) -> DataFrame:
     """Deterministic doc graph: each doc points at the next doc_id within
     its source (the 'related document' chain)."""
@@ -144,6 +156,7 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "fulltext_search": fulltext_search,
+    "bm25_documents": bm25_documents,
     "hybrid_retrieval": hybrid_retrieval,
     "order_lineage": order_lineage,
     "memory_tag_search": memory_tag_search,
@@ -270,3 +283,47 @@ ORACLES = {
         LIMIT 20
     """,
 }
+
+ORACLES["bm25_documents"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+            FROM documents
+        ),
+        postings AS (
+            SELECT term, doc_id, count(*)::BIGINT AS tf
+            FROM toks GROUP BY term, doc_id
+        ),
+        q(term) AS (VALUES ('vector'), ('join'), ('merge')),
+        matched AS (SELECT p.* FROM postings p JOIN q USING (term)),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n,
+                   avg(len(regexp_split_to_array(lower(text), '\s+')))::DOUBLE
+                       AS avgdl
+            FROM documents
+        ),
+        dfc AS (
+            SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM matched
+            GROUP BY term
+        ),
+        dl AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE AS dl
+            FROM documents
+        ),
+        contrib AS (
+            SELECT m.doc_id,
+                   ln(1.0 + ((SELECT n FROM stats) - dfc.df + 0.5)
+                          / (dfc.df + 0.5))
+                   * (m.tf * (1.2 + 1.0))
+                   / (m.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c
+            FROM matched m
+            JOIN dfc USING (term)
+            JOIN dl ON dl.doc_id = m.doc_id
+        )
+        SELECT doc_id, round(sum(c), 4) AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 15
+"""
