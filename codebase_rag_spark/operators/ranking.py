@@ -123,6 +123,39 @@ def salted_aggregate(
     return partial.groupBy(*key_cols).agg(*phase2)
 
 
+def rrf_merge(
+    branches: list[DataFrame],
+    key_col: str,
+    score_col: str,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion: fuse ranked lists by sum(1/(k + rank)) —
+    the scale-free hybrid merge (J8's modern replacement): branch scores
+    never need calibration against each other, only their ORDER matters.
+    Each branch gets a global rank window (branches are top-k lists, so
+    the single-partition window is k rows, not corpus rows), then one
+    union + hash aggregate fuses them.
+    """
+    ranked = []
+    for i, b in enumerate(branches):
+        w = Window.orderBy(F.desc(score_col), F.col(key_col))
+        ranked.append(
+            b.select(key_col, score_col)
+            .withColumn("_rank", F.row_number().over(w))
+            .select(
+                key_col,
+                (F.lit(1.0) / (F.lit(float(k)) + F.col("_rank"))).alias("_rrf"),
+            )
+        )
+    allb = ranked[0]
+    for b in ranked[1:]:
+        allb = allb.unionByName(b)
+    return allb.groupBy(key_col).agg(
+        F.round(F.sum("_rrf"), 6).alias("rrf_score"),
+        F.count("*").cast("bigint").alias("n_branches"),
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

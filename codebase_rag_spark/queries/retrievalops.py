@@ -39,6 +39,27 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of a text branch (term-frequency top-20) and
+    a vector branch (cosine-to-query top-20, vec_id==doc_id): the
+    calibration-free hybrid merge (sum 1/(60+rank)); top-10 fused."""
+    from codebase_rag_spark.operators.ranking import rrf_merge
+    from codebase_rag_spark.operators.similarity import cosine_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    index = build_inverted_index(d, "doc_id", "text")
+    text_branch = search(index, TERMS, k=20).select(
+        F.col("id").alias("doc_id"), F.col("score").cast("double").alias("score")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    vec_branch = cosine_topk(emb, qv, k=20, exclude_ids=[0]).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    fused = rrf_merge([text_branch, vec_branch], "doc_id", "score")
+    return fused.orderBy(F.desc("rrf_score"), F.col("doc_id")).limit(10)
+
+
 def _doc_chain_edges(d: DataFrame) -> DataFrame:
     """Deterministic doc graph: each doc points at the next doc_id within
     its source (the 'related document' chain)."""
@@ -157,6 +178,7 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "fulltext_search": fulltext_search,
     "bm25_documents": bm25_documents,
+    "rrf_fusion": rrf_fusion,
     "hybrid_retrieval": hybrid_retrieval,
     "order_lineage": order_lineage,
     "memory_tag_search": memory_tag_search,
@@ -326,4 +348,56 @@ ORACLES["bm25_documents"] = r"""
         FROM contrib GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id
         LIMIT 15
+"""
+
+ORACLES["rrf_fusion"] = r"""
+        WITH postings AS (
+            SELECT term, doc_id, count(*)::BIGINT AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+                FROM documents
+            ) t GROUP BY term, doc_id
+        ),
+        q(term) AS (VALUES ('vector'), ('join'), ('merge')),
+        text_top AS (
+            SELECT doc_id, sum(tf)::DOUBLE AS score
+            FROM postings JOIN q USING (term)
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20
+        ),
+        text_rank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM text_top
+        ),
+        qv AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        pairs AS (
+            SELECT vec_id,
+                   unnest(embedding)::DOUBLE AS x,
+                   unnest((SELECT e FROM qv))::DOUBLE AS y
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        vec_top AS (
+            SELECT vec_id AS doc_id,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS score
+            FROM pairs GROUP BY vec_id
+            ORDER BY score DESC, doc_id LIMIT 20
+        ),
+        vec_rank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM vec_top
+        ),
+        fused AS (
+            SELECT doc_id, 1.0 / (60.0 + r) AS rrf FROM text_rank
+            UNION ALL
+            SELECT doc_id, 1.0 / (60.0 + r) AS rrf FROM vec_rank
+        )
+        SELECT doc_id, round(sum(rrf), 6) AS rrf_score,
+               count(*)::BIGINT AS n_branches
+        FROM fused GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 10
 """
