@@ -1,0 +1,126 @@
+"""Empty-input / degenerate-input behavior of the core operators: at
+100 TB someone WILL run these on an empty partition, a zero-change CDC
+batch, or a one-row group — none of them may throw."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+@pytest.fixture()
+def empty_edges(spark):
+    return spark.createDataFrame([], "src string, dst string")
+
+
+def test_dedup_ops_on_empty_corpus(spark, empty_docs):
+    from codebase_rag_spark.operators.dedup import (
+        dedup_corpus,
+        exact_dedup,
+        minhash_lsh_candidates,
+        simhash_dedup,
+        winnowing_fingerprints,
+    )
+
+    assert exact_dedup(empty_docs, "doc_id", "text").count() == 0
+    assert minhash_lsh_candidates(empty_docs, "doc_id", "text").count() == 0
+    assert simhash_dedup(empty_docs, "doc_id", "text").count() == 0
+    assert winnowing_fingerprints(empty_docs, "doc_id", "text").count() == 0
+    assert dedup_corpus(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_graph_ops_on_empty_edges(spark, empty_edges):
+    from codebase_rag_spark.operators.graph import (
+        bounded_traversal,
+        connected_components,
+        connected_components_star,
+        degrees,
+        triangle_count,
+    )
+
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    assert degrees(empty_edges).count() == 0
+    assert bounded_traversal(empty_edges, seeds, depth=2).count() == 0
+    assert connected_components(empty_edges).count() == 0
+    assert connected_components_star(empty_edges).count() == 0
+    # global aggregate: one row, zero triangles
+    assert triangle_count(empty_edges).first()["n_triangles"] == 0
+
+
+def test_pagerank_single_edge(spark):
+    from codebase_rag_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    ranks = {r.node: r.rank for r in pagerank(e, iterations=2).collect()}
+    assert set(ranks) == {"a", "b"}
+    assert ranks["b"] > ranks["a"]  # sink accumulates
+
+
+def test_pack_budget_zero_budget_and_empty(spark):
+    from codebase_rag_spark.operators.ranking import pack_budget
+
+    df = spark.createDataFrame([(1, 10.0, 5), (2, 5.0, 5)], ["id", "score", "cost"])
+    assert (
+        pack_budget(df, "score", "cost", budget=0, id_col="id").count() == 0
+    )
+    empty = spark.createDataFrame([], "id bigint, score double, cost bigint")
+    assert (
+        pack_budget(empty, "score", "cost", budget=100, id_col="id").count() == 0
+    )
+
+
+def test_cdc_zero_change_batch(spark):
+    from codebase_rag_spark.sources.cdc import merge_upsert, snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "s1", 1), ("b", "s2", 1)], ["path", "sha", "updated"]
+    )
+    diff = snapshot_diff(old, old)
+    assert diff.filter(F.col("change") != "unchanged").count() == 0
+    merged = merge_upsert(
+        old, spark.createDataFrame([], "path string, sha string, updated int"),
+        ["path"],
+    )
+    assert merged.count() == 2
+
+
+def test_similarity_on_empty_and_singleton(spark):
+    from codebase_rag_spark.operators.similarity import (
+        cosine_topk,
+        random_hyperplane_buckets,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert cosine_topk(empty, [1.0, 0.0], k=5).count() == 0
+    one = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    got = cosine_topk(one, [1.0, 0.0], k=5).collect()
+    assert len(got) == 1 and got[0].cosine == 1.0
+    assert random_hyperplane_buckets(one, num_planes=4, dim=2).count() == 1
+
+
+def test_bpe_empty_and_single_char_corpus(spark):
+    from codebase_rag_spark.operators.bpe import learn_bpe_merges
+
+    empty = spark.createDataFrame([], "text string")
+    assert learn_bpe_merges(empty, "text", 3) == []
+    single = spark.createDataFrame([("a a a",)], ["text"])
+    assert learn_bpe_merges(single, "text", 3) == []  # no pairs to merge
+
+
+def test_windows_ops_empty(spark):
+    from codebase_rag_spark.operators.windows import sessionize, tumbling_agg
+
+    empty = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    assert (
+        tumbling_agg(empty, "ts", "1 hour", ["user_id"], [F.count("*").alias("n")])
+        .count()
+        == 0
+    )
+    assert sessionize(empty, "ts", "user_id").count() == 0
