@@ -91,3 +91,82 @@ def test_sessionize_counts_match_gap_rule(spark, gaps):
     n_sessions = out.agg(F.max("session_id")).first()[0]
     expected = 1 + sum(1 for g in gaps[1:] if g > 30)
     assert n_sessions == expected
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user key
+        st.integers(min_value=0, max_value=1000),  # epoch seconds
+        st.booleans(),                            # purchase vs click
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, rows):
+    """asof_join (union+window, one shuffle) == the O(n*m) naive
+    definition: latest right ts <= left ts per key."""
+    import datetime as dt
+
+    from codebase_rag_spark.operators.windows import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lefts, rights = [], []
+    for i, (k, sec, is_left) in enumerate(rows):
+        ts = base + dt.timedelta(seconds=sec)
+        (lefts if is_left else rights).append((i, k, ts))
+    if not lefts or not rights:
+        return
+    left = spark.createDataFrame(lefts, ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(rights, ["rid", "user_id", "ts"])
+    got = {
+        r.event_id: r.rid_asof
+        for r in asof_join(left, right, key_col="user_id", right_cols=["rid"]).collect()
+    }
+    for event_id, k, lts in lefts:
+        cands = [(ts, rid) for rid, rk, ts in rights if rk == k and ts <= lts]
+        want = max(cands)[1] if cands else None
+        # naive tie-break: max (ts, rid); engine carries the LAST right row
+        # in (ts, rid-insertion) order — at equal ts any candidate is valid,
+        # so compare the ts of the match instead of the id
+        if want is None:
+            assert got[event_id] is None
+        else:
+            got_ts = next(ts for rid, rk, ts in rights if rid == got[event_id])
+            assert got_ts == max(cands)[0]
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.integers(min_value=0, max_value=300),
+)
+@settings(**SETTINGS)
+def test_pack_budget_invariants(spark, items, budget):
+    """Selection is the maximal prefix of score-desc order whose cumulative
+    cost fits the budget; cum_cost never exceeds the budget."""
+    df = spark.createDataFrame(
+        [(i, s, c) for i, (s, c) in enumerate(items)], ["id", "score", "cost"]
+    )
+    picked = pack_budget(df, "score", "cost", budget=budget, id_col="id")
+    rows = picked.orderBy("cum_cost").collect()
+    if rows:
+        assert rows[-1].cum_cost <= budget
+    # prefix property: re-derive greedily in python
+    order = sorted(enumerate(items), key=lambda t: (-t[1][0], t[0]))
+    cum, want = 0, []
+    for i, (s, c) in order:
+        cum += c
+        if cum > budget:
+            break
+        want.append(i)
+    assert sorted(r.id for r in rows) == sorted(want)
