@@ -53,6 +53,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_size: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via shingled MinHash + banded LSH.
 
@@ -92,6 +93,19 @@ def minhash_lsh_candidates(
             )
         ).alias("band_key"),
     )
+    if max_bucket_size is not None:
+        # Adversarial-skew guard: a band bucket of size s yields s^2/2
+        # pairs — one boilerplate template shared by 10^6 docs would emit
+        # 5*10^11 candidates from a single reducer. Cap the bucket size:
+        # oversized buckets are dropped (they are near-certain exact/
+        # boilerplate duplicates — route those through exact_dedup, which
+        # handles any group size in one hash aggregate).
+        # (no broadcast hint: the size table is O(buckets) — AQE picks the
+        # strategy; the groupBy reuses the band_key shuffle partitioning)
+        sizes = keyed.groupBy("band_key").agg(F.count("*").alias("_bs"))
+        keyed = keyed.join(
+            sizes.filter(F.col("_bs") <= max_bucket_size), "band_key"
+        ).drop("_bs")
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

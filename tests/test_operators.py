@@ -428,3 +428,25 @@ def test_connected_components_star_matches_propagation(spark):
 
     assert groups(star) == groups(prop)
     assert len(groups(star)) == 3
+
+
+def test_lsh_bucket_cap_guards_adversarial_skew(spark):
+    """100 identical boilerplate docs: uncapped LSH emits ~100^2/2 pairs;
+    with a bucket cap the boilerplate bucket is dropped (exact_dedup owns
+    that case) while genuinely distinct near-dups still pair up."""
+    from codebase_rag_spark.operators.dedup import minhash_lsh_candidates
+
+    boiler = [(i, "copy this exact boilerplate text block verbatim") for i in range(100)]
+    near = [
+        (200, "alpha beta gamma delta epsilon zeta eta theta"),
+        (201, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+    uncapped = minhash_lsh_candidates(df, "doc_id", "text").count()
+    assert uncapped >= 100 * 99 / 2
+    capped = minhash_lsh_candidates(
+        df, "doc_id", "text", max_bucket_size=10
+    )
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert all(a >= 200 and b >= 200 for a, b in pairs)
+    assert (200, 201) in pairs
