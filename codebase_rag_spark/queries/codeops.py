@@ -1,10 +1,10 @@
 """Code-extraction, multimodal, and embedding queries.
 
 code_entity_extract runs a REAL parser (Python ast via mapInPandas) — not
-SQL-expressible, so it has no oracle entry (driver records the rows-only
-check, as the contract allows). The JS regex extraction, the multimodal
-fake-decode and the hash-embedder are deterministic arithmetic, so they get
-full oracles.
+SQL-expressible, so its oracle is a GOLDEN VALUES table (the corpus is a
+fixed literal, hence the expected output is enumerable). The JS regex
+extraction, the multimodal fake-decode and the hash-embedder are
+deterministic arithmetic, so they get computed oracles.
 """
 
 from __future__ import annotations
@@ -232,3 +232,25 @@ ORACLES = {
         FROM documents WHERE doc_id < 100
     """,
 }
+
+
+# Golden oracle: the corpus is a FIXED literal, so the exact expected
+# extraction output is enumerable — a golden VALUES table stands in for
+# re-running a Python parser in SQL. Editing PY_CORPUS must update this.
+ORACLES["code_entity_extract"] = """
+        SELECT * FROM (VALUES
+            ('src/auth/token.py', 'python', 'call', 'generate_token', 'serialize', 7, 7, NULL),
+            ('src/auth/token.py', 'python', 'call', 'generate_token', 'hexdigest', 8, 8, NULL),
+            ('src/auth/token.py', 'python', 'call', 'generate_token', 'sha256', 8, 8, NULL),
+            ('src/auth/token.py', 'python', 'call', 'get', 'lookup', 13, 13, NULL),
+            ('src/auth/token.py', 'python', 'class', 'TokenStore', 'BaseStore', 10, 13, 'Storage.'),
+            ('src/auth/token.py', 'python', 'function', 'generate_token', 'user,scope', 5, 8, 'Make a token.'),
+            ('src/auth/token.py', 'python', 'function', 'get', 'self,key', 12, 13, NULL),
+            ('src/auth/token.py', 'python', 'import', 'src/auth/token.py', 'hashlib', 2, 2, NULL),
+            ('src/auth/token.py', 'python', 'import', 'src/auth/token.py', '..config', 3, 3, NULL),
+            ('src/auth/token.py', 'python', 'inherit', 'TokenStore', 'BaseStore', 10, 10, NULL),
+            ('src/auth/token.py', 'python', 'module', 'src/auth/token.py', NULL, 1, 14, 'Token helpers.'),
+            ('src/bad.py', 'python', 'error', NULL, NULL, 1, 1, 'SyntaxError: invalid syntax'))
+        AS t(path, lang, entity_kind, name, target, line_start, line_end,
+             summary)
+"""
