@@ -304,6 +304,39 @@ def winnowing_fingerprints(
     return selected
 
 
+def dedup_clusters(
+    df: DataFrame,
+    verified_pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    verified pair graph (a~b, b~c => {a,b,c} one cluster even when a~c
+    was never scored), keep the minimum id per cluster. The principled
+    closure of dedup_corpus's pairwise drop — pairwise dropping already
+    collapses chains to their minimum, but only CC yields the cluster
+    assignment itself (needed for provenance/reporting, and for choosing
+    a KEEPER by any policy other than min-id).
+
+    Returns (id, cluster, keep) for every row of df; unpaired docs form
+    singleton clusters."""
+    from codebase_rag_spark.operators.graph import connected_components_star
+
+    edges = verified_pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    labels = connected_components_star(edges).select(
+        F.col("node").cast("string").alias("_n"), F.col("component").alias("cluster")
+    )
+    ids = df.select(F.col(id_col).cast("string").alias("_n"), F.col(id_col))
+    assigned = ids.join(labels, "_n", "left").select(
+        id_col,
+        F.coalesce("cluster", F.col("_n")).alias("cluster"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col(id_col))
+    return assigned.withColumn("keep", F.row_number().over(w) == 1)
+
+
 def keep_max_score_dedup(df: DataFrame, key_col: str, score_col: str) -> DataFrame:
     """Reference J8/A10: keep the max-score row per key
     (neo4j_knowledge_service.py:99-110; pack_builder.py:131-167)."""

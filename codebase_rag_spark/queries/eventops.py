@@ -186,7 +186,24 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def props_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an EXPLICIT struct schema (vs props_json_stats's
+    per-path get_json_object): one parse per row materializes every field
+    — the right shape when 2+ fields are read (n paths = n re-parses with
+    get_json_object). Malformed JSON -> null struct, not a failed job."""
+    e = load_table(spark, sf_dir, "events")
+    schema = "k INT, src STRING"
+    parsed = e.select(
+        "event_type", F.from_json("props", schema).alias("p")
+    )
+    return parsed.groupBy("event_type", F.col("p.src").alias("src")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("p.k"), 4).alias("avg_k"),
+    )
+
+
 QUERIES = {
+    "props_typed_extract": props_typed_extract,
     "cohort_retention": cohort_retention,
     "funnel_steps": funnel_steps,
     "hourly_tumbling": hourly_tumbling,
@@ -326,4 +343,14 @@ ORACLES["funnel_steps"] = """
         SELECT '2_view_click', count(*) FROM c
         UNION ALL
         SELECT '3_view_click_purchase', count(*) FROM p
+"""
+
+ORACLES["props_typed_extract"] = """
+        SELECT event_type,
+               json_extract_string(props, '$.src') AS src,
+               count(*) AS n,
+               round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4)
+                   AS avg_k
+        FROM events
+        GROUP BY event_type, src
 """

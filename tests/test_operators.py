@@ -450,3 +450,19 @@ def test_lsh_bucket_cap_guards_adversarial_skew(spark):
     pairs = {(r.id_a, r.id_b) for r in capped.collect()}
     assert all(a >= 200 and b >= 200 for a, b in pairs)
     assert (200, 201) in pairs
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """a~b and b~c verified (a~c never scored): all three land in ONE
+    cluster with a single keeper; unpaired docs are singletons."""
+    from codebase_rag_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {r.doc_id: (r.cluster, r.keep) for r in
+           dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert out[1][0] == out[2][0] == out[3][0]
+    assert [out[i][1] for i in (1, 2, 3)].count(True) == 1
+    assert out[9][1] and out[9][0] != out[1][0]
