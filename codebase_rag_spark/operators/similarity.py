@@ -173,45 +173,37 @@ def random_hyperplane_buckets(
     cosine-similar vectors land in the same bucket with probability
     1 - theta/pi per plane.
 
-    Plan shape: posexplode the vectors once, broadcast-join the tiny
-    (num_planes x dim) plane table, ONE hash aggregate for all plane dot
-    products (map-side partials), then an integer bit-pack per vector.
-    Per-plane dot products are summed in DECIMAL after per-term
-    quantization, so the sign bit — and therefore the bucket — is
-    summation-order-independent (a double sum could flip sign near 0
-    depending on partition order).
-
     At corpus scale the output is the `partitionBy("bucket")` write key;
     probing a query's bucket (plus optional multi-probe bit-flips) becomes
     parquet partition pruning, same as the IVF path.
+
+    Plan shape: the whole bucket computation is a SCAN-STAGE expression —
+    each plane's dot product is a zip_with/aggregate fold against a
+    LITERAL ±1 weight array, so no explode, no join, ZERO shuffles; each
+    row leaves the scan already carrying its bucket. (An earlier
+    posexplode + broadcast-join + two-aggregate formulation computed the
+    same numbers through two shuffles — strictly worse at every scale.)
     """
-    spark = embeddings.sparkSession
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    rows = [
-        (p, d, w)
-        for p in range(num_planes)
-        for d, w in enumerate(_plane_weights(p, dim))
-    ]
-    planes = spark.createDataFrame(rows, "plane int, pos int, w double")
-    e = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"),
-    )
-    proj = (
-        e.join(F.broadcast(planes), "pos")
-        .groupBy("_id", "plane")
-        .agg(F.sum((F.col("val") * F.col("w")).cast("decimal(28,10)")).alias("dot"))
-    )
-    bit = F.when(F.col("dot") > 0, F.lit(1)).otherwise(F.lit(0))
-    return (
-        proj.select("_id", "plane", bit.alias("bit"))
-        .groupBy("_id")
-        .agg(
-            F.sum(F.expr("bit * shiftleft(1, plane)")).cast("bigint").alias("bucket")
+    v = as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        w = F.array(*[F.lit(x) for x in _plane_weights(p, dim)])
+        # per-term DECIMAL(scale=10) quantization + exact decimal fold:
+        # the sign bit is partition-layout- and engine-independent. The
+        # merge re-casts to the accumulator type (Spark's decimal widening
+        # would otherwise drop the scale to 9); exact for these magnitudes
+        # (|dot| < 1e17).
+        dot = F.aggregate(
+            F.zip_with(v, w, lambda a, b: (a * b).cast("decimal(20,10)")),
+            F.lit(0).cast("decimal(27,10)"),
+            lambda acc, x: (acc + x).cast("decimal(27,10)"),
         )
-        .select(F.col("_id").alias(id_col), "bucket")
-    )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        ).cast("bigint")
+    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def rp_lsh_topk(

@@ -88,10 +88,10 @@ def test_top_tokens_take_ordered_single_shuffle(spark, sf_dir):
     assert count_exchanges(df) == 1  # map-side combine feeds one shuffle
 
 
-def test_rp_lsh_buckets_broadcast_planes(spark, sf_dir):
-    """The plane table joins by broadcast (never shuffles the exploded
-    vectors on pos) and the per-plane + per-vector aggregates bound the
-    shuffles."""
+def test_rp_lsh_buckets_scan_stage_only(spark, sf_dir):
+    """Bucket assignment is a pure scan-stage expression (literal-array
+    folds): the ONLY shuffle is the histogram groupBy — no explode, no
+    plane join."""
     df = QUERIES["rp_lsh_buckets"](spark, sf_dir)
-    assert has_broadcast_join(df)
-    assert count_exchanges(df) <= 3
+    assert not has_broadcast_join(df)
+    assert count_exchanges(df) == 1
