@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Full verification gate: tests + oracle at every SF + bench + plan dump.
+# Run the pieces sequentially — NEVER two Spark sessions concurrently on
+# this box (contention skews bench numbers ~15x).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== pytest =="
+python -m pytest tests/ -q 2>&1 | tail -1
+echo "== oracle sf0.001 =="
+python tools/check_oracle.py /root/testdata/sf0.001 2>&1 | tail -1
+echo "== oracle sf0.01 (driver gate) =="
+python tools/check_oracle.py 2>&1 | tail -1
+echo "== oracle sf0.1 =="
+python tools/check_oracle.py /root/testdata/sf0.1 2>&1 | tail -1
+echo "== bench sf0.1 =="
+python bench.py 2>/dev/null | tail -1
+echo "== plan dump =="
+python tools/dump_plans.py 2>/dev/null | tail -1
