@@ -337,6 +337,55 @@ def dedup_clusters(
     return assigned.withColumn("keep", F.row_number().over(w) == 1)
 
 
+def word_ngrams(text_col, n: int):
+    """Word n-grams as an array<string> column, computed entirely in the
+    scan stage (split + sequence + transform + slice — no UDF, no shuffle).
+    Docs shorter than n words yield an empty array (Spark's sequence()
+    would count DOWN for a negative span, so the guard is required)."""
+    words = F.split(F.trim(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    at least one word n-gram with the eval/benchmark corpus (the standard
+    n-gram-overlap decontamination used for pretraining corpora; GPT-3
+    appendix C / PaLM §7 use 8-13 grams).
+
+    Plan shape (the 100 TB path): the eval side is a benchmark suite —
+    tiny relative to the corpus — so its distinct grams BROADCAST; the
+    train side explodes grams in the scan stage and applies a broadcast
+    LEFT SEMI join (no shuffle of the corpus at all), then aggregates the
+    per-doc flag with a map-side-combined groupBy on the doc id. At larger
+    eval suites, fingerprint grams to 64-bit hashes first to shrink the
+    broadcast (false positives only make the filter conservative).
+
+    Returns train rows + a boolean `contaminated` column.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    eval_grams = eval_df.select(F.explode(grams).alias("gram")).distinct()
+    hit_ids = (
+        train.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return train.join(hit_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )
+
+
 def keep_max_score_dedup(df: DataFrame, key_col: str, score_col: str) -> DataFrame:
     """Reference J8/A10: keep the max-score row per key
     (neo4j_knowledge_service.py:99-110; pack_builder.py:131-167)."""

@@ -106,6 +106,60 @@ def normalize_per_group(
     return df.groupBy(group_col).applyInPandas(_norm, out_schema)
 
 
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights_pct: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mix resampling: downsample each domain so the
+    kept rows hit target proportions (integer percentages summing to 100),
+    maximizing total kept rows subject to per-domain availability.
+
+    All arithmetic is INTEGER (n*100 div pct), so the kept-row set is
+    bit-identical across engines and runs — no float rounding, no rand().
+    Row selection within a domain is by md5(id||salt) rank, so it is
+    partition-layout-independent.
+
+    Plan shape: one count agg (map-side combined), a scalar min (broadcast
+    back), one row_number window partitioned by domain (the only real
+    shuffle — at 100 TB the domain count is small so each domain's rank is
+    a single skewed partition; swap the exact rank for a hash-threshold
+    keep `bucket(id) < pct_scaled` when domains exceed executor memory,
+    trading exact counts for a layout-free scan-stage filter).
+    Domains absent from weights_pct are dropped (weight 0).
+    """
+    from pyspark.sql import Window
+
+    dom = F.col(domain_col)
+    pairs = [x for kv in weights_pct.items() for x in kv]
+    wmap = F.create_map(*[F.lit(x) for x in pairs])
+
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_total"))
+    cap = (
+        counts.withColumn("pct", wmap[dom])
+        .filter(F.col("pct").isNotNull())
+        .select(F.expr("n_total * 100 div pct").alias("cap"))
+        .agg(F.min("cap").alias("t_total"))
+    )
+    keep = (
+        counts.withColumn("pct", wmap[dom])
+        .filter(F.col("pct").isNotNull())
+        .crossJoin(F.broadcast(cap))
+        .select(dom.alias("_dom"), F.expr("t_total * pct div 100").alias("n_keep"))
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col)
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(keep), ranked[domain_col] == keep["_dom"])
+        .filter(F.col("_rn") <= F.col("n_keep"))
+        .drop("_rn", "_dom", "n_keep")
+    )
+
+
 def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """Data-quality profile: one row per column with null rate, distinct
     count, min/max (as strings). One pass over the data per metric family

@@ -15,6 +15,7 @@ from codebase_rag_spark.functions.text import tokens
 from codebase_rag_spark.operators.dedup import (
     embedding_near_dups,
     minhash_lsh_candidates,
+    ngram_decontaminate,
     ngram_jaccard_pairs,
     simhash_dedup,
 )
@@ -86,7 +87,27 @@ def winnowing_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over documents: every 20th doc plays the
+    held-out benchmark; training docs sharing any word 5-gram with it are
+    flagged. Per-lang contamination summary. The eval gram set broadcasts;
+    the corpus side is scan-stage explode + broadcast semi-join (zero
+    corpus shuffles before the final small agg)."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    flagged = ngram_decontaminate(train, eval_df, "doc_id", "text", n=5)
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_train"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_contaminated"),
+        F.round(
+            F.count(F.when(F.col("contaminated"), 1)) / F.count("*"), 4
+        ).alias("contamination_rate"),
+    )
+
+
 QUERIES = {
+    "benchmark_decontamination": benchmark_decontamination,
     "minhash_signatures": minhash_signatures,
     "lsh_candidates": lsh_candidates,
     "simhash_groups": simhash_groups,
@@ -178,6 +199,32 @@ ORACLES = {
         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
     """,
 }
+
+ORACLES["benchmark_decontamination"] = r"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(text), '\s+') AS words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+            FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+        ),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        cont AS (
+            SELECT DISTINCT g.doc_id
+            FROM g JOIN ev USING (gram)
+            WHERE g.doc_id % 20 <> 0
+        )
+        SELECT d.lang,
+               count(*) AS n_train,
+               CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+               round(count(c.doc_id)::DOUBLE / count(*), 4)
+                   AS contamination_rate
+        FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+        WHERE d.doc_id % 20 <> 0
+        GROUP BY d.lang
+"""
 
 ORACLES["near_dup_verify"] = f"""
         WITH cand AS (SELECT * FROM ({ORACLES["lsh_candidates"]}) q),

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.functions.text import token_count
 from codebase_rag_spark.operators.sampling import (
+    domain_mix_sample,
     profile_columns,
     sequence_packing,
     train_test_split,
@@ -44,8 +45,27 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANG_MIX = {"en": 40, "zh": 20, "de": 15, "es": 15, "fr": 10}
+
+
+def lang_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling: downsample documents so kept rows hit a
+    40/20/15/15/10 language mix, maximizing kept rows given availability.
+    Pure integer arithmetic + md5-rank selection — the kept set is
+    bit-identical on any engine/layout. sum_ids pins row-level (not just
+    count-level) agreement with the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = domain_mix_sample(d, "lang", "doc_id", LANG_MIX)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 QUERIES = {
     "doc_train_test_split": doc_train_test_split,
+    "lang_domain_mix": lang_domain_mix,
     "profile_lineitem": profile_lineitem,
     "doc_sequence_packing": doc_sequence_packing,
 }
@@ -54,7 +74,36 @@ _BUCKET = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::BIGINT % 100)"
 )
 
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in LANG_MIX.items())
+
 ORACLES = {
+    "lang_domain_mix": f"""
+        WITH wts(lang, pct) AS (VALUES {_MIX_VALUES}),
+        counts AS (
+            SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+        ),
+        cap AS (
+            SELECT min(n_total * 100 // pct) AS t_total
+            FROM counts JOIN wts USING (lang)
+        ),
+        keep AS (
+            SELECT lang, (SELECT t_total FROM cap) * pct // 100 AS n_keep
+            FROM wts
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix'), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT r.lang, count(*) AS n_kept,
+               round(avg(r.n_chars), 4) AS avg_chars,
+               CAST(sum(r.doc_id) AS BIGINT) AS sum_ids
+        FROM ranked r JOIN keep k ON r.lang = k.lang AND r.rn <= k.n_keep
+        GROUP BY r.lang
+    """,
     "doc_train_test_split": f"""
         WITH s AS (
             SELECT lang, n_chars,

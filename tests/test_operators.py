@@ -466,3 +466,54 @@ def test_dedup_clusters_transitive_closure(spark):
     assert out[1][0] == out[2][0] == out[3][0]
     assert [out[i][1] for i in (1, 2, 3)].count(True) == 1
     assert out[9][1] and out[9][0] != out[1][0]
+
+
+def test_ngram_decontaminate_flags_overlap_only(spark):
+    """A train doc sharing a 5-gram with the eval set is flagged; docs
+    with only shorter overlaps (<=4 shared words in a row) are not; short
+    docs (<5 words) never match."""
+    from codebase_rag_spark.operators.dedup import ngram_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text the quick brown fox jumps outro"),  # 5-gram hit
+            (2, "quick brown fox jumps elsewhere entirely now"),  # only 4 shared
+            (3, "lazy dog"),  # too short
+            (4, "completely unrelated content with many distinct words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.contaminated
+        for r in ngram_decontaminate(train, eval_df, "doc_id", "text", n=5).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_domain_mix_sample_hits_targets_deterministically(spark):
+    """60/40 mix over skewed domains: kept counts hit the integer targets
+    bounded by the scarce domain, and the kept id-set is identical across
+    partition layouts (hash-rank selection, not rand())."""
+    from codebase_rag_spark.operators.sampling import domain_mix_sample
+
+    rows = [(i, "a") for i in range(100)] + [(i + 1000, "b") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "dom"])
+    kept = domain_mix_sample(df, "dom", "doc_id", {"a": 60, "b": 40})
+    counts = {r.dom: r.n for r in kept.groupBy("dom").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # capacity: a allows 100*100 div 60 = 166; b allows 20*100 div 40 = 50
+    # -> t=50: keep a = 50*60 div 100 = 30, b = 50*40 div 100 = 20
+    assert counts == {"a": 30, "b": 20}
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in domain_mix_sample(
+            df.repartition(7, "doc_id"), "dom", "doc_id", {"a": 60, "b": 40}
+        ).collect()
+    )
+    assert ids1 == ids2
