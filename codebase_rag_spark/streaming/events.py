@@ -35,8 +35,15 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch; with availableNow this also forces the
+        # multi-batch drain that lets the watermark advance between files
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def streaming_tumbling_counts(
@@ -129,6 +136,73 @@ def stream_stream_purchase_clicks(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {join_window}")),
     ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+
+
+def stream_stream_left_outer_clicks(
+    events: DataFrame,
+    join_window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase emits, matched to
+    same-user clicks in the preceding join_window or null-extended if none
+    arrive. The engine can only declare 'no match' once the watermark
+    passes the purchase's join horizon, so null-extended rows emit with
+    watermark delay — that latency is the price of outer semantics on
+    unbounded streams, and the watermark bound is what keeps per-side
+    buffered state finite (same state topology as the inner join)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {join_window}")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows on a stream: F.session_window merges events
+    closer than `gap` into one growing window per user; a session closes
+    (and emits, in append mode) only when the watermark passes its end.
+    State is one open window per active user, watermark-bounded — the
+    streaming twin of the batch lag/cumsum sessionize
+    (operators/windows.py:sessionize), which the parity test pins it to."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
 
 
 def foreach_batch_ingest(

@@ -134,3 +134,115 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_sink").collect()]
     assert sorted(got) == list(range(10))
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: matched purchases emit normally;
+    an unmatched purchase emits null-extended once the watermark passes
+    its join horizon (advanced by a later sentinel file)."""
+    import datetime as dt
+
+    from codebase_rag_spark.streaming.events import (
+        stream_events,
+        stream_stream_left_outer_clicks,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = [
+        (1, base - dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (3, base, 1, "purchase", 9.0, "{}"),
+        (6, base, 3, "purchase", 9.0, "{}"),  # no clicks -> null-extended
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(src)
+    # Sentinels advance the watermark so user 3's purchase can be declared
+    # unmatched. The global watermark is the MIN across both watermarked
+    # inputs, and each side only sees events surviving its event_type
+    # filter — so the sentinels must be a far-future CLICK and a far-future
+    # PURCHASE (unrelated users), not some third type that both filters
+    # drop. Null-extended rows then emit in the trailing no-data batch.
+    sentinels = [
+        (99, base + dt.timedelta(hours=3), 9, "click", 0.0, "{}"),
+        (100, base + dt.timedelta(hours=3), 8, "purchase", 0.0, "{}"),
+    ]
+    spark.createDataFrame(sentinels, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    joined = stream_stream_left_outer_clicks(
+        stream_events(spark, src, max_files_per_trigger=1)
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql(
+            "SELECT * FROM ssj_outer WHERE user_id NOT IN (8, 9)"
+        ).collect()
+    }
+    assert got == {(3, 1), (6, None)}
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
+    """Native streaming session windows == batch lag/cumsum sessionize on
+    the same data: same session count per user, same per-session sizes."""
+    import datetime as dt
+
+    from codebase_rag_spark.streaming.events import (
+        stream_events,
+        streaming_session_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = [
+        # user 1: two sessions (40-min gap between event 2 and 3)
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 1, "click", 2.0, "{}"),
+        (3, base + dt.timedelta(minutes=50), 1, "click", 3.0, "{}"),
+        # user 2: one session of 2 events
+        (4, base, 2, "view", 1.0, "{}"),
+        (5, base + dt.timedelta(minutes=29), 2, "view", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(src)
+    sentinel = [(99, base + dt.timedelta(hours=6), 9, "view", 0.0, "{}")]
+    spark.createDataFrame(sentinel, cols).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_session_counts(stream_events(spark, src, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM sess_counts WHERE user_id <> 9"
+        ).collect()
+    }
+
+    from codebase_rag_spark.operators.windows import sessionize
+
+    batch = sessionize(
+        spark.read.parquet(src).filter("user_id <> 9"), "ts", "user_id", 30
+    )
+    from pyspark.sql import functions as F
+
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want
