@@ -121,3 +121,46 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).first()
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.10
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.05
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    when the build side of a shuffle join carries a selective filter, the
+    optimizer plants bloom_filter_agg(build keys) and wraps the probe-side
+    scan in might_contain(...), dropping non-joining rows BEFORE the
+    shuffle. At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only rows that can join. Default thresholds
+    target >10GB probe scans, so the test lowers them to fire at sf scale;
+    results must be identical either way."""
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        ords = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        return li.join(
+            ords.hint("shuffle_hash"), li.l_orderkey == ords.o_orderkey
+        ).groupBy("l_returnflag").count()
+
+    joined = build()
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        plan = explain_str(joined)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+        filtered = {r.l_returnflag: r["count"] for r in joined.collect()}
+    finally:
+        for k, v in saved.items():
+            (conf.set(k, v) if v is not None else conf.unset(k))
+    plain_df = build()  # fresh plan, optimized WITHOUT the runtime filter
+    assert "might_contain" not in explain_str(plain_df)
+    plain = {r.l_returnflag: r["count"] for r in plain_df.collect()}
+    assert filtered == plain
