@@ -1,0 +1,90 @@
+"""Corpus-statistics operators for training-data curation (beyond-reference
+north star): collocation mining and curriculum/difficulty binning.
+
+Reference analogue: the reference's transformers.py word chunking and
+quality heuristics operate per-document; these are the corpus-LEVEL
+passes a pretraining pipeline adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.text import tokens
+from codebase_rag_spark.operators.dedup import word_ngrams
+
+
+def collocation_lift(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: adjacent word pairs scored by LIFT —
+    p(ab) / (p(a)·p(b)) — the exponential of PMI. Lift is a single
+    division of integer counts, so it is bit-identical across engines
+    (PMI's log() is transcendental and may differ in the last ulp between
+    libm implementations; rank order is identical either way).
+
+    Plan shape (100 TB): two explode->hash-agg passes over the corpus
+    (unigrams, bigrams), both with map-side combine so shuffles carry one
+    row per distinct term; the scoring join is bigram-table x unigram
+    counts — vocabulary-sized, BROADCAST on both probes. The corpus itself
+    is never joined or shuffled row-wise.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    totals = uni.agg(F.sum("c").alias("t_tokens"))
+
+    big = (
+        df.select(F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+        .withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("gram"), " ").getItem(1))
+    )
+    n_bigrams = (
+        df.select(
+            F.sum(F.size(word_ngrams(F.col(text_col), 2))).alias("n_bigrams")
+        )
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "gram",
+            "c_ab",
+            F.round(
+                (F.col("c_ab") * F.col("t_tokens") * F.col("t_tokens"))
+                / (F.col("n_bigrams") * F.col("c_a") * F.col("c_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+def curriculum_bins(
+    df: DataFrame,
+    order_cols: list[str],
+    n_bins: int = 4,
+) -> DataFrame:
+    """Curriculum/difficulty tiering: NTILE(n) over a deterministic total
+    order (include a unique id as the last order col so ties are stable).
+
+    NTILE is a GLOBAL window — a single-partition sort. That is fine up to
+    ~100M rows on one executor; at 100 TB swap to the two-pass scale form:
+    approx_percentile cutoffs (one agg) + a scan-stage CASE bin — same
+    semantics modulo boundary ties, zero global sort. The exact form is
+    kept here because the DuckDB oracle pins it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    return df.withColumn("tier", F.ntile(n_bins).over(w))

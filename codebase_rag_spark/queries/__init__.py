@@ -17,6 +17,7 @@ from __future__ import annotations
 from codebase_rag_spark.queries import (
     analyticsops,
     codeops,
+    corpusops,
     dedupops,
     eventops,
     graphops,
@@ -40,6 +41,7 @@ _MODULES = [
     codeops,
     sampleops,
     sqlmeta,
+    corpusops,
 ]
 
 QUERIES = {}

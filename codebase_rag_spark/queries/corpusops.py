@@ -1,0 +1,100 @@
+"""Corpus-statistics queries: collocation mining and curriculum tiering
+(training-data curation passes over the documents table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.operators.corpus_stats import (
+    collocation_lift,
+    curriculum_bins,
+)
+
+MIN_COUNT = 5
+
+
+def collocation_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 adjacent-word collocations by lift (= exp(PMI)); lift is a
+    pure integer-count ratio, so ranks and values match any engine
+    bit-for-bit. Corpus is aggregated (never joined row-wise); the scoring
+    join is vocabulary-sized and broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        collocation_lift(d, "text", min_count=MIN_COUNT)
+        .orderBy(F.desc("lift"), "gram")
+        .limit(25)
+    )
+
+
+def curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents split into 4 curriculum tiers by length (NTILE over a
+    deterministic order), summarized per tier — the difficulty-staged
+    sharding pass of a curriculum-training pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    binned = curriculum_bins(d, ["n_chars", "doc_id"], n_bins=4)
+    return binned.groupBy("tier").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+QUERIES = {
+    "collocation_lift_top": collocation_lift_top,
+    "curriculum_tiers": curriculum_tiers,
+}
+
+ORACLES = {
+    "collocation_lift_top": rf"""
+        WITH w AS (
+            SELECT string_split_regex(trim(text), '\s+') AS words
+            FROM documents
+        ),
+        toks AS (SELECT unnest(words) AS tok FROM w),
+        uni AS (
+            SELECT tok, count(*) AS c FROM toks
+            WHERE tok <> '' GROUP BY tok
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tokens FROM uni),
+        grams AS (
+            SELECT array_to_string(words[i:i+1], ' ') AS gram
+            FROM w, UNNEST(range(1, len(words))) AS t(i)
+        ),
+        nb AS (SELECT count(*) AS n_bigrams FROM grams),
+        big AS (
+            SELECT gram, count(*) AS c_ab FROM grams
+            GROUP BY gram HAVING count(*) >= {MIN_COUNT}
+        ),
+        sp AS (
+            SELECT gram, c_ab,
+                   string_split(gram, ' ')[1] AS w1,
+                   string_split(gram, ' ')[2] AS w2
+            FROM big
+        )
+        SELECT sp.gram, sp.c_ab,
+               round(
+                   (sp.c_ab * t.t_tokens * t.t_tokens)
+                   / (n.n_bigrams * a.c * b.c), 4
+               ) AS lift
+        FROM sp
+        JOIN uni a ON sp.w1 = a.tok
+        JOIN uni b ON sp.w2 = b.tok, tot t, nb n
+        ORDER BY lift DESC, sp.gram
+        LIMIT 25
+    """,
+    "curriculum_tiers": """
+        WITH binned AS (
+            SELECT lang, n_chars,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+                       AS tier
+            FROM documents
+        )
+        SELECT tier, count(*) AS n_docs,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM binned GROUP BY tier
+    """,
+}

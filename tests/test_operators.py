@@ -517,3 +517,41 @@ def test_domain_mix_sample_hits_targets_deterministically(spark):
         ).collect()
     )
     assert ids1 == ids2
+
+
+def test_collocation_lift_ranks_true_pairs(spark):
+    """A bigram that always co-occurs ('new york') gets higher lift than a
+    pair of independently common words; counts below min_count drop."""
+    from codebase_rag_spark.operators.corpus_stats import collocation_lift
+
+    docs = [(i, "new york is big and the cat sat on the mat") for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.gram: (r.c_ab, r.lift) for r in
+           collocation_lift(df, "text", min_count=5).collect()}
+    assert "new york" in out and out["new york"][0] == 6
+    # 'the cat' shares 'the' with 'the mat' -> p(the) is high -> lower lift
+    assert out["new york"][1] > out["the cat"][1]
+    rare = collocation_lift(
+        spark.createDataFrame([(1, "solo pair")], ["doc_id", "text"]),
+        "text", min_count=5,
+    )
+    assert rare.count() == 0
+
+
+def test_curriculum_bins_are_ordered_and_balanced(spark):
+    """NTILE tiers: equal sizes (+-1), and every tier-1 value <= every
+    tier-4 value under the order column."""
+    from codebase_rag_spark.operators.corpus_stats import curriculum_bins
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(103)], ["id", "difficulty"]
+    )
+    out = curriculum_bins(df, ["difficulty", "id"], n_bins=4).collect()
+    sizes = {}
+    by_tier = {}
+    for r in out:
+        sizes[r.tier] = sizes.get(r.tier, 0) + 1
+        by_tier.setdefault(r.tier, []).append(r.difficulty)
+    assert sorted(sizes) == [1, 2, 3, 4]
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert max(by_tier[1]) <= min(by_tier[4])
