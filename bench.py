@@ -43,6 +43,9 @@ HEADLINE = [
     "hourly_tumbling",
     "user_sessions",
     "cohort_retention",
+    "benchmark_decontamination",
+    "lang_domain_mix",
+    "collocation_lift_top",
     "funnel_steps",
     "purchase_click_asof",
     "region_two_hop",

@@ -35,7 +35,11 @@ def collocation_lift(
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("w")).filter(
         F.col("w") != ""
     )
-    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    # uni is consumed THREE times (w1 probe, w2 probe, token total); left
+    # lazy, Spark re-runs the corpus explode+agg per consumer — materialize
+    # the vocabulary-sized result once (same lesson as the iterative graph
+    # ops: loop-invariant/reused small tables get localCheckpoint)
+    uni = toks.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
     totals = uni.agg(F.sum("c").alias("t_tokens"))
 
     big = (
@@ -46,10 +50,14 @@ def collocation_lift(
         .withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
         .withColumn("w2", F.split(F.col("gram"), " ").getItem(1))
     )
-    n_bigrams = (
-        df.select(
-            F.sum(F.size(word_ngrams(F.col(text_col), 2))).alias("n_bigrams")
-        )
+    # total bigram count WITHOUT a third explode pass: per doc it is just
+    # max(len(words)-1, 0), a scan-stage expression summed map-side
+    n_bigrams = df.select(
+        F.sum(
+            F.greatest(
+                F.size(F.split(F.trim(F.col(text_col)), r"\s+")) - 1, F.lit(0)
+            )
+        ).alias("n_bigrams")
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
