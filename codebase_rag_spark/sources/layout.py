@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_sized_sorted(
@@ -69,3 +70,58 @@ def z_order_key(x, y, bits: int = 16):
         terms.append(F.shiftleft(xbit.cast("bigint"), 2 * i))
         terms.append(F.shiftleft(ybit.cast("bigint"), 2 * i + 1))
     return reduce(add, terms)
+
+
+def file_manifest(spark, path: str, key_col: str | None = None) -> DataFrame:
+    """Per-file manifest of a parquet table via the hidden `_metadata`
+    struct: rows, bytes, and (optionally) the key column's min/max per
+    file — the lineage/debug view every table-maintenance job starts from
+    (an engine-native stand-in for an Iceberg/Delta manifest). One scan;
+    the per-file agg shuffles only one row per file."""
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.file_size").alias("file_bytes"),
+        *([F.col(key_col)] if key_col else []),
+    )
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.first("file_bytes").alias("file_bytes"),
+    ]
+    if key_col:
+        aggs += [
+            F.min(key_col).alias(f"min_{key_col}"),
+            F.max(key_col).alias(f"max_{key_col}"),
+        ]
+    return df.groupBy("file_path").agg(*aggs)
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented table into
+    ceil(total_bytes / target_bytes) files. The file count comes from the
+    table's OWN footer metadata (one lightweight `_metadata` scan), not a
+    driver-side filesystem walk, so the same code runs against any
+    Hadoop-compatible store. Returns the output file count.
+
+    At 100 TB this runs per-partition (compact yesterday's partition, not
+    the table); pair with write_sized_sorted to restore key ordering."""
+    sizes = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("fb"),
+        )
+        .groupBy("fp")
+        .agg(F.first("fb").alias("fb"))
+        .agg(F.sum("fb").alias("total"))
+        .first()
+    )
+    n_out = max(1, math.ceil((sizes["total"] or 0) / target_bytes))
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_out

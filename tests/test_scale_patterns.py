@@ -164,3 +164,91 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     assert "might_contain" not in explain_str(plain_df)
     plain = {r.l_returnflag: r["count"] for r in plain_df.collect()}
     assert filtered == plain
+
+
+def test_file_manifest_and_compaction(spark, sf_dir, tmp_path):
+    """50-way fragmented write -> manifest sees 50 files with correct row
+    totals -> compaction rewrites to the metadata-derived file count with
+    identical content."""
+    from codebase_rag_spark.sources.layout import compact_files, file_manifest
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    frag = str(tmp_path / "frag")
+    li.repartition(50).write.parquet(frag)
+
+    man = file_manifest(spark, frag, key_col="l_orderkey").collect()
+    assert len(man) == 50
+    assert sum(r.n_rows for r in man) == li.count()
+    assert all(r.file_bytes > 0 and r.min_l_orderkey <= r.max_l_orderkey
+               for r in man)
+
+    out = str(tmp_path / "compact")
+    total = sum(r.file_bytes for r in man)
+    n_out = compact_files(spark, frag, out, target_bytes=total // 3 + 1)
+    assert n_out == 3
+    assert len(file_manifest(spark, out).collect()) == 3
+    a = {tuple(r) for r in spark.read.parquet(out).collect()}
+    b = {tuple(r) for r in li.collect()}
+    assert a == b
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join handling: one hot key dominating a shuffle join gets
+    its partition split at runtime (plan shows 'skew=true') instead of one
+    straggler task carrying the whole key — the no-code answer to skewed
+    joins that salting handles manually. Thresholds lowered to fire at
+    test scale; result parity asserted against the unsplit run."""
+    from pyspark.sql import functions as F2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # ~99% of rows collapse onto join key 0 (a literal key would be
+    # constant-folded into a cartesian filter — the key must be
+    # data-derived for a real shuffle join to appear)
+    k = F2.when(F2.col("l_orderkey") % 100 < 99, F2.lit(0)).otherwise(
+        (F2.col("l_orderkey") % 100).cast("long")
+    )
+    # repartition(16) first: skew splits happen at MAP-OUTPUT granularity,
+    # and a single-file parquet scan is ONE map task whose hot block can't
+    # be split — the same reason real pipelines see AQE 'not splitting'
+    # after a single-task stage
+    skewed = li.select(k.alias("k"), "l_quantity").repartition(16)
+    dim = spark.createDataFrame(
+        [(i, f"tag{i}") for i in range(100)], ["k", "tag"]
+    )
+    conf = spark.conf
+    keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # test-scale shuffle blocks are tiny AND lz4-compressed (~10x on
+        # this repetitive data) — thresholds must be bytes-realistic
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        # the downstream groupBy makes AQE conservatively skip the split
+        # (it would add an extra shuffle); force it as a real pipeline
+        # fighting a straggler would
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        joined = skewed.join(dim.hint("shuffle_hash"), "k").groupBy("tag").agg(
+            F2.round(F2.sum("l_quantity"), 2).alias("total")
+        )
+        got = {(r.tag, r.total) for r in joined.collect()}
+        plan = explain_str(joined)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            (conf.set(k, v) if v is not None else conf.unset(k))
+    want = {
+        (r.tag, r.total)
+        for r in skewed.join(dim.hint("shuffle_hash"), "k")
+        .groupBy("tag")
+        .agg(F2.round(F2.sum("l_quantity"), 2).alias("total"))
+        .collect()
+    }
+    assert got == want
