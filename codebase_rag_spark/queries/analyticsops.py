@@ -182,7 +182,59 @@ def event_matrix_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("event_type", F.expr("substring(event_type, 3)"))
 
 
+def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (corr / covar_pop / stddev_pop /
+    var_pop) per returnflag — single hash aggregate, map-side partials;
+    the moment sketches merge associatively so the same plan holds at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_pop("l_discount"), 6).alias("discount_var"),
+    )
+
+
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values (10 x 50-unit buckets): the
+    bucket key is scan-stage integer arithmetic, so the histogram is one
+    map-side-combined aggregate — no sort, no window, same plan at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles (p50/p90/p99) of extended price per
+    returnflag. Discrete (not continuous) on purpose: interpolated
+    midpoints of 2-decimal prices land exactly on .xx5 round-half
+    boundaries where engines legitimately disagree; percentile_disc
+    returns an actual data value, which is engine-exact. Exact percentile
+    is a per-group sort at scale — the documented swap is
+    approx_percentile (t-digest, mergeable sketch; tolerance-tested in
+    test_scale_patterns) with identical query shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = "percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+    return li.groupBy("l_returnflag").agg(
+        F.expr(disc.format(p=0.5)).alias("p50"),
+        F.expr(disc.format(p=0.9)).alias("p90"),
+        F.expr(disc.format(p=0.99)).alias("p99"),
+    )
+
+
 QUERIES = {
+    "stat_aggregates": stat_aggregates,
+    "event_value_histogram": event_value_histogram,
+    "price_percentiles": price_percentiles,
     "order_status_cube": order_status_cube,
     "event_matrix_unpivot": event_matrix_unpivot,
     "revenue_grouping_sets": revenue_grouping_sets,
@@ -195,6 +247,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stat_aggregates": """
+        SELECT l_returnflag, count(*) AS n,
+               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               round(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               round(stddev_pop(l_quantity), 4) AS qty_stddev,
+               round(var_pop(l_discount), 6) AS discount_var
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "event_value_histogram": """
+        SELECT CAST(least(floor(value / 50), 9) AS INTEGER) AS bucket,
+               count(*) AS n_events,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value
+        FROM events GROUP BY 1
+    """,
+    "price_percentiles": """
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.5) AS p50,
+               quantile_disc(l_extendedprice, 0.9) AS p90,
+               quantile_disc(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "order_status_cube": """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
