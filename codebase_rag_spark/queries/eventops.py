@@ -202,7 +202,25 @@ def props_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed JSON (Spark 4): parse_json materializes an efficient
+    binary-encoded open document; variant_get extracts typed paths without
+    re-parsing per path (get_json_object) and without a fixed schema
+    (from_json) — the right shape for schema-drifting event payloads at
+    scale. Same aggregate as props_json_stats plus min/max, so the three
+    JSON strategies are directly comparable."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 QUERIES = {
+    "props_variant_stats": props_variant_stats,
     "props_typed_extract": props_typed_extract,
     "cohort_retention": cohort_retention,
     "funnel_steps": funnel_steps,
@@ -306,6 +324,15 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
 }
+
+ORACLES["props_variant_stats"] = """
+        SELECT event_type, count(*) AS n,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+                   AS avg_k,
+               min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type
+"""
 
 ORACLES["cohort_retention"] = """
         WITH e AS (

@@ -1,0 +1,68 @@
+"""Python DataSource API connector (Spark 4): the engine's connector-SDK
+surface (reference S10 connectors, docs/api/python-sdk.md connector
+registry). Lets a Python-only source — an internal API, a proprietary
+format, a service the JVM has no client for — participate as a REAL
+parallel Spark source: partition planning on the driver, per-partition
+reads on executors, Arrow-batched back to the JVM.
+
+The built-in example is a deterministic synthetic-corpus generator
+(useful for load tests and fixtures without shipping data); swap the
+`read` body for an HTTP/SDK call to make it a live connector. Register
+once per session: `spark.dataSource.register(SyntheticCorpusDataSource)`,
+then `spark.read.format("synthetic_corpus").option(...).load()`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_WORDS = (
+    "spark scan join merge sort hash table row batch vector "
+    "window agg key value fast slow the a part line"
+).split()
+
+
+def _det_text(pid: int, row: int, n_words: int) -> str:
+    """Deterministic pseudo-text from (partition, row) — md5-driven so any
+    executor produces identical rows for a partition (retries/speculative
+    tasks stay consistent; no RNG state)."""
+    out = []
+    for w in range(n_words):
+        h = hashlib.md5(f"{pid}:{row}:{w}".encode()).digest()
+        out.append(_WORDS[h[0] % len(_WORDS)])
+    return " ".join(out)
+
+
+class SyntheticCorpusDataSource(DataSource):
+    """format name: synthetic_corpus; options: partitions (default 4),
+    rows_per_partition (default 100), words_per_doc (default 20)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_corpus"
+
+    def schema(self) -> str:
+        return "doc_id bigint, part int, text string"
+
+    def reader(self, schema) -> "SyntheticCorpusReader":
+        return SyntheticCorpusReader(self.options)
+
+
+class SyntheticCorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_parts = int(options.get("partitions", 4))
+        self.rows = int(options.get("rows_per_partition", 100))
+        self.words = int(options.get("words_per_doc", 20))
+
+    def partitions(self):
+        # one InputPartition per planned split — Spark schedules each as a
+        # separate task; this is what makes the Python source PARALLEL
+        # rather than a driver-side iterator
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        pid = partition.value
+        for r in range(self.rows):
+            yield (pid * self.rows + r, pid, _det_text(pid, r, self.words))

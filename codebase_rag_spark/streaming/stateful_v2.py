@@ -1,0 +1,74 @@
+"""transformWithState stateful processor (Spark 4's successor API to
+applyInPandasWithState, SURVEY §2.13 extension).
+
+Where applyInPandasWithState exposes ONE opaque state tuple per key,
+transformWithStateInPandas gives a StatefulProcessor object-model:
+multiple named state variables (value/list/map) with independent TTLs,
+timers, and an init hook. The example keeps the same running per-user
+totals as streaming/stateful.py so the two APIs are directly comparable;
+production use cases are the ones needing composite state (e.g. a value
+state + a bounded recent-events list per key).
+
+Requires the RocksDB state store provider (set by stateful_totals's
+caller or session config); the HDFS-backed default store does not support
+this operator family in Spark 4. Also requires protobuf (the Python/JVM
+state-protocol wire format) — absent in this container, so the module is
+exercised only where protobuf exists (the test import-gates on it);
+applyInPandasWithState (streaming/stateful.py) covers the custom-stateful
+contract everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key running (count, sum) maintained in two named value states —
+    emits one updated row per key per micro-batch."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._count = handle.getValueState("n_events", "n bigint")
+        self._total = handle.getValueState("total_value", "t double")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        prev_n = self._count.get()
+        prev_t = self._total.get()
+        n = int(prev_n[0]) if prev_n else 0
+        t = float(prev_t[0]) if prev_t else 0.0
+        for pdf in rows:
+            n += len(pdf)
+            t += float(pdf["value"].sum())
+        self._count.update((n,))
+        self._total.update((t,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(t, 2)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_totals(events: DataFrame) -> DataFrame:
+    """Running per-user event count + value sum via transformWithState."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

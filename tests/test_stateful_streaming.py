@@ -77,3 +77,69 @@ def test_stateful_matches_batch_sessionize(spark, tmp_path):
         .agg(F.max("session_id").alias("n_sessions"))
     )
     assert streaming == {r.user_id: r.n_sessions for r in batch.collect()}
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 processor API): named value
+    states accumulate across micro-batches and survive a checkpointed
+    restart; requires the RocksDB state store AND protobuf (the state
+    protocol wire format) — gated like every optional dependency."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf "
+        "(absent in this container; applyInPandasWithState above covers "
+        "the custom-stateful contract)",
+    )
+
+    from codebase_rag_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        stateful_totals,
+    )
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, ROCKSDB_PROVIDER)
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    def drain():
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stateful_totals(stream_events(spark, src))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        latest = {}
+        for r in spark.read.parquet(out).collect():
+            cur = latest.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                latest[r.user_id] = (r.n_events, r.total_value)
+        return latest
+
+    try:
+        rows1 = [(i, BASE, 1, "click", 2.5, "{}") for i in range(4)]
+        spark.createDataFrame(rows1, COLS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        got = drain()
+        assert got[1] == (4, 10.0)
+
+        rows2 = [(10, BASE, 1, "click", 5.0, "{}"), (11, BASE, 2, "view", 1.0, "{}")]
+        spark.createDataFrame(rows2, COLS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        got = drain()
+        assert got[1] == (5, 15.0)
+        assert got[2] == (1, 1.0)
+    finally:
+        if saved is not None:
+            spark.conf.set(prov_key, saved)
+        else:
+            spark.conf.unset(prov_key)
