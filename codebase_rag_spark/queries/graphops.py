@@ -101,7 +101,44 @@ def doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
 
 
+RECURSIVE_REACH_SQL = """
+    WITH RECURSIVE edges(src, dst) AS (
+        SELECT 'r:' || CAST(n_regionkey AS STRING),
+               'n:' || CAST(n_nationkey AS STRING)
+        FROM nation
+        UNION ALL
+        SELECT 'n:' || CAST(c_nationkey AS STRING),
+               'c:' || CAST(c_custkey AS STRING)
+        FROM customer
+    ),
+    reach(node, depth) AS (
+        SELECT CAST('r:0' AS STRING), 0
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.depth < 2
+    )
+    SELECT depth, count(*) AS n_nodes,
+           min(node) AS first_node, max(node) AS last_node
+    FROM reach GROUP BY depth
+"""
+
+
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative bounded traversal via WITH RECURSIVE (Spark 4.1 SQL
+    recursion) — the set-based twin of bounded_traversal/J5: the SAME SQL
+    text runs on Spark and the oracle. Catalyst executes the recursion as
+    iterated union steps (each step a join against the frontier, same
+    shape as the hand-built BFS); the depth guard bounds the loop, and
+    spark.sql.cteRecursionLevelLimit backstops runaway recursion."""
+    from codebase_rag_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_REACH_SQL)
+
+
 QUERIES = {
+    "recursive_reachability": recursive_reachability,
     "region_two_hop": region_two_hop,
     "region_impact": region_impact,
     "doc_triangles": doc_triangles,
@@ -110,6 +147,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "recursive_reachability": RECURSIVE_REACH_SQL,
     "region_two_hop": """
         SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS node, CAST(1 AS INTEGER) AS depth
         FROM nation WHERE n_regionkey = 0
