@@ -124,6 +124,33 @@ def test_corpus_curation_pipeline_end_to_end(spark, tmp_path):
     n_dedup = deduped.count()
     assert 0 < n_dedup <= n_gated
 
+    # 4b. benchmark decontamination: drop train docs overlapping the
+    # held-out eval set (every 20th doc) on any 5-gram
+    from codebase_rag_spark.operators.dedup import ngram_decontaminate
+
+    eval_set = deduped.filter(F.col("doc_id") % 20 == 0)
+    train_pool = deduped.filter(F.col("doc_id") % 20 != 0)
+    clean = ngram_decontaminate(
+        train_pool, eval_set, "doc_id", "text", n=5
+    ).filter(~F.col("contaminated")).drop("contaminated")
+    n_clean = clean.count()
+    assert 0 < n_clean <= train_pool.count()
+
+    # 4c. domain-mix rebalance across languages (equal 25% targets over
+    # whatever languages survived; integer-exact, layout-independent)
+    from codebase_rag_spark.operators.sampling import domain_mix_sample
+
+    langs = [r.lang for r in clean.select("lang").distinct().collect()]
+    weights = {lang: 100 // len(langs) for lang in langs}  # sums to <= 100
+    mixed = domain_mix_sample(clean, "lang", "doc_id", weights)
+    kept_per_lang = {
+        r.lang: r.n
+        for r in mixed.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(kept_per_lang) <= set(weights)
+    deduped = mixed
+    n_dedup = sum(kept_per_lang.values())  # downstream stages see the mix
+
     # 5. deterministic split: disjoint, exhaustive, stable
     split = train_test_split(deduped, "doc_id", test_fraction=0.2)
     counts = dict(

@@ -143,3 +143,53 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.set(prov_key, saved)
         else:
             spark.conf.unset(prov_key)
+
+
+def test_state_store_reader_inspects_streaming_state(spark, tmp_path):
+    """Spark 4 state data source: the checkpointed state of a streaming
+    aggregation is itself a READABLE table (format 'statestore') — the
+    observability surface for debugging stuck stateful queries without
+    instrumenting them."""
+    import datetime as dt
+
+    from codebase_rag_spark.streaming.events import (
+        stream_events,
+        streaming_tumbling_counts,
+    )
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=30 * i), i % 2, "click", 1.0, "{}")
+        for i in range(8)
+    ]
+    spark.createDataFrame(rows, COLS).coalesce(1).write.parquet(src)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        streaming_tumbling_counts(stream_events(spark, src), duration="1 hour")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    ops = meta.collect()
+    assert len(ops) >= 1 and ops[0].operatorName == "stateStoreSave"
+
+    state = spark.read.format("statestore").load(ckpt)
+    # state rows are (key struct, value struct); the windowed agg keys by
+    # (window, event_type) and the value struct carries the INTERNAL agg
+    # buffers (count/sum), not the query's output aliases. Only windows
+    # NEWER than the final watermark (max ts 03:30 - 2h = 01:30) are still
+    # in state — the 00:00 window was evicted, which is exactly the
+    # bounded-state guarantee the watermark exists to provide.
+    vals = state.select("key.*", "value.*").collect()
+    per_window = {r["window"].start.hour: r["count"] for r in vals}
+    assert per_window == {1: 2, 2: 2, 3: 2}
+    assert all(r["event_type"] == "click" for r in vals)
