@@ -160,6 +160,39 @@ def domain_mix_sample(
     )
 
 
+def check_expectations(
+    df: DataFrame,
+    row_rules: dict[str, Column],
+    unique_keys: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Data-quality expectations report: each row rule is a boolean Column
+    (True = row passes); each unique_key entry asserts an expression is
+    distinct across the table. ALL rules evaluate in ONE aggregate pass
+    (map-side combined counts + count-distinct sketches) — adding a rule
+    adds an aggregate buffer, not a scan, which is what keeps an
+    expectations suite affordable at 100 TB.
+
+    Returns (rule, n_rows, n_violations, pass_rate) per rule."""
+    unique_keys = unique_keys or {}
+    aggs = [F.count("*").alias("__n")]
+    for name, cond in row_rules.items():
+        aggs.append(F.count(F.when(~cond, 1)).alias(f"{name}__v"))
+    for name, expr in unique_keys.items():
+        aggs.append(F.countDistinct(expr).alias(f"{name}__d"))
+    row = df.agg(*aggs).first()
+    n = int(row["__n"])
+    out = []
+    for name in row_rules:
+        v = int(row[f"{name}__v"])
+        out.append((name, n, v, round(1 - v / n, 4) if n else 1.0))
+    for name in unique_keys:
+        v = n - int(row[f"{name}__d"])
+        out.append((name, n, v, round(1 - v / n, 4) if n else 1.0))
+    return df.sparkSession.createDataFrame(
+        out, "rule string, n_rows bigint, n_violations bigint, pass_rate double"
+    )
+
+
 def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """Data-quality profile: one row per column with null rate, distinct
     count, min/max (as strings). One pass over the data per metric family

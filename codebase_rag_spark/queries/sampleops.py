@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.functions.text import token_count
 from codebase_rag_spark.operators.sampling import (
+    check_expectations,
     domain_mix_sample,
     profile_columns,
     sequence_packing,
@@ -63,8 +64,28 @@ def lang_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over lineitem: range rules, positivity,
+    and composite-key uniqueness — one aggregate pass for the whole suite
+    (the synthetic table's (orderkey, linenumber) is deliberately NOT
+    unique, so the report shows real violations, not all-green)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    return check_expectations(
+        li,
+        row_rules={
+            "quantity_in_1_50": F.col("l_quantity").between(1, 50),
+            "quantity_le_30": F.col("l_quantity") <= 30,
+            "discount_le_5pct": F.col("l_discount") <= 0.05,
+            "price_positive": F.col("l_extendedprice") > 0,
+        },
+        unique_keys={"order_line_unique": key},
+    )
+
+
 QUERIES = {
     "doc_train_test_split": doc_train_test_split,
+    "lineitem_expectations": lineitem_expectations,
     "lang_domain_mix": lang_domain_mix,
     "profile_lineitem": profile_lineitem,
     "doc_sequence_packing": doc_sequence_packing,
@@ -76,7 +97,45 @@ _BUCKET = (
 
 _MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in LANG_MIX.items())
 
+_EXPECT_SQL = """
+        WITH m AS (SELECT count(*) AS n FROM lineitem)
+        SELECT 'quantity_in_1_50' AS rule, (SELECT n FROM m) AS n_rows,
+               CAST(count(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 END) AS BIGINT) AS n_violations,
+               round(1 - count(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 END)
+                     / CAST((SELECT n FROM m) AS DOUBLE), 4) AS pass_rate
+        FROM lineitem
+        UNION ALL
+        SELECT 'quantity_le_30', (SELECT n FROM m),
+               CAST(count(CASE WHEN NOT (l_quantity <= 30) THEN 1 END) AS BIGINT),
+               round(1 - count(CASE WHEN NOT (l_quantity <= 30) THEN 1 END)
+                     / CAST((SELECT n FROM m) AS DOUBLE), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_le_5pct', (SELECT n FROM m),
+               CAST(count(CASE WHEN NOT (l_discount <= 0.05) THEN 1 END) AS BIGINT),
+               round(1 - count(CASE WHEN NOT (l_discount <= 0.05) THEN 1 END)
+                     / CAST((SELECT n FROM m) AS DOUBLE), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_positive', (SELECT n FROM m),
+               CAST(count(CASE WHEN NOT (l_extendedprice > 0) THEN 1 END) AS BIGINT),
+               round(1 - count(CASE WHEN NOT (l_extendedprice > 0) THEN 1 END)
+                     / CAST((SELECT n FROM m) AS DOUBLE), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'order_line_unique', (SELECT n FROM m),
+               CAST((SELECT n FROM m)
+                    - count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':'
+                            || CAST(l_linenumber AS VARCHAR)) AS BIGINT),
+               round(1 - ((SELECT n FROM m)
+                          - count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':'
+                                  || CAST(l_linenumber AS VARCHAR)))
+                     / CAST((SELECT n FROM m) AS DOUBLE), 4)
+        FROM lineitem
+"""
+
 ORACLES = {
+    "lineitem_expectations": _EXPECT_SQL,
     "lang_domain_mix": f"""
         WITH wts(lang, pct) AS (VALUES {_MIX_VALUES}),
         counts AS (

@@ -555,3 +555,31 @@ def test_curriculum_bins_are_ordered_and_balanced(spark):
     assert sorted(sizes) == [1, 2, 3, 4]
     assert max(sizes.values()) - min(sizes.values()) <= 1
     assert max(by_tier[1]) <= min(by_tier[4])
+
+
+def test_check_expectations_single_pass_report(spark):
+    """Row rules + uniqueness evaluate in one aggregate pass; violation
+    counts and pass rates are exact."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.sampling import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 30.0), (3, 200.0)], ["id", "v"]
+    )
+    out = {
+        r.rule: (r.n_violations, r.pass_rate)
+        for r in check_expectations(
+            df,
+            row_rules={
+                "v_positive": F.col("v") > 0,
+                "v_le_100": F.col("v") <= 100,
+            },
+            unique_keys={"id_unique": F.col("id")},
+        ).collect()
+    }
+    assert out == {
+        "v_positive": (1, 0.75),
+        "v_le_100": (1, 0.75),
+        "id_unique": (1, 0.75),
+    }
