@@ -46,6 +46,11 @@ HEADLINE = [
     "benchmark_decontamination",
     "lang_domain_mix",
     "collocation_lift_top",
+    "recursive_reachability",
+    "props_variant_stats",
+    "stat_aggregates",
+    "price_percentiles",
+    "lineitem_expectations",
     "funnel_steps",
     "purchase_click_asof",
     "region_two_hop",
