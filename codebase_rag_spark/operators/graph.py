@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -400,3 +400,60 @@ def edges_from_fk(
 
 def union_all(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with a FIXED iteration count and DETERMINISTIC tie-breaking, so
+    the oracle can unroll the identical iterations in SQL.
+
+    Init: label(v) = v. Each iteration every node simultaneously adopts the
+    most frequent label among its neighbors (undirected view of the edge
+    set), ties broken by lexicographic min label; isolated nodes keep their
+    own label. Unlike connected components the adopted label is the
+    neighborhood MODE, so dense clusters absorb their periphery while
+    bridges between clusters stay un-merged — communities, not components.
+
+    Physical shape per iteration: one shuffle join (frontier x labels), one
+    count aggregate on (node, label), one row_number window partitioned by
+    node, one left join back. The window partitions by node id — maximal
+    key cardinality, no skew beyond degree skew, which AQE's skew-join
+    split handles on the preceding join.
+
+    Reference parity: community detection over the code graph is the
+    reference's Neo4j GDS surface (graph_service.py exposes the traversal
+    layer it builds on); this is the Spark-native equivalent.
+    """
+    undirected = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        undirected.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for i in range(iterations):
+        counts = (
+            undirected.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), F.col("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -17,6 +17,7 @@ from codebase_rag_spark.operators.graph import (
     connected_components,
     edges_from_fk,
     impact_analysis,
+    label_propagation,
     pagerank,
     triangle_count,
     union_all,
@@ -242,4 +243,51 @@ ORACLES["doc_components"] = f"""
         {_CC_ITER.format(i=3, prev=2)},
         sizes AS (SELECT component, count(*) AS size FROM l3 GROUP BY component)
         SELECT size, count(*) AS n_components FROM sizes GROUP BY size
+"""
+
+
+def doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (3 fixed synchronous
+    iterations, mode-label adoption, min-label ties) over the 1-step doc
+    chain; summarized as community-size histogram. The neighborhood MODE —
+    not min — is what separates communities from components: chain
+    interiors converge on local hubs instead of one global min."""
+    labels = label_propagation(_doc_chain(spark, sf_dir, hops=1), iterations=3)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_communities"))
+
+
+QUERIES["doc_communities"] = doc_communities
+
+# One LPA iteration, unrolled: neighbor-label counts -> per-node argmax
+# (count desc, label asc — identical tie order to the Spark window) ->
+# left-join keeps isolated nodes on their own label.
+_LPA_ITER = """
+        c{i} AS (
+            SELECT u.dst AS node, r.label AS label, count(*) AS cnt
+            FROM u JOIN l{prev} r ON r.node = u.src
+            GROUP BY u.dst, r.label
+        ),
+        b{i} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label ASC) AS rn
+                FROM c{i})
+            WHERE rn = 1
+        ),
+        l{i} AS (
+            SELECT l.node, coalesce(b.label, l.label) AS label
+            FROM l{prev} l LEFT JOIN b{i} b ON b.node = l.node
+        )"""
+
+ORACLES["doc_communities"] = f"""
+        WITH e AS ({_CHAIN_1}),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM u),
+        {_LPA_ITER.format(i=1, prev=0)},
+        {_LPA_ITER.format(i=2, prev=1)},
+        {_LPA_ITER.format(i=3, prev=2)},
+        sizes AS (SELECT label, count(*) AS size FROM l3 GROUP BY label)
+        SELECT size, count(*) AS n_communities FROM sizes GROUP BY size
 """

@@ -583,3 +583,28 @@ def test_check_expectations_single_pass_report(spark):
         "v_le_100": (1, 0.75),
         "id_unique": (1, 0.75),
     }
+
+
+def test_label_propagation_barbell(spark):
+    from codebase_rag_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by a single bridge edge d-e: LPA keeps the two
+    # cliques in distinct communities (the bridge never outvotes 3
+    # intra-clique neighbors), while connected components would merge all 8.
+    clique1 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    clique2 = [("e", "f"), ("e", "g"), ("e", "h"), ("f", "g"), ("f", "h"), ("g", "h")]
+    edges = spark.createDataFrame(clique1 + clique2 + [("d", "e")], ["src", "dst"])
+    out = {r.node: r.label for r in label_propagation(edges, iterations=4).collect()}
+    left = {out[n] for n in "abcd"}
+    right = {out[n] for n in "efgh"}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    from codebase_rag_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([("a", "b"), ("c", "c")], ["src", "dst"])
+    out = {r.node: r.label for r in label_propagation(edges, iterations=2).collect()}
+    # self-loop node only ever sees its own label
+    assert out["c"] == "c"
