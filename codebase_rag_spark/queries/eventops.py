@@ -219,7 +219,44 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel variant — conversion-latency distribution: for users whose
+    first purchase lands within 7 days of their first view, histogram the
+    view->purchase latency by whole days plus the mean latency in hours.
+    Same shrinking-broadcast-join shape as funnel_steps; integer-µs math
+    (unix_micros / epoch_us) keeps both engines bit-identical, and DIV
+    gives the exact day bucket without float rounding."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+        .withColumn("deadline", F.col("v_ts") + F.expr("INTERVAL 7 DAYS"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(views), "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("deadline")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    lat = purchases.withColumn(
+        "lat_us", F.unix_micros("p_ts") - F.unix_micros("v_ts")
+    )
+    return (
+        lat.withColumn("day_bucket", F.expr("lat_us DIV 86400000000"))
+        .groupBy("day_bucket")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg(F.col("lat_us") / F.lit(3600000000.0)), 4).alias(
+                "avg_latency_h"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "conversion_latency": conversion_latency,
     "props_variant_stats": props_variant_stats,
     "props_typed_extract": props_typed_extract,
     "cohort_retention": cohort_retention,
@@ -380,4 +417,25 @@ ORACLES["props_typed_extract"] = """
                    AS avg_k
         FROM events
         GROUP BY event_type, src
+"""
+
+ORACLES["conversion_latency"] = """
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts, min(ts) + INTERVAL 7 DAY AS deadline
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts, min(v.v_ts) AS v_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+              AND e.ts <= v.deadline
+            GROUP BY e.user_id
+        ),
+        l AS (
+            SELECT user_id, epoch_us(p_ts) - epoch_us(v_ts) AS lat_us FROM p
+        )
+        SELECT lat_us // 86400000000 AS day_bucket,
+               count(*) AS n_users,
+               round(avg(lat_us / 3600000000.0::DOUBLE), 4) AS avg_latency_h
+        FROM l GROUP BY day_bucket
 """
