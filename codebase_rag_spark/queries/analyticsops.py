@@ -182,6 +182,30 @@ def event_matrix_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("event_type", F.expr("substring(event_type, 3)"))
 
 
+
+def region_metrics_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): per-region customer metrics flipped
+    to metric-rows x region-columns — the reshape dashboards ask for after
+    a groupBy. transpose() uses the first column as header; all metric
+    cells share one type (double). Runs on a 5-row aggregate — transpose
+    collects the index column to the driver to name columns, so it is a
+    small-result operator by construction (like pivot without values=...).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    agg = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("double").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+    return agg.transpose()
+
+
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family (corr / covar_pop / stddev_pop /
     var_pop) per returnflag — single hash aggregate, map-side partials;
@@ -237,6 +261,7 @@ QUERIES = {
     "price_percentiles": price_percentiles,
     "order_status_cube": order_status_cube,
     "event_matrix_unpivot": event_matrix_unpivot,
+    "region_metrics_transpose": region_metrics_transpose,
     "revenue_grouping_sets": revenue_grouping_sets,
     "user_event_pivot": user_event_pivot,
     "user_event_gaps": user_event_gaps,
@@ -374,4 +399,35 @@ ORACLES["event_matrix_unpivot"] = """
         SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         FROM u CROSS JOIN t
         LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""
+
+_RT_CELL = """max(CASE WHEN r_name = '{r}' THEN {m} END) AS "{r}\""""
+_RT_ROW = """
+        SELECT '{m}' AS key,
+               """ + ",\n               ".join(
+    "{c" + str(i) + "}" for i in range(5)
+) + """
+        FROM a"""
+_RT_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def _rt_row(metric: str) -> str:
+    cells = {
+        f"c{i}": _RT_CELL.format(r=r, m=metric) for i, r in enumerate(_RT_REGIONS)
+    }
+    return _RT_ROW.format(m=metric, **cells)
+
+
+ORACLES["region_metrics_transpose"] = f"""
+        WITH a AS (
+            SELECT r_name, CAST(count(*) AS DOUBLE) AS n_customers,
+                   round(avg(c_acctbal), 2) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        )
+        {_rt_row("n_customers")}
+        UNION ALL
+        {_rt_row("avg_acctbal")}
 """

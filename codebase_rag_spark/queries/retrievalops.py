@@ -175,6 +175,38 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDFs (Spark 4 `CREATE FUNCTION ... RETURN expr`,
+    SURVEY §2.8 function-extension surface): the body is inlined by
+    Catalyst at analysis time — zero serialization boundary, full
+    whole-stage codegen, unlike any Python UDF (.explain shows no
+    BatchEvalPython). The oracle inlines the identical expressions, so
+    this also proves the inlining is semantics-preserving."""
+    from codebase_rag_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+               ep DOUBLE, disc DOUBLE, tax DOUBLE)
+           RETURNS DOUBLE RETURN ep * (1 - disc) * (1 + tax)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(qty DOUBLE)
+           RETURNS BOOLEAN RETURN qty >= 30"""
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(net_price(l_extendedprice, l_discount, l_tax)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 2) AS net_revenue,
+               sum(CASE WHEN is_bulk(l_quantity) THEN 1 ELSE 0 END) AS n_bulk
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+
 QUERIES = {
     "fulltext_search": fulltext_search,
     "bm25_documents": bm25_documents,
@@ -183,6 +215,7 @@ QUERIES = {
     "order_lineage": order_lineage,
     "memory_tag_search": memory_tag_search,
     "sql_passthrough": sql_passthrough,
+    "sql_udf_net_revenue": sql_udf_net_revenue,
 }
 
 _TERMS_SQL = "('vector'), ('join'), ('merge')"
@@ -400,4 +433,13 @@ ORACLES["rrf_fusion"] = r"""
         FROM fused GROUP BY doc_id
         ORDER BY rrf_score DESC, doc_id
         LIMIT 10
+"""
+
+ORACLES["sql_udf_net_revenue"] = """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 2) AS net_revenue,
+               sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS n_bulk
+        FROM lineitem GROUP BY l_returnflag
 """

@@ -64,3 +64,27 @@ def test_weighted_median_udaf(spark):
     }
     assert got["a"] == 100.0
     assert got["b"] == 5.0  # cum weight 1.0 >= half(1.0) at the first value
+
+
+def test_sql_scalar_udf_inlines_into_codegen(spark):
+    # Spark 4 SQL UDF: body inlined by Catalyst — the physical plan must
+    # contain no Python evaluation node at all.
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION _t_net(ep DOUBLE, d DOUBLE)
+           RETURNS DOUBLE RETURN ep * (1 - d)"""
+    )
+    df = spark.sql(
+        "SELECT _t_net(CAST(v AS DOUBLE), 0.25) AS p FROM VALUES (100), (200) t(v)"
+    )
+    assert [r.p for r in df.orderBy("p").collect()] == [75.0, 150.0]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sql_table_udf(spark):
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION _t_seq(n INT)
+           RETURNS TABLE (x INT) RETURN SELECT explode(sequence(1, n))"""
+    )
+    out = spark.sql("SELECT sum(x) AS s FROM _t_seq(4)").first()
+    assert out.s == 10
