@@ -16,7 +16,13 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _WORDS = (
     "spark scan join merge sort hash table row batch vector "
@@ -66,3 +72,85 @@ class SyntheticCorpusReader(DataSourceReader):
         pid = partition.value
         for r in range(self.rows):
             yield (pid * self.rows + r, pid, _det_text(pid, r, self.words))
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: where the task staged its file and how many
+    rows it holds. Picklable (plain attributes only)."""
+
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonlSinkDataSource(DataSource):
+    """Writer side of the connector SDK (format name: jsonl_sink) — the
+    full two-phase commit protocol a production sink needs:
+
+    * executors stage rows into uniquely-named `.tmp-*` files (task
+      retries / speculative duplicates can never collide or corrupt),
+    * the driver's commit() atomically renames the staged files of the
+      WINNING task attempts to `part-NNNNN.jsonl` and writes a _SUCCESS
+      manifest (file list + row counts),
+    * abort() deletes every staged file — a failed job leaves no partial
+      output visible to readers.
+
+    Local filesystem here; a real deployment points the same protocol at
+    an object store (staged keys + manifest swap).
+
+    Usage: spark.dataSource.register(JsonlSinkDataSource);
+    df.write.format("jsonl_sink").option("path", p).mode("append").save()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlSinkWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        return JsonlSinkWriter(path)
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _JsonlCommit:
+        # executor-side: stage to a unique temp file; never write the
+        # final name directly (two-phase commit step 1)
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        # driver-side: publish winning attempts atomically (step 2)
+        import json
+        import os
+
+        manifest = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            manifest.append({"file": os.path.basename(final), "rows": m.rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": manifest, "total_rows": sum(x["rows"] for x in manifest)}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass

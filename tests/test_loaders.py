@@ -160,3 +160,30 @@ def test_orc_source_sink_roundtrip(spark, tmp_path):
     got = flt.agg({"l_quantity": "sum"}).first()[0]
     want = li.filter(li.l_returnflag == "A").agg({"l_quantity": "sum"}).first()[0]
     assert abs(got - want) < 1e-6
+
+
+def test_python_datasource_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Writer side of the Python DataSource API: executors stage .tmp
+    files, driver commit publishes part-NNNNN.jsonl + a _SUCCESS manifest;
+    the published data round-trips through spark.read.json."""
+    import json
+    import os
+
+    from codebase_rag_spark.sources.pydatasource import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 40, 1, 4).selectExpr("id", "concat('doc-', id) AS name")
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 4 and not [f for f in files if f.startswith(".tmp")]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["total_rows"] == 40
+    assert sorted(m["file"] for m in manifest["files"]) == parts
+
+    back = spark.read.json(out)
+    assert back.count() == 40
+    assert {r.name for r in back.collect()} == {f"doc-{i}" for i in range(40)}
