@@ -252,3 +252,26 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_hll_sketches_merge_across_groups(spark, sf_dir):
+    """Datasketches HLL (Spark 4 hll_sketch_agg / hll_union_agg): unlike a
+    plain approx_count_distinct result, the sketch BINARY is mergeable —
+    per-partition/per-day sketches can be stored and rolled up later
+    without touching raw data (the incremental-distinct pattern for
+    100 TB). The union of per-group sketches must estimate the SAME value
+    as one global sketch (merge is lossless), and land within HLL error of
+    the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_agg(l_partkey, 12)").alias("sk")
+    )
+    merged = per_flag.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("est")
+    ).first()
+    direct = li.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").alias("est")
+    ).first()
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    assert merged.est == direct.est  # merge must be exactly lossless
+    assert abs(merged.est - exact) / exact < 0.05
