@@ -51,13 +51,16 @@ HEADLINE = [
     "stat_aggregates",
     "price_percentiles",
     "lineitem_expectations",
+    "sql_udf_net_revenue",
     "funnel_steps",
+    "conversion_latency",
     "purchase_click_asof",
     "region_two_hop",
     "fulltext_search",
     "bm25_documents",
     "hybrid_retrieval",
     "doc_pagerank",
+    "doc_communities",
     "doc_components",
     "doc_train_test_split",
     "doc_sequence_packing",
