@@ -193,3 +193,88 @@ def test_state_store_reader_inspects_streaming_state(spark, tmp_path):
     per_window = {r["window"].start.hour: r["count"] for r in vals}
     assert per_window == {1: 2, 2: 2, 3: 2}
     assert all(r["event_type"] == "click" for r in vals)
+
+
+def test_state_store_reader_dedup_and_join_state(spark, tmp_path):
+    """State reader over the OTHER stateful operators: the dedup state
+    (one entry per seen key) and the stream-stream join state (per-side
+    stores named left/right-keyToNumValues / keyWithIndexToValue) are
+    readable tables too — state-size and skew regressions in dedup/join
+    pipelines are queryable from the checkpoint alone."""
+    import datetime as dt
+
+    from codebase_rag_spark.streaming.events import (
+        stream_events,
+        stream_stream_purchase_clicks,
+        streaming_dedup_events,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    # --- dedup state: 6 events, 2 duplicate event_ids -> 4 state keys
+    src1, ck1, out1 = (str(tmp_path / d) for d in ("s1", "c1", "o1"))
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i, "click", 1.0, "{}")
+        for i in range(4)
+    ] + [
+        (0, base + dt.timedelta(minutes=10), 9, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=11), 9, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, COLS).coalesce(1).write.parquet(src1)
+
+    def sink1(b, _):
+        b.write.mode("append").parquet(out1)
+
+    q = (
+        streaming_dedup_events(stream_events(spark, src1))
+        .writeStream.foreachBatch(sink1)
+        .outputMode("append")
+        .option("checkpointLocation", ck1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out1).count() == 4  # dups dropped
+
+    meta = spark.read.format("state-metadata").load(ck1)
+    assert meta.first().operatorName == "dedupeWithinWatermark"
+    keys = spark.read.format("statestore").load(ck1)
+    assert sorted(r["key"]["event_id"] for r in keys.collect()) == [0, 1, 2, 3]
+
+    # --- stream-stream join state: per-side stores, readable by storeName
+    src2, ck2, out2 = (str(tmp_path / d) for d in ("s2", "c2", "o2"))
+    ev = [
+        (1, base + dt.timedelta(minutes=0), 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=5), 7, "purchase", 9.0, "{}"),
+        (3, base + dt.timedelta(minutes=6), 8, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(ev, COLS).coalesce(1).write.parquet(src2)
+
+    def sink2(b, _):
+        b.write.mode("append").parquet(out2)
+
+    q = (
+        stream_stream_purchase_clicks(stream_events(spark, src2))
+        .writeStream.foreachBatch(sink2)
+        .outputMode("append")
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out2).count() == 1  # the user-7 match
+
+    meta2 = spark.read.format("state-metadata").load(ck2)
+    rows2 = meta2.collect()  # one row per (operator, state store)
+    assert {r.operatorName for r in rows2} == {"symmetricHashJoin"}
+    store_names = {r.stateStoreName for r in rows2}
+    assert "left-keyToNumValues" in store_names
+    assert "right-keyToNumValues" in store_names
+    left = (
+        spark.read.format("statestore")
+        .option("storeName", "left-keyToNumValues")
+        .load(ck2)
+    )
+    # the purchase side buffered its key while waiting for late clicks
+    # (join-state key structs use positional names field0..fieldN)
+    assert {r["key"]["field0"] for r in left.collect()} == {7}
