@@ -350,8 +350,88 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no commitdate column — late means shipped
+    >90 days after the order date): per order priority, how many orders
+    have AT LEAST ONE late lineitem. LEFT SEMI join — the probe side
+    emits each order at most once, no post-join distinct, no row
+    multiplication; Catalyst plans the same shape for a correlated EXISTS
+    (the oracle spells it as EXISTS to prove the equivalence)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+WAITING_SUPPLIERS_SQL = """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+"""
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the available columns): suppliers whose
+    late items were the ONLY late items in a multi-supplier order. The
+    interesting part is the correlated EXISTS + NOT EXISTS pair — Catalyst
+    decorrelates them into a left-semi and a left-anti join against the
+    same lineitem scan; identical SQL runs on the oracle."""
+    from codebase_rag_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(WAITING_SUPPLIERS_SQL)
+
+
+def nation_acctbal_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups passing a GLOBAL threshold (4% of the
+    worldwide supplier balance). The DataFrame form decorrelates the
+    scalar subquery explicitly: the 1-row global aggregate cross-joins
+    (broadcast, zero cost) onto the per-nation aggregate — at 100 TB the
+    global agg is a map-side-combined scan, never a driver collect."""
+    sup = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dec = F.col("s_acctbal").cast("decimal(18,6)")
+    per_nation = (
+        sup.join(F.broadcast(n), sup.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec).alias("_bal"))
+    )
+    total = sup.agg((F.sum(dec) * F.lit(0.04)).alias("_thresh"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("_bal") > F.col("_thresh"))
+        .select("n_name", F.round(F.col("_bal").cast("double"), 2).alias("total_bal"))
+    )
+
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "late_order_priority": late_order_priority,
+    "waiting_suppliers": waiting_suppliers,
+    "nation_acctbal_share": nation_acctbal_share,
     "shipping_priority": shipping_priority,
     "promo_revenue_share": promo_revenue_share,
     "big_orders": big_orders,
@@ -588,4 +668,27 @@ ORACLES["promo_revenue_share"] = """
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-03-01'
           AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+ORACLES["late_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o.o_orderkey
+              AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority
+"""
+
+ORACLES["waiting_suppliers"] = WAITING_SUPPLIERS_SQL
+
+ORACLES["nation_acctbal_share"] = """
+        SELECT n_name,
+               round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS total_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING sum(CAST(s_acctbal AS DECIMAL(18,6))) >
+               (SELECT sum(CAST(s_acctbal AS DECIMAL(18,6))) * 0.04 FROM supplier)
 """

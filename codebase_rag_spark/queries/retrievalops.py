@@ -440,6 +440,6 @@ ORACLES["sql_udf_net_revenue"] = """
                count(*) AS n_items,
                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                                    AS DECIMAL(18,6))) AS DOUBLE), 2) AS net_revenue,
-               sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS n_bulk
+               CAST(sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
         FROM lineitem GROUP BY l_returnflag
 """
