@@ -106,6 +106,39 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup verify stage #2: LSH candidates re-scored by LEVENSHTEIN
+    edit distance over the first 80 chars (both engines ship the identical
+    DP distance as a built-in). Like near_dup_verify, the O(len^2) distance
+    runs on CANDIDATE pairs only — the LSH blocking is what makes edit
+    distance affordable at corpus scale; the tiny candidate set broadcasts
+    onto the documents scan (no shuffle of the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    prefix = F.substring("text", 1, 80)
+    ta = d.select(F.col("doc_id").alias("id_a"), prefix.alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("id_b"), prefix.alias("_tb"))
+    return (
+        F.broadcast(cands)
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").alias("edit_dist"),
+            F.round(
+                F.lit(1.0)
+                - F.levenshtein("_ta", "_tb")
+                / F.greatest(F.length("_ta"), F.length("_tb")),
+                4,
+            ).alias("sim"),
+        )
+    )
+
+
+
 QUERIES = {
     "benchmark_decontamination": benchmark_decontamination,
     "minhash_signatures": minhash_signatures,
@@ -113,6 +146,7 @@ QUERIES = {
     "simhash_groups": simhash_groups,
     "jaccard_pairs": jaccard_pairs,
     "near_dup_verify": near_dup_verify,
+    "edit_distance_verify": edit_distance_verify,
     "winnowing_sketch": winnowing_sketch,
 }
 
@@ -270,4 +304,16 @@ ORACLES["winnowing_sketch"] = r"""
         )
         SELECT doc_id, count(*) AS n_fps, min(sel) AS min_fp
         FROM fps GROUP BY doc_id
+"""
+
+ORACLES["edit_distance_verify"] = f"""
+        WITH cand AS (SELECT * FROM ({ORACLES["lsh_candidates"]}) q),
+        t AS (SELECT doc_id, substr(text, 1, 80) AS p FROM documents)
+        SELECT c.id_a, c.id_b,
+               levenshtein(a.p, b.p) AS edit_dist,
+               round(1.0 - levenshtein(a.p, b.p)::DOUBLE
+                     / greatest(length(a.p), length(b.p)), 4) AS sim
+        FROM cand c
+        JOIN t a ON a.doc_id = c.id_a
+        JOIN t b ON b.doc_id = c.id_b
 """
