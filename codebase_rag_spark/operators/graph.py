@@ -457,3 +457,38 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def k_core(edges: DataFrame, k: int = 2, iterations: int = 3) -> DataFrame:
+    """k-core decomposition by iterative peeling with a FIXED iteration
+    count (converged iff no node was dropped in the last round; fixed
+    rounds keep it oracle-unrollable like connected_components). Each
+    round drops nodes of undirected degree < k, then recomputes degrees
+    over the surviving induced subgraph.
+
+    Physical shape per round: two semi-joins (edge endpoints vs survivors)
+    + one count aggregate — all on the edge key, so one shuffle
+    partitioning serves every round; the shrinking survivor set broadcasts.
+    Returns the surviving (node) set after `iterations` rounds."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    survivors = und.select(F.col("src").alias("node")).distinct()
+    for _ in range(iterations):
+        alive = und.join(
+            F.broadcast(survivors), und.src == survivors.node, "left_semi"
+        ).join(
+            F.broadcast(survivors.withColumnRenamed("node", "_n")),
+            F.col("dst") == F.col("_n"),
+            "left_semi",
+        )
+        survivors = (
+            alive.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return survivors

@@ -17,6 +17,7 @@ from codebase_rag_spark.operators.graph import (
     connected_components,
     edges_from_fk,
     impact_analysis,
+    k_core,
     label_propagation,
     pagerank,
     triangle_count,
@@ -290,4 +291,44 @@ ORACLES["doc_communities"] = f"""
         {_LPA_ITER.format(i=3, prev=2)},
         sizes AS (SELECT label, count(*) AS size FROM l3 GROUP BY label)
         SELECT size, count(*) AS n_communities FROM sizes GROUP BY size
+"""
+
+
+def doc_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the 1+2-step doc chain (3 peeling rounds): chain interiors
+    survive (degree >= 2 via the hop-1 + hop-2 edges), chain endpoints and
+    stragglers peel off. Summarized as count + id range so the result is
+    small and exact."""
+    core = k_core(_doc_chain(spark, sf_dir, hops=2), k=2, iterations=3)
+    return core.agg(
+        F.count("*").alias("n_core_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+QUERIES["doc_k_core"] = doc_k_core
+
+# One peeling round, unrolled: induced edges (both endpoints alive) ->
+# recount degrees -> keep nodes with degree >= k.
+_KCORE_ITER = """
+        e{i} AS (
+            SELECT u.src, u.dst FROM u
+            JOIN s{prev} a ON u.src = a.node
+            JOIN s{prev} b ON u.dst = b.node
+        ),
+        s{i} AS (
+            SELECT src AS node FROM e{i} GROUP BY src HAVING count(*) >= 2
+        )"""
+
+ORACLES["doc_k_core"] = f"""
+        WITH e AS ({_CHAIN_1} UNION {_CHAIN_2}),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        s0 AS (SELECT DISTINCT src AS node FROM u),
+        {_KCORE_ITER.format(i=1, prev=0)},
+        {_KCORE_ITER.format(i=2, prev=1)},
+        {_KCORE_ITER.format(i=3, prev=2)}
+        SELECT count(*) AS n_core_nodes, min(node) AS min_node,
+               max(node) AS max_node
+        FROM s3
 """

@@ -608,3 +608,16 @@ def test_label_propagation_isolated_node_keeps_label(spark):
     out = {r.node: r.label for r in label_propagation(edges, iterations=2).collect()}
     # self-loop node only ever sees its own label
     assert out["c"] == "c"
+
+
+def test_k_core_peels_tails_keeps_triangle(spark):
+    from codebase_rag_spark.operators.graph import k_core
+
+    # triangle a-b-c plus a pendant chain c-d-e: 2-core = the triangle.
+    # one round removes e (deg 1); the next removes d (deg drops to 1).
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        ["src", "dst"],
+    )
+    core = {r.node for r in k_core(edges, k=2, iterations=3).collect()}
+    assert core == {"a", "b", "c"}
