@@ -127,7 +127,7 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("_ta", "_tb").alias("edit_dist"),
+            F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
             F.round(
                 F.lit(1.0)
                 - F.levenshtein("_ta", "_tb")
