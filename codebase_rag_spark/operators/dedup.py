@@ -410,3 +410,68 @@ def keep_max_score_dedup(df: DataFrame, key_col: str, score_col: str) -> DataFra
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT Jaccard-similarity self-join via prefix filtering (the
+    All-Pairs / PPJoin principle, Bayardo et al. WWW'07): two token sets
+    with Jaccard >= t must share a token within the first
+    |s| - ceil(t*|s|) + 1 tokens when every set is ordered by the same
+    global token order (rarest-first document frequency here — correct for
+    ANY fixed order, fastest with rare tokens first because candidate
+    buckets stay small). Unlike MinHash LSH this misses NOTHING: the
+    output equals the brute-force all-pairs join, which is exactly what
+    the oracle computes.
+
+    Plan: tokenize -> explode -> global df agg -> per-doc ordered array
+    (one groupBy of (df, tok) structs) -> explode only the PREFIX ->
+    equi-join on prefix token -> exact verify on the full arrays. The
+    quadratic blowup is confined to per-prefix-token buckets, and the
+    verify join ships only candidate ids."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    exploded = base.select("_id", F.explode("_toks").alias("tok"))
+    docfreq = exploded.groupBy("tok").agg(F.count("*").alias("_df"))
+    ordered = (
+        exploded.join(docfreq, "tok")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "tok"))),
+                lambda s: s.tok,
+            ).alias("_ord")
+        )
+    )
+    plen = F.size("_ord") - F.ceil(F.lit(threshold) * F.size("_ord")) + 1
+    prefixes = ordered.select(
+        "_id", F.explode(F.slice("_ord", F.lit(1), plen)).alias("ptok")
+    )
+    cands = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "ptok")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sets = base.select(F.col("_id"), F.col("_toks"))
+    verified = (
+        cands.join(sets.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_ta", "_tb"))
+                / F.size(F.array_union("_ta", "_tb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")

@@ -139,12 +139,26 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT similarity self-join (docs < 80, Jaccard >=
+    0.4): the scalable algorithm (prefix-filter candidates, verify only
+    those) must return EXACTLY the brute-force all-pairs answer — the
+    oracle computes the quadratic version, so a hash match IS the
+    losslessness theorem checked end-to-end."""
+    from codebase_rag_spark.operators.dedup import prefix_filter_jaccard_join
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return prefix_filter_jaccard_join(d, "doc_id", "text", threshold=0.4)
+
+
+
 QUERIES = {
     "benchmark_decontamination": benchmark_decontamination,
     "minhash_signatures": minhash_signatures,
     "lsh_candidates": lsh_candidates,
     "simhash_groups": simhash_groups,
     "jaccard_pairs": jaccard_pairs,
+    "prefix_jaccard_pairs": prefix_jaccard_pairs,
     "near_dup_verify": near_dup_verify,
     "edit_distance_verify": edit_distance_verify,
     "winnowing_sketch": winnowing_sketch,
@@ -316,4 +330,20 @@ ORACLES["edit_distance_verify"] = f"""
         FROM cand c
         JOIN t a ON a.doc_id = c.id_a
         JOIN t b ON b.doc_id = c.id_b
+"""
+
+ORACLES["prefix_jaccard_pairs"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+            FROM documents WHERE doc_id < 80
+        )
+        SELECT * FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+                       AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE len(a.toks) > 0 AND len(b.toks) > 0
+        ) WHERE jaccard >= 0.4
 """

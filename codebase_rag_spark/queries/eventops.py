@@ -4,7 +4,7 @@ tumbling/sliding windows, sessionization, as-of join, JSON extraction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codebase_rag_spark.catalog import load_table
@@ -255,8 +255,45 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: hourly per-type counts over the
+    FULL min..max hour spine — absent hours materialize as 0-count rows
+    with the last seen hourly average forward-filled. The spine is
+    sequence()+explode off a 1-row global bound (broadcast); the fill is
+    last(ignorenulls) over an ordered per-type window — no driver-side
+    date loop, and the spine grows with the time range, not the data."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = spine.crossJoin(e.select("event_type").distinct())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", _FMT).alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("ffill_avg"),
+        )
+    )
+
+
+
 QUERIES = {
     "conversion_latency": conversion_latency,
+    "hourly_gap_fill": hourly_gap_fill,
     "props_variant_stats": props_variant_stats,
     "props_typed_extract": props_typed_extract,
     "cohort_retention": cohort_retention,
@@ -438,4 +475,28 @@ ORACLES["conversion_latency"] = """
                count(*) AS n_users,
                round(avg(lat_us / 3600000000.0::DOUBLE), 4) AS avg_latency_h
         FROM l GROUP BY day_bucket
+"""
+
+ORACLES["hourly_gap_fill"] = """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*) AS n, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        ),
+        grid AS (
+            SELECT s.h, t.event_type
+            FROM spine s, (SELECT DISTINCT event_type FROM events) t
+        )
+        SELECT g.event_type,
+               strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+               coalesce(hourly.n, 0) AS n_events,
+               last_value(hourly.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.h
+                   ROWS UNBOUNDED PRECEDING) AS ffill_avg
+        FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type
+                                    AND hourly.h = g.h
 """

@@ -621,3 +621,33 @@ def test_k_core_peels_tails_keeps_triangle(spark):
     )
     core = {r.node for r in k_core(edges, k=2, iterations=3).collect()}
     assert core == {"a", "b", "c"}
+
+
+def test_prefix_filter_jaccard_equals_brute_force(spark):
+    from codebase_rag_spark.operators.dedup import prefix_filter_jaccard_join
+
+    docs = [
+        (1, "a b c d"),
+        (2, "a b c e"),        # jac(1,2)=3/5=0.6
+        (3, "x y z"),
+        (4, "x y z"),          # jac(3,4)=1.0
+        (5, "a x q r s t u"),  # low overlap with everything
+        (6, "c d"),            # jac(1,6)=2/4=0.5
+        (7, "unique tokens only here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_join(df, "doc_id", "text", 0.5).collect()
+    }
+    # brute force
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= 0.5:
+                    want[(i, j)] = round(jac, 4)
+    assert got == want and (3, 4) in got and (1, 2) in got
