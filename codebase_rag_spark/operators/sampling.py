@@ -224,3 +224,38 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         "column string, n_rows bigint, n_nulls bigint, null_rate double, "
         "n_distinct bigint, min_value string, max_value string",
     )
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    size_col: Column,
+    cap: int = 500,
+    salt: str = "pps",
+) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli sampling, fully
+    DETERMINISTIC: row i is kept iff uniform(i) < p(i), where p(i) =
+    min(size_i, cap)/cap and uniform(i) is the first 8 md5 hex digits of
+    (id||salt) scaled to [0, 2^32). The comparison is INTEGER on both
+    sides — threshold(i) = min(size_i, cap) * 2^32 div cap — so the kept
+    set is bit-identical in any engine and independent of partitioning
+    (the property rand()-based sampling loses on every re-run/re-layout).
+
+    Adds `p` (inclusion probability) so downstream can build
+    Horvitz-Thompson unbiased totals: sum(x/p) over the sample estimates
+    sum(x) over the population — the standard way a 100 TB corpus gets
+    profiled from a 1% sample without bias."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    size_i = F.least(size_col.cast("bigint"), F.lit(cap))
+    threshold = (size_i * F.lit(4294967296).cast("bigint")) / F.lit(cap)
+    return (
+        df.withColumn("_u", h)
+        .withColumn("_thr", F.floor(threshold).cast("bigint"))
+        .filter(F.col("_u") < F.col("_thr"))
+        .withColumn("p", size_i.cast("double") / F.lit(float(cap)))
+        .drop("_u", "_thr")
+    )

@@ -85,10 +85,34 @@ def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS (probability-proportional-to-size) Bernoulli
+    sample of documents (p = n_chars/500 capped at 1) summarized per lang
+    with the Horvitz-Thompson estimator of TOTAL corpus chars: big docs
+    are sampled more, and dividing each sampled size by its inclusion
+    probability de-biases the total — sum(n_chars/p) over the sample
+    estimates sum(n_chars) over everything. Integer hash-threshold
+    comparison => identical kept set in both engines."""
+    from codebase_rag_spark.operators.sampling import weighted_bernoulli_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    s = weighted_bernoulli_sample(d, "doc_id", F.col("n_chars"), cap=500)
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(
+            F.sum((F.col("n_chars") / F.col("p")).cast("decimal(18,6)"))
+            .cast("double"),
+            2,
+        ).alias("ht_total_chars"),
+    )
+
+
+
 QUERIES = {
     "doc_train_test_split": doc_train_test_split,
     "lineitem_expectations": lineitem_expectations,
     "lang_domain_mix": lang_domain_mix,
+    "weighted_doc_sample": weighted_doc_sample,
     "profile_lineitem": profile_lineitem,
     "doc_sequence_packing": doc_sequence_packing,
 }
@@ -235,4 +259,18 @@ ORACLES["doc_sequence_packing"] = r"""
                CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
                ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS crosses_boundary
         FROM c
+"""
+
+ORACLES["weighted_doc_sample"] = """
+        WITH s AS (
+            SELECT lang, n_chars,
+                   least(n_chars, 500)::DOUBLE / 500 AS p
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pps'), 1, 8))::BIGINT
+                  < (least(n_chars::BIGINT, 500) * 4294967296) // 500
+        )
+        SELECT lang, count(*) AS n_sampled,
+               round(CAST(sum(CAST(n_chars / p AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS ht_total_chars
+        FROM s GROUP BY lang
 """
