@@ -427,8 +427,34 @@ def nation_acctbal_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+TOP_CUSTOMERS_LATERAL_SQL = """
+        SELECT n_name, c_name, c_acctbal
+        FROM nation,
+        LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        )
+"""
+
+
+def top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-nation top-3 customers) — the
+    per-row-subquery surface both engines now share. Catalyst rewrites
+    the correlated limit into a ranked window join (no per-nation
+    re-execution at scale); identical SQL runs on the oracle. The
+    DataFrame twin of this shape is top_suppliers_per_nation's
+    row_number window."""
+    from codebase_rag_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TOP_CUSTOMERS_LATERAL_SQL)
+
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "top_customers_lateral": top_customers_lateral,
     "late_order_priority": late_order_priority,
     "waiting_suppliers": waiting_suppliers,
     "nation_acctbal_share": nation_acctbal_share,
@@ -692,3 +718,5 @@ ORACLES["nation_acctbal_share"] = """
         HAVING sum(CAST(s_acctbal AS DECIMAL(18,6))) >
                (SELECT sum(CAST(s_acctbal AS DECIMAL(18,6))) * 0.04 FROM supplier)
 """
+
+ORACLES["top_customers_lateral"] = TOP_CUSTOMERS_LATERAL_SQL

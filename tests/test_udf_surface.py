@@ -88,3 +88,31 @@ def test_sql_table_udf(spark):
     )
     out = spark.sql("SELECT sum(x) AS s FROM _t_seq(4)").first()
     assert out.s == 10
+
+
+def test_from_xml_typed_extraction(spark):
+    """Spark 4 XML support: from_xml parses markup into typed structs
+    (the XML sibling of from_json/parse_json), including attributes via
+    the _attr convention."""
+    df = spark.createDataFrame(
+        [(1, '<doc lang="en"><title>Spark</title><n>42</n></doc>'),
+         (2, '<doc lang="de"><title>Graft</title><n>7</n></doc>')],
+        ["id", "xml"],
+    )
+    parsed = df.selectExpr(
+        "id",
+        "from_xml(xml, 'title STRING, n INT, _lang STRING') AS d",
+    ).select("id", "d.title", "d.n", F.col("d._lang").alias("lang"))
+    rows = {r.id: (r.title, r.n, r.lang) for r in parsed.collect()}
+    assert rows == {1: ("Spark", 42, "en"), 2: ("Graft", 7, "de")}
+
+
+def test_parameterized_sql(spark):
+    """spark.sql named parameters: literals bind server-side (no string
+    interpolation / injection surface), same plan as inline literals."""
+    df = spark.createDataFrame([("en", 3), ("de", 5)], ["lang", "n"])
+    df.createOrReplaceTempView("_pv")
+    out = spark.sql(
+        "SELECT sum(n) AS s FROM _pv WHERE lang = :lang", args={"lang": "de"}
+    ).first()
+    assert out.s == 5
