@@ -246,3 +246,38 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_ingest_across_batches_and_restarts(spark, tmp_path):
+    """Cross-batch content dedup: a doc whose text arrived in ANY earlier
+    batch/run is dropped; replay-idempotent via dynamic partition
+    overwrite on ingest_batch."""
+    from codebase_rag_spark.streaming.dedup_ingest import dedup_ingest
+
+    src, out, sig, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "sig", "ck")
+    )
+    schema = "doc_id bigint, text string"
+
+    def run():
+        docs = spark.readStream.schema(schema).parquet(src)
+        q = dedup_ingest(docs, out, sig, ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2}  # in-batch dup (3) dropped, min-id keeper wins
+
+    # second run: one replayed text ('beta') + one new ('gamma')
+    spark.createDataFrame(
+        [(9, "beta"), (10, "gamma")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 10}  # 9 was a cross-RUN dup
+    sigs = spark.read.parquet(sig)
+    assert sigs.count() == 3
+    assert sigs.select("content_sha").distinct().count() == 3
