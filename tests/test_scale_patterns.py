@@ -275,3 +275,66 @@ def test_hll_sketches_merge_across_groups(spark, sf_dir):
     exact = li.select(F.countDistinct("l_partkey")).first()[0]
     assert merged.est == direct.est  # merge must be exactly lossless
     assert abs(merged.est - exact) / exact < 0.05
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, tmp_path):
+    """Parquet aggregate pushdown (V2 scan + spark.sql.parquet.
+    aggregatePushdown): COUNT/MIN/MAX are answered from row-group footer
+    STATISTICS — zero data pages read. At 100 TB this turns full-table
+    profiling scans into metadata reads. Results must equal the unpushed
+    plan. (Conf key is aggregatePushdown — lowercase d; the camel-case
+    variant silently no-ops.)"""
+    import re
+
+    p = str(tmp_path / "t")
+    spark.range(0, 10000).withColumn("v", F.col("id") * 2).write.parquet(p)
+    v1_key, agg_key = (
+        "spark.sql.sources.useV1SourceList",
+        "spark.sql.parquet.aggregatePushdown",
+    )
+    saved_v1 = spark.conf.get(v1_key)
+    try:
+        spark.conf.set(v1_key, "")
+        spark.conf.set(agg_key, "true")
+        df = spark.read.parquet(p).agg(
+            F.count("*").alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pushed = re.search(r"PushedAggregation: \[[^\]]*\]", plan).group(0)
+        assert "COUNT(*)" in pushed and "MIN(v)" in pushed and "MAX(v)" in pushed
+        assert df.first() == (10000, 0, 19998)
+    finally:
+        spark.conf.set(v1_key, saved_v1)
+        spark.conf.set(agg_key, "false")
+
+
+def test_dynamic_partition_pruning_skips_fact_partitions(spark, tmp_path):
+    """DPP: a selective dim-side filter prunes FACT partitions at runtime
+    (PartitionFilters gains a dynamicpruningexpression). The join key must
+    match the partition column's type EXACTLY — an int/bigint mismatch
+    inserts a cast and silently disables pruning, the classic way DPP is
+    lost in production."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    (
+        spark.range(0, 20000)
+        .withColumn("d", (F.col("id") % 10).cast("int"))
+        .withColumn("v", F.col("id"))
+        .write.partitionBy("d")
+        .parquet(fact_p)
+    )
+    spark.createDataFrame(
+        [(i, chr(97 + i)) for i in range(10)], "d int, name string"
+    ).write.parquet(dim_p)
+
+    fact = spark.read.parquet(fact_p)
+    dim = spark.read.parquet(dim_p).filter(F.col("name").isin("b", "c"))
+    j = fact.join(dim, "d").agg(F.sum("v").alias("s"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    dpp_lines = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "dynamicpruning" in l
+    ]
+    assert dpp_lines, "fact scan lost its dynamic pruning filter"
+    # parity with the unpruned answer: d in {1,2} -> ids = 10k..? sum check
+    want = sum(i for i in range(20000) if i % 10 in (1, 2))
+    assert j.first().s == want
