@@ -1,0 +1,115 @@
+"""Product quantization (PQ) for vector search at memory scale (Jégou et
+al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+the compression layer of FAISS-style IVF-PQ indexes).
+
+The embedding is split into m subvectors; each subspace gets its own
+k-centroid codebook (MLlib KMeans per subspace); a vector is stored as m
+small integer codes (64 floats -> 4 bytes at m=4/k=16, a 64x reduction).
+Search uses ASYMMETRIC distance (ADC): the query stays uncompressed, its
+distance to every centroid of every subspace is precomputed on the driver
+(an m x k table — tiny), and each candidate's approximate distance is m
+table lookups + adds, never a float dot product.
+
+Scale shape: codebooks and the query table are literals/broadcast; the
+encode pass is one scan with pure codegen expressions (k*dim/m
+multiply-adds per row); the search pass is a scan + m element_at lookups
++ TakeOrdered. Nothing shuffles. Compose with IVF bucketing
+(similarity.train_ivf_kmeans) for the full IVF-PQ layout: partition
+pruning picks buckets, ADC ranks inside them.
+
+Reference parity: the reference's vector search is a Neo4j native index
+(SURVEY §2.10 E1/W5); PQ is the beyond-reference scale path, same query
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sub(vec_col: Column, j: int, sub_dim: int) -> Column:
+    return F.slice(vec_col, j * sub_dim + 1, sub_dim)
+
+
+def _sq_l2(sub: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """One KMeans per subspace over the corpus (deterministic via seed).
+    Returns m codebooks of k centroids each — a few KB, driver-resident,
+    shipped to executors as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub_dim = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        ml_df = embeddings.select(
+            array_to_vector(
+                _sub(F.col(vec_col).cast("array<double>"), j, sub_dim)
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(ml_df)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the argmin-distance centroid
+    id (ties -> lowest id, deterministic). Pure codegen — no UDF, no
+    shuffle; this is the one full-corpus pass of index construction."""
+    m, sub_dim = len(codebooks), len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = _sub(vec, j, sub_dim)
+        dists = F.array(*[_sq_l2(sub, c) for c in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return embeddings.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: driver precomputes the m x K query->centroid distance
+    table; each row's approximate squared L2 is m element_at lookups.
+    Returns (id, adc_dist) ascending — TakeOrdered, no shuffle."""
+    m, sub_dim = len(codebooks), len(codebooks[0][0])
+    adc = F.lit(0.0)
+    for j, book in enumerate(codebooks):
+        qsub = query[j * sub_dim : (j + 1) * sub_dim]
+        table = [
+            sum((a - b) * (a - b) for a, b in zip(qsub, c)) for c in book
+        ]
+        lut = F.array(*[F.lit(float(x)) for x in table])
+        adc = adc + F.element_at(lut, F.col("codes").getItem(j) + 1)
+    return (
+        codes_df.select(F.col(id_col), F.round(adc, 8).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

@@ -338,3 +338,50 @@ def test_dynamic_partition_pruning_skips_fact_partitions(spark, tmp_path):
     # parity with the unpruned answer: d in {1,2} -> ids = 10k..? sum check
     want = sum(i for i in range(20000) if i % 10 in (1, 2))
     assert j.first().s == want
+
+
+def test_pq_encode_and_adc_search(spark, sf_dir):
+    """Product quantization: codes are within range and deterministic; ADC
+    top-k recall against exact L2 must beat random by a wide margin (PQ is
+    lossy by design — the contract is ranking quality per byte, and
+    64 floats -> 4 codes is a 64x compression)."""
+    from codebase_rag_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=4, k=16)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+
+    codes = pq_encode(emb, books)
+    rows = codes.collect()
+    assert all(len(r.codes) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    # deterministic across recomputation
+    again = {r.vec_id: r.codes for r in pq_encode(emb, books).collect()}
+    assert {r.vec_id: r.codes for r in rows} == again
+
+    q_row = emb.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in q_row.embedding]
+    got = [r.vec_id for r in pq_topk(codes, books, q, k=20).collect()]
+    # exact L2 ground truth
+    vec = F.col("embedding").cast("array<double>")
+    qlit = F.array(*[F.lit(x) for x in q])
+    l2 = F.aggregate(
+        F.zip_with(vec, qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = [
+        r.vec_id
+        for r in emb.select("vec_id", l2.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(20)
+        .collect()
+    ]
+    recall = len(set(got) & set(exact)) / 20
+    n_total = emb.count()
+    random_recall = 20 / n_total
+    assert recall >= 10 * random_recall, (recall, random_recall)
