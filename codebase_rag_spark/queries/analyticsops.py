@@ -206,6 +206,44 @@ def region_metrics_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.transpose()
 
 
+def event_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the rows-frame running sum above): per user
+    (< 30), each event's trailing 1-hour average value — the frame is
+    VALUE-bounded (all rows within 3600s of the current timestamp), so
+    gaps and bursts are handled correctly where a rows-frame would not.
+    Ordered by integer microseconds: range frames need a numeric order
+    key, and integer-µs keeps both engines bit-identical."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg(F.col("value")).over(w), 4).alias("trailing_avg_1h"),
+    )
+
+
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window family (percent_rank / cume_dist / ntile) per
+    nation over supplier balances — the remaining SURVEY §2.5 ranking
+    modes beyond row_number/rank/dense_rank. One shuffle on the partition
+    key; all four functions share a single sort."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+
 def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family (corr / covar_pop / stddev_pop /
     var_pop) per returnflag — single hash aggregate, map-side partials;
@@ -261,6 +299,8 @@ QUERIES = {
     "price_percentiles": price_percentiles,
     "order_status_cube": order_status_cube,
     "event_matrix_unpivot": event_matrix_unpivot,
+    "event_trailing_avg": event_trailing_avg,
+    "supplier_balance_ranks": supplier_balance_ranks,
     "region_metrics_transpose": region_metrics_transpose,
     "revenue_grouping_sets": revenue_grouping_sets,
     "user_event_pivot": user_event_pivot,
@@ -430,4 +470,22 @@ ORACLES["region_metrics_transpose"] = f"""
         {_rt_row("n_customers")}
         UNION ALL
         {_rt_row("avg_acctbal")}
+"""
+
+ORACLES["event_trailing_avg"] = """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+                   AS trailing_avg_1h
+        FROM events WHERE user_id < 30
+"""
+
+ORACLES["supplier_balance_ranks"] = """
+        SELECT s_nationkey, s_suppkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               ntile(4) OVER w AS quartile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
 """
