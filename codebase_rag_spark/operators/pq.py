@@ -113,3 +113,30 @@ def pq_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    corpus_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """The composed FAISS-style IVF-PQ search: the coarse quantizer routes
+    the query to its nprobe nearest IVF buckets (driver-side — centroids
+    are tiny), the scan prunes to those buckets (partition pruning when
+    the codes table is partitionBy(bucket)-written), and ADC ranks only
+    the surviving codes. Cost: |corpus| * nprobe/nlist lookups of m adds
+    each — independent of the raw vector dimension."""
+    cents = centroids.collect()
+
+    def d2(c):
+        return sum((a - b) * (a - b) for a, b in zip(query, c))
+
+    probe = sorted(cents, key=lambda r: (d2(r.centroid), r[bucket_col]))[:nprobe]
+    buckets = [r[bucket_col] for r in probe]
+    pruned = corpus_codes.filter(F.col(bucket_col).isin(buckets))
+    return pq_topk(pruned, codebooks, query, k=k, id_col=id_col)

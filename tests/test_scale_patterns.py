@@ -385,3 +385,38 @@ def test_pq_encode_and_adc_search(spark, sf_dir):
     n_total = emb.count()
     random_recall = 20 / n_total
     assert recall >= 10 * random_recall, (recall, random_recall)
+
+
+def test_ivfpq_composed_search(spark, sf_dir, tmp_path):
+    """IVF routing + PQ codes end to end: codes written partitionBy(bucket)
+    -> probe filter becomes a PartitionFilter in the scan; full-probe
+    IVF-PQ equals plain PQ over everything (routing loses nothing when
+    every bucket is probed)."""
+    from codebase_rag_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from codebase_rag_spark.operators.similarity import train_ivf_kmeans
+    from codebase_rag_spark.plans import explain_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=4, k=16)
+    assignments, cents = train_ivf_kmeans(emb, nlist=4, max_iter=5)
+    codes = pq_encode(emb, books).join(assignments, "vec_id")
+
+    path = str(tmp_path / "ivfpq")
+    codes.write.partitionBy("bucket").parquet(path)
+    stored = spark.read.parquet(path)
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    pruned_plan = explain_str(
+        ivfpq_topk(stored, cents, books, q, k=5, nprobe=2)
+    )
+    assert "PartitionFilters" in pruned_plan
+    assert "bucket" in pruned_plan.split("PartitionFilters")[1][:200]
+
+    full = [r.vec_id for r in ivfpq_topk(stored, cents, books, q, k=5, nprobe=4).collect()]
+    plain = [r.vec_id for r in pq_topk(stored, books, q, k=5).collect()]
+    assert full == plain
