@@ -26,11 +26,15 @@ HEADLINE = [
     "revenue_filter",
     "region_revenue",
     "top_suppliers_per_nation",
+    "top_customers_lateral",
+    "waiting_suppliers",
     "pack_budget_selection",
     "rank_documents",
     "exact_dedup_docs",
     "minhash_signatures",
     "lsh_candidates",
+    "prefix_jaccard_pairs",
+    "edit_distance_verify",
     "simhash_groups",
     "cosine_topk",
     "centroid_assignment",
@@ -41,10 +45,13 @@ HEADLINE = [
     "shipping_priority",
     "winnowing_sketch",
     "hourly_tumbling",
+    "hourly_gap_fill",
+    "event_trailing_avg",
     "user_sessions",
     "cohort_retention",
     "benchmark_decontamination",
     "lang_domain_mix",
+    "weighted_doc_sample",
     "collocation_lift_top",
     "recursive_reachability",
     "props_variant_stats",
@@ -61,6 +68,7 @@ HEADLINE = [
     "hybrid_retrieval",
     "doc_pagerank",
     "doc_communities",
+    "doc_k_core",
     "doc_components",
     "doc_train_test_split",
     "doc_sequence_packing",
