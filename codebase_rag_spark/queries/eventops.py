@@ -291,9 +291,65 @@ def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current). One window pass (lead over user_id
+    ordered by ts,event_id) + one aggregate — the sequence-mining
+    building block for session modeling and next-action prediction."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    totals = Window.partitionBy("from_type")
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(totals), 6)
+        )
+    )
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user's first three event types as an ordered
+    path string, counted corpus-wide (the 'how do sessions start' query).
+    One groupBy(user) building the ordered array — structs sort by
+    (ts, event_id, type), so ordering is total and engine-identical."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                3,
+            ),
+        ).alias("path")
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+
 QUERIES = {
     "conversion_latency": conversion_latency,
     "hourly_gap_fill": hourly_gap_fill,
+    "event_transitions": event_transitions,
+    "top_event_paths": top_event_paths,
     "props_variant_stats": props_variant_stats,
     "props_typed_extract": props_typed_extract,
     "cohort_retention": cohort_retention,
@@ -499,4 +555,37 @@ ORACLES["hourly_gap_fill"] = """
                    ROWS UNBOUNDED PRECEDING) AS ffill_avg
         FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type
                                     AND hourly.h = g.h
+"""
+
+ORACLES["event_transitions"] = """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        c AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+                   AS p
+        FROM c
+"""
+
+ORACLES["top_event_paths"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   array_to_string(
+                       list_transform(
+                           list_sort(list({'ts': ts, 'event_id': event_id, 'event_type': event_type}))[:3],
+                           s -> s.event_type),
+                       '>') AS path
+            FROM events GROUP BY user_id
+        )
+        SELECT path, count(*) AS n_users
+        FROM per_user GROUP BY path
+        ORDER BY n_users DESC, path LIMIT 20
 """

@@ -228,3 +228,15 @@ def foreach_batch_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the CURRENT
+    snapshot of a batch-side dimension (re-read per batch for file
+    sources) — the enrichment shape for streams (user tier, doc lang,
+    device class). Stateless: unlike stream-stream joins it buffers
+    nothing, so no watermark is needed; the static side broadcasts when
+    small."""
+    return events.join(F.broadcast(dim), key)

@@ -281,3 +281,42 @@ def test_dedup_ingest_across_batches_and_restarts(spark, tmp_path):
     sigs = spark.read.parquet(sig)
     assert sigs.count() == 3
     assert sigs.select("content_sha").distinct().count() == 3
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join holds no state and enriches every micro-batch
+    from the batch-side table."""
+    import datetime as dt
+
+    from codebase_rag_spark.streaming.events import (
+        stream_events,
+        stream_static_enrich,
+    )
+
+    COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = dt.datetime(2024, 1, 1)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    rows = [(i, base, i % 3, "click", 1.0, "{}") for i in range(9)]
+    spark.createDataFrame(rows, COLS).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], ["user_id", "tier"]
+    )
+
+    def sink(b, _):
+        b.write.mode("append").parquet(out)
+
+    q = (
+        stream_static_enrich(stream_events(spark, src), dim)
+        .groupBy("tier")
+        .count()
+        .writeStream.foreachBatch(
+            lambda b, i: b.write.mode("append").parquet(out)
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.tier: r["count"] for r in spark.read.parquet(out).collect()}
+    assert got == {"bronze": 3, "silver": 3, "gold": 3}
