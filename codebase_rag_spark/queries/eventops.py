@@ -345,10 +345,67 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel WITHIN a session (30-min gap sessionization), not within a
+    calendar window: how many sessions contain view -> later click ->
+    later purchase, in order. The whole thing is window passes over ONE
+    partitioning family (user_id, then user_id+session): session ids from
+    a cumulative gap-flag sum, then CHAINED cumulative conditional mins —
+    first-view-so-far, first-qualifying-click-so-far — so each row can
+    test 'did my prerequisite happen earlier in this session' without any
+    self-join or per-session sort beyond the shared one."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+    new_s = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    base = e.withColumn(
+        "sid",
+        F.sum(new_s).over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wc = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn(
+        "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wc)
+    )
+    qc = (
+        (F.col("event_type") == "click")
+        & F.col("fv").isNotNull()
+        & (F.col("ts") > F.col("fv"))
+    )
+    base = base.withColumn("qc", qc).withColumn(
+        "fc", F.min(F.when(F.col("qc"), F.col("ts"))).over(wc)
+    )
+    qp = (
+        (F.col("event_type") == "purchase")
+        & F.col("fc").isNotNull()
+        & (F.col("ts") > F.col("fc"))
+    )
+    per = base.withColumn("qp", qp).groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("hv"),
+        F.max(F.when(F.col("qc"), 1).otherwise(0)).alias("hc"),
+        F.max(F.when(F.col("qp"), 1).otherwise(0)).alias("hp"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("hv").cast("bigint").alias("n_view"),
+        F.sum("hc").cast("bigint").alias("n_view_click"),
+        F.sum("hp").cast("bigint").alias("n_full_funnel"),
+    )
+
+
+
 QUERIES = {
     "conversion_latency": conversion_latency,
     "hourly_gap_fill": hourly_gap_fill,
     "event_transitions": event_transitions,
+    "session_funnel": session_funnel,
     "top_event_paths": top_event_paths,
     "props_variant_stats": props_variant_stats,
     "props_typed_extract": props_typed_extract,
@@ -588,4 +645,55 @@ ORACLES["top_event_paths"] = """
         SELECT path, count(*) AS n_users
         FROM per_user GROUP BY path
         ORDER BY n_users DESC, path LIMIT 20
+"""
+
+ORACLES["session_funnel"] = """
+        WITH s AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s2 AS (
+            SELECT *, sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM s
+        ),
+        f1 AS (
+            SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) OVER wc AS fv
+            FROM s2
+            WINDOW wc AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        f2 AS (
+            SELECT *,
+                   (event_type = 'click' AND fv IS NOT NULL AND ts > fv) AS qc
+            FROM f1
+        ),
+        f3 AS (
+            SELECT *, min(CASE WHEN qc THEN ts END) OVER wc AS fc
+            FROM f2
+            WINDOW wc AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        f4 AS (
+            SELECT *,
+                   (event_type = 'purchase' AND fc IS NOT NULL AND ts > fc) AS qp
+            FROM f3
+        ),
+        per AS (
+            SELECT user_id, sid,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+                   max(CASE WHEN qc THEN 1 ELSE 0 END) AS hc,
+                   max(CASE WHEN qp THEN 1 ELSE 0 END) AS hp
+            FROM f4 GROUP BY user_id, sid
+        )
+        SELECT count(*) AS n_sessions,
+               CAST(sum(hv) AS BIGINT) AS n_view,
+               CAST(sum(hc) AS BIGINT) AS n_view_click,
+               CAST(sum(hp) AS BIGINT) AS n_full_funnel
+        FROM per
 """
