@@ -60,6 +60,8 @@ HEADLINE = [
     "lineitem_expectations",
     "sql_udf_net_revenue",
     "funnel_steps",
+    "session_funnel",
+    "event_transitions",
     "conversion_latency",
     "purchase_click_asof",
     "region_two_hop",

@@ -187,3 +187,21 @@ def test_python_datasource_jsonl_sink_two_phase_commit(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 40
     assert {r.name for r in back.collect()} == {f"doc-{i}" for i in range(40)}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on read: files written before a column existed
+    merge with newer files (mergeSchema) — old rows surface NULL for the
+    added column, and filters on the new column still push down."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "en")], ["id", "name", "lang"]
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "lang"}
+    rows = {r.id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+    # filter on the evolved column prunes old-schema rows correctly
+    assert [r.id for r in merged.filter(merged.lang == "en").collect()] == [2]
