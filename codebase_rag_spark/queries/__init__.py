@@ -26,6 +26,7 @@ from codebase_rag_spark.queries import (
     sampleops,
     sqlmeta,
     textops,
+    tpch_shapes,
     vectorops,
 )
 
@@ -42,6 +43,7 @@ _MODULES = [
     sampleops,
     sqlmeta,
     corpusops,
+    tpch_shapes,
 ]
 
 QUERIES = {}

@@ -1,0 +1,524 @@
+"""Remaining TPC-H plan shapes adapted to the testdata schema.
+
+These fill in the Catalyst plan families not yet exercised by
+``relational.py`` (which covers Q1/Q3/Q4/Q6/Q11/Q14/Q17/Q18/Q21):
+
+* Q2  — correlated per-group MIN subquery -> groupBy + equality join-back
+* Q7  — two-role dimension join (same nation table joined twice)
+* Q8  — conditional share-of-total by year
+* Q9  — computed per-row profit aggregated by two-role dims
+* Q12 — conditional counts after a join (CASE inside aggregate)
+* Q13 — LEFT OUTER join with a predicate in the JOIN condition (not WHERE),
+        two-level aggregation preserving zero groups
+* Q15 — scalar MAX over an aggregated view, equality-selected (exact decimal)
+* Q16 — count(DISTINCT) with a NOT-IN exclusion (broadcast anti-join)
+* Q19 — disjunctive bracketed predicates (OR of AND-groups, pushed down)
+* Q22 — substring-derived key + global scalar threshold + anti-join
+
+The testdata has no ``partsupp``/``l_shipmode``/``l_commitdate``; the
+adaptations keep each query's PLAN SHAPE (the thing Catalyst must get
+right) while using available columns. Reference parity: these are the
+ad-hoc SQL analytics the reference serves through its query routes
+(reference routes.py query endpoints; SURVEY §2.3-§2.5).
+
+Scale notes (100 TB): every dimension here (nation x2, filtered part,
+supplier, even customer at ~1.5 M rows/TB) broadcasts; the single big
+shuffle is lineitem's groupBy. Global scalars (Q15 max, Q22 avg) are
+1-row aggregates cross-joined back (broadcast) — never a driver collect.
+Float-equality joins (Q2 min, Q15 max) compare values produced by the
+SAME scan, so they are bit-identical; cross-engine comparisons go
+through per-row DECIMAL(18,6) quantization (_dsum) which is
+summation-order-insensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.queries.relational import _dsum
+
+
+def _year(col: str):
+    """Timezone-independent year of a TIMESTAMP_NTZ column."""
+    return F.date_format(col, "yyyy").cast("int")
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: revenue shipped between two nations, by direction and
+    year. The nation dim joins twice in different roles (supplier side,
+    customer side); both copies broadcast, and the pair filter prunes
+    supplier/customer BEFORE the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*pair))
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*pair))
+    # nation filters propagate through the broadcast joins: only the two
+    # nations' suppliers/customers survive into the lineitem join
+    s2 = s.join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+    c2 = c.join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+        .join(F.broadcast(c2), o.o_custkey == c2.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", _year("l_shipdate").alias("l_year"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of PROMO-part revenue delivered into
+    ASIA, by order year. The share is a conditional aggregate ratio —
+    both numerator and denominator in ONE pass (no self-join), exact via
+    per-row decimal quantization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    # customer -> nation -> region(ASIA): consumer side
+    asia = r.filter(F.col("r_name") == "ASIA")
+    asia_c = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(asia), n.n_regionkey == asia.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_n = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name"))),
+        s.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    tgt = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(asia_c), o.o_custkey == asia_c.c_custkey, "left_semi")
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .groupBy(_year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(tgt.cast("decimal(18,6)")).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: per-row computed profit (revenue minus a cost proxy —
+    the testdata has no partsupp, so cost = 0.5 * p_retailprice *
+    l_quantity), aggregated by supplier nation and order year for parts
+    named like widgets. The profit expression is quantized per row so
+    the sum is order-insensitive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp_n = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .groupBy("nation", _year("o_orderdate").alias("o_year"))
+        .agg(_dsum(amount).alias("profit"), F.count("*").alias("n_rows"))
+    )
+
+
+def priority_shipping_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts after a join — for items
+    shipped >60 days after ordering, how many belong to high- vs
+    low-priority orders, per return flag. CASE lives inside the
+    aggregate; one join, one agg pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts INCLUDING
+    zero-order customers. The priority exclusion must live in the JOIN
+    condition (not WHERE) so customers whose only orders are urgent
+    still appear with count 0 — the classic outer-join-predicate
+    placement trap."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue.
+    The scalar MAX is a 1-row aggregate broadcast-cross-joined back;
+    the equality join compares exact decimals produced by the same
+    upstream aggregate, so ties and float drift cannot occur."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    best = per_supp.agg(F.max("_rev").alias("_best"))
+    return (
+        per_supp.crossJoin(F.broadcast(best))
+        .filter(F.col("_rev") == F.col("_best"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct suppliers per (brand, type, size) bucket,
+    excluding suppliers from a NOT-IN subquery (negative balance).
+    NOT IN over a non-nullable key plans as a broadcast anti-join;
+    count(DISTINCT) shuffles once on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.col("p_brand"), F.col("p_type"), F.col("p_size")
+        )
+        .limit(20)
+    )
+
+
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR of three AND-bracket predicates spanning both join
+    sides. Catalyst extracts the common l_quantity/p_size bounds and
+    pushes per-table residuals into each scan; the join itself stays a
+    single broadcast hash join (no union-of-three-joins rewrite
+    needed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(5, 20)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(15, 40)
+           & F.col("l_quantity").between(20, 35))
+    )
+    return j.filter(b).agg(
+        _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: positive-balance-above-global-average customers with NO
+    recent orders (every customer has SOME order in this dataset, so the
+    idleness horizon is 2001+), grouped by a substring-derived code (last
+    two digits of c_name). The global average threshold is applied
+    WITHOUT float division: c_acctbal * n_pos > sum_pos compares exact
+    decimals, so no cross-engine boundary flakes. Anti-join replaces
+    NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01"))
+    )
+    code = F.substring("c_name", 17, 2)
+    pos = c.filter(F.col("c_acctbal") > 0)
+    thresh = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sum_pos"),
+        F.count("*").alias("n_pos"),
+    )
+    return (
+        c.withColumn("cntrycode", code)
+        .filter(F.col("cntrycode").isin("01", "12", "23", "34", "45", "56", "67"))
+        .crossJoin(F.broadcast(thresh))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,6)") * F.col("n_pos")
+            > F.col("sum_pos")
+        )
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+def min_balance_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each LARGE size-25 part, the European
+    supplier(s) with the minimum account balance among those who
+    actually shipped it. The correlated MIN subquery decorrelates into
+    a per-part aggregate joined back on equality — both sides of the
+    equality come from the same scan, so the doubles are bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), pairs.l_suppkey == eu.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("mb")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (cand.p_partkey == F.col("mk")) & (cand.s_acctbal == F.col("mb")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("acctbal"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "volume_shipping": volume_shipping,
+    "market_share": market_share,
+    "product_profit": product_profit,
+    "priority_shipping_mix": priority_shipping_mix,
+    "customer_order_distribution": customer_order_distribution,
+    "top_revenue_supplier": top_revenue_supplier,
+    "supplier_part_counts": supplier_part_counts,
+    "disjunctive_bracket_revenue": disjunctive_bracket_revenue,
+    "idle_customer_balance": idle_customer_balance,
+    "min_balance_shipper": min_balance_shipper,
+}
+
+_DEC = "DECIMAL(18,6)"
+
+ORACLES = {
+    "volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(strftime(l_shipdate, '%Y') AS INT) AS l_year,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS {_DEC})) AS DOUBLE), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "market_share": f"""
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+               round(CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_2'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END AS {_DEC})) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS {_DEC})) AS DOUBLE), 4) AS mkt_share,
+               count(*) AS n_rows
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'PROMO'
+          AND EXISTS (
+              SELECT 1 FROM customer
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region    ON cn.n_regionkey = r_regionkey
+              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+        GROUP BY 1
+    """,
+    "product_profit": f"""
+        SELECT n_name AS nation,
+               CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   - 0.5 * p_retailprice * l_quantity
+                                   AS {_DEC})) AS DOUBLE), 2) AS profit,
+               count(*) AS n_rows
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "priority_shipping_mix": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag
+    """,
+    "customer_order_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    "top_revenue_supplier": f"""
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS {_DEC}))
+                       AS _rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(CAST(_rev AS DOUBLE), 2) AS total_revenue
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE _rev = (SELECT max(_rev) FROM per_supp)
+    """,
+    "supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 20
+    """,
+    "disjunctive_bracket_revenue": f"""
+        SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS {_DEC})) AS DOUBLE), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+               AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+               AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "idle_customer_balance": f"""
+        WITH pos AS (
+            SELECT sum(CAST(c_acctbal AS {_DEC})) AS sum_pos,
+                   count(*) AS n_pos
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT substr(c_name, 17, 2) AS cntrycode,
+               count(*) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS {_DEC})) AS DOUBLE), 2)
+                   AS totacctbal
+        FROM customer, pos
+        WHERE substr(c_name, 17, 2) IN ('01','12','23','34','45','56','67')
+          AND CAST(c_acctbal AS {_DEC}) * n_pos > sum_pos
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY 1
+    """,
+    "min_balance_shipper": """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        cand AS (
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+            FROM pairs
+            JOIN part ON l_partkey = p_partkey
+            JOIN eu   ON l_suppkey = s_suppkey
+            WHERE p_size = 25 AND p_type = 'LARGE'
+        ),
+        mins AS (
+            SELECT p_partkey AS mk, min(s_acctbal) AS mb
+            FROM cand GROUP BY 1
+        )
+        SELECT p_partkey, p_name, s_name, n_name,
+               round(s_acctbal, 2) AS acctbal
+        FROM cand JOIN mins ON p_partkey = mk AND s_acctbal = mb
+        ORDER BY s_acctbal DESC, p_partkey, s_name
+        LIMIT 100
+    """,
+}
