@@ -1,0 +1,176 @@
+"""Streaming NEAR-duplicate ingestion: MinHash-LSH dedup across
+micro-batches — the streaming twin of operators/dedup.dedup_corpus, and
+the missing piece between exact streaming dedup (dedup_ingest — hash
+equality only) and batch LSH (minhash_lsh_candidates — full-corpus
+self-join).
+
+Each micro-batch:
+  1. builds shingled MinHash signatures for the batch's docs (one hash
+     aggregate — the same plan shape as the batch operator);
+  2. drops docs that near-match ANY earlier-ingested doc, by joining the
+     batch's LSH band keys against a persistent bucket index and
+     verifying candidates on full-signature agreement (>= threshold
+     fraction of matching minhashes) — no original text needed at verify
+     time, so the index stays tiny;
+  3. drops in-batch near-dups (band self-join + the same verify, larger
+     id loses — matching dedup_corpus's keeper rule);
+  4. appends survivors to the output and their band rows to the index.
+
+Scale: the bucket index carries `bands` rows per surviving doc (key +
+signature array) — the standard LSH index layout. The cross-batch probe
+is a band_key equi-join of a micro-batch against that index: batch-side
+small, so AQE broadcasts it; per-batch cost is O(batch * bands), never a
+corpus self-join. Signature verify replaces text-level Jaccard so the
+index never stores document content. Idempotence under foreachBatch
+replay: output and index are partitioned by ingest_batch and written
+with DYNAMIC partition overwrite (a replayed batch rewrites its own
+partition).
+
+Docs with fewer than `shingle_size` tokens have no signature; they are
+always kept (route them through exact dedup_ingest — composable: its
+sink and this one chain on the same stream).
+
+Reference parity: the reference's incremental re-ingestion dedups
+changed files before writing nodes (SURVEY §2 S12/S16); near-dup
+ingestion generalizes that to fuzzy content identity for training-data
+pipelines (north-star op).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.hashing import band_keys, md5_hash, shingles
+from codebase_rag_spark.functions.text import tokens
+
+
+def batch_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>, band_key) rows — `bands` rows per doc that
+    has at least one shingle. Same signature pipeline as the batch LSH
+    operator (dedup.minhash_lsh_candidates steps 1-3)."""
+    rows = num_hashes // bands
+    toks = tokens(F.col(text_col))
+    base = df.filter(F.size(toks) >= shingle_size)
+    grams = shingles(toks, shingle_size) if shingle_size > 1 else toks
+    exploded = base.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("tok")
+    )
+    sigs = exploded.groupBy("_id").agg(
+        *[
+            F.min(md5_hash(F.col("tok"), str(i))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    return sigs.select(
+        "_id",
+        sig_arr.alias("sig"),
+        F.explode(band_keys(sig_arr, bands, rows)).alias("band_key"),
+    )
+
+
+def _match_frac(a, b, num_hashes: int):
+    """Fraction of positions where two equal-length signatures agree —
+    an unbiased Jaccard estimate, computed entirely JVM-side."""
+    agree = F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+    return agree / F.lit(float(num_hashes))
+
+
+def lsh_dedup_ingest(
+    docs: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    sim_threshold: float = 0.75,
+):
+    """Start an availableNow stream ingesting `docs` with cross-batch
+    NEAR-dup suppression. Returns the StreamingQuery; await it, then
+    read out_path."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = batch_signatures(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_size
+        ).localCheckpoint(eager=True)  # cut the lineage: reused 3x below
+
+        # --- cross-batch: probe the persistent band index --------------
+        dup_ids = None
+        if os.path.exists(index_path):
+            index = spark.read.parquet(index_path)
+            hits = keyed.join(
+                index.select("band_key", F.col("sig").alias("_old_sig")),
+                "band_key",
+            ).filter(
+                _match_frac(F.col("sig"), F.col("_old_sig"), num_hashes)
+                >= sim_threshold
+            )
+            dup_ids = hits.select("_id").distinct()
+
+        survivors = keyed
+        if dup_ids is not None:
+            survivors = keyed.join(dup_ids, "_id", "left_anti")
+
+        # --- in-batch: band self-join among the remaining docs ---------
+        a, b = survivors.alias("a"), survivors.alias("b")
+        in_batch_losers = (
+            a.join(b, "band_key")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .filter(
+                _match_frac(F.col("a.sig"), F.col("b.sig"), num_hashes)
+                >= sim_threshold
+            )
+            .select(F.col("b._id").alias("_id"))
+            .distinct()
+        )
+        kept_sigs = survivors.join(in_batch_losers, "_id", "left_anti")
+        kept_ids = kept_sigs.select("_id").distinct()
+
+        # docs too short for a signature are always kept
+        out = batch_df.join(
+            kept_ids.union(
+                batch_df.select(F.col(id_col).alias("_id")).subtract(
+                    keyed.select("_id")
+                )
+            ),
+            batch_df[id_col] == F.col("_id"),
+            "left_semi",
+        ).withColumn("ingest_batch", F.lit(batch_id))
+        new_index_rows = kept_sigs.select(
+            "band_key", F.col("_id").alias(id_col), "sig"
+        ).withColumn("ingest_batch", F.lit(batch_id))
+
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        saved = spark.conf.get(mode_key, None)
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("ingest_batch").parquet(
+                out_path
+            )
+            new_index_rows.write.mode("overwrite").partitionBy(
+                "ingest_batch"
+            ).parquet(index_path)
+        finally:
+            if saved is not None:
+                spark.conf.set(mode_key, saved)
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

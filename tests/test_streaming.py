@@ -320,3 +320,51 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     q.awaitTermination()
     got = {r.tier: r["count"] for r in spark.read.parquet(out).collect()}
     assert got == {"bronze": 3, "silver": 3, "gold": 3}
+
+
+def test_lsh_dedup_ingest_near_dups_across_batches(spark, tmp_path):
+    """Streaming MinHash-LSH dedup: a NEAR-duplicate (not byte-identical)
+    of a doc from an earlier batch/run is dropped by probing the
+    persistent band index; unrelated docs and short docs pass."""
+    from codebase_rag_spark.streaming.lsh_ingest import lsh_dedup_ingest
+
+    src, out, idx, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "idx", "ck")
+    )
+    schema = "doc_id bigint, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "cat watches from the warm stone wall near the garden gate"
+    )
+    near1 = base.replace("warm", "cold")  # one token changed
+    other = (
+        "completely different content about spark partitions shuffles "
+        "and broadcast joins in a distributed query engine at scale"
+    )
+    near2 = base.replace("garden", "meadow")
+
+    def run():
+        docs = spark.readStream.schema(schema).parquet(src)
+        q = lsh_dedup_ingest(docs, out, idx, ckpt)
+        q.awaitTermination()
+
+    # batch 1: base + in-batch near-dup + unrelated
+    spark.createDataFrame(
+        [(1, base), (2, other), (3, near1)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # run 2 (new files, same checkpoint): cross-RUN near-dup dropped,
+    # novel doc and too-short doc kept
+    spark.createDataFrame(
+        [(9, near2), (10, "tiny doc"), (11, other + " plus novel tail")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 9 not in got  # near-dup of batch-1 doc 1 via the index
+    assert {1, 2, 10}.issubset(got)
+    # index holds band rows only for survivors with signatures
+    idx_ids = {r.doc_id for r in spark.read.parquet(idx).collect()}
+    assert 3 not in idx_ids and 9 not in idx_ids and 10 not in idx_ids
