@@ -74,6 +74,10 @@ HEADLINE = [
     "doc_components",
     "doc_train_test_split",
     "doc_sequence_packing",
+    "volume_shipping",
+    "market_share",
+    "customer_order_distribution",
+    "disjunctive_bracket_revenue",
 ]
 
 

@@ -95,3 +95,45 @@ def test_rp_lsh_buckets_scan_stage_only(spark, sf_dir):
     df = QUERIES["rp_lsh_buckets"](spark, sf_dir)
     assert not has_broadcast_join(df)
     assert count_exchanges(df) == 1
+
+
+def test_q19_disjunctive_predicates_push_and_broadcast(spark, sf_dir):
+    """Q19 shape: Catalyst pushes per-table residuals of the OR brackets
+    into each scan (brand set on part, quantity bounds on lineitem) and
+    keeps ONE broadcast join — no union-of-joins rewrite."""
+    df = QUERIES["disjunctive_bracket_revenue"](spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "p_brand" in pf  # OR of brands pushed to the part scan
+    assert "l_quantity" in pf  # merged quantity envelope on lineitem
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 1  # only the final 1-row agg exchange
+
+
+def test_q13_outer_join_preserves_zero_customers(spark, sf_dir):
+    """Q13 shape: the priority predicate must ride the JOIN (not a WHERE),
+    so the plan keeps a LEFT OUTER join and zero-order customers appear
+    in the c_count=0 bucket."""
+    from codebase_rag_spark.plans import explain_str
+
+    df = QUERIES["customer_order_distribution"](spark, sf_dir)
+    plan = explain_str(df).lower()
+    assert "leftouter" in plan.replace(" ", "")
+
+
+def test_q7_nation_pair_filter_prunes_before_fact_join(spark, sf_dir):
+    """Q7 shape: both nation roles broadcast, and the pair filter reaches
+    the supplier/customer scans via the broadcast joins — lineitem join
+    sees pre-pruned dims."""
+    df = QUERIES["volume_shipping"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "n_name" in pf  # nation-name filter pushed into the dim scans
+
+
+def test_q15_scalar_max_is_broadcast_not_collect(spark, sf_dir):
+    """Q15 shape: the global MAX is a 1-row aggregate joined back via
+    broadcast — the plan has no driver-side collect and at most the two
+    aggregate exchanges."""
+    df = QUERIES["top_revenue_supplier"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3
