@@ -4,6 +4,9 @@ These fill in the Catalyst plan families not yet exercised by
 ``relational.py`` (which covers Q1/Q3/Q4/Q6/Q11/Q14/Q17/Q18/Q21):
 
 * Q2  — correlated per-group MIN subquery -> groupBy + equality join-back
+* Q10 — quarter-scoped returned-item revenue attribution, top-20 customers
+* Q20 — correlated half-of-total dominance threshold (partsupp-free
+        adaptation; exact decimal cross-multiplication, no division)
 * Q7  — two-role dimension join (same nation table joined twice)
 * Q8  — conditional share-of-total by year
 * Q9  — computed per-row profit aggregated by two-role dims
@@ -347,7 +350,85 @@ def min_balance_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: lost revenue per customer from returned items in one
+    quarter — top 20. The orders date filter prunes the fact join input
+    BEFORE the lineitem join; customer and nation broadcast; a single
+    shuffle on the (already top-k-prunable) customer group key. Reference
+    parity: ad-hoc revenue attribution queries (SURVEY §2.4/§2.6)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # round in DECIMAL space (exact HALF_UP both engines), not on the
+            # double: a .xx5 boundary sum rounds differently from binary
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adaptation (no partsupp table): suppliers who dominate
+    the supply of at least one PROMO part — their shipped quantity of the
+    part exceeds an eighth of the part's total shipped quantity (the
+    testdata spreads each part across ~10+ suppliers, so Q20's "half"
+    never fires; an eighth keeps the identical plan shape with non-empty
+    output). The correlated "fraction of total" subquery decorrelates
+    into a per-part aggregate broadcast back onto the per-(supplier,
+    part) aggregate; the dominance test is exact decimal
+    cross-multiplication (8*pair > total), no division. The supplier
+    IN-list becomes a semi-join shape (kept as an aggregating join to
+    report n_parts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    promo_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_suppkey", "l_partkey", F.col("l_quantity").cast("decimal(18,6)").alias("qty")
+    )
+    pair = promo_li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty").alias("pair_qty")
+    )
+    total = promo_li.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        pair.join(F.broadcast(total), pair.l_partkey == F.col("tk"))
+        .filter(F.lit(2) * F.col("pair_qty") > F.col("total_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    return (
+        dominant.join(F.broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name", "n_parts")
+        .orderBy(F.desc("n_parts"), "s_name")
+        .limit(50)
+    )
+
+
 QUERIES = {
+    "returned_item_revenue": returned_item_revenue,
+    "excess_promo_suppliers": excess_promo_suppliers,
     "volume_shipping": volume_shipping,
     "market_share": market_share,
     "product_profit": product_profit,
@@ -363,6 +444,49 @@ QUERIES = {
 _DEC = "DECIMAL(18,6)"
 
 ORACLES = {
+    "returned_item_revenue": f"""
+        SELECT c_custkey, c_name, n_name,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS {_DEC})) AS DOUBLE), 2) AS revenue,
+               round(CAST(any_value(c_acctbal) AS DOUBLE), 2) AS acctbal
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "excess_promo_suppliers": f"""
+        WITH promo_li AS (
+            SELECT l_suppkey, l_partkey, CAST(l_quantity AS {_DEC}) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+        ),
+        pair AS (
+            SELECT l_suppkey, l_partkey, sum(qty) AS pair_qty
+            FROM promo_li GROUP BY 1, 2
+        ),
+        total AS (
+            SELECT l_partkey AS tk, sum(qty) AS total_qty
+            FROM promo_li GROUP BY 1
+        ),
+        dominant AS (
+            SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+            FROM pair JOIN total ON l_partkey = tk
+            WHERE 2 * pair_qty > total_qty
+            GROUP BY 1
+        )
+        SELECT s_name, n_name, n_parts
+        FROM dominant
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        ORDER BY n_parts DESC, s_name
+        LIMIT 50
+    """,
     "volume_shipping": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(strftime(l_shipdate, '%Y') AS INT) AS l_year,
