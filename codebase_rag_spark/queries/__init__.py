@@ -51,3 +51,46 @@ ORACLES = {}
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
+
+# The driver's correctness gate only covers a prefix window of this registry
+# (round 1: first 50 entries). Rotate entries that already have a
+# driver-green CORRECTNESS row to the back so each round's window lands on
+# queries that have not yet been driver-checked.
+_DRIVER_CHECKED = {
+    # CORRECTNESS_r01.json (round 1, first-50 window)
+    "pricing_summary", "top_customers_lateral", "late_order_priority",
+    "waiting_suppliers", "nation_acctbal_share", "shipping_priority",
+    "promo_revenue_share", "big_orders", "user_session_windows",
+    "small_quantity_revenue", "event_value_percentiles",
+    "customer_value_deciles", "revenue_filter", "region_revenue",
+    "active_segments", "inactive_by_nation", "top_suppliers_per_nation",
+    "priority_top5_value", "customer_degree_histogram", "distinct_counts",
+    "event_type_histogram", "pack_budget_selection", "stat_aggregates",
+    "event_value_histogram", "price_percentiles", "order_status_cube",
+    "event_matrix_unpivot", "supplier_balance_ranks",
+    "region_metrics_transpose", "revenue_grouping_sets", "user_event_pivot",
+    "nation_coverage_setops", "lang_stratified_sample",
+    "customer_running_revenue", "customer_order_extremes", "rank_documents",
+    "top_tokens", "pii_redaction", "repetition_filter", "ref_handles",
+    "hybrid_merge_branches", "exact_dedup_docs", "token_stats",
+    "quality_by_source", "lang_id_confusion", "fixed_chunks",
+    "benchmark_decontamination", "minhash_signatures",
+    # checked round 1 but failed on the (now-fixed) NTZ bug — keep these in
+    # the front window so round 2 records their green rows
+    # "event_trailing_avg", "user_event_gaps",
+}
+
+# Entries whose logic or oracle changed this round — force into the window
+# alongside the never-checked ones so the fixes get driver-green rows.
+_PRIORITY = [
+    "event_trailing_avg", "user_event_gaps", "returned_item_revenue",
+    "excess_promo_suppliers", "user_sessions", "session_funnel",
+    "purchase_click_window", "conversion_latency", "sql_transpile",
+    "sql_script_statements",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _PRIORITY if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED},
+    **{k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED},
+}

@@ -12,9 +12,18 @@ from pyspark.sql import functions as F
 
 from codebase_rag_spark.operators.sqlmeta import (
     INDUSTRY_TEMPLATES,
+    STATEMENT_TYPES,
     analyze_ddl,
     analyze_sql_text,
+    dialect_detect,
+    duckdb_normalize_sql,
+    duckdb_transpile_sql,
     industry_template_scores,
+    normalize_sql_expr,
+    split_statements,
+    statement_type_expr,
+    transpile_expr,
+    validate_sql_expr,
 )
 
 SQL_CORPUS: list[tuple[str, str]] = [
@@ -74,6 +83,56 @@ def industry_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.orderBy(F.desc("match_score"), F.col("template")).limit(1)
 
 
+# T9 corpus: multi-statement scripts with `--` comments (reference
+# transformers.py:1041-1125 splits on ';' and skips comment lines)
+SCRIPT_CORPUS: list[tuple[str, str]] = [
+    (
+        "s1",
+        "CREATE TABLE t1 (id INT); -- make the table\n"
+        "INSERT INTO t1 VALUES (1);\n"
+        "SELECT * FROM t1 WHERE 1=1;",
+    ),
+    (
+        "s2",
+        "-- maintenance script\n"
+        "UPDATE t1 SET id = 2 WHERE id = 1;\n"
+        "DELETE FROM t1 WHERE 1=1 AND id > 5;",
+    ),
+    ("s3", "SELECT count(*) FROM logs"),
+]
+
+
+def sql_transpile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 (sql_parser.py:160-183 convert_between_dialects): detect each
+    DDL's dialect, transpile it to ANSI/postgres flavor through the
+    rule-based regexp_replace chain, and validate syntax. Scan-stage-only
+    projection — the transpiler is a pure JVM expression."""
+    df = spark.createDataFrame(DDL_CORPUS, ["ddl_id", "ddl"])
+    ddl = F.col("ddl")
+    d = dialect_detect(ddl)
+    return df.select(
+        "ddl_id",
+        d.alias("dialect"),
+        transpile_expr(ddl, d).alias("ansi_sql"),
+        validate_sql_expr(ddl).alias("valid"),
+    )
+
+
+def sql_script_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 (transformers.py:1041-1125): split scripts on ';' after stripping
+    `--` comments, classify each statement's type, and emit the normalized
+    (optimize-lite) form. posexplode keeps the flatMap fully relational."""
+    df = spark.createDataFrame(SCRIPT_CORPUS, ["script_id", "script"])
+    out = split_statements(df, "script")
+    return out.select(
+        "script_id",
+        "stmt_idx",
+        "statement",
+        statement_type_expr(F.col("statement")).alias("stmt_type"),
+        normalize_sql_expr(F.col("statement")).alias("normalized"),
+    )
+
+
 def sql_query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10 table/function extraction from SQL statements (regex core;
     sqlglot path import-gated). Arrays emitted as csv for hash-stable
@@ -94,6 +153,8 @@ QUERIES = {
     "domain_summary": domain_summary,
     "industry_template_match": industry_template_match,
     "sql_query_analysis": sql_query_analysis,
+    "sql_transpile": sql_transpile,
+    "sql_script_statements": sql_script_statements,
 }
 
 
@@ -187,6 +248,66 @@ def _sql_corpus_values() -> str:
     )
     return f"(VALUES\n            {rows}) AS t(query_id, sql)"
 
+
+_TYPES_IN = ", ".join(f"'{t}'" for t in STATEMENT_TYPES)
+
+
+def _duck_stmt_type(col: str) -> str:
+    return (
+        f"CASE WHEN lower(regexp_extract(ltrim({col}), '^([A-Za-z]+)', 1)) "
+        f"IN ({_TYPES_IN}) "
+        f"THEN lower(regexp_extract(ltrim({col}), '^([A-Za-z]+)', 1)) "
+        f"ELSE 'unknown' END"
+    )
+
+
+def _duck_valid(col: str) -> str:
+    paren = (
+        f"(length({col}) - length(regexp_replace({col}, '\\(', '', 'g')))"
+        f" = (length({col}) - length(regexp_replace({col}, '\\)', '', 'g')))"
+    )
+    quotes = f"((length({col}) - length(replace({col}, '''', ''))) % 2 = 0)"
+    return f"(({_duck_stmt_type(col)}) <> 'unknown' AND {paren} AND {quotes})"
+
+
+ORACLES["sql_transpile"] = f"""
+        WITH c AS (SELECT * FROM {_values_clause()}),
+        a AS ({_ANALYZE.format(values=_values_clause())})
+        SELECT c.ddl_id, a.dialect,
+               {duckdb_transpile_sql('c.ddl', 'a.dialect')} AS ansi_sql,
+               {_duck_valid('c.ddl')} AS valid
+        FROM c JOIN a USING (ddl_id)
+"""
+
+
+def _script_values() -> str:
+    rows = ",\n            ".join(
+        "('{}', '{}')".format(i, s.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, s in SCRIPT_CORPUS
+    )
+    return f"(VALUES\n            {rows}) AS t(script_id, script)"
+
+
+ORACLES["sql_script_statements"] = rf"""
+        WITH c AS (SELECT * FROM {_script_values()}),
+        parts AS (
+            SELECT script_id,
+                   string_split(regexp_replace(script, '--[^\n]*', '', 'g'), ';')
+                       AS l
+            FROM c
+        ),
+        exploded AS (
+            SELECT script_id,
+                   CAST(generate_subscripts(l, 1) - 1 AS INTEGER) AS stmt_idx,
+                   trim(regexp_replace(unnest(l), '\s+', ' ', 'g')) AS statement
+            FROM parts
+        )
+        SELECT script_id, stmt_idx, statement,
+               {_duck_stmt_type('statement')} AS stmt_type,
+               {duckdb_normalize_sql('statement')} AS normalized
+        FROM exploded
+        WHERE length(statement) > 0
+"""
 
 ORACLES["sql_query_analysis"] = rf"""
         WITH c AS (SELECT * FROM {_sql_corpus_values()}),

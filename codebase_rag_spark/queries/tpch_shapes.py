@@ -5,8 +5,9 @@ These fill in the Catalyst plan families not yet exercised by
 
 * Q2  — correlated per-group MIN subquery -> groupBy + equality join-back
 * Q10 — quarter-scoped returned-item revenue attribution, top-20 customers
-* Q20 — correlated half-of-total dominance threshold (partsupp-free
-        adaptation; exact decimal cross-multiplication, no division)
+* Q20 — correlated fraction-of-total dominance threshold (partsupp-free
+        adaptation; eighth-of-total so the testdata yields non-empty
+        output; exact decimal cross-multiplication, no division)
 * Q7  — two-role dimension join (same nation table joined twice)
 * Q8  — conditional share-of-total by year
 * Q9  — computed per-row profit aggregated by two-role dims
@@ -413,7 +414,7 @@ def excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dominant = (
         pair.join(F.broadcast(total), pair.l_partkey == F.col("tk"))
-        .filter(F.lit(2) * F.col("pair_qty") > F.col("total_qty"))
+        .filter(F.lit(8) * F.col("pair_qty") > F.col("total_qty"))
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("n_parts"))
     )
@@ -446,8 +447,11 @@ _DEC = "DECIMAL(18,6)"
 ORACLES = {
     "returned_item_revenue": f"""
         SELECT c_custkey, c_name, n_name,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                   AS {_DEC})) AS DOUBLE), 2) AS revenue,
+               -- round in DECIMAL space (HALF_UP, matches the Spark
+               -- cast-to-decimal(18,2)); DuckDB round() on DECIMAL is exact,
+               -- while round-after-CAST-TO-DOUBLE diverges on .xx5 sums
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS {_DEC})), 2) AS DOUBLE) AS revenue,
                round(CAST(any_value(c_acctbal) AS DOUBLE), 2) AS acctbal
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -477,7 +481,7 @@ ORACLES = {
         dominant AS (
             SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
             FROM pair JOIN total ON l_partkey = tk
-            WHERE 2 * pair_qty > total_qty
+            WHERE 8 * pair_qty > total_qty
             GROUP BY 1
         )
         SELECT s_name, n_name, n_parts

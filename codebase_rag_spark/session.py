@@ -26,6 +26,9 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", shuffle)
+        # Pin UTC so TIMESTAMP_NTZ -> TIMESTAMP casts (catalog.load_table) and
+        # date_format/unix_* output are wall-clock-stable vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -130,6 +130,32 @@ def test_q7_nation_pair_filter_prunes_before_fact_join(spark, sf_dir):
     assert "n_name" in pf  # nation-name filter pushed into the dim scans
 
 
+def test_q10_returned_item_revenue_broadcast_dims_single_shuffle(spark, sf_dir):
+    """Q10 shape: customer and nation broadcast onto the lineitem-orders
+    join, one shuffle for the group-by, TakeOrdered for the top-20 — no
+    global sort."""
+    df = QUERIES["returned_item_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)
+    pf = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pf  # R-filter reaches the lineitem scan
+    # lineitem-orders join + group-by shuffles; dims all broadcast
+    assert count_exchanges(df) <= 3
+
+
+def test_q20_excess_promo_two_aggregates_broadcast_joinback(spark, sf_dir):
+    """Q20 shape: the decorrelated fraction-of-total needs the pair and
+    total aggregates plus the dominance group-by; the total side and the
+    supplier/nation dims join back via broadcast — no extra shuffles, no
+    driver collect."""
+    df = QUERIES["excess_promo_suppliers"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)
+    pf = " ".join(pushed_filters(df))
+    assert "p_type" in pf  # PROMO filter pushed into the part scan
+    assert count_exchanges(df) <= 4
+
+
 def test_q15_scalar_max_is_broadcast_not_collect(spark, sf_dir):
     """Q15 shape: the global MAX is a 1-row aggregate joined back via
     broadcast — the plan has no driver-side collect and at most the two

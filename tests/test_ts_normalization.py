@@ -1,0 +1,83 @@
+"""Timestamp-normalization regression tests (round-1 postmortem).
+
+The driver's events.parquet has shipped with ts stored two different ways:
+TIMESTAMP(NANOS) (Spark reader rejects; read as long via the legacy conf)
+and TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark 4 reads TIMESTAMP_NTZ,
+which breaks unix_micros / range window frames). catalog.load_table must
+normalize BOTH physical encodings to plain TIMESTAMP so every temporal
+operator downstream sees one type. These fixtures fail before the driver
+does if that normalization ever regresses.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.operators.windows import asof_join, sessionize
+
+_ROWS = [
+    (1, datetime.datetime(2024, 1, 1, 0, 0, 0), 10, "click", 1.0, "{}"),
+    (2, datetime.datetime(2024, 1, 1, 0, 10, 0), 10, "click", 2.0, "{}"),
+    (3, datetime.datetime(2024, 1, 1, 2, 0, 0), 10, "purchase", 3.0, "{}"),
+    (4, datetime.datetime(2024, 1, 1, 1, 0, 0), 11, "click", 4.0, "{}"),
+]
+
+
+def _write_events(dir_path, ts_type) -> str:
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in _ROWS], pa.int64()),
+            "ts": pa.array([r[1] for r in _ROWS], ts_type),
+            "user_id": pa.array([r[2] for r in _ROWS], pa.int64()),
+            "event_type": pa.array([r[3] for r in _ROWS], pa.string()),
+            "value": pa.array([r[4] for r in _ROWS], pa.float64()),
+            "props": pa.array([r[5] for r in _ROWS], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{dir_path}/events.parquet", store_schema=False)
+    return str(dir_path)
+
+
+@pytest.mark.parametrize(
+    "ts_type", [pa.timestamp("us"), pa.timestamp("ns")], ids=["us-ntz", "ns"]
+)
+def test_load_table_normalizes_ts_to_timestamp(spark, tmp_path, ts_type):
+    sf_dir = _write_events(tmp_path, ts_type)
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # wall clock preserved (session tz pinned UTC in get_spark)
+    got = {
+        r["event_id"]: r["s"]
+        for r in df.select(
+            "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")
+        ).collect()
+    }
+    assert got[3] == "2024-01-01 02:00:00"
+
+
+@pytest.mark.parametrize(
+    "ts_type", [pa.timestamp("us"), pa.timestamp("ns")], ids=["us-ntz", "ns"]
+)
+def test_temporal_operators_run_on_normalized_ts(spark, tmp_path, ts_type):
+    sf_dir = _write_events(tmp_path, ts_type)
+    df = load_table(spark, sf_dir, "events")
+    # sessionize exercises unix_micros inside a keyed window
+    sess = sessionize(df, "ts", "user_id", gap_minutes=30)
+    by_event = {r["event_id"]: r["session_id"] for r in sess.collect()}
+    assert by_event[1] == by_event[2] == 1  # 10-min gap, same session
+    assert by_event[3] == 2  # 110-min gap opens a session
+    # asof_join exercises the union-tag-window path on the same type
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = df.filter(F.col("event_type") == "click")
+    joined = asof_join(purchases, clicks, "user_id", right_cols=["value"])
+    row = joined.collect()[0]
+    assert row["value_asof"] == 2.0  # latest click at/before the purchase
