@@ -1,0 +1,128 @@
+"""Provider-pluggable embedding seam (E1).
+
+Reference: services/pipeline/embeddings.py:7-202 — a factory
+(EmbeddingGeneratorFactory.create_generator, :156-184) returns a provider
+(OpenAI / Ollama / OpenRouter) that embeds chunk batches with a per-item
+fallback when a whole batch fails.
+
+Spark-first re-expression: a provider is a function DataFrame -> DataFrame
+that adds an embedding column.
+
+* The DEFAULT provider is the deterministic hash embedder — a native
+  column expression (scan-stage, zero Python) so every similarity query
+  stays oracle-checkable and reproducible.
+* External providers implement the reference's batched-call-with-per-item-
+  fallback shape inside an Arrow-batched pandas UDF: each Arrow batch is
+  one provider call, failures retry item-by-item, hard failures yield null
+  vectors (the caller can anti-join nulls for retry). Network clients are
+  not available in this container, so HttpEmbeddingProvider's transport
+  raises NotImplementedError — the batching/fallback plumbing is real and
+  unit-tested via an injected fake transport.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Protocol
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+from codebase_rag_spark.functions.hashing import hash_embed
+
+
+class EmbeddingProvider(Protocol):
+    """E1 seam: add `out_col` (array<double>) computed from `text_col`."""
+
+    def embed(
+        self, df: DataFrame, text_col: str, out_col: str = "vector"
+    ) -> DataFrame: ...
+
+
+class HashEmbeddingProvider:
+    """Deterministic default (oracle-checkable); native expression."""
+
+    def __init__(self, dim: int = 16):
+        self.dim = dim
+
+    def embed(
+        self, df: DataFrame, text_col: str, out_col: str = "vector"
+    ) -> DataFrame:
+        return df.withColumn(out_col, hash_embed(F.col(text_col), self.dim))
+
+
+class BatchCallbackProvider:
+    """Arrow-batched provider with the reference's per-item fallback
+    (embeddings.py:60-118 shape): one call per Arrow batch; if the batch
+    call throws, retry item-by-item; items that still fail embed as null.
+
+    `embed_batch` is the transport: texts -> list of vectors. Injectable,
+    which is both the test seam and the HTTP seam.
+    """
+
+    def __init__(
+        self,
+        embed_batch: Callable[[list[str]], list[list[float]]],
+        dim: int,
+    ):
+        self.embed_batch = embed_batch
+        self.dim = dim
+
+    def embed(
+        self, df: DataFrame, text_col: str, out_col: str = "vector"
+    ) -> DataFrame:
+        embed_batch = self.embed_batch
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def _embed(texts: pd.Series) -> pd.Series:
+            items = ["" if t is None else str(t) for t in texts]
+            try:
+                vecs = embed_batch(items)
+            except Exception:
+                vecs = []
+                for t in items:  # per-item fallback (embeddings.py:100-118)
+                    try:
+                        vecs.append(embed_batch([t])[0])
+                    except Exception:
+                        vecs.append(None)
+            return pd.Series(vecs)
+
+        return df.withColumn(out_col, _embed(F.col(text_col)))
+
+
+class HttpEmbeddingProvider(BatchCallbackProvider):
+    """Reference's OpenAI/Ollama-style remote provider. The transport is
+    not implementable in this container (no network/HTTP client), so it
+    raises; the batching machinery above is what production would reuse
+    with a real `requests`/`httpx` call."""
+
+    def __init__(self, endpoint: str, model: str, dim: int = 384):
+        self.endpoint, self.model = endpoint, model
+
+        def _transport(texts: list[str]) -> list[list[float]]:
+            raise NotImplementedError(
+                "HTTP embedding transport is stubbed in this environment "
+                "(reference embeddings.py:60-118); inject a transport via "
+                "BatchCallbackProvider for testing"
+            )
+
+        super().__init__(_transport, dim)
+
+
+def create_provider(name: str = "hash", **kwargs) -> EmbeddingProvider:
+    """Factory (reference EmbeddingGeneratorFactory, embeddings.py:156-184):
+    'hash' (default, deterministic) | 'callback' | 'http'."""
+    if name == "hash":
+        return HashEmbeddingProvider(dim=int(kwargs.get("dim", 16)))
+    if name == "callback":
+        return BatchCallbackProvider(
+            kwargs["embed_batch"], dim=int(kwargs.get("dim", 16))
+        )
+    if name == "http":
+        return HttpEmbeddingProvider(
+            kwargs.get("endpoint", ""), kwargs.get("model", ""),
+            dim=int(kwargs.get("dim", 384)),
+        )
+    raise ValueError(f"unknown embedding provider: {name!r}")

@@ -56,19 +56,26 @@ def embed_chunks(
     chunks: DataFrame,
     existing_embeddings: DataFrame | None = None,
     dim: int = 16,
+    provider=None,
 ) -> DataFrame:
-    """Embed stage (E1'): deterministic hash-embedder over content, with the
+    """Embed stage (E1): provider-pluggable embedder over content, with the
     content-sha cache anti-join — chunks whose sha already has a vector are
-    skipped. Swap hash_embed for a pandas-UDF provider embedder in
-    production; the cache logic is identical."""
+    skipped. Default provider is the deterministic hash embedder (native
+    expression, oracle-checkable); swap in any functions.embed_providers
+    provider (Arrow-batched remote call with per-item fallback) without
+    touching the cache logic."""
+    if provider is None:
+        from codebase_rag_spark.functions.embed_providers import (
+            HashEmbeddingProvider,
+        )
+
+        provider = HashEmbeddingProvider(dim=dim)
     todo = chunks.select("content_sha", "content").dropDuplicates(["content_sha"])
     if existing_embeddings is not None:
         todo = todo.join(
             existing_embeddings.select("content_sha"), "content_sha", "left_anti"
         )
-    return todo.select(
-        "content_sha", hash_embed(F.col("content"), dim).alias("vector")
-    )
+    return provider.embed(todo, "content", "vector").select("content_sha", "vector")
 
 
 def ingest_directory(

@@ -44,7 +44,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vector branch (cosine-to-query top-20, vec_id==doc_id): the
     calibration-free hybrid merge (sum 1/(60+rank)); top-10 fused."""
     from codebase_rag_spark.operators.ranking import rrf_merge
-    from codebase_rag_spark.operators.similarity import cosine_topk
+    from codebase_rag_spark.operators.similarity import knn_join
 
     d = load_table(spark, sf_dir, "documents")
     index = build_inverted_index(d, "doc_id", "text")
@@ -52,10 +52,14 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), F.col("score").cast("double").alias("score")
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    vec_branch = cosine_topk(emb, qv, k=20, exclude_ids=[0]).select(
-        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    # join-based query-vector lookup (no eager .first(): the 1-row query
+    # side rides the plan as a broadcast, keeping the whole pipeline lazy)
+    query_side = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
     )
+    vec_branch = knn_join(
+        emb.filter(F.col("vec_id") != 0), query_side, k=20
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score"))
     fused = rrf_merge([text_branch, vec_branch], "doc_id", "score")
     return fused.orderBy(F.desc("rrf_score"), F.col("doc_id")).limit(10)
 

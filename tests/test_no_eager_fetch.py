@@ -1,0 +1,48 @@
+"""Guard: no driver-side .collect()/.first() outside parameter-sized
+fetches (VERDICT r1 #9). Every eager fetch in the engine must be in the
+allowlist below with a reason — anything new fails this test until it is
+either made lazy or justified as parameter-sized (O(1) or O(nlist/top-K)
+rows, never corpus-proportional).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "codebase_rag_spark"
+
+# (path-suffix, count, reason) — counts are exact so adding a new eager
+# fetch to an allowlisted file still trips the guard.
+ALLOWED: dict[str, tuple[int, str]] = {
+    "operators/sampling.py": (2, "quantile/count scalars: 1-row agg params"),
+    "operators/pq.py": (2, "dim probe + nlist centroid table (tiny)"),
+    "operators/fulltext.py": (1, "BM25 corpus stats: 1-row (N, avgdl)"),
+    "operators/bpe.py": (1, "top-K vocab head: the tokenizer-training set"),
+    "operators/similarity.py": (2, "dim probe + nprobe centroid routing"),
+    "sources/layout.py": (1, "partition-layout stats: 1-row agg"),
+    "queries/vectorops.py": (2, "query-vector/-bucket param fetch (1 row)"),
+}
+
+# empty parens only: F.first("col") is the aggregate expression, not a fetch
+PATTERN = re.compile(r"\.(collect|first)\(\s*\)")
+
+
+def test_no_unlisted_eager_fetches():
+    found: dict[str, int] = {}
+    for py in sorted(PKG.rglob("*.py")):
+        rel = py.relative_to(PKG).as_posix()
+        n = 0
+        for line in py.read_text().splitlines():
+            code = line.split("#", 1)[0]
+            if PATTERN.search(code):
+                n += 1
+        if n:
+            found[rel] = n
+    unexpected = {
+        rel: n for rel, n in found.items() if ALLOWED.get(rel, (0,))[0] != n
+    }
+    assert not unexpected, (
+        f"eager fetches outside the allowlist (file: got vs allowed): "
+        f"{{ {', '.join(f'{r}: {n} vs {ALLOWED.get(r, (0,))[0]}' for r, n in unexpected.items())} }}"
+    )
