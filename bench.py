@@ -78,6 +78,11 @@ HEADLINE = [
     "market_share",
     "customer_order_distribution",
     "disjunctive_bracket_revenue",
+    "dedup_clusters",
+    "unigram_surprise",
+    "duplicated_spans",
+    "domain_temperature_mix",
+    "sql_transpile",
 ]
 
 

@@ -18,6 +18,7 @@ from codebase_rag_spark.queries import (
     analyticsops,
     codeops,
     corpusops,
+    curationops,
     dedupops,
     eventops,
     graphops,
@@ -35,6 +36,7 @@ _MODULES = [
     analyticsops,
     textops,
     dedupops,
+    curationops,
     vectorops,
     eventops,
     graphops,

@@ -1,0 +1,276 @@
+"""Corpus-curation queries (beyond-reference training-data ops, round 2):
+dedup clustering, unigram-LM quality scoring, temperature-scaled domain
+mixing, and exact duplicated-span detection. Each has a full DuckDB oracle.
+
+These extend the dedup/sampling surface with the remaining operations a
+100 TB pretraining pipeline runs between "candidate pairs found" and
+"training mix shipped":
+
+* dedup_clusters — LSH candidate pairs are only half the job; picking ONE
+  canonical doc per duplicate group needs connected components over the
+  pair graph (min-label propagation, the same fixed-iteration operator the
+  doc-graph queries use).
+* unigram_surprise — corpus-level unigram language model scored back over
+  every doc (two-pass: vocabulary aggregate, then token join); the
+  perplexity-proxy quality signal.
+* domain_temperature_mix — count^alpha temperature reweighting of the
+  (lang, source) grid: the standard multi-domain sampling formula.
+* duplicated_spans — exact substring-level duplication (shared word
+  8-grams across docs), the fine-grained complement to doc-level MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.functions.hashing import shingles
+from codebase_rag_spark.functions.text import tokens
+from codebase_rag_spark.operators.dedup import minhash_lsh_candidates
+from codebase_rag_spark.operators.graph import connected_components
+
+NUM_HASHES = 4
+BANDS = 2
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group resolution: LSH candidate pairs -> connected
+    components (3 fixed min-label-propagation iterations) -> one canonical
+    id (the component min) + member count per group.
+
+    Plan: the pair join is the LSH shuffle; each CC iteration is one
+    key-partitioned join + aggregate over PAIR-sized (not corpus-sized)
+    data. At 100 TB the pair graph is orders of magnitude smaller than the
+    corpus, so the iterative part stays cheap; the canonical-id map then
+    broadcast-joins back onto the corpus for the actual drop."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    edges = cands.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    labels = connected_components(edges, iterations=3)
+    return (
+        labels.groupBy(F.col("component").alias("canonical_id"))
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), "canonical_id")
+    )
+
+
+def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: pass 1 builds the corpus unigram model
+    (token -> count, one map-side-combined shuffle); pass 2 joins it back
+    onto the exploded token stream and averages -log2 p(token) per doc,
+    then summarizes per source. High surprise = rare-token-heavy docs (OCR
+    noise, boilerplate soup) — the cheap stand-in for LM perplexity
+    filtering.
+
+    The corpus total rides along as a broadcast 1-row aggregate (no eager
+    fetch); the token join is the one corpus-sized shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            (-F.log2(F.col("tf") / F.col("total"))).alias("surprise"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.avg("surprise").alias("doc_surprise")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("doc_surprise"), 4).alias("avg_surprise"),
+            F.round(F.max("doc_surprise"), 4).alias("max_surprise"),
+        )
+        .orderBy("source")
+    )
+
+
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (alpha = 0.5): weight each
+    (lang, source) cell by sqrt(count) / sum(sqrt(count)) — the standard
+    rebalancing that upsamples small domains without flattening the mix.
+    Emits the per-cell weight and its expected doc count at a 10k budget.
+
+    Two tiny aggregates; the normalizer is a broadcast 1-row sum."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    z = cells.agg(F.sum(F.sqrt(F.col("n_docs"))).alias("z"))
+    return (
+        cells.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.round(F.sqrt(F.col("n_docs")) / F.col("z"), 6).alias("mix_weight"),
+            F.round(F.lit(10000) * F.sqrt(F.col("n_docs")) / F.col("z"), 1).alias(
+                "expected_docs"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication: a word 8-gram appearing in >= 2
+    distinct docs marks a duplicated span. Per lang: docs analyzed, docs
+    with > 20% duplicated distinct grams, and the mean duplicated-gram
+    fraction. The fine-grained complement to doc-level MinHash — catches
+    big shared boilerplate blocks inside otherwise-distinct docs.
+
+    Plan: gram explode is scan-stage; distinct (gram, doc) pairs + the
+    gram-frequency aggregate + the join-back are the three shuffles, all
+    on gram/doc keys with map-side combine. No all-pairs anything."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.filter(F.size(toks) >= 8).select(
+        "doc_id", "lang", F.explode(shingles(toks, 8)).alias("gram")
+    )
+    doc_grams = base.dropDuplicates(["doc_id", "gram"])
+    gram_docs = doc_grams.groupBy("gram").agg(
+        F.count("*").alias("n_docs_with_gram")
+    )
+    flagged = (
+        doc_grams.join(gram_docs, "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("n_docs_with_gram") >= 2, 1)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("n_dup") / F.col("n_grams"), 4).alias("dup_fraction"),
+        )
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("dup_fraction") > 0.2, 1)).alias("n_flagged"),
+            F.round(F.avg("dup_fraction"), 4).alias("avg_dup_fraction"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "unigram_surprise": unigram_surprise,
+    "domain_temperature_mix": domain_temperature_mix,
+    "duplicated_spans": duplicated_spans,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# the lsh_candidates pair SQL, reused verbatim from dedupops' oracle
+from codebase_rag_spark.queries.dedupops import ORACLES as _DEDUP_ORACLES  # noqa: E402
+
+_CC_ITER = """
+        l{i} AS (
+            SELECT l.node,
+                   least(l.component,
+                         coalesce(min(r.component), l.component)) AS component
+            FROM l{prev} l
+            LEFT JOIN u ON u.dst = l.node
+            LEFT JOIN l{prev} r ON r.node = u.src
+            GROUP BY l.node, l.component
+        )"""
+
+ORACLES = {
+    "dedup_clusters": f"""
+        WITH cand AS ({_DEDUP_ORACLES["lsh_candidates"]}),
+        e AS (
+            SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+            FROM cand
+        ),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS component FROM u),
+        {_CC_ITER.format(i=1, prev=0)},
+        {_CC_ITER.format(i=2, prev=1)},
+        {_CC_ITER.format(i=3, prev=2)}
+        SELECT component AS canonical_id, count(*) AS cluster_size
+        FROM l3 GROUP BY component
+        ORDER BY cluster_size DESC, canonical_id
+    """,
+    "unigram_surprise": r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(regexp_split_to_array(text, '\s+')) AS tok
+            FROM documents
+        ),
+        t AS (SELECT * FROM toks WHERE tok <> ''),
+        vocab AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+        total AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM vocab),
+        scored AS (
+            SELECT t.doc_id, t.source,
+                   -log2(vocab.tf / total.total) AS surprise
+            FROM t JOIN vocab USING (tok) CROSS JOIN total
+        ),
+        per_doc AS (
+            SELECT doc_id, source, avg(surprise) AS doc_surprise
+            FROM scored GROUP BY doc_id, source
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(doc_surprise), 4) AS avg_surprise,
+               round(max(doc_surprise), 4) AS max_surprise
+        FROM per_doc GROUP BY source
+        ORDER BY source
+    """,
+    "domain_temperature_mix": """
+        WITH cells AS (
+            SELECT lang, source, count(*) AS n_docs
+            FROM documents GROUP BY lang, source
+        ),
+        z AS (SELECT sum(sqrt(n_docs)) AS z FROM cells)
+        SELECT lang, source, n_docs,
+               round(sqrt(n_docs) / z.z, 6) AS mix_weight,
+               round(10000 * sqrt(n_docs) / z.z, 1) AS expected_docs
+        FROM cells CROSS JOIN z
+        ORDER BY lang, source
+    """,
+    "duplicated_spans": r"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(text, '\s+') AS t
+            FROM documents
+            WHERE len(regexp_split_to_array(text, '\s+')) >= 8
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, lang,
+                   array_to_string(t[i:i+7], ' ') AS gram
+            FROM w, UNNEST(range(1, len(t) - 6)) AS r(i)
+        ),
+        gd AS (SELECT gram, count(*) AS n_docs_with_gram FROM g GROUP BY gram),
+        per_doc AS (
+            SELECT g.doc_id, g.lang,
+                   round(count(CASE WHEN gd.n_docs_with_gram >= 2 THEN 1 END)
+                         ::DOUBLE / count(*), 4) AS dup_fraction
+            FROM g JOIN gd USING (gram)
+            GROUP BY g.doc_id, g.lang
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(count(CASE WHEN dup_fraction > 0.2 THEN 1 END) AS BIGINT)
+                   AS n_flagged,
+               round(avg(dup_fraction), 4) AS avg_dup_fraction
+        FROM per_doc GROUP BY lang
+        ORDER BY lang
+    """,
+}

@@ -156,6 +156,31 @@ def test_q20_excess_promo_two_aggregates_broadcast_joinback(spark, sf_dir):
     assert count_exchanges(df) <= 4
 
 
+def test_unigram_surprise_broadcast_total_no_collect(spark, sf_dir):
+    """The corpus-total normalizer must ride the plan as a broadcast 1-row
+    aggregate (BroadcastNestedLoopJoin), never an eager fetch; the token
+    join + two aggregates are the only shuffles."""
+    from codebase_rag_spark.plans import explain_str
+
+    df = QUERIES["unigram_surprise"](spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in explain_str(df)
+    # vocab agg + token-join (both sides) + per-doc + per-source aggs
+    assert count_exchanges(df) <= 6
+
+
+def test_duplicated_spans_gram_keyed_shuffles_only(spark, sf_dir):
+    """Gram explode stays in the scan stage; the dedup + gram-count +
+    join-back + two summaries are key-partitioned shuffles — no all-pairs
+    join anywhere."""
+    from codebase_rag_spark.plans import explain_str
+
+    df = QUERIES["duplicated_spans"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # pair-dedup + gram-count + join-back + per-doc + per-lang aggs
+    assert count_exchanges(df) <= 6
+
+
 def test_q15_scalar_max_is_broadcast_not_collect(spark, sf_dir):
     """Q15 shape: the global MAX is a 1-row aggregate joined back via
     broadcast — the plan has no driver-side collect and at most the two
