@@ -83,6 +83,8 @@ HEADLINE = [
     "duplicated_spans",
     "domain_temperature_mix",
     "sql_transpile",
+    "distinct_users_hll",
+    "event_value_ewma",
 ]
 
 

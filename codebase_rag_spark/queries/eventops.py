@@ -401,7 +401,98 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Bounded-window EWMA: integer weights 7^i * 10^(7-i) (= 0.7^i scaled by
+# 10^7, exactly representable) so the Spark and DuckDB weighted sums are
+# bit-identical; the addition chain is written out explicitly in the SAME
+# order in both engines.
+_EWMA_LAGS = 8
+_EWMA_W = [7**i * 10 ** (7 - i) for i in range(_EWMA_LAGS)]
+
+
+def event_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of event value per
+    user over the last 8 events — the bounded-lookback formulation: explicit
+    lag columns + integer-weight normalization, which keeps EWMA inside
+    native window expressions (no recursion, no UDF) and makes it exactly
+    reproducible across engines. One shuffle (the keyed window)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", i).over(w) if i else F.col("value") for i in range(_EWMA_LAGS)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(_EWMA_LAGS):
+        num = num + F.coalesce(lags[i] * F.lit(float(_EWMA_W[i])), F.lit(0.0))
+        den = den + F.when(lags[i].isNotNull(), F.lit(float(_EWMA_W[i]))).otherwise(
+            F.lit(0.0)
+        )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _FMT).alias("ts_s"),
+        "value",
+        F.round(num / den, 4).alias("ewma"),
+    )
+
+
+def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL-style distinct sketch (Flajolet-Martin registers
+    over md5), per event type: 16 registers keyed by the first hex digit,
+    register value = leading-zero-bit count of the remaining digest + 1.
+    Because the hash is md5 in BOTH engines, the registers — and therefore
+    the estimate — match exactly, which makes a cardinality SKETCH
+    oracle-checkable (approx_count_distinct's HLL++ never is).
+
+    The register table is 16 rows per group: the whole sketch is one
+    map-side-combined shuffle; the exact countDistinct rides along for the
+    error column. At 100 TB you'd keep ONLY the sketch pass (the exact
+    pass exists here to prove the error bound)."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = (
+        F.expr("instr('0123456789abcdef', substring(md5(cast(user_id as string)), 1, 1))")
+        - 1
+    )
+    rest = F.substring(h, 2, 31)
+    zeros_hex = F.length(F.regexp_extract(rest, r"^(0*)", 1))
+    first_nz = F.substring(F.regexp_replace(rest, r"^0*", ""), 1, 1)
+    extra = (
+        F.when(first_nz.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .when(first_nz.isin("2", "3"), 2)
+        .otherwise(3)
+    )
+    rho = zeros_hex * 4 + extra + 1
+    regs = (
+        e.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    sketch = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+    )
+    est = F.lit(0.673 * 256.0) / (F.col("s") + (F.lit(16) - F.col("n_buckets")))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_buckets",
+            F.round(est, 2).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                (est - F.col("exact_distinct")) * 100.0 / F.col("exact_distinct"), 2
+            ).alias("error_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "event_value_ewma": event_value_ewma,
+    "distinct_users_hll": distinct_users_hll,
     "conversion_latency": conversion_latency,
     "hourly_gap_fill": hourly_gap_fill,
     "event_transitions": event_transitions,
@@ -420,7 +511,81 @@ QUERIES = {
     "props_json_stats": props_json_stats,
 }
 
+_EWMA_LAG_COLS = ",\n                   ".join(
+    f"lag(value, {i}) OVER w AS x{i}" for i in range(1, _EWMA_LAGS)
+)
+_EWMA_NUM = " + ".join(
+    ["0.0"]
+    + [
+        f"coalesce({'value' if i == 0 else f'x{i}'} * {float(w)}, 0.0)"
+        for i, w in enumerate(_EWMA_W)
+    ]
+)
+_EWMA_DEN = " + ".join(
+    ["0.0"]
+    + [
+        f"CASE WHEN {'value' if i == 0 else f'x{i}'} IS NOT NULL"
+        f" THEN {float(w)} ELSE 0.0 END"
+        for i, w in enumerate(_EWMA_W)
+    ]
+)
+
+_HLL_REST = "substr(hx, 2, 31)"
+_HLL_FIRST_NZ = f"substr(regexp_replace({_HLL_REST}, '^0*', ''), 1, 1)"
+_HLL_EST = "0.673 * 256.0 / (s + (16 - n_buckets))"
+
 ORACLES = {
+    "event_value_ewma": f"""
+        WITH e AS (SELECT * FROM events WHERE user_id < 5),
+        l AS (
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+                   {_EWMA_LAG_COLS}
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, ts_s, value,
+               round(({_EWMA_NUM}) / ({_EWMA_DEN}), 4) AS ewma
+        FROM l
+    """,
+    "distinct_users_hll": f"""
+        WITH h AS (
+            SELECT event_type, user_id,
+                   md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events
+        ),
+        r AS (
+            SELECT event_type,
+                   strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS bucket,
+                   4 * length(regexp_extract({_HLL_REST}, '^(0*)', 1))
+                   + CASE
+                       WHEN {_HLL_FIRST_NZ} IN ('8','9','a','b','c','d','e','f') THEN 0
+                       WHEN {_HLL_FIRST_NZ} IN ('4','5','6','7') THEN 1
+                       WHEN {_HLL_FIRST_NZ} IN ('2','3') THEN 2
+                       ELSE 3
+                     END + 1 AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2
+        ),
+        sk AS (
+            SELECT event_type, count(*) AS n_buckets,
+                   sum(pow(2.0, -m)) AS s
+            FROM regs GROUP BY 1
+        ),
+        ex AS (
+            SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY 1
+        )
+        SELECT sk.event_type, n_buckets,
+               round({_HLL_EST}, 2) AS hll_estimate,
+               exact_distinct,
+               round(({_HLL_EST} - exact_distinct) * 100.0 / exact_distinct, 2)
+                   AS error_pct
+        FROM sk JOIN ex USING (event_type)
+        ORDER BY event_type
+    """,
     "hourly_tumbling": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
