@@ -74,19 +74,30 @@ def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    # collapse to (doc, tok, cnt) FIRST: the vocab aggregate and the join
+    # then run on distinct-(doc,token) rows instead of every occurrence —
+    # one map-side-combined shuffle collapses the Zipf head before any
+    # data moves again (at 100 TB this is the difference between joining
+    # the token stream and joining the much smaller doc-term matrix)
+    doc_tok = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    vocab = doc_tok.groupBy("tok").agg(F.sum("cnt").alias("tf"))
     total = vocab.agg(F.sum("tf").cast("double").alias("total"))
     scored = (
-        toks.join(vocab, "tok")
+        doc_tok.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "source",
+            "cnt",
             (-F.log2(F.col("tf") / F.col("total"))).alias("surprise"),
         )
     )
     per_doc = scored.groupBy("doc_id", "source").agg(
-        F.avg("surprise").alias("doc_surprise")
+        (F.sum(F.col("cnt") * F.col("surprise")) / F.sum("cnt")).alias(
+            "doc_surprise"
+        )
     )
     return (
         per_doc.groupBy("source")
@@ -131,21 +142,26 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction. The fine-grained complement to doc-level MinHash — catches
     big shared boilerplate blocks inside otherwise-distinct docs.
 
-    Plan: gram explode is scan-stage; distinct (gram, doc) pairs + the
-    gram-frequency aggregate + the join-back are the three shuffles, all
-    on gram/doc keys with map-side combine. No all-pairs anything."""
+    Plan: gram explode is scan-stage; ONE gram-keyed shuffle does all the
+    heavy lifting — collect_set(doc) simultaneously dedups the (doc, gram)
+    pairs and yields each gram's doc count (8-gram doc-sets are tiny, so
+    the set aggregate has no skew exposure), with no join-back and no
+    recomputation of the explode for a second consumer; then two summary
+    aggregates. No all-pairs anything."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     base = d.filter(F.size(toks) >= 8).select(
         "doc_id", "lang", F.explode(shingles(toks, 8)).alias("gram")
     )
-    doc_grams = base.dropDuplicates(["doc_id", "gram"])
-    gram_docs = doc_grams.groupBy("gram").agg(
-        F.count("*").alias("n_docs_with_gram")
+    per_gram = base.groupBy("gram").agg(
+        F.collect_set(F.struct("doc_id", "lang")).alias("docs")
     )
+    counted = per_gram.select(
+        F.size("docs").alias("n_docs_with_gram"),
+        F.explode("docs").alias("d"),
+    ).select("d.doc_id", "d.lang", "n_docs_with_gram")
     flagged = (
-        doc_grams.join(gram_docs, "gram")
-        .groupBy("doc_id", "lang")
+        counted.groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_grams"),
             F.count(F.when(F.col("n_docs_with_gram") >= 2, 1)).alias("n_dup"),
@@ -215,15 +231,20 @@ ORACLES = {
             FROM documents
         ),
         t AS (SELECT * FROM toks WHERE tok <> ''),
-        vocab AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+        dt AS (
+            SELECT doc_id, source, tok, count(*) AS cnt
+            FROM t GROUP BY doc_id, source, tok
+        ),
+        vocab AS (SELECT tok, sum(cnt) AS tf FROM dt GROUP BY tok),
         total AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM vocab),
         scored AS (
-            SELECT t.doc_id, t.source,
+            SELECT dt.doc_id, dt.source, dt.cnt,
                    -log2(vocab.tf / total.total) AS surprise
-            FROM t JOIN vocab USING (tok) CROSS JOIN total
+            FROM dt JOIN vocab USING (tok) CROSS JOIN total
         ),
         per_doc AS (
-            SELECT doc_id, source, avg(surprise) AS doc_surprise
+            SELECT doc_id, source,
+                   sum(cnt * surprise) / sum(cnt) AS doc_surprise
             FROM scored GROUP BY doc_id, source
         )
         SELECT source,

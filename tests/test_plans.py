@@ -163,9 +163,11 @@ def test_unigram_surprise_broadcast_total_no_collect(spark, sf_dir):
     from codebase_rag_spark.plans import explain_str
 
     df = QUERIES["unigram_surprise"](spark, sf_dir)
-    assert "BroadcastNestedLoopJoin" in explain_str(df)
-    # vocab agg + token-join (both sides) + per-doc + per-source aggs
-    assert count_exchanges(df) <= 6
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # (doc,tok) pre-agg feeds vocab + join branches; per-doc + per-source
+    assert count_exchanges(df) <= 9
 
 
 def test_duplicated_spans_gram_keyed_shuffles_only(spark, sf_dir):
@@ -177,8 +179,8 @@ def test_duplicated_spans_gram_keyed_shuffles_only(spark, sf_dir):
     df = QUERIES["duplicated_spans"](spark, sf_dir)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
-    # pair-dedup + gram-count + join-back + per-doc + per-lang aggs
-    assert count_exchanges(df) <= 6
+    # ONE gram-keyed collect_set shuffle + per-doc + per-lang aggs
+    assert count_exchanges(df) <= 4
 
 
 def test_q15_scalar_max_is_broadcast_not_collect(spark, sf_dir):
