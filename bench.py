@@ -85,6 +85,8 @@ HEADLINE = [
     "sql_transpile",
     "distinct_users_hll",
     "event_value_ewma",
+    "native_session_windows",
+    "session_overlap_pairs",
 ]
 
 

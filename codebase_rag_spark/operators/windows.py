@@ -191,3 +191,61 @@ def asof_join(
         *[F.col(f"{c}{suffix}") for c in right_cols],
         F.col(f"{right_ts}{suffix}"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    bucket_minutes: int,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    l_prefix: str = "l_",
+    r_prefix: str = "r_",
+) -> DataFrame:
+    """Interval x interval overlap join per key: emit every (left, right)
+    pair whose [start, end] ranges intersect (closed intervals).
+
+    Spark has no native interval join; a naive SQL formulation
+    (l.start <= r.end AND r.start <= l.end) becomes a per-key cartesian
+    product. Scalable shape: explode each interval into the fixed-width
+    time buckets it covers, equi-join on (key, bucket) so only
+    temporally-near pairs ever meet, then filter the exact overlap
+    predicate and dedup pairs that met in multiple buckets. Fan-out is
+    interval_length/bucket_width + 1 per row — pick bucket_minutes near
+    the typical interval length to keep it ~2x.
+    """
+    width_us = bucket_minutes * 60 * 1_000_000
+
+    def buckets(start: str, end: str):
+        return F.sequence(
+            (F.unix_micros(F.col(start)) / width_us).cast("bigint"),
+            (F.unix_micros(F.col(end)) / width_us).cast("bigint"),
+        )
+
+    lb = left.select(
+        F.col(key_col).alias("_k"),
+        F.struct(*left.columns).alias("_l"),
+        F.explode(buckets(left_start, left_end)).alias("_b"),
+    )
+    rb = right.select(
+        F.col(key_col).alias("_k"),
+        F.struct(*right.columns).alias("_r"),
+        F.explode(buckets(right_start, right_end)).alias("_b"),
+    )
+    pairs = (
+        lb.join(rb, ["_k", "_b"])
+        .filter(
+            (F.col(f"_l.{left_start}") <= F.col(f"_r.{right_end}"))
+            & (F.col(f"_r.{right_start}") <= F.col(f"_l.{left_end}"))
+        )
+        .drop("_b")
+        .dropDuplicates(["_l", "_r"])
+    )
+    return pairs.select(
+        F.col("_k").alias(key_col),
+        *[F.col(f"_l.{c}").alias(f"{l_prefix}{c}") for c in left.columns if c != key_col],
+        *[F.col(f"_r.{c}").alias(f"{r_prefix}{c}") for c in right.columns if c != key_col],
+    )

