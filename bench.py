@@ -87,6 +87,8 @@ HEADLINE = [
     "event_value_ewma",
     "native_session_windows",
     "session_overlap_pairs",
+    "gopher_quality_flags",
+    "int8_quantization_error",
 ]
 
 

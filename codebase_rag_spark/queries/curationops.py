@@ -183,11 +183,102 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKERS = ["join", "hash", "row", "scan", "merge"]
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gates (Rae et al. 2021 §A1.1 shape,
+    thresholds adapted to this corpus): word count in [20, 80], mean word
+    length in [3, 8], top-token dominance < 8% (the repetition smell), and
+    >= 2 distinct corpus function-words present. Per lang: docs passing
+    each rule and all rules.
+
+    Plan: ONE map-side-combined shuffle collapses the corpus to the
+    (doc, token, count) matrix; every rule then reads that matrix — no
+    per-rule scan, no O(len^2) array tricks (which would die on 100k-token
+    docs at corpus scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    doc_tok = toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("cnt"))
+    per_doc = doc_tok.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_words"),
+        F.max("cnt").alias("top_cnt"),
+        (F.sum(F.length("tok") * F.col("cnt")) / F.sum("cnt")).alias("mean_wl"),
+        F.count(F.when(F.col("tok").isin(_MARKERS), 1)).alias("n_markers"),
+    )
+    flags = per_doc.select(
+        "lang",
+        F.col("n_words").between(20, 80).alias("ok_words"),
+        F.col("mean_wl").between(3.0, 8.0).alias("ok_wl"),
+        (F.col("top_cnt") / F.col("n_words") < 0.08).alias("ok_dom"),
+        (F.col("n_markers") >= 2).alias("ok_markers"),
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("ok_words"), 1)).alias("n_ok_words"),
+            F.count(F.when(F.col("ok_wl"), 1)).alias("n_ok_wl"),
+            F.count(F.when(F.col("ok_dom"), 1)).alias("n_ok_dom"),
+            F.count(F.when(F.col("ok_markers"), 1)).alias("n_ok_markers"),
+            F.count(
+                F.when(
+                    F.col("ok_words")
+                    & F.col("ok_wl")
+                    & F.col("ok_dom")
+                    & F.col("ok_markers"),
+                    1,
+                )
+            ).alias("n_pass_all"),
+        )
+        .orderBy("lang")
+    )
+
+
+def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization round-trip error per embedding label: each
+    vector quantized with its own max-abs/127 scale, reconstructed, and
+    scored for MSE (parts-per-billion) and max absolute element error
+    (parts-per-million). The compression-quality audit one runs before
+    shipping an int8 ANN index (4x memory cut vs float32).
+
+    Pure scan-stage array math (transform + fold) — zero shuffles before
+    the per-label summary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    err = F.transform(v, lambda x: x - F.round(x / scale) * scale)
+    sq = F.aggregate(
+        F.transform(err, lambda e: e * e), F.lit(0.0), lambda acc, x: acc + x
+    )
+    per_vec = emb.select(
+        "label",
+        (sq / F.size(v)).alias("mse"),
+        F.array_max(F.transform(err, lambda e: F.abs(e))).alias("max_err"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("mse") * 1e9, 2).alias("avg_mse_ppb"),
+            F.round(F.max("max_err") * 1e6, 2).alias("max_err_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "unigram_surprise": unigram_surprise,
     "domain_temperature_mix": domain_temperature_mix,
     "duplicated_spans": duplicated_spans,
+    "gopher_quality_flags": gopher_quality_flags,
+    "int8_quantization_error": int8_quantization_error,
 }
 
 # ---------------------------------------------------------------------------
@@ -265,6 +356,77 @@ ORACLES = {
                round(10000 * sqrt(n_docs) / z.z, 1) AS expected_docs
         FROM cells CROSS JOIN z
         ORDER BY lang, source
+    """,
+    "gopher_quality_flags": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents
+        ),
+        tt AS (SELECT * FROM t WHERE tok <> ''),
+        dt AS (
+            SELECT doc_id, lang, tok, count(*) AS cnt
+            FROM tt GROUP BY doc_id, lang, tok
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   sum(cnt) AS n_words,
+                   max(cnt) AS top_cnt,
+                   sum(length(tok) * cnt)::DOUBLE / sum(cnt) AS mean_wl,
+                   count(CASE WHEN tok IN
+                       ({', '.join(repr(m) for m in _MARKERS)}) THEN 1 END)
+                       AS n_markers
+            FROM dt GROUP BY doc_id, lang
+        ),
+        flags AS (
+            SELECT lang,
+                   n_words BETWEEN 20 AND 80 AS ok_words,
+                   mean_wl BETWEEN 3.0 AND 8.0 AS ok_wl,
+                   top_cnt::DOUBLE / n_words < 0.08 AS ok_dom,
+                   n_markers >= 2 AS ok_markers
+            FROM per_doc
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(count(CASE WHEN ok_words THEN 1 END) AS BIGINT) AS n_ok_words,
+               CAST(count(CASE WHEN ok_wl THEN 1 END) AS BIGINT) AS n_ok_wl,
+               CAST(count(CASE WHEN ok_dom THEN 1 END) AS BIGINT) AS n_ok_dom,
+               CAST(count(CASE WHEN ok_markers THEN 1 END) AS BIGINT)
+                   AS n_ok_markers,
+               CAST(count(CASE WHEN ok_words AND ok_wl AND ok_dom
+                               AND ok_markers THEN 1 END) AS BIGINT)
+                   AS n_pass_all
+        FROM flags GROUP BY lang
+        ORDER BY lang
+    """,
+    "int8_quantization_error": """
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, label, v,
+                   greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                            1e-12) AS scale
+            FROM e
+        ),
+        per_vec AS (
+            SELECT label,
+                   list_sum(list_transform(v,
+                       x -> (x - round(x / scale) * scale)
+                            * (x - round(x / scale) * scale)))
+                       / len(v) AS mse,
+                   list_max(list_transform(v,
+                       x -> abs(x - round(x / scale) * scale))) AS max_err
+            FROM s
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               round(avg(mse) * 1e9, 2) AS avg_mse_ppb,
+               round(max(max_err) * 1e6, 2) AS max_err_ppm
+        FROM per_vec GROUP BY label
+        ORDER BY label
     """,
     "duplicated_spans": r"""
         WITH w AS (
