@@ -103,3 +103,35 @@ def hash_embed(text: Column, dim: int = 16) -> Column:
         h = F.conv(F.substring(md5_hash(text, f"e{i}"), 1, 8), 16, 10).cast("double")
         comps.append(h / F.lit(float(16**8)) - 0.5)
     return F.array(*comps)
+
+
+# --- Flajolet-Martin / HLL sketch registers (deterministic: md5-based) ----
+
+FM_BUCKETS = 16
+FM_ALPHA_M2 = 0.673 * FM_BUCKETS * FM_BUCKETS  # alpha_16 * m^2
+
+
+def fm_register_exprs(key: Column) -> tuple[Column, Column]:
+    """(bucket, rho) register coordinates for a distinct-count sketch:
+    bucket = first hex digit of md5(key), rho = leading-zero BITS of the
+    remaining digest + 1. Deterministic (md5), so two engines — or a
+    streaming and a batch job — build bit-identical registers that merge
+    by simple max()."""
+    h = F.md5(key.cast("string"))
+    bucket = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    rest = F.substring(h, 2, 31)
+    zeros_hex = F.length(F.regexp_extract(rest, r"^(0*)", 1))
+    first_nz = F.substring(F.regexp_replace(rest, r"^0*", ""), 1, 1)
+    extra = (
+        F.when(first_nz.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .when(first_nz.isin("2", "3"), 2)
+        .otherwise(3)
+    )
+    return bucket, zeros_hex * 4 + extra + 1
+
+
+def fm_estimate(s: Column, n_buckets: Column) -> Column:
+    """HLL harmonic-mean estimate from sum(2^-register) over the buckets
+    present (`s`) with absent buckets contributing 2^-0 = 1 each."""
+    return F.lit(FM_ALPHA_M2) / (s + (F.lit(FM_BUCKETS) - n_buckets))

@@ -447,22 +447,10 @@ def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined shuffle; the exact countDistinct rides along for the
     error column. At 100 TB you'd keep ONLY the sketch pass (the exact
     pass exists here to prove the error bound)."""
+    from codebase_rag_spark.functions.hashing import fm_estimate, fm_register_exprs
+
     e = load_table(spark, sf_dir, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    bucket = (
-        F.expr("instr('0123456789abcdef', substring(md5(cast(user_id as string)), 1, 1))")
-        - 1
-    )
-    rest = F.substring(h, 2, 31)
-    zeros_hex = F.length(F.regexp_extract(rest, r"^(0*)", 1))
-    first_nz = F.substring(F.regexp_replace(rest, r"^0*", ""), 1, 1)
-    extra = (
-        F.when(first_nz.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
-        .when(first_nz.isin("4", "5", "6", "7"), 1)
-        .when(first_nz.isin("2", "3"), 2)
-        .otherwise(3)
-    )
-    rho = zeros_hex * 4 + extra + 1
+    bucket, rho = fm_register_exprs(F.col("user_id"))
     regs = (
         e.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("event_type", "bucket")
@@ -472,7 +460,7 @@ def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_buckets"),
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
     )
-    est = F.lit(0.673 * 256.0) / (F.col("s") + (F.lit(16) - F.col("n_buckets")))
+    est = fm_estimate(F.col("s"), F.col("n_buckets"))
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )

@@ -240,3 +240,47 @@ def stream_static_enrich(
     nothing, so no watermark is needed; the static side broadcasts when
     small."""
     return events.join(F.broadcast(dim), key)
+
+
+def streaming_user_sketch(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed distinct-user SKETCH maintenance: per (window, register
+    bucket), the running max rho — the streaming half of the deterministic
+    Flajolet-Martin/HLL sketch (functions/hashing.py:fm_register_exprs).
+
+    State per window is exactly FM_BUCKETS rows regardless of traffic (a
+    register MERGE is max(), which streaming aggregation maintains
+    incrementally under the watermark) — distinct-counting a 100 TB/day
+    stream in O(windows x 16) state instead of O(distinct keys).
+    finalize_fm_sketch turns the stored registers into estimates batch-side.
+    """
+    from codebase_rag_spark.functions.hashing import fm_register_exprs
+
+    bucket, rho = fm_register_exprs(F.col("user_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window("ts", duration), "bucket")
+        .agg(F.max("rho").alias("m"))
+        .select(F.col("window.start").alias("window_start"), "bucket", "m")
+    )
+
+
+def finalize_fm_sketch(regs: DataFrame) -> DataFrame:
+    """Registers -> per-window distinct estimate (batch finalize; also
+    merges registers written by independent jobs via max-per-bucket)."""
+    from codebase_rag_spark.functions.hashing import fm_estimate
+
+    sketch = regs.groupBy("window_start").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+    )
+    return sketch.select(
+        "window_start",
+        F.round(fm_estimate(F.col("s"), F.col("n_buckets")), 2).alias(
+            "distinct_estimate"
+        ),
+    )

@@ -52,6 +52,45 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_fm_sketch_matches_batch(spark, tmp_path):
+    """The windowed distinct-user sketch maintained by the stream must
+    produce identical registers — and therefore identical estimates — to
+    the same sketch computed in one batch pass (register merge is max(),
+    so incremental maintenance is lossless)."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.functions.hashing import fm_register_exprs
+    from codebase_rag_spark.streaming.events import (
+        finalize_fm_sketch,
+        streaming_user_sketch,
+    )
+
+    src = str(tmp_path / "events_src")
+    _write_events(spark, src)
+    regs = streaming_user_sketch(stream_events(spark, src), duration="1 hour")
+    run_stream_to_memory(regs, "fm_regs", spark)
+    got = {
+        r.window_start: r.distinct_estimate
+        for r in finalize_fm_sketch(spark.sql("SELECT * FROM fm_regs")).collect()
+    }
+    bucket, rho = fm_register_exprs(F.col("user_id"))
+    batch_regs = (
+        spark.read.parquet(src)
+        .select(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("window_start", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    want = {
+        r.window_start: r.distinct_estimate
+        for r in finalize_fm_sketch(batch_regs).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_foreach_batch_ingest_partitions_by_date(spark, tmp_path):
     src = str(tmp_path / "src")
     store = str(tmp_path / "store")
