@@ -264,11 +264,26 @@ def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     last(ignorenulls) over an ordered per-type window — no driver-side
     date loop, and the spine grows with the time range, not the data."""
     e = load_table(spark, sf_dir, "events")
+    # avg via a CANONICAL-ORDER fold: a plain double avg() is
+    # summation-order-dependent, and at sf0.1 a few hourly groups land on
+    # a .xxxx5 rounding boundary where Spark's and DuckDB's accumulation
+    # orders disagree (decimal casts don't help — DuckDB truncates where
+    # Spark rounds). Sorting each group's values and folding left-to-right
+    # makes the double sum bit-identical in any engine; groups are
+    # hour-sized, so the collected array stays small at any corpus scale.
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("value")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count("*"),
+            4,
+        ).alias("avg_value"),
     )
     bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     spine = bounds.select(
@@ -863,8 +878,18 @@ ORACLES["conversion_latency"] = """
 
 ORACLES["hourly_gap_fill"] = """
         WITH hourly AS (
+            -- canonical-order fold makes the double bit-identical to
+            -- Spark's; the round must then emulate Spark's semantics
+            -- (shortest decimal repr -> HALF_UP) because DuckDB's native
+            -- round() multiplies in binary and disagrees exactly on
+            -- representation-boundary values like 47.25375
             SELECT event_type, date_trunc('hour', ts) AS h,
-                   count(*) AS n, round(avg(value), 4) AS avg_value
+                   count(*) AS n,
+                   CAST(round(CAST(CAST(
+                       list_reduce(list_prepend(0.0, list_sort(list(value))),
+                                   (a, b) -> a + b) / count(*)
+                       AS VARCHAR) AS DECIMAL(38,30)), 4) AS DOUBLE)
+                       AS avg_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         ),
         b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
