@@ -183,6 +183,35 @@ def test_duplicated_spans_gram_keyed_shuffles_only(spark, sf_dir):
     assert count_exchanges(df) <= 4
 
 
+def test_session_overlap_join_is_bucketed_not_cartesian(spark, sf_dir):
+    """The interval x interval join must meet on (key, bucket) equi-keys —
+    no cartesian/nested-loop fallback anywhere in the plan."""
+    from codebase_rag_spark.plans import explain_str
+
+    df = QUERIES["session_overlap_pairs"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_flags_single_doc_term_shuffle(spark, sf_dir):
+    """All four quality rules read ONE map-side-combined doc-term-matrix
+    shuffle; only the per-doc + per-lang aggregates and the output sort
+    follow."""
+    df = QUERIES["gopher_quality_flags"](spark, sf_dir)
+    assert count_exchanges(df) <= 4
+
+
+def test_hll_sketch_two_bounded_aggregates(spark, sf_dir):
+    """Register build + finalize + the exact-count rider: every shuffle is
+    map-side-combined and output-bounded (16 registers per group)."""
+    df = QUERIES["distinct_users_hll"](spark, sf_dir)
+    assert count_exchanges(df) <= 5
+    from codebase_rag_spark.plans import explain_str
+
+    assert "CartesianProduct" not in explain_str(df)
+
+
 def test_q15_scalar_max_is_broadcast_not_collect(spark, sf_dir):
     """Q15 shape: the global MAX is a 1-row aggregate joined back via
     broadcast — the plan has no driver-side collect and at most the two
