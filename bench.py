@@ -89,6 +89,7 @@ HEADLINE = [
     "session_overlap_pairs",
     "gopher_quality_flags",
     "int8_quantization_error",
+    "first_touch_attribution",
 ]
 
 

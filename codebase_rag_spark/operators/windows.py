@@ -137,6 +137,51 @@ def bounded_range_join_count(
     )
 
 
+def bounded_range_join_min_ts(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_id: str,
+    lookback_minutes: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Interval join, MIN variant: per left row, the EARLIEST right_ts of
+    the same key within [left_ts - lookback, left_ts] (first-touch
+    attribution). Same bucketized-equi-join plan as
+    bounded_range_join_count — one hash shuffle, 2x right fan-out, exact
+    predicate on the residue; left rows with no match keep a null."""
+    width_us = lookback_minutes * 60 * 1_000_000
+    lb = left.select(
+        F.col(left_id),
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).alias("_lts"),
+        (F.unix_micros(F.col(left_ts)) / width_us).cast("bigint").alias("_b"),
+    )
+    rb = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).alias("_rts"),
+        F.explode(
+            F.array(
+                (F.unix_micros(F.col(right_ts)) / width_us).cast("bigint"),
+                (F.unix_micros(F.col(right_ts)) / width_us).cast("bigint") + 1,
+            )
+        ).alias("_b"),
+    )
+    matches = (
+        lb.join(rb, ["_k", "_b"])
+        .filter(
+            (F.unix_micros(F.col("_rts")) >= F.unix_micros(F.col("_lts")) - width_us)
+            & (F.col("_rts") <= F.col("_lts"))
+        )
+        .groupBy(left_id)
+        .agg(F.min("_rts").alias("first_touch_ts"))
+    )
+    return lb.join(matches, left_id, "left").select(
+        F.col(left_id), F.col("_lts"), F.col("first_touch_ts")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

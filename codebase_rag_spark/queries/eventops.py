@@ -11,6 +11,7 @@ from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.operators.windows import (
     asof_join,
     bounded_range_join_count,
+    bounded_range_join_min_ts,
     interval_overlap_join,
     sessionize,
     sliding_agg,
@@ -550,11 +551,48 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the user's
+    EARLIEST click in the preceding 24h (the min-variant of the bucketized
+    bounded-range join — same one-shuffle plan as the count variant, vs
+    the O(n*m) inequality join the naive SQL writes). Emits per-purchase
+    attribution latency and the per-user summary."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    attributed = bounded_range_join_min_ts(
+        purchases, clicks, "user_id", "event_id", lookback_minutes=24 * 60
+    )
+    # latency kept in INTEGER micros until the final division: the sum is
+    # exact (order-independent) in both engines, so the rounded average
+    # can't drift on accumulation order
+    per_purchase = attributed.select(
+        "event_id",
+        (F.unix_micros("_lts") - F.unix_micros("first_touch_ts")).alias("lat_us"),
+    )
+    joined = purchases.join(per_purchase, "event_id")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("lat_us").alias("n_attributed"),
+            F.round(
+                F.sum("lat_us") / F.count("lat_us") / F.lit(1_000_000.0), 1
+            ).alias("avg_latency_s"),
+        )
+        .filter(F.col("n_attributed") > 0)
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "event_value_ewma": event_value_ewma,
     "distinct_users_hll": distinct_users_hll,
     "native_session_windows": native_session_windows,
     "session_overlap_pairs": session_overlap_pairs,
+    "first_touch_attribution": first_touch_attribution,
     "conversion_latency": conversion_latency,
     "hourly_gap_fill": hourly_gap_fill,
     "event_transitions": event_transitions,
@@ -620,6 +658,38 @@ _TYPED_SESS = """
 """
 
 ORACLES = {
+    "first_touch_attribution": """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        attributed AS (
+            -- first touch = EARLIEST click in the window -> max latency
+            SELECT p.event_id,
+                   any_value(epoch_us(p.ts)) - min(epoch_us(c.ts)) AS lat_us
+            FROM purchases p
+            LEFT JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000
+            GROUP BY p.event_id
+        )
+        SELECT p.user_id,
+               count(*) AS n_purchases,
+               count(lat_us) AS n_attributed,
+               -- emulate Spark round(double, 1): shortest repr, HALF_UP
+               CAST(round(CAST(CAST(
+                   CAST(sum(lat_us) AS DOUBLE) / count(lat_us) / 1000000.0
+                   AS VARCHAR) AS DECIMAL(38,30)), 1) AS DOUBLE)
+                   AS avg_latency_s
+        FROM purchases p JOIN attributed a ON a.event_id = p.event_id
+        GROUP BY p.user_id
+        HAVING count(lat_us) > 0
+        ORDER BY user_id
+    """,
     "session_overlap_pairs": f"""
         WITH clicks AS ({_TYPED_SESS.format(etype="click")}),
         views AS ({_TYPED_SESS.format(etype="view")})
