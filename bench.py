@@ -90,6 +90,7 @@ HEADLINE = [
     "gopher_quality_flags",
     "int8_quantization_error",
     "first_touch_attribution",
+    "doc_personalized_pagerank",
 ]
 
 

@@ -148,6 +148,29 @@ QUERIES = {
     "doc_components": doc_components,
 }
 
+
+def doc_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (every 50th doc), 3 fixed
+    iterations over the 1-step doc chain: mass radiates only to nodes
+    within 3 hops of a seed — the query-conditioned graph-retrieval
+    ranking (cf. the reference's impact depth-decay scoring). Output is
+    the naturally-sparse positive-mass set."""
+    from codebase_rag_spark.operators.graph import personalized_pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    seeds = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").cast("string").alias("node")
+    )
+    ranks = personalized_pagerank(
+        _doc_chain(spark, sf_dir, hops=1), seeds, iterations=3
+    )
+    return ranks.filter(F.col("rank") > 0).select(
+        "node", F.round("rank", 8).alias("rank")
+    )
+
+
+QUERIES["doc_personalized_pagerank"] = doc_personalized_pagerank
+
 ORACLES = {
     "recursive_reachability": RECURSIVE_REACH_SQL,
     "region_two_hop": """
@@ -222,6 +245,42 @@ ORACLES["doc_pagerank"] = f"""
         {_PR_ITER.format(i=2, prev=1)},
         {_PR_ITER.format(i=3, prev=2)}
         SELECT node, round(rank, 8) AS rank FROM it3
+"""
+
+_PPR_ITER = """
+        it{i} AS (
+            SELECT s.node, s.is_seed,
+                   (1.0::DOUBLE - 0.85::DOUBLE)
+                       * (s.is_seed::DOUBLE / (SELECT ns FROM params))
+                   + 0.85::DOUBLE * coalesce(sum(r.rank / deg.od), 0.0::DOUBLE)
+                       AS rank
+            FROM sflag s
+            LEFT JOIN e ON e.dst = s.node
+            LEFT JOIN it{prev} r ON r.node = e.src
+            LEFT JOIN deg ON deg.src = e.src
+            GROUP BY s.node, s.is_seed
+        )"""
+
+ORACLES["doc_personalized_pagerank"] = f"""
+        WITH e AS ({_CHAIN_1}),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        sflag AS (
+            SELECT node,
+                   CASE WHEN CAST(node AS BIGINT) % 50 = 0 THEN 1 ELSE 0 END
+                       AS is_seed
+            FROM nodes
+        ),
+        params AS (SELECT sum(is_seed)::DOUBLE AS ns FROM sflag),
+        deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        it0 AS (
+            SELECT node, is_seed,
+                   is_seed::DOUBLE / (SELECT ns FROM params) AS rank
+            FROM sflag
+        ),
+        {_PPR_ITER.format(i=1, prev=0)},
+        {_PPR_ITER.format(i=2, prev=1)},
+        {_PPR_ITER.format(i=3, prev=2)}
+        SELECT node, round(rank, 8) AS rank FROM it3 WHERE rank > 0
 """
 
 _CC_ITER = """
