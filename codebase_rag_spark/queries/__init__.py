@@ -88,7 +88,8 @@ _PRIORITY = [
     "event_trailing_avg", "user_event_gaps", "returned_item_revenue",
     "excess_promo_suppliers", "user_sessions", "session_funnel",
     "purchase_click_window", "conversion_latency", "sql_transpile",
-    "sql_script_statements",
+    "sql_script_statements", "doc_personalized_pagerank",
+    "first_touch_attribution", "session_overlap_pairs", "hourly_gap_fill",
 ]
 
 QUERIES = {
