@@ -91,6 +91,7 @@ HEADLINE = [
     "int8_quantization_error",
     "first_touch_attribution",
     "doc_personalized_pagerank",
+    "rolling_weekly_distinct",
 ]
 
 

@@ -587,12 +587,61 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimates via SKETCH MERGEABILITY: build
+    daily FM/HLL registers once (days x 16 rows), then each day's trailing
+    week is just max(register) over a 7-day range window — no rescan of
+    raw events per window, which is the whole point of sketches: a 365-day
+    dashboard reads 365 x 16 register rows instead of re-counting distinct
+    over every window.
+
+    The day x bucket grid (spine cross join) keeps buckets visible to the
+    window even on days they received no traffic."""
+    from codebase_rag_spark.functions.hashing import fm_estimate, fm_register_exprs
+
+    e = load_table(spark, sf_dir, "events")
+    bucket, rho = fm_register_exprs(F.col("user_id"))
+    daily = (
+        e.select(F.to_date("ts").alias("day"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    days = daily.select("day").distinct()
+    grid = days.crossJoin(
+        F.broadcast(
+            spark.range(16).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day_ord")
+        .rangeBetween(-6, 0)
+    )
+    merged = (
+        grid.join(daily, ["day", "bucket"], "left")
+        .withColumn("day_ord", F.datediff("day", F.lit("2024-01-01")))
+        .withColumn("m7", F.max("m").over(w))
+    )
+    sk = merged.groupBy("day").agg(
+        F.count("m7").alias("n_buckets"),
+        F.sum(F.coalesce(F.pow(F.lit(2.0), -F.col("m7")), F.lit(0.0))).alias("s"),
+    )
+    return sk.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_buckets",
+        F.round(fm_estimate(F.col("s"), F.col("n_buckets")), 2).alias(
+            "distinct_7d_estimate"
+        ),
+    ).orderBy("day")
+
+
 QUERIES = {
     "event_value_ewma": event_value_ewma,
     "distinct_users_hll": distinct_users_hll,
     "native_session_windows": native_session_windows,
     "session_overlap_pairs": session_overlap_pairs,
     "first_touch_attribution": first_touch_attribution,
+    "rolling_weekly_distinct": rolling_weekly_distinct,
     "conversion_latency": conversion_latency,
     "hourly_gap_fill": hourly_gap_fill,
     "event_transitions": event_transitions,
@@ -658,6 +707,54 @@ _TYPED_SESS = """
 """
 
 ORACLES = {
+    "rolling_weekly_distinct": f"""
+        WITH h AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events
+        ),
+        r AS (
+            SELECT day,
+                   strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS bucket,
+                   4 * length(regexp_extract({_HLL_REST}, '^(0*)', 1))
+                   + CASE
+                       WHEN {_HLL_FIRST_NZ} IN ('8','9','a','b','c','d','e','f') THEN 0
+                       WHEN {_HLL_FIRST_NZ} IN ('4','5','6','7') THEN 1
+                       WHEN {_HLL_FIRST_NZ} IN ('2','3') THEN 2
+                       ELSE 3
+                     END + 1 AS rho
+            FROM h
+        ),
+        daily AS (SELECT day, bucket, max(rho) AS m FROM r GROUP BY day, bucket),
+        days AS (SELECT DISTINCT day FROM daily),
+        grid AS (
+            SELECT d.day, b.bucket
+            FROM days d CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+        ),
+        merged AS (
+            SELECT g.day, g.bucket,
+                   date_diff('day', DATE '2024-01-01', g.day) AS day_ord,
+                   daily.m
+            FROM grid g
+            LEFT JOIN daily ON daily.day = g.day AND daily.bucket = g.bucket
+        ),
+        win AS (
+            SELECT day,
+                   max(m) OVER (PARTITION BY bucket ORDER BY day_ord
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m7
+            FROM merged
+        ),
+        sk AS (
+            SELECT day, count(m7) AS n_buckets,
+                   sum(coalesce(pow(2.0, -m7), 0.0)) AS s
+            FROM win GROUP BY day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               n_buckets,
+               round(0.673 * 256.0 / (s + (16 - n_buckets)), 2)
+                   AS distinct_7d_estimate
+        FROM sk ORDER BY day
+    """,
     "first_touch_attribution": """
         WITH purchases AS (
             SELECT event_id, user_id, ts FROM events
