@@ -139,6 +139,53 @@ def test_asof_join_matches_naive(spark, rows):
             assert got_ts == max(cands)[0]
 
 
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=0, max_value=7200),  # start offset sec
+        st.integers(min_value=0, max_value=5400),  # duration sec
+        st.booleans(),                             # left vs right side
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(rows=intervals_strategy)
+@settings(**SETTINGS)
+def test_interval_overlap_join_matches_naive_property(spark, rows):
+    """Bucketized interval join == naive inequality join on random
+    intervals: no pair lost across bucket boundaries, none invented,
+    duplicates collapsed even when a pair meets in several buckets."""
+    import datetime as dt
+
+    from codebase_rag_spark.operators.windows import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    lefts, rights = [], []
+    for i, (k, start, dur, is_left) in enumerate(rows):
+        s = base + dt.timedelta(seconds=start)
+        e = s + dt.timedelta(seconds=dur)
+        (lefts if is_left else rights).append((k, f"i{i}", s, e))
+    if not lefts or not rights:
+        return
+    left = spark.createDataFrame(lefts, ["k", "id", "start", "end"])
+    right = spark.createDataFrame(rights, ["k", "id", "start", "end"])
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "k", bucket_minutes=30
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for lk, li, ls, le in lefts
+        for rk, ri, rs, re in rights
+        if lk == rk and ls <= re and rs <= le
+    }
+    assert got == want
+
+
 @given(
     items=st.lists(
         st.tuples(
