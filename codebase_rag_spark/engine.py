@@ -1,0 +1,304 @@
+"""Engine facade: the reference's MCP tool surface (mcp/tools.py:12-24,
+30 tools) mapped onto the Spark engine, so a reference user can find every
+operation they call today under the same name.
+
+Every method returns a DataFrame (lazy — callers collect) or a small dict
+for metadata ops. Exclusions are explicit and match SURVEY §2's by-design
+list: the five LLM-extraction tools (E3-E6: extract_from_conversation,
+suggest_memory_from_query, batch_extract_from_repository — external LLM
+calls) raise NotImplementedError with the reason, and the six task-queue
+tools are absent because Spark's scheduler replaces the queue
+(services/tasks/* has no analytical semantics).
+
+Storage layout: one directory per knowledge base —
+  {store}/files, {store}/chunks, {store}/embeddings  (ingest pipeline)
+  {store}/memories                                    (memory store)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from codebase_rag_spark.functions.hashing import hash_embed
+from codebase_rag_spark.functions.vector import cosine_similarity
+from codebase_rag_spark.memory import (
+    current_memories,
+    memory_summary,
+    search_memories,
+)
+from codebase_rag_spark.operators.chunking import extract_markers
+from codebase_rag_spark.operators.code_extract import classify_commit
+from codebase_rag_spark.operators.graph import impact_analysis
+from codebase_rag_spark.operators.ranking import pack_budget, rank_score
+from codebase_rag_spark.pipeline import ingest_directory
+from codebase_rag_spark.retrieval import QueryConfig, query_knowledge
+from codebase_rag_spark.sources.scan import scan_directory
+
+MEMORY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("project_id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("importance", T.DoubleType()),
+        T.StructField("created_at", T.StringType()),
+    ]
+)
+
+_LLM_EXCLUDED = (
+    "requires an external LLM provider (SURVEY §2.10 E3-E6, by-design "
+    "exclusion); the deterministic analogues are extract_from_code_comments "
+    "(T14 markers) and extract_from_git_commit (T15 classification)"
+)
+
+
+class CodebaseRagEngine:
+    """One object with the reference's tool surface; all operations are
+    Spark dataflows over the store directory's Parquet tables."""
+
+    def __init__(self, spark: SparkSession, store_dir: str):
+        self.spark = spark
+        self.store = store_dir.rstrip("/")
+
+    # ---- Knowledge base (5 reference tools) -----------------------------
+
+    def query_knowledge(self, question: str, mode: str = "hybrid", top_k: int = 5) -> DataFrame:
+        docs = self._chunks_as_docs()
+        edges = self._chunk_chain_edges(docs)
+        terms = [t for t in question.lower().split() if len(t) > 2]
+        return query_knowledge(
+            self.spark, docs, edges, terms, QueryConfig(mode=mode, top_k=top_k)
+        )
+
+    def search_similar_nodes(self, query_text: str, top_k: int = 5) -> DataFrame:
+        emb = self.spark.read.parquet(f"{self.store}/embeddings")
+        q = hash_embed(F.lit(query_text), 16)
+        return (
+            emb.select(
+                "content_sha",
+                F.round(cosine_similarity(F.col("vector"), q), 4).alias("score"),
+            )
+            .orderBy(F.desc("score"), "content_sha")
+            .limit(top_k)
+        )
+
+    def add_directory(self, path: str, recursive: bool = True, **globs) -> dict:
+        return ingest_directory(self.spark, path, self.store, **globs)
+
+    # add_document / add_file are single-source special cases of the same
+    # pipeline (reference routes them through one ingestion bundle too)
+    def add_file(self, path: str) -> dict:
+        import os
+
+        return ingest_directory(
+            self.spark,
+            os.path.dirname(path) or ".",
+            self.store,
+            include_globs=[os.path.basename(path)],
+        )
+
+    def add_document(self, content: str, name: str = "inline") -> dict:
+        from codebase_rag_spark.pipeline import chunk_files, embed_chunks
+
+        files = self.spark.createDataFrame(
+            [(name, "doc", "text", len(content), content, "inline", "md")],
+            ["path", "repo_id", "lang", "size", "content", "sha", "ext"],
+        )
+        chunks = chunk_files(files)
+        embs = embed_chunks(chunks)
+        chunks.write.mode("append").parquet(f"{self.store}/chunks")
+        embs.write.mode("append").parquet(f"{self.store}/embeddings")
+        return {"documents_count": 1, "chunks": chunks.count()}
+
+    # ---- Code graph (4 reference tools) ---------------------------------
+
+    def code_graph_ingest_repo(self, repo_path: str, **kw) -> dict:
+        return ingest_directory(self.spark, repo_path, self.store, **kw)
+
+    def code_graph_related(
+        self, query: str, limit: int = 30, lang: str | None = None
+    ) -> DataFrame:
+        files = self.spark.read.parquet(f"{self.store}/files")
+        terms = [t for t in query.lower().split() if t]
+        score = rank_score(
+            F.coalesce(F.col("content"), F.col("path")),
+            terms,
+            exact=F.col("path").contains(terms[0]) if terms else None,
+            lang_match=(F.col("lang") == lang) if lang else None,
+            core_boost=F.col("path").rlike(r"(^|/)(src|lib|core|app)/"),
+            test_penalty=F.col("path").contains("test"),
+        )
+        return (
+            files.select("path", "lang", score.alias("score"))
+            .orderBy(F.desc("score"), "path")
+            .limit(limit)
+        )
+
+    def code_graph_impact(self, target: str, max_depth: int = 3) -> DataFrame:
+        docs = self._chunks_as_docs()
+        edges = self._chunk_chain_edges(docs)
+        return impact_analysis(edges, target, depth=max_depth, rel_types=("NEXT",))
+
+    def context_pack(self, query: str, budget_tokens: int = 4000) -> DataFrame:
+        ranked = self.code_graph_related(query, limit=1000)
+        files = self.spark.read.parquet(f"{self.store}/files")
+        costed = ranked.join(files.select("path", "size"), "path").select(
+            "path",
+            "score",
+            (F.col("size") / 4 + 50).cast("bigint").alias("cost"),
+        )
+        return pack_budget(costed, "score", "cost", budget_tokens, id_col="path")
+
+    # ---- Memory store (7 reference tools) -------------------------------
+
+    def add_memory(
+        self,
+        project_id: str,
+        mem_type: str,
+        title: str,
+        content: str,
+        tags: list[str] | None = None,
+        importance: float = 0.5,
+    ) -> str:
+        mem_id = f"{project_id}:{title}:{_dt.datetime.now(_dt.timezone.utc).isoformat()}"
+        row = [
+            (
+                mem_id,
+                project_id,
+                mem_type,
+                title,
+                content,
+                tags or [],
+                float(importance),
+                _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            )
+        ]
+        self.spark.createDataFrame(row, MEMORY_SCHEMA).write.mode("append").parquet(
+            f"{self.store}/memories"
+        )
+        return mem_id
+
+    def search_memories(self, **kw) -> DataFrame:
+        return search_memories(self._memories(), **kw)
+
+    def get_memory(self, memory_id: str) -> DataFrame:
+        return self._memories().filter(F.col("id") == memory_id)
+
+    def update_memory(self, memory_id: str, **updates) -> None:
+        # columnar stores update by rewrite: merge-on-key keep-newest
+        mems = self._memories()
+        updated = mems.filter(F.col("id") == memory_id)
+        for k, v in updates.items():
+            updated = updated.withColumn(k, F.lit(v))
+        out = mems.filter(F.col("id") != memory_id).unionByName(updated)
+        self._rewrite_memories(out)
+
+    def delete_memory(self, memory_id: str) -> None:
+        self._rewrite_memories(self._memories().filter(F.col("id") != memory_id))
+
+    def supersede_memory(self, project_id: str, title: str, content: str, **kw) -> str:
+        # new row wins by created_at; lineage derived, not stored (SCD-2)
+        return self.add_memory(project_id, kw.pop("mem_type", "decision"), title, content, **kw)
+
+    def get_project_summary(self, project_id: str) -> DataFrame:
+        mems = current_memories(
+            self._memories().filter(F.col("project_id") == project_id)
+        )
+        return memory_summary(mems)
+
+    # ---- Deterministic extraction (2 of 5; 3 are LLM-excluded) ----------
+
+    def extract_from_code_comments(self) -> DataFrame:
+        files = self.spark.read.parquet(f"{self.store}/files").filter(
+            F.col("content").isNotNull()
+        )
+        return extract_markers(files, "path", "content")
+
+    def extract_from_git_commit(self, messages: list[str]) -> DataFrame:
+        df = self.spark.createDataFrame([(m,) for m in messages], ["message"])
+        return df.select("message", classify_commit(F.col("message")).alias("category"))
+
+    def extract_from_conversation(self, *_a, **_k):
+        raise NotImplementedError(_LLM_EXCLUDED)
+
+    def suggest_memory_from_query(self, *_a, **_k):
+        raise NotImplementedError(_LLM_EXCLUDED)
+
+    def batch_extract_from_repository(self, *_a, **_k):
+        raise NotImplementedError(_LLM_EXCLUDED)
+
+    # ---- System (3 reference tools) -------------------------------------
+
+    def get_graph_schema(self) -> dict:
+        out = {}
+        for table in ("files", "chunks", "embeddings", "memories"):
+            try:
+                out[table] = self.spark.read.parquet(
+                    f"{self.store}/{table}"
+                ).schema.simpleString()
+            except Exception:
+                out[table] = None
+        return out
+
+    def get_statistics(self) -> dict:
+        stats = {}
+        for table in ("files", "chunks", "embeddings"):
+            try:
+                stats[f"n_{table}"] = self.spark.read.parquet(
+                    f"{self.store}/{table}"
+                ).count()
+            except Exception:
+                stats[f"n_{table}"] = 0
+        try:
+            docs = self._chunks_as_docs()
+            stats["n_edges"] = self._chunk_chain_edges(docs).count()
+        except Exception:
+            stats["n_edges"] = 0
+        return stats
+
+    def clear_knowledge_base(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.store, ignore_errors=True)
+
+    # ---- internals ------------------------------------------------------
+
+    def _memories(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(f"{self.store}/memories")
+        except Exception:
+            return self.spark.createDataFrame([], MEMORY_SCHEMA)
+
+    def _rewrite_memories(self, df: DataFrame) -> None:
+        # write-new-then-swap would be the production shape; local rewrite
+        # keeps the test surface simple
+        rows = df.collect()
+        self.spark.createDataFrame(rows, MEMORY_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{self.store}/memories")
+
+    def _chunks_as_docs(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.store}/chunks").select(
+            F.col("id").alias("doc_id"),
+            F.col("content").alias("text"),
+            F.col("source_id").alias("source"),
+        )
+
+    def _chunk_chain_edges(self, docs: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("doc_id")
+        return (
+            docs.select(
+                F.col("doc_id").cast("string").alias("src"),
+                F.lead(F.col("doc_id").cast("string")).over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .withColumn("type", F.lit("NEXT"))
+        )

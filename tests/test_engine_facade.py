@@ -1,0 +1,95 @@
+"""Engine facade tests: the reference's MCP tool surface
+(mcp/tools.py:12-24) exercised end-to-end against one store directory."""
+
+from __future__ import annotations
+
+import pytest
+
+from codebase_rag_spark.engine import CodebaseRagEngine
+
+
+@pytest.fixture()
+def repo_dir(tmp_path):
+    src = tmp_path / "repo" / "src"
+    src.mkdir(parents=True)
+    (src / "main.py").write_text(
+        "def join_tables(a, b):\n    return a.join(b)\n" * 6
+    )
+    (src / "vector.py").write_text(
+        "def cosine(u, v):\n    return sum(x * y for x, y in zip(u, v))\n" * 6
+    )
+    (tmp_path / "repo" / "test_main.py").write_text("def test_join():\n    pass\n")
+    return str(tmp_path / "repo")
+
+
+@pytest.fixture()
+def engine(spark, tmp_path, repo_dir):
+    eng = CodebaseRagEngine(spark, str(tmp_path / "store"))
+    stats = eng.code_graph_ingest_repo(repo_dir)
+    assert stats["files"] >= 3
+    return eng
+
+
+def test_query_knowledge_modes(engine):
+    for mode in ("hybrid", "graph_only", "vector_only"):
+        rows = engine.query_knowledge("join tables", mode=mode).collect()
+        assert len(rows) > 0, mode
+        assert {"id", "score", "branch"} <= set(rows[0].asDict())
+
+
+def test_search_similar_nodes(engine):
+    rows = engine.search_similar_nodes("cosine vector", top_k=3).collect()
+    assert 0 < len(rows) <= 3
+
+
+def test_related_ranks_src_over_tests(engine):
+    rows = engine.code_graph_related("join", limit=10).collect()
+    paths = [r["path"] for r in rows]
+    # test files carry the 0.5 penalty; src/ carries the 1.2 boost
+    assert paths.index("src/main.py") < paths.index("test_main.py")
+
+
+def test_context_pack_respects_budget(engine):
+    picked = engine.context_pack("join", budget_tokens=200).collect()
+    assert picked and max(r["cum_cost"] for r in picked) <= 200
+
+
+def test_impact_traversal(engine):
+    stats = engine.get_statistics()
+    assert stats["n_files"] >= 3 and stats["n_edges"] >= 1
+
+
+def test_memory_crud_and_summary(engine):
+    mid = engine.add_memory("p1", "decision", "use-spark", "because scale", ["arch"], 0.9)
+    engine.add_memory("p1", "decision", "use-spark", "superseded v2", ["arch"], 0.9)
+    found = engine.search_memories(project_id="p1", tags=["arch"]).collect()
+    assert len(found) == 2
+    summary = engine.get_project_summary("p1").collect()
+    assert summary[0]["n_memories"] == 1  # lineage: only the current row
+    engine.delete_memory(mid)
+    assert len(engine.search_memories(project_id="p1").collect()) == 1
+
+
+def test_deterministic_extraction(engine):
+    commits = engine.extract_from_git_commit(
+        ["feat: add join", "fix(core)!: breaking", "docs: readme"]
+    ).collect()
+    cats = {r["message"].split(":")[0].split("(")[0]: r["category"] for r in commits}
+    assert cats["feat"].startswith("feat")
+    with pytest.raises(NotImplementedError):
+        engine.extract_from_conversation("hi")
+
+
+def test_add_document_and_schema(engine):
+    out = engine.add_document("standalone note about vectors", name="note.md")
+    assert out["documents_count"] == 1
+    schema = engine.get_graph_schema()
+    assert schema["chunks"] is not None
+
+
+def test_clear_knowledge_base(spark, tmp_path, repo_dir):
+    eng = CodebaseRagEngine(spark, str(tmp_path / "store2"))
+    eng.code_graph_ingest_repo(repo_dir)
+    assert eng.get_statistics()["n_files"] > 0
+    eng.clear_knowledge_base()
+    assert eng.get_statistics()["n_files"] == 0

@@ -22,6 +22,7 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "operators/similarity.py": (2, "dim probe + nprobe centroid routing"),
     "sources/layout.py": (1, "partition-layout stats: 1-row agg"),
     "queries/vectorops.py": (2, "query-vector/-bucket param fetch (1 row)"),
+    "engine.py": (1, "memory-store rewrite: memories are human-note-sized"),
 }
 
 # empty parens only: F.first("col") is the aggregate expression, not a fetch
