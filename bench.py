@@ -92,6 +92,8 @@ HEADLINE = [
     "first_touch_attribution",
     "doc_personalized_pagerank",
     "rolling_weekly_distinct",
+    "containment_pairs",
+    "aes_weighted_reservoir",
 ]
 
 

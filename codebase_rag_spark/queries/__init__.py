@@ -90,7 +90,7 @@ _PRIORITY = [
     "purchase_click_window", "conversion_latency", "sql_transpile",
     "sql_script_statements", "doc_personalized_pagerank",
     "first_touch_attribution", "session_overlap_pairs", "hourly_gap_fill",
-    "rolling_weekly_distinct",
+    "rolling_weekly_distinct", "containment_pairs", "aes_weighted_reservoir",
 ]
 
 QUERIES = {

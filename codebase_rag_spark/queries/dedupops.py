@@ -152,7 +152,35 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set CONTAINMENT |A∩B|/|A| (directional, vs symmetric Jaccard) on
+    LSH candidate pairs: the sub-document dedup signal — a small doc fully
+    quoted inside a big one has low Jaccard but containment ~1. Runs on
+    CANDIDATES only (broadcast onto the token-set build), never all
+    pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    toks = F.array_distinct(tokens(F.col("text")))
+    ta = d.select(F.col("doc_id").alias("id_a"), toks.alias("_sa"))
+    tb = d.select(F.col("doc_id").alias("id_b"), toks.alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        F.broadcast(cands)
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("_sa"), 4).alias("containment_a_in_b"),
+            F.round(inter / F.size("_sb"), 4).alias("containment_b_in_a"),
+        )
+    )
+
+
 QUERIES = {
+    "containment_pairs": containment_pairs,
     "benchmark_decontamination": benchmark_decontamination,
     "minhash_signatures": minhash_signatures,
     "lsh_candidates": lsh_candidates,
@@ -272,6 +300,23 @@ ORACLES["benchmark_decontamination"] = r"""
         FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
         WHERE d.doc_id % 20 <> 0
         GROUP BY d.lang
+"""
+
+ORACLES["containment_pairs"] = rf"""
+        WITH cand AS ({ORACLES["lsh_candidates"]}),
+        t AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(text, '\s+')) AS toks
+            FROM documents
+        )
+        SELECT c.id_a, c.id_b,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(a.toks), 4) AS containment_a_in_b,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(b.toks), 4) AS containment_b_in_a
+        FROM cand c
+        JOIN t a ON a.doc_id = c.id_a
+        JOIN t b ON b.doc_id = c.id_b
 """
 
 ORACLES["near_dup_verify"] = f"""

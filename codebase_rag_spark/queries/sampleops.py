@@ -108,7 +108,39 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def aes_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-ES): key =
+    u^(1/weight) with u a deterministic md5 fraction — the top-k keys per
+    stratum ARE a weighted-without-replacement sample. The fixed-size
+    counterpart to the PPS Bernoulli sampler (weighted_doc_sample):
+    exactly k docs per lang, bigger docs proportionally likelier. One
+    window per stratum; the key computation is scan-stage."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = F.greatest(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("aes"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0),
+        F.lit(1e-12),
+    )
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    w = Window.partitionBy("lang").orderBy(F.desc("key"), "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars", key.alias("key"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "n_chars")
+    )
+
+
 QUERIES = {
+    "aes_weighted_reservoir": aes_weighted_reservoir,
     "doc_train_test_split": doc_train_test_split,
     "lineitem_expectations": lineitem_expectations,
     "lang_domain_mix": lang_domain_mix,
@@ -259,6 +291,24 @@ ORACLES["doc_sequence_packing"] = r"""
                CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
                ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS crosses_boundary
         FROM c
+"""
+
+ORACLES["aes_weighted_reservoir"] = """
+        WITH k AS (
+            SELECT lang, doc_id, n_chars,
+                   pow(greatest(
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'aes'),
+                                        1, 8))::BIGINT) / 4294967296.0,
+                       1e-12), 1.0 / n_chars) AS key
+            FROM documents
+        ),
+        r AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
+            FROM k
+        )
+        SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 3
 """
 
 ORACLES["weighted_doc_sample"] = """
