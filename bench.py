@@ -94,6 +94,7 @@ HEADLINE = [
     "rolling_weekly_distinct",
     "containment_pairs",
     "aes_weighted_reservoir",
+    "hourly_anomalies",
 ]
 
 

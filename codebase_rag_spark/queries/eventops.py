@@ -635,6 +635,42 @@ def rolling_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: hours whose event count deviates > 2
+    sample-standard-deviations from that type's hourly mean. The z-test is
+    evaluated ENTIRELY in integer arithmetic — (n*c - S)^2 * (n-1) >
+    4 * n * (n*SS - S^2), the cross-multiplied form of
+    ((c-mean)/sd)^2 > 4 with mean = S/n, var = (n*SS-S^2)/(n*(n-1)) — so
+    the flag set is bit-exact in any engine, no float variance anywhere.
+    Two map-side-combined aggregates + one broadcast join-back."""
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    stats = hc.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = hc.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("c") - F.col("s")
+    anomalous = (dev * dev * (F.col("n") - 1)) > (
+        F.lit(4)
+        * F.col("n")
+        * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    return (
+        j.withColumn("is_anom", anomalous)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.count(F.when(F.col("is_anom"), 1)).alias("n_anomalous"),
+            F.max("c").alias("max_hourly"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "event_value_ewma": event_value_ewma,
     "distinct_users_hll": distinct_users_hll,
@@ -642,6 +678,7 @@ QUERIES = {
     "session_overlap_pairs": session_overlap_pairs,
     "first_touch_attribution": first_touch_attribution,
     "rolling_weekly_distinct": rolling_weekly_distinct,
+    "hourly_anomalies": hourly_anomalies,
     "conversion_latency": conversion_latency,
     "hourly_gap_fill": hourly_gap_fill,
     "event_transitions": event_transitions,
@@ -707,6 +744,30 @@ _TYPED_SESS = """
 """
 
 ORACLES = {
+    "hourly_anomalies": """
+        WITH hc AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS ss
+            FROM hc GROUP BY 1
+        )
+        SELECT hc.event_type,
+               count(*) AS n_hours,
+               CAST(count(CASE WHEN
+                   (n * c - s) * (n * c - s) * (n - 1)
+                       > 4 * n * (n * ss - s * s)
+                   THEN 1 END) AS BIGINT) AS n_anomalous,
+               max(c) AS max_hourly
+        FROM hc JOIN stats USING (event_type)
+        GROUP BY hc.event_type
+        ORDER BY hc.event_type
+    """,
     "rolling_weekly_distinct": f"""
         WITH h AS (
             SELECT CAST(ts AS DATE) AS day,
