@@ -238,6 +238,37 @@ def asof_join(
     )
 
 
+def bounded_ewma(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols: list[str],
+    lags: int = 8,
+    decay_num: int = 7,
+    decay_den: int = 10,
+) -> DataFrame:
+    """Bounded-lookback exponentially-weighted moving average (alpha =
+    1 - decay_num/decay_den) as pure window expressions: `lags` explicit
+    lag columns weighted by INTEGER weights decay_num^i * decay_den^(L-i)
+    (0.7^i scaled so every weight is exactly representable) — the weighted
+    sum is bit-identical on any engine or partition layout. Adds `ewma`.
+    One shuffle (the keyed window); no recursion, no UDF."""
+    weights = [decay_num**i * decay_den ** (lags - 1 - i) for i in range(lags)]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    lag_cols = [
+        F.lag(value_col, i).over(w) if i else F.col(value_col)
+        for i in range(lags)
+    ]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(lags):
+        num = num + F.coalesce(lag_cols[i] * F.lit(float(weights[i])), F.lit(0.0))
+        den = den + F.when(
+            lag_cols[i].isNotNull(), F.lit(float(weights[i]))
+        ).otherwise(F.lit(0.0))
+    return df.withColumn("ewma", F.round(num / den, 4))
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -432,22 +432,18 @@ def event_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag columns + integer-weight normalization, which keeps EWMA inside
     native window expressions (no recursion, no UDF) and makes it exactly
     reproducible across engines. One shuffle (the keyed window)."""
+    from codebase_rag_spark.operators.windows import bounded_ewma
+
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lags = [F.lag("value", i).over(w) if i else F.col("value") for i in range(_EWMA_LAGS)]
-    num = F.lit(0.0)
-    den = F.lit(0.0)
-    for i in range(_EWMA_LAGS):
-        num = num + F.coalesce(lags[i] * F.lit(float(_EWMA_W[i])), F.lit(0.0))
-        den = den + F.when(lags[i].isNotNull(), F.lit(float(_EWMA_W[i]))).otherwise(
-            F.lit(0.0)
-        )
-    return e.select(
+    out = bounded_ewma(
+        e, "value", "user_id", ["ts", "event_id"], lags=_EWMA_LAGS
+    )
+    return out.select(
         "user_id",
         "event_id",
         F.date_format("ts", _FMT).alias("ts_s"),
         "value",
-        F.round(num / den, 4).alias("ewma"),
+        "ewma",
     )
 
 

@@ -177,6 +177,51 @@ def stream_stream_left_outer_clicks(
     ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
 
 
+def stream_stream_full_outer_clicks(
+    events: DataFrame,
+    join_window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER join (completes the inner/left-outer
+    matrix): matched purchase-click pairs emit as rows arrive; unmatched
+    PURCHASES null-extend once the watermark passes their horizon, and
+    unmatched CLICKS null-extend symmetrically. Both sides need a
+    watermark AND the time-range condition — that pair is what lets the
+    engine retire buffered rows from either side, keeping state finite
+    where an unconstrained full outer would buffer both streams forever."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {join_window}")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        "p_ts",
+        "c_ts",
+    )
+
+
 def streaming_session_counts(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -5,6 +5,7 @@ value."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -137,6 +138,35 @@ def test_asof_join_matches_naive(spark, rows):
         else:
             got_ts = next(ts for rid, rk, ts in rights if rid == got[event_id])
             assert got_ts == max(cands)[0]
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_bounded_ewma_matches_reference(spark, values):
+    """Window-expression EWMA == the plain python weighted average over
+    each row's last-8 values (weights 0.7^i, normalized over present
+    lags)."""
+    from codebase_rag_spark.operators.windows import bounded_ewma
+
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(values)], ["k", "seq", "value"]
+    )
+    got = {
+        r["seq"]: r["ewma"]
+        for r in bounded_ewma(df, "value", "k", ["seq"], lags=8).collect()
+    }
+    weights = [7**i * 10 ** (7 - i) for i in range(8)]
+    for j in range(len(values)):
+        window = values[max(0, j - 7) : j + 1][::-1]  # current first
+        num = sum(w * v for w, v in zip(weights, window))
+        den = sum(w for w, _ in zip(weights, window))
+        assert got[j] == pytest.approx(round(num / den, 4), abs=1e-9)
 
 
 intervals_strategy = st.lists(

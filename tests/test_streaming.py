@@ -229,6 +229,55 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     assert got == {(3, 1), (6, None)}
 
 
+def test_stream_stream_full_outer_null_extends_both_sides(spark, tmp_path):
+    """Full-outer stream-stream join: matched pairs emit; an unmatched
+    purchase AND an unmatched (out-of-window) click both null-extend once
+    the watermark passes their horizons."""
+    import datetime as dt
+
+    from codebase_rag_spark.streaming.events import (
+        stream_events,
+        stream_stream_full_outer_clicks,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = [
+        (1, base - dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (3, base, 1, "purchase", 9.0, "{}"),
+        (6, base, 3, "purchase", 9.0, "{}"),  # no clicks -> null click side
+        (7, base, 4, "click", 1.0, "{}"),     # no purchase -> null purchase side
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(src)
+    sentinels = [
+        (99, base + dt.timedelta(hours=3), 9, "click", 0.0, "{}"),
+        (100, base + dt.timedelta(hours=3), 8, "purchase", 0.0, "{}"),
+    ]
+    spark.createDataFrame(sentinels, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    joined = stream_stream_full_outer_clicks(
+        stream_events(spark, src, max_files_per_trigger=1)
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_full")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql(
+            "SELECT * FROM ssj_full WHERE user_id NOT IN (8, 9)"
+        ).collect()
+    }
+    assert got == {(3, 1), (6, None), (None, 7)}
+
+
 def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
     """Native streaming session windows == batch lag/cumsum sessionize on
     the same data: same session count per user, same per-session sizes."""
