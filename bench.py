@@ -95,6 +95,7 @@ HEADLINE = [
     "containment_pairs",
     "aes_weighted_reservoir",
     "hourly_anomalies",
+    "sketch_set_algebra",
 ]
 
 

@@ -667,6 +667,74 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra ON SKETCHES: click-user and view-user FM/HLL registers
+    merge by per-bucket max into the UNION sketch (lossless — the defining
+    sketch property), and the intersection estimate falls out by
+    inclusion-exclusion; exact counterparts ride along to expose the
+    error. This is how overlap questions ('how many users both clicked
+    and viewed?') get answered at 100 TB without ever joining the two
+    user sets."""
+    from codebase_rag_spark.functions.hashing import fm_estimate, fm_register_exprs
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    bucket, rho = fm_register_exprs(F.col("user_id"))
+    regs = (
+        e.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+    def est(df: DataFrame, name: str) -> DataFrame:
+        sk = df.groupBy("bucket").agg(F.max("m").alias("m"))
+        agg = sk.agg(
+            F.count("*").alias("nb"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+        )
+        return agg.select(
+            F.round(fm_estimate(F.col("s"), F.col("nb")), 2).alias(name)
+        )
+
+    est_a = est(regs.filter(F.col("event_type") == "click"), "est_click")
+    est_b = est(regs.filter(F.col("event_type") == "view"), "est_view")
+    est_u = est(regs, "est_union")  # register merge = max across both
+    users = e.select("event_type", "user_id").distinct()
+    exact_a = users.filter(F.col("event_type") == "click").select("user_id")
+    exact_b = users.filter(F.col("event_type") == "view").select("user_id")
+    exacts = (
+        exact_a.agg(F.count("*").alias("exact_click"))
+        .crossJoin(exact_b.agg(F.count("*").alias("exact_view")))
+        .crossJoin(
+            exact_a.union(exact_b)
+            .distinct()
+            .agg(F.count("*").alias("exact_union"))
+        )
+        .crossJoin(
+            exact_a.join(exact_b, "user_id", "left_semi")
+            .agg(F.count("*").alias("exact_intersection"))
+        )
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(F.broadcast(exacts))
+        .select(
+            "est_click",
+            "est_view",
+            "est_union",
+            F.round(
+                F.col("est_click") + F.col("est_view") - F.col("est_union"), 2
+            ).alias("est_intersection"),
+            "exact_click",
+            "exact_view",
+            "exact_union",
+            "exact_intersection",
+        )
+    )
+
+
 QUERIES = {
     "event_value_ewma": event_value_ewma,
     "distinct_users_hll": distinct_users_hll,
@@ -675,6 +743,7 @@ QUERIES = {
     "first_touch_attribution": first_touch_attribution,
     "rolling_weekly_distinct": rolling_weekly_distinct,
     "hourly_anomalies": hourly_anomalies,
+    "sketch_set_algebra": sketch_set_algebra,
     "conversion_latency": conversion_latency,
     "hourly_gap_fill": hourly_gap_fill,
     "event_transitions": event_transitions,
@@ -737,6 +806,67 @@ _TYPED_SESS = """
                 )
             )
             GROUP BY user_id, session_id
+"""
+
+_SK_EST = (
+    "round(0.673 * 256.0 / (s + (16 - nb)), 2)"
+)
+
+_SKETCH_SET_ALGEBRA_SQL = f"""
+        WITH ev AS (
+            SELECT event_type, user_id,
+                   md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        r AS (
+            SELECT event_type,
+                   strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS bucket,
+                   4 * length(regexp_extract({_HLL_REST}, '^(0*)', 1))
+                   + CASE
+                       WHEN {_HLL_FIRST_NZ} IN ('8','9','a','b','c','d','e','f') THEN 0
+                       WHEN {_HLL_FIRST_NZ} IN ('4','5','6','7') THEN 1
+                       WHEN {_HLL_FIRST_NZ} IN ('2','3') THEN 2
+                       ELSE 3
+                     END + 1 AS rho
+            FROM ev
+        ),
+        regs AS (
+            SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2
+        ),
+        ea AS (
+            SELECT {_SK_EST} AS est_click FROM (
+                SELECT count(*) AS nb, sum(pow(2.0, -m)) AS s
+                FROM (SELECT bucket, max(m) AS m FROM regs
+                      WHERE event_type = 'click' GROUP BY bucket))
+        ),
+        eb AS (
+            SELECT {_SK_EST} AS est_view FROM (
+                SELECT count(*) AS nb, sum(pow(2.0, -m)) AS s
+                FROM (SELECT bucket, max(m) AS m FROM regs
+                      WHERE event_type = 'view' GROUP BY bucket))
+        ),
+        eu AS (
+            SELECT {_SK_EST} AS est_union FROM (
+                SELECT count(*) AS nb, sum(pow(2.0, -m)) AS s
+                FROM (SELECT bucket, max(m) AS m FROM regs GROUP BY bucket))
+        ),
+        ua AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'),
+        ub AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+        ex AS (
+            SELECT (SELECT count(*) FROM ua) AS exact_click,
+                   (SELECT count(*) FROM ub) AS exact_view,
+                   (SELECT count(*) FROM (SELECT user_id FROM ua
+                                          UNION SELECT user_id FROM ub))
+                       AS exact_union,
+                   (SELECT count(*) FROM ua
+                    WHERE user_id IN (SELECT user_id FROM ub))
+                       AS exact_intersection
+        )
+        SELECT est_click, est_view, est_union,
+               round(est_click + est_view - est_union, 2)
+                   AS est_intersection,
+               exact_click, exact_view, exact_union, exact_intersection
+        FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ex
 """
 
 ORACLES = {
@@ -1021,6 +1151,8 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
 }
+
+ORACLES["sketch_set_algebra"] = _SKETCH_SET_ALGEBRA_SQL
 
 ORACLES["props_variant_stats"] = """
         SELECT event_type, count(*) AS n,
