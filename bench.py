@@ -96,6 +96,7 @@ HEADLINE = [
     "aes_weighted_reservoir",
     "hourly_anomalies",
     "sketch_set_algebra",
+    "time_weighted_value",
 ]
 
 

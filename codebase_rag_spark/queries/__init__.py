@@ -91,7 +91,7 @@ _PRIORITY = [
     "sql_script_statements", "doc_personalized_pagerank",
     "first_touch_attribution", "session_overlap_pairs", "hourly_gap_fill",
     "rolling_weekly_distinct", "containment_pairs", "aes_weighted_reservoir",
-    "hourly_anomalies", "sketch_set_algebra",
+    "hourly_anomalies", "sketch_set_algebra", "time_weighted_value",
 ]
 
 QUERIES = {

@@ -735,7 +735,46 @@ def sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULAR samples (the metric-correct
+    mean when observations carry until the next one): per user,
+    sum(value * dt) / sum(dt) with dt = micros until the user's next
+    event. Durations stay integer (exact sum); the value*dt products fold
+    in canonical (timestamp-sorted) order so the double numerator is
+    bit-identical in any engine; the oracle emulates Spark's rounding."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    base = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("k"),
+        "value",
+        (F.unix_micros(nxt) - F.unix_micros("ts")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    agg = base.groupBy("user_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("k"), (F.col("value") * F.col("dt")).alias("vd")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["vd"],
+        ).alias("num"),
+        F.sum("dt").alias("den"),
+        F.count("*").alias("n_intervals"),
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        F.round(F.col("num") / F.col("den"), 4).alias("twa_value"),
+    ).orderBy("user_id")
+
+
 QUERIES = {
+    "time_weighted_value": time_weighted_value,
     "event_value_ewma": event_value_ewma,
     "distinct_users_hll": distinct_users_hll,
     "native_session_windows": native_session_windows,
@@ -1153,6 +1192,31 @@ ORACLES = {
 }
 
 ORACLES["sketch_set_algebra"] = _SKETCH_SET_ALGEBRA_SQL
+
+ORACLES["time_weighted_value"] = """
+        WITH w AS (
+            SELECT user_id, epoch_us(ts) AS k, value,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                       - epoch_us(ts) AS dt
+            FROM events WHERE user_id < 30
+        ),
+        b AS (SELECT * FROM w WHERE dt IS NOT NULL),
+        agg AS (
+            SELECT user_id,
+                   list_reduce(list_prepend(0.0, list_transform(
+                       list_sort(list({'k': k, 'vd': value * dt})),
+                       s -> s.vd)), (a, c) -> a + c) AS num,
+                   CAST(sum(dt) AS BIGINT) AS den,
+                   count(*) AS n_intervals
+            FROM b GROUP BY user_id
+        )
+        SELECT user_id, n_intervals,
+               CAST(round(CAST(CAST(num / den AS VARCHAR)
+                               AS DECIMAL(38,30)), 4) AS DOUBLE)
+                   AS twa_value
+        FROM agg ORDER BY user_id
+"""
 
 ORACLES["props_variant_stats"] = """
         SELECT event_type, count(*) AS n,
