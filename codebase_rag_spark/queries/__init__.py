@@ -92,6 +92,7 @@ _PRIORITY = [
     "first_touch_attribution", "session_overlap_pairs", "hourly_gap_fill",
     "rolling_weekly_distinct", "containment_pairs", "aes_weighted_reservoir",
     "hourly_anomalies", "sketch_set_algebra", "time_weighted_value",
+    "embedding_coverage_audit",
 ]
 
 QUERIES = {

@@ -272,7 +272,40 @@ def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the corpus and its vector
+    index: per lang, how many docs have an embedding row (vec_id ==
+    doc_id) and how many embeddings are orphans (no doc) — the check run
+    before every ANN-index publish. Semi/anti joins only; at scale both
+    sides are bucketed on the id so the audit is co-located."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    covered = d.join(emb, "doc_id", "left_semi").groupBy("lang").agg(
+        F.count("*").alias("n_embedded")
+    )
+    per_lang = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(covered, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_embedded", F.lit(0)).alias("n_embedded"),
+            F.round(
+                F.coalesce("n_embedded", F.lit(0)) * 100.0 / F.col("n_docs"), 2
+            ).alias("coverage_pct"),
+        )
+    )
+    orphans = emb.join(d.select("doc_id"), "doc_id", "left_anti").agg(
+        F.count("*").alias("n_orphan_embeddings")
+    )
+    return per_lang.crossJoin(F.broadcast(orphans)).orderBy("lang")
+
+
 QUERIES = {
+    "embedding_coverage_audit": embedding_coverage_audit,
     "dedup_clusters": dedup_clusters,
     "unigram_surprise": unigram_surprise,
     "domain_temperature_mix": domain_temperature_mix,
@@ -356,6 +389,28 @@ ORACLES = {
                round(10000 * sqrt(n_docs) / z.z, 1) AS expected_docs
         FROM cells CROSS JOIN z
         ORDER BY lang, source
+    """,
+    "embedding_coverage_audit": """
+        WITH per_lang AS (
+            SELECT d.lang,
+                   count(*) AS n_docs,
+                   CAST(count(e.vec_id) AS BIGINT) AS n_embedded
+            FROM documents d
+            LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e
+              ON e.vec_id = d.doc_id
+            GROUP BY d.lang
+        ),
+        orphans AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_orphan_embeddings
+            FROM embeddings e
+            WHERE NOT EXISTS (SELECT 1 FROM documents d
+                              WHERE d.doc_id = e.vec_id)
+        )
+        SELECT lang, n_docs, n_embedded,
+               round(n_embedded * 100.0 / n_docs, 2) AS coverage_pct,
+               n_orphan_embeddings
+        FROM per_lang CROSS JOIN orphans
+        ORDER BY lang
     """,
     "gopher_quality_flags": f"""
         WITH t AS (
