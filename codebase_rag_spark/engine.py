@@ -276,12 +276,26 @@ class CodebaseRagEngine:
             return self.spark.createDataFrame([], MEMORY_SCHEMA)
 
     def _rewrite_memories(self, df: DataFrame) -> None:
-        # write-new-then-swap would be the production shape; local rewrite
-        # keeps the test surface simple
-        rows = df.collect()
-        self.spark.createDataFrame(rows, MEMORY_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{self.store}/memories")
+        """Write-new-then-swap: the updated table is written fully
+        distributed to a sibling directory, then atomically renamed over
+        the old one — no driver-side collect, so the memories table can be
+        any size. (Replaces the reference's per-row Neo4j UPDATE loop,
+        memory_store.py:364-420, with a set-oriented rewrite.)"""
+        import os
+        import shutil
+
+        target = f"{self.store}/memories"
+        tmp = f"{self.store}/memories__tmp"
+        old = f"{self.store}/memories__old"
+        cast = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in MEMORY_SCHEMA.fields]
+        )
+        cast.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _chunks_as_docs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.store}/chunks").select(

@@ -1,0 +1,314 @@
+"""Vendored minimal SQL parser for T10 (reference sql_parser.py:29-123).
+
+The reference parses user SQL with sqlglot to extract referenced tables;
+sqlglot is absent in this container, and the previous regex subset
+(operators/sqlmeta.py:analyze_sql_text) mis-handles CTEs, quoted
+identifiers, and nested subqueries. This module is a small pure-Python
+tokenizer + recursive-descent parser that covers the SELECT grammar the
+reference's analysis actually needs:
+
+* quoted identifiers: "double", `backtick`, [bracket]
+* WITH [RECURSIVE] cte [(cols)] AS (...) chains, at any nesting level
+* nested subqueries in FROM / IN / EXISTS / scalar positions
+* join trees (INNER/LEFT/RIGHT/FULL/CROSS/NATURAL/SEMI/ANTI, ON / USING)
+* schema-qualified names (schema.tbl -> tbl), set ops, table functions
+
+Semantics are pinned to DuckDB's parser (the oracle side runs
+json_serialize_sql over the same corpus and walks the AST): `tables` is
+every BASE_TABLE reference, `ctes` every CTE name; "real" tables are
+refs minus CTE names, subtracted globally after the parse — exactly how
+the oracle's AST walk behaves. Identifier case is preserved as written
+(DuckDB parse-level ASTs do not fold case); dotted names keep only the
+last part (DuckDB splits schema into schema_name).
+
+This parser is deliberately *extraction-grade*, not validation-grade:
+unknown constructs are scanned over with paren balancing rather than
+rejected, because the product surface is "which tables/CTEs does this
+query touch", not "is this query valid".
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<lcomment>--[^\n]*)
+  | (?P<bcomment>/\*.*?\*/)
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<dquote>"(?:[^"]|"")*")
+  | (?P<btick>`(?:[^`]|``)*`)
+  | (?P<bracket>\[[^\]]*\])
+  | (?P<number>\d+(?:\.\d*)?|\.\d+)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_$]*)
+  | (?P<op><=|>=|<>|!=|::|\|\||.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+# keywords that terminate a FROM clause / table-factor alias position
+_CLAUSE_KW = {
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "WINDOW",
+    "QUALIFY", "UNION", "EXCEPT", "INTERSECT", "FETCH", "FOR",
+}
+_JOIN_KW = {"JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "OUTER",
+            "NATURAL", "SEMI", "ANTI", "ASOF", "LATERAL"}
+
+
+@dataclass
+class Token:
+    kind: str  # WORD | QID | STRING | NUMBER | OP
+    value: str  # identifier value with quotes stripped / verbatim text
+
+    def kw(self) -> str | None:
+        return self.value.upper() if self.kind == "WORD" else None
+
+
+def tokenize(sql: str) -> list[Token]:
+    out: list[Token] = []
+    for m in _TOKEN_RE.finditer(sql):
+        kind = m.lastgroup
+        text = m.group()
+        if kind in ("ws", "lcomment", "bcomment"):
+            continue
+        if kind == "string":
+            out.append(Token("STRING", text))
+        elif kind == "dquote":
+            out.append(Token("QID", text[1:-1].replace('""', '"')))
+        elif kind == "btick":
+            out.append(Token("QID", text[1:-1].replace("``", "`")))
+        elif kind == "bracket":
+            out.append(Token("QID", text[1:-1]))
+        elif kind == "number":
+            out.append(Token("NUMBER", text))
+        elif kind == "word":
+            out.append(Token("WORD", text))
+        else:
+            out.append(Token("OP", text))
+    return out
+
+
+@dataclass
+class SqlRefs:
+    """Parse result: every base-table reference and CTE name seen."""
+
+    table_refs: list[str] = field(default_factory=list)
+    ctes: list[str] = field(default_factory=list)
+
+    @property
+    def tables(self) -> list[str]:
+        """Real tables: base refs minus CTE names (global subtraction,
+        matching the oracle's whole-AST walk), distinct + sorted."""
+        cset = set(self.ctes)
+        return sorted({t for t in self.table_refs if t not in cset})
+
+    @property
+    def cte_names(self) -> list[str]:
+        return sorted(set(self.ctes))
+
+
+class _Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+        self.refs = SqlRefs()
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self, ahead: int = 0) -> Token | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Token | None:
+        t = self.peek()
+        if t is not None:
+            self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kw() in kws
+
+    def accept_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.i += 1
+            return True
+        return False
+
+    def at_op(self, op: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "OP" and t.value == op
+
+    def accept_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.i += 1
+            return True
+        return False
+
+    # -- grammar ----------------------------------------------------------
+    def parse_statement(self) -> None:
+        """[WITH [RECURSIVE] ctes] select_core (setop select_core)*"""
+        if self.accept_kw("WITH"):
+            self.accept_kw("RECURSIVE")
+            while True:
+                name = self.next()
+                if name is None:
+                    return
+                if name.kind in ("WORD", "QID"):
+                    self.refs.ctes.append(name.value)
+                if self.at_op("("):  # optional column alias list
+                    self.skip_parens()
+                self.accept_kw("AS")
+                self.accept_kw("MATERIALIZED") or (
+                    self.accept_kw("NOT") and self.accept_kw("MATERIALIZED")
+                )
+                if self.accept_op("("):
+                    self.parse_statement()
+                    self.accept_op(")")
+                if not self.accept_op(","):
+                    break
+        self.parse_select_core()
+        while self.accept_kw("UNION", "EXCEPT", "INTERSECT"):
+            self.accept_kw("ALL") or self.accept_kw("DISTINCT")
+            self.parse_select_core()
+
+    def parse_select_core(self) -> None:
+        if self.accept_op("("):  # parenthesized set-expression
+            self.parse_statement()
+            self.accept_op(")")
+            return
+        self.accept_kw("SELECT")
+        self.accept_kw("ALL") or self.accept_kw("DISTINCT")
+        # select list + clauses: expression scan until FROM at this level
+        while True:
+            t = self.peek()
+            if t is None:
+                return
+            if t.kind == "OP" and t.value == ")":
+                return  # caller's closing paren
+            if t.kw() in ("UNION", "EXCEPT", "INTERSECT"):
+                return
+            if t.kw() == "FROM":
+                self.i += 1
+                self.parse_from()
+                continue
+            if t.kind == "OP" and t.value == "(":
+                self.i += 1
+                self.maybe_subquery_then_skip()
+                continue
+            self.i += 1
+
+    def maybe_subquery_then_skip(self) -> None:
+        """Just consumed '(' inside an expression: either a subquery or a
+        parenthesized expression (scanned for nested subqueries)."""
+        if self.at_kw("SELECT", "WITH", "VALUES"):
+            self.parse_statement()
+            self.accept_op(")")
+            return
+        depth = 1
+        while depth > 0:
+            t = self.peek()
+            if t is None:
+                return
+            if t.kind == "OP" and t.value == "(":
+                self.i += 1
+                self.maybe_subquery_then_skip()
+                continue
+            if t.kind == "OP" and t.value == ")":
+                depth -= 1
+            self.i += 1
+
+    def skip_parens(self) -> None:
+        if not self.accept_op("("):
+            return
+        depth = 1
+        while depth > 0:
+            t = self.next()
+            if t is None:
+                return
+            if t.kind == "OP" and t.value == "(":
+                depth += 1
+            elif t.kind == "OP" and t.value == ")":
+                depth -= 1
+
+    def parse_from(self) -> None:
+        self.parse_table_factor()
+        while True:
+            if self.accept_op(","):
+                self.parse_table_factor()
+                continue
+            if self.at_kw(*_JOIN_KW):
+                while self.accept_kw(*(_JOIN_KW - {"JOIN"})):
+                    pass
+                if not self.accept_kw("JOIN"):
+                    return
+                self.parse_table_factor()
+                if self.accept_kw("ON"):
+                    self.scan_expression_until_join_or_clause()
+                elif self.accept_kw("USING"):
+                    self.skip_parens()
+                continue
+            return
+
+    def parse_table_factor(self) -> None:
+        if self.accept_op("("):
+            if self.at_kw("SELECT", "WITH", "VALUES"):
+                self.parse_statement()
+                self.accept_op(")")
+            else:  # parenthesized join tree
+                self.parse_from()
+                self.accept_op(")")
+            self.accept_alias()
+            return
+        t = self.next()
+        if t is None or t.kind not in ("WORD", "QID"):
+            return
+        name = t.value
+        while self.accept_op("."):
+            nxt = self.next()
+            if nxt is None:
+                break
+            name = nxt.value  # keep last dotted part (DuckDB table_name)
+        if self.at_op("("):  # table function, e.g. read_parquet(...)
+            self.i += 1
+            self.maybe_subquery_then_skip()
+        else:
+            self.refs.table_refs.append(name)
+        self.accept_alias()
+
+    def accept_alias(self) -> None:
+        self.accept_kw("AS")
+        t = self.peek()
+        if t is not None and (
+            t.kind == "QID"
+            or (t.kind == "WORD" and t.kw() not in _CLAUSE_KW | _JOIN_KW
+                and t.kw() not in ("ON", "USING", "AS"))
+        ):
+            self.i += 1
+            if self.at_op("("):  # column aliases: t(a, b)
+                self.skip_parens()
+
+    def scan_expression_until_join_or_clause(self) -> None:
+        while True:
+            t = self.peek()
+            if t is None:
+                return
+            if t.kind == "OP" and t.value == ")":
+                return
+            if t.kind == "OP" and t.value == ",":
+                return  # back to FROM list
+            if t.kw() in _CLAUSE_KW or t.kw() in _JOIN_KW:
+                return
+            if t.kind == "OP" and t.value == "(":
+                self.i += 1
+                self.maybe_subquery_then_skip()
+                continue
+            self.i += 1
+
+
+def parse_sql_refs(sql: str) -> SqlRefs:
+    """Parse one SQL statement and return its table/CTE references."""
+    p = _Parser(tokenize(sql))
+    p.parse_statement()
+    return p.refs

@@ -86,13 +86,12 @@ def curriculum_bins(
     """Curriculum/difficulty tiering: NTILE(n) over a deterministic total
     order (include a unique id as the last order col so ties are stable).
 
-    NTILE is a GLOBAL window — a single-partition sort. That is fine up to
-    ~100M rows on one executor; at 100 TB swap to the two-pass scale form:
-    approx_percentile cutoffs (one agg) + a scan-stage CASE bin — same
-    semantics modulo boundary ties, zero global sort. The exact form is
-    kept here because the DuckDB oracle pins it bit-for-bit.
+    Uses the scale-safe exact NTILE in operators/scalewin.py
+    (range-sharded row numbers + closed-form tile assignment) instead of
+    a global single-partition window; output is bit-identical to ANSI
+    NTILE over the same total order, so the DuckDB oracle keeps the plain
+    global-window SQL.
     """
-    from pyspark.sql import Window
+    from codebase_rag_spark.operators.scalewin import global_ntile
 
-    w = Window.orderBy(*order_cols)
-    return df.withColumn("tier", F.ntile(n_bins).over(w))
+    return global_ntile(df, [F.col(c) for c in order_cols], n_bins, out_col="tier")

@@ -51,24 +51,31 @@ def sequence_packing(
 
     Emits per doc: n_tokens, start_offset (tokens before it), bin_id
     (window containing its first token) and crosses_boundary (doc spans a
-    window cut -> would be split). The cumulative sum is a single-pass
-    window; at corpus scale the order column is a precomputed global sort
-    key (e.g. shard id + intra-shard position) so the window runs
-    per-shard, not globally.
+    window cut -> would be split). The cumulative sum uses the scale-safe
+    exact decomposition in operators/scalewin.py (range-sharded per-shard
+    windows + broadcast shard offsets) — NOT a global single-partition
+    window — and is bit-identical to the global form because the order
+    key is a total order. The DuckDB oracle keeps the plain global
+    cumulative-sum SQL.
     """
-    from pyspark.sql import Window
+    from codebase_rag_spark.operators.scalewin import global_order_stats
 
     order = order_col or id_col
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks = token_count_col.cast("bigint")
-    cum = F.sum(toks).over(w)
-    start = (cum - toks).alias("start_offset")
-    return df.select(
+    staged = df.select(F.col(id_col), F.col(order).alias("_ord"), toks.alias("n_tokens"))
+    cum = F.col("_cum")
+    start = cum - F.col("n_tokens")
+    return global_order_stats(
+        staged,
+        [F.col("_ord")],
+        rn_col=None,
+        cum_sums={"_cum": F.col("n_tokens")},
+    ).select(
         F.col(id_col),
-        toks.alias("n_tokens"),
-        start,
-        ((cum - toks) / seq_len).cast("bigint").alias("bin_id"),
-        (((cum - toks) / seq_len).cast("bigint") != ((cum - 1) / seq_len).cast("bigint")).alias(
+        F.col("n_tokens"),
+        start.alias("start_offset"),
+        (start / seq_len).cast("bigint").alias("bin_id"),
+        ((start / seq_len).cast("bigint") != ((cum - 1) / seq_len).cast("bigint")).alias(
             "crosses_boundary"
         ),
     )
@@ -172,24 +179,38 @@ def check_expectations(
     adds an aggregate buffer, not a scan, which is what keeps an
     expectations suite affordable at 100 TB.
 
-    Returns (rule, n_rows, n_violations, pass_rate) per rule."""
+    Returns (rule, n_rows, n_violations, pass_rate) per rule — as ONE
+    lazy plan: the single-row aggregate is unpivoted with explode, so the
+    whole report is a single job whose real plan (scan + one agg) is
+    visible to .explain/PLANS.md, with no driver round-trip."""
     unique_keys = unique_keys or {}
     aggs = [F.count("*").alias("__n")]
     for name, cond in row_rules.items():
         aggs.append(F.count(F.when(~cond, 1)).alias(f"{name}__v"))
     for name, expr in unique_keys.items():
         aggs.append(F.countDistinct(expr).alias(f"{name}__d"))
-    row = df.agg(*aggs).first()
-    n = int(row["__n"])
-    out = []
-    for name in row_rules:
-        v = int(row[f"{name}__v"])
-        out.append((name, n, v, round(1 - v / n, 4) if n else 1.0))
-    for name in unique_keys:
-        v = n - int(row[f"{name}__d"])
-        out.append((name, n, v, round(1 - v / n, 4) if n else 1.0))
-    return df.sparkSession.createDataFrame(
-        out, "rule string, n_rows bigint, n_violations bigint, pass_rate double"
+    agg_df = df.agg(*aggs)
+    viols: list[tuple[str, Column]] = [
+        (name, F.col(f"{name}__v")) for name in row_rules
+    ] + [(name, F.col("__n") - F.col(f"{name}__d")) for name in unique_keys]
+    entries = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            v.cast("bigint").alias("n_violations"),
+        )
+        for name, v in viols
+    ]
+    return (
+        agg_df.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .withColumn(
+            "pass_rate",
+            F.when(
+                F.col("n_rows") > 0,
+                F.round(1 - F.col("n_violations") / F.col("n_rows"), 4),
+            ).otherwise(F.lit(1.0)),
+        )
     )
 
 

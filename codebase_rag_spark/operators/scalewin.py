@@ -1,0 +1,145 @@
+"""Exact global row_number / cumulative-sum / ntile WITHOUT a
+single-partition window.
+
+A bare ``Window.orderBy(...)`` (no partitionBy) is the classic Spark
+scale-killer: every row moves to ONE task ("WindowExec: No Partition
+Defined ... this can cause serious performance degradation"). But the
+three global-order statistics this repo needs (row_number, running sum,
+ntile) all decompose EXACTLY over order-contiguous shards:
+
+    global_rn(row)  = (# rows in earlier shards) + local_rn(row)
+    global_cum(row) = (sum over earlier shards)  + local_cum(row)
+    ntile(k)        = closed-form function of (global_rn, N, k)
+
+``repartitionByRange`` on the order key produces exactly such shards:
+every row in range-partition p sorts before every row in partition p+1.
+Each shard then runs an ordinary PARTITIONED window (parallel, bounded
+memory), and the cross-shard offsets come from a per-shard totals
+aggregate — O(#shards) rows, joined back via broadcast. The totals
+branch and the window branch share the same range exchange, which
+Catalyst deduplicates (ReusedExchange), so both see identical shard ids.
+
+Results are bit-identical to the global-window form whenever the order
+key is a total order (callers include a unique tiebreaker), which is why
+the DuckDB oracles for ``doc_sequence_packing`` / ``curriculum_tiers`` /
+``customer_value_deciles`` keep their plain global-window SQL.
+
+Replaces the reference's single-process sorts (it sorts ranked lists in
+Python, e.g. services/utils/ranker.py:53-62, services/code/
+pack_builder.py:63-129) with a shape that holds at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sharded(df: DataFrame, order_exprs: list[Column], num_shards: int | None):
+    """Range-partition df on the order key and stamp the shard id.
+
+    spark_partition_id() is evaluated after the range exchange, so shard
+    ids are ascending in key order; the exchange is shared (reused) by
+    every branch derived from the returned DataFrame.
+    """
+    if num_shards is None:
+        num_shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(num_shards, *order_exprs)
+    return ranged.withColumn("_shard", F.spark_partition_id())
+
+
+def _shard_offsets(sharded: DataFrame, sum_exprs: dict[str, Column]) -> DataFrame:
+    """Per-shard exclusive prefix offsets: for shard p, the row count and
+    each sum over all shards < p. Triangular self-join on the tiny totals
+    table (≤ #shards rows) — deliberately no window at all, so the
+    plan-contract test ("no single-partition exchange") holds trivially.
+    Emits one row per shard: (_shard, _off_rn, _off_<name>...).
+    """
+    aggs = [F.count("*").alias("_n")]
+    for name, col in sum_exprs.items():
+        aggs.append(F.sum(col).alias(f"_t_{name}"))
+    tot = sharded.groupBy("_shard").agg(*aggs)
+    b = tot.select(
+        F.col("_shard").alias("_bshard"),
+        F.col("_n").alias("_bn"),
+        *[F.col(f"_t_{name}").alias(f"_bt_{name}") for name in sum_exprs],
+    )
+    joined = tot.join(b, b["_bshard"] < tot["_shard"], "left")
+    offs = [F.coalesce(F.sum("_bn"), F.lit(0)).cast("bigint").alias("_off_rn")]
+    for name in sum_exprs:
+        offs.append(
+            F.coalesce(F.sum(f"_bt_{name}"), F.lit(0)).alias(f"_off_{name}")
+        )
+    return joined.groupBy("_shard").agg(*offs)
+
+
+def global_order_stats(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rn_col: str | None = "_rn",
+    cum_sums: dict[str, Column] | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Adds an exact global row_number (`rn_col`) and, for each entry in
+    `cum_sums` (out_name -> value column), an exact INCLUSIVE running sum
+    over the total order given by `order_exprs` — all via per-shard
+    windows + broadcast offsets; no single-partition exchange anywhere.
+    """
+    from pyspark.sql import Window
+
+    cum_sums = cum_sums or {}
+    sharded = _sharded(df, order_exprs, num_shards)
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sharded
+    if rn_col is not None:
+        local = local.withColumn("_lrn", F.count(F.lit(1)).over(w))
+    for name, col in cum_sums.items():
+        local = local.withColumn(f"_lc_{name}", F.sum(col).over(w))
+    off = _shard_offsets(sharded, cum_sums)
+    out = local.join(F.broadcast(off), "_shard")
+    if rn_col is not None:
+        out = out.withColumn(rn_col, (F.col("_lrn") + F.col("_off_rn")).cast("bigint"))
+    for name in cum_sums:
+        out = out.withColumn(name, F.col(f"_lc_{name}") + F.col(f"_off_{name}"))
+    drop = ["_shard", "_off_rn"] + [c for n in cum_sums for c in (f"_lc_{n}", f"_off_{n}")]
+    if rn_col is not None:
+        drop.append("_lrn")
+    return out.drop(*drop)
+
+
+def global_ntile(
+    df: DataFrame,
+    order_exprs: list[Column],
+    n: int,
+    out_col: str = "tier",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over a total order, scale-safe.
+
+    ANSI NTILE: with N rows and q, r = divmod(N, n), the first r tiles
+    hold q+1 rows and the rest hold q. Both are closed-form in the global
+    row number, so ntile = f(rn, N, n) — no second sort:
+
+        rn <= r*(q+1):  tile = (rn-1) div (q+1) + 1
+        else:           tile = r + (rn - r*(q+1) - 1) div q + 1
+
+    (q == 0 implies r == N, so the divide-by-q branch is unreachable.)
+    """
+    ranked = global_order_stats(df, order_exprs, rn_col="_gnt_rn", num_shards=num_shards)
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("_gnt_N"))
+    rn, N = F.col("_gnt_rn"), F.col("_gnt_N")
+    q = (N / n).cast("bigint")
+    r = N % n
+    big_span = r * (q + 1)
+    tile = F.when(rn <= big_span, ((rn - 1) / (q + 1)).cast("bigint") + 1).otherwise(
+        r + ((rn - big_span - 1) / q).cast("bigint") + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("_gnt_rn", "_gnt_N")
+    )

@@ -53,6 +53,31 @@ def cosine_topk(
     )
 
 
+def cosine_topk_join(
+    embeddings: DataFrame,
+    query_side: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for ONE query vector held in a 1-row DataFrame — the
+    fully LAZY twin of cosine_topk: no driver round-trip for the query
+    vector; the 1-row side rides the plan as a broadcast nested-loop join
+    and top-k stays TakeOrderedAndProject. `query_side` must have exactly
+    one row with a `_qvec` array<double> column."""
+    return (
+        embeddings.crossJoin(F.broadcast(query_side))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,

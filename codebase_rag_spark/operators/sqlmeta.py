@@ -6,13 +6,16 @@ classification (sql_schema_parser.py:235-275), sqlglot parse/optimize/
 transpile (sql_parser.py:29-183).
 
 The relational parts (dialect detect, domain classify, column counting,
-type distribution) are pure column expressions. The deep parse (T10/T11)
-needs sqlglot, which is gated behind an import-try — absent in this
-container, the functions raise with a clear message but the module imports.
+type distribution) are pure column expressions. The deep parse (T10) runs
+the vendored recursive-descent parser (functions/sqlparse.py) as an
+Arrow-batched pandas UDF; sqlglot remains an import-gated upgrade — absent
+in this container, those functions raise with a clear message but the
+module imports.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,27 +135,75 @@ def industry_template_scores(tables: DataFrame, name_col: str) -> DataFrame:
 TABLE_REF_PATTERN = r"(?:from|join)\s+([a-z_][a-z0-9_]*)"
 FUNCTION_PATTERN = r"([a-z_][a-z0-9_]*)\s*\("
 
+# SQL keywords that precede '(' without being function calls — filtered
+# out of the regex function extraction (identically on the oracle side)
+FUNCTION_KEYWORD_BLOCKLIST = [
+    "as", "and", "or", "on", "in", "not", "where", "from", "join",
+    "select", "when", "then", "else", "case", "with", "exists", "over",
+    "partition", "by", "values", "union", "all", "distinct", "group",
+    "order", "having", "limit", "using", "recursive",
+]
 
-def analyze_sql_text(df: DataFrame, sql_col: str = "sql") -> DataFrame:
-    """T10 (sql_parser.py:29-123) relational core without sqlglot: extract
-    referenced tables (FROM/JOIN targets) and called functions from SQL
-    text with JVM-side regexp_extract_all — the sqlglot UDF path
-    (transpile_sql) stays import-gated for full-fidelity parsing.
 
-    Adds: tables / functions (sorted distinct arrays), n_tables,
-    n_functions. Pure scan-stage expressions — zero shuffles."""
+def analyze_sql_text(
+    df: DataFrame, sql_col: str = "sql", tables: bool = True
+) -> DataFrame:
+    """T10 (sql_parser.py:29-123) regex fast path: extract referenced
+    tables (FROM/JOIN targets; `tables=False` skips them when the caller
+    uses the full parser via extract_sql_refs instead) and called
+    functions (keyword-filtered) from SQL text with JVM-side
+    regexp_extract_all — pure scan-stage expressions, zero shuffles."""
     lowered = F.lower(F.col(sql_col))
-    tables = F.array_sort(
-        F.array_distinct(F.regexp_extract_all(lowered, F.lit(TABLE_REF_PATTERN), 1))
-    )
     funcs = F.array_sort(
-        F.array_distinct(F.regexp_extract_all(lowered, F.lit(FUNCTION_PATTERN), 1))
+        F.array_distinct(
+            F.filter(
+                F.regexp_extract_all(lowered, F.lit(FUNCTION_PATTERN), 1),
+                lambda x: ~x.isin(FUNCTION_KEYWORD_BLOCKLIST),
+            )
+        )
     )
+    out = df
+    if tables:
+        tbls = F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all(lowered, F.lit(TABLE_REF_PATTERN), 1)
+            )
+        )
+        out = out.withColumn("tables", tbls).withColumn("n_tables", F.size("tables"))
+    return out.withColumn("functions", funcs).withColumn(
+        "n_functions", F.size("functions")
+    )
+
+
+def extract_sql_refs(df: DataFrame, sql_col: str = "sql") -> DataFrame:
+    """T10 full parse (reference sql_parser.py:29-123): extract referenced
+    base tables and CTE names with the vendored recursive-descent parser
+    (functions/sqlparse.py) — handles CTE chains, quoted identifiers,
+    nested subqueries, and join trees the regex path cannot.
+
+    Runs as an Arrow-batched pandas UDF (the §2.12 slow-path rule: Python
+    only where built-ins can't express the semantics; per-batch, never
+    per-row). Adds `tables` / `ctes` (sorted distinct arrays; `tables`
+    excludes CTE names, matching a parse-level AST walk such as DuckDB's
+    json_serialize_sql — which is exactly what the oracle runs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<tables: array<string>, ctes: array<string>>")
+    def _parse(s: pd.Series) -> pd.DataFrame:
+        from codebase_rag_spark.functions.sqlparse import parse_sql_refs
+
+        tables, ctes = [], []
+        for sql in s:
+            refs = parse_sql_refs(sql or "")
+            tables.append(refs.tables)
+            ctes.append(refs.cte_names)
+        return pd.DataFrame({"tables": tables, "ctes": ctes})
+
+    parsed = df.withColumn("_refs", _parse(F.col(sql_col)))
     return (
-        df.withColumn("tables", tables)
-        .withColumn("functions", funcs)
-        .withColumn("n_tables", F.size("tables"))
-        .withColumn("n_functions", F.size("functions"))
+        parsed.withColumn("tables", F.col("_refs.tables"))
+        .withColumn("ctes", F.col("_refs.ctes"))
+        .drop("_refs")
     )
 
 

@@ -52,3 +52,19 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def has_unpartitioned_window(df: DataFrame) -> bool:
+    """True iff the plan contains a global (unpartitioned) window — the
+    "WindowExec: No Partition Defined, moving all data to a single
+    partition" scale-killer. Detected as an `Exchange SinglePartition`
+    whose nearby ancestors include a Window/Sort pair; the benign
+    SinglePartition of a scalar aggregate (map-side partials, one row per
+    partition) sits under HashAggregate and does NOT match."""
+    lines = explain_str(df, "simple").splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = " ".join(lines[max(0, i - 3) : i])
+            if "Window" in above:
+                return True
+    return False

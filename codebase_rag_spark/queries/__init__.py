@@ -55,44 +55,69 @@ for _m in _MODULES:
     ORACLES.update(_m.ORACLES)
 
 # The driver's correctness gate only covers a prefix window of this registry
-# (round 1: first 50 entries). Rotate entries that already have a
-# driver-green CORRECTNESS row to the back so each round's window lands on
-# queries that have not yet been driver-checked.
+# (first 50 entries). Rotate entries that already have a driver-green
+# CORRECTNESS row to the back so each round's window lands on queries that
+# have not yet been driver-checked.
 _DRIVER_CHECKED = {
-    # CORRECTNESS_r01.json (round 1, first-50 window)
-    "pricing_summary", "top_customers_lateral", "late_order_priority",
-    "waiting_suppliers", "nation_acctbal_share", "shipping_priority",
-    "promo_revenue_share", "big_orders", "user_session_windows",
-    "small_quantity_revenue", "event_value_percentiles",
-    "customer_value_deciles", "revenue_filter", "region_revenue",
-    "active_segments", "inactive_by_nation", "top_suppliers_per_nation",
-    "priority_top5_value", "customer_degree_histogram", "distinct_counts",
-    "event_type_histogram", "pack_budget_selection", "stat_aggregates",
-    "event_value_histogram", "price_percentiles", "order_status_cube",
-    "event_matrix_unpivot", "supplier_balance_ranks",
-    "region_metrics_transpose", "revenue_grouping_sets", "user_event_pivot",
-    "nation_coverage_setops", "lang_stratified_sample",
-    "customer_running_revenue", "customer_order_extremes", "rank_documents",
-    "top_tokens", "pii_redaction", "repetition_filter", "ref_handles",
-    "hybrid_merge_branches", "exact_dedup_docs", "token_stats",
-    "quality_by_source", "lang_id_confusion", "fixed_chunks",
-    "benchmark_decontamination", "minhash_signatures",
-    # checked round 1 but failed on the (now-fixed) NTZ bug — keep these in
-    # the front window so round 2 records their green rows
-    # "event_trailing_avg", "user_event_gaps",
+    # union of CORRECTNESS_r01.json and CORRECTNESS_r02.json green rows
+    "active_segments", "aes_weighted_reservoir", "benchmark_decontamination",
+    "big_orders", "centroid_assignment", "cohort_retention",
+    "containment_pairs", "conversion_latency", "cosine_topk",
+    "customer_degree_histogram", "customer_order_extremes",
+    "customer_running_revenue", "customer_value_deciles", "dedup_clusters",
+    "distinct_counts", "distinct_users_hll", "doc_personalized_pagerank",
+    "domain_temperature_mix", "duplicated_spans", "edit_distance_verify",
+    "embedding_coverage_audit", "event_matrix_unpivot", "event_trailing_avg",
+    "event_transitions", "event_type_histogram", "event_value_ewma",
+    "event_value_histogram", "event_value_percentiles", "exact_dedup_docs",
+    "excess_promo_suppliers", "first_touch_attribution", "fixed_chunks",
+    "funnel_steps", "gopher_quality_flags", "hourly_anomalies",
+    "hourly_gap_fill", "hourly_tumbling", "hybrid_merge_branches",
+    "inactive_by_nation", "int8_quantization_error", "jaccard_pairs",
+    "lang_id_confusion", "lang_stratified_sample", "late_order_priority",
+    "lsh_candidates", "minhash_signatures", "nation_acctbal_share",
+    "nation_coverage_setops", "native_session_windows", "near_dup_verify",
+    "order_status_cube", "pack_budget_selection", "pii_redaction",
+    "prefix_jaccard_pairs", "price_percentiles", "pricing_summary",
+    "priority_top5_value", "promo_revenue_share", "props_typed_extract",
+    "props_variant_stats", "purchase_click_asof", "purchase_click_window",
+    "quality_by_source", "rank_documents", "ref_handles",
+    "region_metrics_transpose", "region_revenue", "repetition_filter",
+    "returned_item_revenue", "revenue_filter", "revenue_grouping_sets",
+    "rolling_weekly_distinct", "rp_lsh_ann", "rp_lsh_buckets",
+    "session_funnel", "session_overlap_pairs", "shipping_priority",
+    "simhash_groups", "sketch_set_algebra", "sliding_2h",
+    "small_quantity_revenue", "sql_script_statements", "sql_transpile",
+    "stat_aggregates", "supplier_balance_ranks", "time_weighted_value",
+    "token_stats", "top_customers_lateral", "top_event_paths",
+    "top_suppliers_per_nation", "top_tokens", "unigram_surprise",
+    "user_event_gaps", "user_event_pivot", "user_session_windows",
+    "user_sessions", "waiting_suppliers", "winnowing_sketch",
 }
 
-# Entries whose logic or oracle changed this round — force into the window
-# alongside the never-checked ones so the fixes get driver-green rows.
+# Round-3 window (VERDICT r2 'Next round' #1): the 45 entries that have
+# never had a driver CORRECTNESS row in any round (judge-verified green in
+# r2) plus the 5 new round-3 oracle entries — exactly the 50-entry gate.
 _PRIORITY = [
-    "event_trailing_avg", "user_event_gaps", "returned_item_revenue",
-    "excess_promo_suppliers", "user_sessions", "session_funnel",
-    "purchase_click_window", "conversion_latency", "sql_transpile",
-    "sql_script_statements", "doc_personalized_pagerank",
-    "first_touch_attribution", "session_overlap_pairs", "hourly_gap_fill",
-    "rolling_weekly_distinct", "containment_pairs", "aes_weighted_reservoir",
-    "hourly_anomalies", "sketch_set_algebra", "time_weighted_value",
-    "embedding_coverage_audit",
+    # never-driver-checked (45)
+    "rollup_pricing", "props_json_stats", "recursive_reachability",
+    "region_two_hop", "region_impact", "doc_triangles", "doc_pagerank",
+    "doc_components", "doc_communities", "doc_k_core", "fulltext_search",
+    "bm25_documents", "rrf_fusion", "hybrid_retrieval", "order_lineage",
+    "memory_tag_search", "sql_passthrough", "sql_udf_net_revenue",
+    "code_entity_extract", "js_entity_extract", "media_metadata",
+    "embed_documents", "commit_classification", "doc_train_test_split",
+    "lineitem_expectations", "lang_domain_mix", "weighted_doc_sample",
+    "profile_lineitem", "doc_sequence_packing", "ddl_analysis",
+    "domain_summary", "industry_template_match", "sql_query_analysis",
+    "collocation_lift_top", "curriculum_tiers", "volume_shipping",
+    "market_share", "product_profit", "priority_shipping_mix",
+    "customer_order_distribution", "top_revenue_supplier",
+    "supplier_part_counts", "disjunctive_bracket_revenue",
+    "idle_customer_balance", "min_balance_shipper",
+    # new in round 3 (5)
+    "shortest_paths", "markdown_sections", "sliding_chunks",
+    "java_entity_extract", "go_entity_extract",
 ]
 
 QUERIES = {

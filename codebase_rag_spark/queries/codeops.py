@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.functions.hashing import hash_embed
 from codebase_rag_spark.operators.code_extract import (
+    LANG_PATTERNS,
     classify_commit,
+    extract_by_patterns,
     extract_js,
     extract_python,
 )
@@ -77,6 +79,61 @@ def js_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_js(files).select("path", "entity_kind", "name")
 
 
+JAVA_CORPUS = [
+    (
+        "src/main/Api.java",
+        "import java.util.List;\n"
+        "import static org.junit.Assert.assertTrue;\n"
+        "import com.example.util.*;\n"
+        "public class ApiServer extends BaseServer {\n"
+        "    void start() { }\n"
+        "}\n"
+        "interface Handler { }\n",
+    ),
+    (
+        "src/main/Model.java",
+        "import java.io.File;\n"
+        "abstract class Model { }\n"
+        "final class UserModel extends Model { }\n",
+    ),
+]
+
+GO_CORPUS = [
+    (
+        "pkg/server/server.go",
+        'import "fmt"\n'
+        "type Server struct { port int }\n"
+        "type Handler interface { Serve() }\n"
+        "func NewServer(port int) *Server { return nil }\n"
+        "func (s *Server) Start() error { return nil }\n",
+    ),
+    (
+        "pkg/util/strings.go",
+        'import "strings"\n'
+        "func Reverse(s string) string { return s }\n",
+    ),
+]
+
+
+def java_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 Java regex extraction (transformers.py:560-690): classes with
+    extends, interfaces, plain/static/wildcard imports — fully JVM-side
+    (regexp_extract_all + explode), same plan family as T4."""
+    files = spark.createDataFrame(
+        [(p, "java", c) for p, c in JAVA_CORPUS], ["path", "lang", "content"]
+    )
+    return extract_by_patterns(files, "java").select("path", "entity_kind", "name")
+
+
+def go_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 Go regex extraction (transformers.py:855-1007): funcs incl.
+    receiver methods, structs, interfaces, imports — fully JVM-side."""
+    files = spark.createDataFrame(
+        [(p, "go", c) for p, c in GO_CORPUS], ["path", "lang", "content"]
+    )
+    return extract_by_patterns(files, "go").select("path", "entity_kind", "name")
+
+
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column (synthesized from md5
     bytes) -> Arrow-batched decode stub -> typed metadata. The oracle
@@ -123,18 +180,24 @@ def commit_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "code_entity_extract": code_entity_extract,
     "js_entity_extract": js_entity_extract,
+    "java_entity_extract": java_entity_extract,
+    "go_entity_extract": go_entity_extract,
     "media_metadata": media_metadata,
     "embed_documents": embed_documents,
     "commit_classification": commit_classification,
 }
 
 
-def _js_values() -> str:
+def _corpus_values(corpus: list[tuple[str, str]]) -> str:
     rows = ",\n            ".join(
         "('{}', '{}')".format(p, c.replace("'", "''").replace("\n", "\\n"))
-        for p, c in JS_CORPUS
+        for p, c in corpus
     )
     return rows
+
+
+def _js_values() -> str:
+    return _corpus_values(JS_CORPUS)
 
 
 _JS_PATTERNS = [
@@ -146,9 +209,12 @@ _JS_PATTERNS = [
 ]
 
 
-def _js_union() -> str:
+def _pattern_union(patterns: list[tuple[str, str]]) -> str:
+    """The SAME per-language regex chains the engine runs
+    (code_extract.LANG_PATTERNS), rendered as a DuckDB UNION ALL of
+    regexp_extract_all branches over the inline corpus."""
     parts = []
-    for kind, pattern in _JS_PATTERNS:
+    for kind, pattern in patterns:
         esc = pattern.replace("\\", "\\\\").replace("'", "''")
         parts.append(
             f"SELECT path, '{kind}' AS entity_kind,\n"
@@ -157,6 +223,10 @@ def _js_union() -> str:
             "FROM corpus"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def _js_union() -> str:
+    return _pattern_union(_JS_PATTERNS)
 
 
 _EMBED_COMPONENT = (
@@ -253,4 +323,17 @@ ORACLES["code_entity_extract"] = """
             ('src/bad.py', 'python', 'error', NULL, NULL, 1, 1, 'SyntaxError: invalid syntax'))
         AS t(path, lang, entity_kind, name, target, line_start, line_end,
              summary)
+"""
+
+
+ORACLES["java_entity_extract"] = f"""
+        WITH corpus(path, content) AS (VALUES
+            {_corpus_values(JAVA_CORPUS)})
+        {_pattern_union(LANG_PATTERNS["java"])}
+"""
+
+ORACLES["go_entity_extract"] = f"""
+        WITH corpus(path, content) AS (VALUES
+            {_corpus_values(GO_CORPUS)})
+        {_pattern_union(LANG_PATTERNS["go"])}
 """

@@ -139,6 +139,19 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_SQL)
 
 
+def shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 shortest path (graph_service.py:268-278): BFS distances from
+    region r:0 over the reversed FK chain, depth <=3 — (node, depth) with
+    the MINIMUM hop count per reached node. The oracle is DuckDB's
+    WITH RECURSIVE walk with min(dist), i.e. textbook shortest-path SQL,
+    so the iterative anti-join BFS is checked against an independent
+    formulation."""
+    edges = _edges(spark, sf_dir, with_orders=True)
+    seeds = spark.createDataFrame([("r:0",)], ["node"])
+    reached = bounded_traversal(edges, seeds, depth=3, reverse=True)
+    return reached.select("node", F.col("depth").cast("int").alias("depth"))
+
+
 QUERIES = {
     "recursive_reachability": recursive_reachability,
     "region_two_hop": region_two_hop,
@@ -146,6 +159,7 @@ QUERIES = {
     "doc_triangles": doc_triangles,
     "doc_pagerank": doc_pagerank,
     "doc_components": doc_components,
+    "shortest_paths": shortest_paths,
 }
 
 
@@ -390,4 +404,31 @@ ORACLES["doc_k_core"] = f"""
         SELECT count(*) AS n_core_nodes, min(node) AS min_node,
                max(node) AS max_node
         FROM s3
+"""
+
+# J4 oracle: independent formulation — DuckDB WITH RECURSIVE walk +
+# min(dist), vs the engine's iterative anti-join BFS.
+ORACLES["shortest_paths"] = """
+        WITH RECURSIVE e AS (
+            SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS src,
+                   'r:' || CAST(n_regionkey AS VARCHAR) AS dst
+            FROM nation
+            UNION ALL
+            SELECT 'c:' || CAST(c_custkey AS VARCHAR),
+                   'n:' || CAST(c_nationkey AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'o:' || CAST(o_orderkey AS VARCHAR),
+                   'c:' || CAST(o_custkey AS VARCHAR)
+            FROM orders
+        ),
+        walk(node, dist) AS (
+            SELECT 'r:0', 0
+            UNION ALL
+            SELECT e.src, w.dist + 1
+            FROM e JOIN walk w ON e.dst = w.node
+            WHERE w.dist < 3
+        )
+        SELECT node, CAST(min(dist) AS INTEGER) AS depth
+        FROM walk WHERE dist >= 1 GROUP BY node
 """

@@ -283,11 +283,19 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile decile bucketing of customers by account balance."""
+    """ntile decile bucketing of customers by account balance.
+
+    Scale-safe exact NTILE (operators/scalewin.py): range-sharded row
+    numbers + closed-form tile, no single-partition window; bit-identical
+    to the oracle's global NTILE because (desc acctbal, custkey) is a
+    total order."""
+    from codebase_rag_spark.operators.scalewin import global_ntile
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
     return (
-        c.withColumn("decile", F.ntile(10).over(w))
+        global_ntile(
+            c, [F.col("c_acctbal").desc(), F.col("c_custkey")], 10, out_col="decile"
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codebase_rag_spark.operators.sqlmeta import (
+    FUNCTION_KEYWORD_BLOCKLIST,
     INDUSTRY_TEMPLATES,
     STATEMENT_TYPES,
     analyze_ddl,
@@ -40,6 +41,40 @@ SQL_CORPUS: list[tuple[str, str]] = [
         "JOIN lineitems l ON l.part_id = p.id GROUP BY p.name",
     ),
     ("q4", "SELECT * FROM logs"),
+    # round 3 (VERDICT r2 #3): cases the regex subset mis-handled, now
+    # covered by the vendored recursive-descent parser (functions/
+    # sqlparse.py) and oracle-checked against DuckDB's OWN parser
+    # (json_serialize_sql AST walk) — a genuinely independent referee.
+    (
+        "q5",
+        "WITH t AS (SELECT a FROM base1), u AS (SELECT b FROM base2 "
+        "WHERE b IN (SELECT c FROM base3)) "
+        "SELECT * FROM t JOIN u ON t.a = u.b",
+    ),
+    (
+        "q6",
+        'SELECT x FROM "Quoted Table" q JOIN sch.inner_tbl i ON q.id = i.id',
+    ),
+    (
+        "q7",
+        "SELECT * FROM (SELECT * FROM nested1 JOIN nested2 USING (k)) dt "
+        "WHERE EXISTS (SELECT 1 FROM exist_t WHERE exist_t.k = dt.k)",
+    ),
+    (
+        "q8",
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r "
+        "WHERE n < 5) SELECT * FROM r, seed_t",
+    ),
+    (
+        "q9",
+        "WITH x AS (WITH y AS (SELECT 1 FROM deep_t) SELECT * FROM y) "
+        "SELECT * FROM x JOIN real_t ON 1=1",
+    ),
+    (
+        "q10",
+        "SELECT (SELECT max(v) FROM scalar_sub) AS m FROM outer_t "
+        "UNION ALL SELECT a FROM u2",
+    ),
 ]
 
 DDL_CORPUS: list[tuple[str, str]] = [
@@ -134,16 +169,25 @@ def sql_script_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T10 table/function extraction from SQL statements (regex core;
-    sqlglot path import-gated). Arrays emitted as csv for hash-stable
-    comparison."""
+    """T10 table/CTE/function extraction from SQL statements.
+
+    Tables and CTE names come from the vendored recursive-descent parser
+    (functions/sqlparse.py, pandas UDF) — CTE chains, quoted identifiers,
+    nested subqueries, join trees. The oracle runs DuckDB's OWN parser
+    (json_serialize_sql) and walks the AST for BASE_TABLE/cte_map nodes,
+    so engine and oracle are two independent parsers agreeing on the same
+    extraction. Functions stay regex-extracted (keyword-filtered) on both
+    sides. Arrays emitted as csv for hash-stable comparison."""
+    from codebase_rag_spark.operators.sqlmeta import extract_sql_refs
+
     df = spark.createDataFrame(SQL_CORPUS, ["query_id", "sql"])
-    out = analyze_sql_text(df, "sql")
+    out = extract_sql_refs(analyze_sql_text(df, "sql", tables=False), "sql")
     return out.select(
         "query_id",
         F.concat_ws(",", "tables").alias("tables"),
+        F.concat_ws(",", "ctes").alias("ctes"),
         F.concat_ws(",", "functions").alias("functions"),
-        "n_tables",
+        F.size("tables").alias("n_tables"),
         "n_functions",
     )
 
@@ -309,22 +353,43 @@ ORACLES["sql_script_statements"] = rf"""
         WHERE length(statement) > 0
 """
 
+# Independent-referee oracle: DuckDB's OWN SQL parser (json_serialize_sql)
+# supplies tables/CTEs — BASE_TABLE nodes minus cte_map keys from the
+# serialized AST — while the engine side runs the vendored
+# recursive-descent parser. Two unrelated parsers must agree exactly.
+_FN_BLOCK = ", ".join(f"'{k}'" for k in FUNCTION_KEYWORD_BLOCKLIST)
+
 ORACLES["sql_query_analysis"] = rf"""
         WITH c AS (SELECT * FROM {_sql_corpus_values()}),
+        j AS (
+            SELECT query_id, sql, json_serialize_sql(sql) AS js FROM c
+        ),
         x AS (
             SELECT query_id,
-                   list_sort(list_distinct(regexp_extract_all(
-                       lower(sql), '(?:from|join)\s+([a-z_][a-z0-9_]*)', 1)))
-                       AS tables_l,
-                   list_sort(list_distinct(regexp_extract_all(
-                       lower(sql), '([a-z_][a-z0-9_]*)\s*\(', 1)))
-                       AS functions_l
-            FROM c
+                   list_distinct(regexp_extract_all(
+                       js, '"type":"BASE_TABLE"[^{{}}]*?"table_name":"([^"]+)"', 1))
+                       AS refs_l,
+                   list_distinct(regexp_extract_all(js, '"key":"([^"]+)"', 1))
+                       AS ctes_l,
+                   list_filter(
+                       list_distinct(regexp_extract_all(
+                           lower(sql), '([a-z_][a-z0-9_]*)\s*\(', 1)),
+                       f -> f NOT IN ({_FN_BLOCK})) AS funcs_l
+            FROM j
+        ),
+        y AS (
+            SELECT query_id,
+                   list_sort(list_filter(refs_l,
+                       r -> NOT list_contains(ctes_l, r))) AS tables_l,
+                   list_sort(ctes_l) AS ctes_s,
+                   list_sort(funcs_l) AS funcs_s
+            FROM x
         )
         SELECT query_id,
                coalesce(array_to_string(tables_l, ','), '') AS tables,
-               coalesce(array_to_string(functions_l, ','), '') AS functions,
+               coalesce(array_to_string(ctes_s, ','), '') AS ctes,
+               coalesce(array_to_string(funcs_s, ','), '') AS functions,
                CAST(len(tables_l) AS INTEGER) AS n_tables,
-               CAST(len(functions_l) AS INTEGER) AS n_functions
-        FROM x
+               CAST(len(funcs_s) AS INTEGER) AS n_functions
+        FROM y
 """

@@ -16,7 +16,11 @@ from codebase_rag_spark.functions.text import (
     tokens,
     type_token_ratio,
 )
-from codebase_rag_spark.operators.chunking import fixed_window_chunks
+from codebase_rag_spark.operators.chunking import (
+    fixed_window_chunks,
+    markdown_sections,
+    sliding_word_chunks,
+)
 from codebase_rag_spark.operators.dedup import exact_dedup
 from codebase_rag_spark.operators.ranking import hybrid_merge, rank_score
 
@@ -212,8 +216,48 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T1 corpus: fixed markdown documents (headers at several levels, a
+# preamble without a header, and an empty-body header)
+MD_CORPUS: list[tuple[int, str]] = [
+    (
+        1,
+        "preamble text before any header\n"
+        "# Title One\nbody line a\nbody line b\n"
+        "## Sub Section\nnested body\n"
+        "### Deep\n",
+    ),
+    (2, "# Only Header\ncontent here\nmore content\n"),
+    (3, "no headers at all, just prose\nacross two lines\n"),
+]
+
+
+def markdown_section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 markdown header split (transformers.py:47-115): explode on
+    header-anchored split; emits (md_id, section_id, title, body). The
+    oracle reproduces the lookahead split in RE2 (no lookahead support)
+    by marking header starts with a sentinel char, then splitting."""
+    df = spark.createDataFrame(MD_CORPUS, ["md_id", "text"])
+    return markdown_sections(df, "md_id", "text").select(
+        "md_id", "section_id", "title", "body"
+    )
+
+
+def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 sliding word windows with overlap (transformers.py:137-163;
+    defaults 512 chars/50-word overlap scaled to 64/16 tokens):
+    relational sequence()-of-starts + array slice — no UDF. Chunk text
+    verified by md5."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunks = sliding_word_chunks(d, "doc_id", "text", 64, 16)
+    return chunks.select(
+        "doc_id", "chunk_id", F.md5(F.col("chunk_text")).alias("chunk_md5")
+    )
+
+
 QUERIES = {
     "rank_documents": rank_documents,
+    "markdown_sections": markdown_section_split,
+    "sliding_chunks": sliding_chunks,
     "top_tokens": top_tokens,
     "pii_redaction": pii_redaction,
     "repetition_filter": repetition_filter,
@@ -225,6 +269,48 @@ QUERIES = {
     "lang_id_confusion": lang_id_confusion,
     "fixed_chunks": fixed_chunks,
 }
+
+def _md_values() -> str:
+    rows = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''").replace("\n", "\\n"))
+        for i, t in MD_CORPUS
+    )
+    return f"(VALUES\n            {rows}) AS t(md_id, raw)"
+
+
+# T1 oracle: RE2 has no lookahead, so the header-anchored split is
+# reproduced by marking each header start with a sentinel char and
+# splitting on it (leading sentinel stripped so section_ids line up with
+# Java's no-empty-leading-substring split semantics).
+MARKDOWN_SECTIONS_SQL_TEMPLATE = r"""
+        WITH c AS (
+            SELECT md_id, replace(raw, '\n', chr(10)) AS text FROM {values}
+        ),
+        marked AS (
+            SELECT md_id,
+                   ltrim(regexp_replace(text, '(?m)^(#{{1,6}}\s)',
+                                        chr(1) || '\1', 'g'),
+                         chr(1)) AS t2
+            FROM c
+        ),
+        parts AS (
+            SELECT md_id,
+                   unnest(string_split(t2, chr(1))) AS section,
+                   generate_subscripts(string_split(t2, chr(1)), 1) - 1
+                       AS section_id
+            FROM marked
+        )
+        SELECT CAST(md_id AS BIGINT) AS md_id,
+               CAST(section_id AS INTEGER) AS section_id,
+               coalesce(regexp_extract(section, '^(#{{1,6}})\s+(.*)', 2), '')
+                   AS title,
+               regexp_replace(
+                   regexp_replace(section, '^#{{1,6}}\s+[^\n]*', ''),
+                   '^\s+|\s+$', '', 'g') AS body
+        FROM parts
+        WHERE length(trim(section)) > 0
+"""
+
 
 _TERM_HITS = (
     "((CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END)"
@@ -403,4 +489,31 @@ ORACLES["repetition_filter"] = r"""
                    AS n_kept,
                round(avg(frac), 4) AS avg_frac
         FROM f GROUP BY lang
+"""
+
+
+ORACLES["markdown_sections"] = MARKDOWN_SECTIONS_SQL_TEMPLATE.format(
+    values=_md_values()
+)
+
+# T2 oracle: same sequence-of-starts arithmetic (step = 64 - 16 = 48),
+# list_slice is 1-based inclusive like Spark's slice(arr, start+1, 64).
+ORACLES["sliding_chunks"] = r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+            FROM documents WHERE doc_id < 50
+        ),
+        st AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(
+                       0,
+                       CAST(greatest(ceil((len(tk) - 64) / 48.0), 0) AS BIGINT) * 48,
+                       48)) AS start
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(start / 48 AS INTEGER) AS chunk_id,
+               md5(array_to_string(list_slice(tk, start + 1, start + 64), ' '))
+                   AS chunk_md5
+        FROM st
 """

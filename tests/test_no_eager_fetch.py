@@ -15,14 +15,12 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "codebase_rag_spark"
 # (path-suffix, count, reason) — counts are exact so adding a new eager
 # fetch to an allowlisted file still trips the guard.
 ALLOWED: dict[str, tuple[int, str]] = {
-    "operators/sampling.py": (2, "quantile/count scalars: 1-row agg params"),
+    "operators/sampling.py": (1, "profile_columns: 1-row agg of scalars"),
     "operators/pq.py": (2, "dim probe + nlist centroid table (tiny)"),
     "operators/fulltext.py": (1, "BM25 corpus stats: 1-row (N, avgdl)"),
     "operators/bpe.py": (1, "top-K vocab head: the tokenizer-training set"),
     "operators/similarity.py": (2, "dim probe + nprobe centroid routing"),
     "sources/layout.py": (1, "partition-layout stats: 1-row agg"),
-    "queries/vectorops.py": (2, "query-vector/-bucket param fetch (1 row)"),
-    "engine.py": (1, "memory-store rewrite: memories are human-note-sized"),
 }
 
 # empty parens only: F.first("col") is the aggregate expression, not a fetch

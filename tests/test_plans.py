@@ -219,3 +219,58 @@ def test_q15_scalar_max_is_broadcast_not_collect(spark, sf_dir):
     df = QUERIES["top_revenue_supplier"](spark, sf_dir)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 3
+
+
+def test_no_unpartitioned_windows_in_global_order_ops(spark, sf_dir):
+    """VERDICT r2 'What's wrong #1': the three global-order operators
+    (sequence packing cumsum, curriculum NTILE, customer deciles) must
+    ship the scale-safe sharded decomposition by default — no
+    single-partition WindowExec anywhere in their plans."""
+    from codebase_rag_spark.plans import has_unpartitioned_window
+
+    for name in ("doc_sequence_packing", "curriculum_tiers", "customer_value_deciles"):
+        df = QUERIES[name](spark, sf_dir)
+        assert not has_unpartitioned_window(df), name
+
+
+def test_scalewin_matches_global_window_forms(spark):
+    """scalewin's sharded decomposition is bit-identical to the global
+    single-partition window on the same total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.scalewin import global_ntile, global_order_stats
+
+    rows = [(i, (i * 37) % 101, (i * 13) % 7 + 1) for i in range(1, 358)]
+    df = spark.createDataFrame(rows, "id int, key int, val int")
+    order = [F.col("key").desc(), F.col("id")]
+
+    got = {
+        (r["id"], r["_rn"], r["cum"])
+        for r in global_order_stats(
+            df, order, rn_col="_rn", cum_sums={"cum": F.col("val")}, num_shards=7
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r["id"], r["_rn"], r["cum"])
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy(*order)).cast("bigint").alias("_rn"),
+            F.sum("val").over(w).alias("cum"),
+        ).collect()
+    }
+    assert got == want
+
+    for n in (3, 7, 10, 400):  # 400 > N exercises the q=0 branch
+        got_t = {
+            (r["id"], r["tier"])
+            for r in global_ntile(df, order, n, num_shards=5).collect()
+        }
+        want_t = {
+            (r["id"], r["tier"])
+            for r in df.select(
+                "id", F.ntile(n).over(Window.orderBy(*order)).alias("tier")
+            ).collect()
+        }
+        assert got_t == want_t, n

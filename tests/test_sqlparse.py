@@ -1,0 +1,117 @@
+"""Vendored SQL parser (T10, functions/sqlparse.py): unit cases plus a
+parity sweep against DuckDB's own parser (json_serialize_sql) — the same
+referee the sql_query_analysis oracle uses."""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+
+from codebase_rag_spark.functions.sqlparse import parse_sql_refs, tokenize
+
+
+def test_tokenizer_quotes_comments_strings():
+    toks = tokenize(
+        "SELECT 'it''s' /* c1 */ , \"Quoted Id\", `bt`, [br] -- tail\nFROM t"
+    )
+    kinds = [(t.kind, t.value) for t in toks]
+    assert ("STRING", "'it''s'") in kinds
+    assert ("QID", "Quoted Id") in kinds
+    assert ("QID", "bt") in kinds
+    assert ("QID", "br") in kinds
+    assert ("WORD", "FROM") in kinds  # comments stripped
+
+
+def test_simple_select_tables():
+    refs = parse_sql_refs("SELECT a FROM t1 JOIN t2 ON t1.x = t2.x")
+    assert refs.tables == ["t1", "t2"]
+    assert refs.cte_names == []
+
+
+def test_cte_names_excluded_from_tables():
+    refs = parse_sql_refs(
+        "WITH c1 AS (SELECT 1 FROM real1), c2 AS (SELECT 2 FROM c1) "
+        "SELECT * FROM c2 JOIN real2 ON 1=1"
+    )
+    assert refs.tables == ["real1", "real2"]
+    assert refs.cte_names == ["c1", "c2"]
+
+
+def test_quoted_and_qualified_names():
+    refs = parse_sql_refs('SELECT * FROM "My Table" m JOIN sch.base b ON 1=1')
+    assert refs.tables == ["My Table", "base"]
+
+
+def test_nested_subqueries_everywhere():
+    refs = parse_sql_refs(
+        "SELECT (SELECT max(x) FROM scalar_t) FROM outer_t "
+        "WHERE a IN (SELECT b FROM in_t) "
+        "AND EXISTS (SELECT 1 FROM exists_t)"
+    )
+    assert refs.tables == ["exists_t", "in_t", "outer_t", "scalar_t"]
+
+
+def test_derived_table_and_table_function():
+    refs = parse_sql_refs(
+        "SELECT * FROM (SELECT * FROM inner_t) dt, range(10) r"
+    )
+    assert refs.tables == ["inner_t"]  # table function is not a base table
+
+
+def test_string_literals_and_comments_do_not_leak_tables():
+    refs = parse_sql_refs(
+        "SELECT 'FROM fake1' FROM real_t -- FROM fake2\n/* FROM fake3 */"
+    )
+    assert refs.tables == ["real_t"]
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT a, b FROM orders WHERE o_totalprice > 100",
+        "SELECT * FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
+        "WITH t AS (SELECT a FROM base1) SELECT * FROM t, base2",
+        'SELECT x FROM "Quoted Table" q JOIN sch.inner_tbl i ON q.id = i.id',
+        "SELECT * FROM (SELECT * FROM n1 JOIN n2 USING (k)) dt "
+        "WHERE EXISTS (SELECT 1 FROM e1 WHERE e1.k = dt.k)",
+        "SELECT * FROM a1 UNION ALL SELECT * FROM a2 EXCEPT SELECT * FROM a3",
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r "
+        "WHERE n < 5) SELECT * FROM r, seed_t",
+        "WITH x AS (WITH y AS (SELECT 1 FROM deep_t) SELECT * FROM y) "
+        "SELECT * FROM x JOIN real_t ON 1=1",
+        "SELECT a, row_number() OVER (PARTITION BY b ORDER BY c) FROM w1 "
+        "QUALIFY row_number() OVER (ORDER BY c) <= 5",
+        "SELECT CASE WHEN a > 1 THEN lower(b) ELSE upper(b) END FROM c1 "
+        "GROUP BY 1 HAVING count(*) > 2 ORDER BY 1 LIMIT 3",
+        "SELECT * FROM t1 LEFT OUTER JOIN t2 ON t1.a = t2.a "
+        "AND t1.b IN (SELECT z FROM t3) CROSS JOIN t4",
+    ],
+)
+def test_parity_with_duckdb_parser(sql):
+    con = duckdb.connect()
+    js = con.execute(
+        "select json_serialize_sql($q::VARCHAR)", {"q": sql}
+    ).fetchone()[0]
+    ast = json.loads(js)
+    assert not ast.get("error"), js[:200]
+    tables, ctes = [], []
+
+    def walk(o):
+        if isinstance(o, dict):
+            if o.get("type") == "BASE_TABLE":
+                tables.append(o.get("table_name"))
+            if "cte_map" in o:
+                for e in o["cte_map"].get("map", []):
+                    ctes.append(e.get("key"))
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, list):
+            for v in o:
+                walk(v)
+
+    walk(ast)
+    refs = parse_sql_refs(sql)
+    assert refs.tables == sorted({t for t in tables if t not in set(ctes)})
+    assert refs.cte_names == sorted(set(ctes))
