@@ -97,6 +97,15 @@ HEADLINE = [
     "hourly_anomalies",
     "sketch_set_algebra",
     "time_weighted_value",
+    # round 3: scale-safe global-order forms, vendored SQL parse, new
+    # sketch/layout/graph/chunking ops
+    "customer_value_deciles",
+    "shortest_paths",
+    "sliding_chunks",
+    "cms_heavy_hitters",
+    "zorder_locality",
+    "sql_query_analysis",
+    "video_frame_sample",
 ]
 
 

@@ -41,14 +41,26 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     return F.slice(g, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
 
 
-def minhash(tokens: Column, seed: str) -> Column:
-    """min over tokens of a seeded md5 — one component of a MinHash signature."""
-    return F.array_min(F.transform(tokens, lambda t: md5_hash(t, seed)))
+def minhash_word_expr(col: Column, i: int) -> Column:
+    """Hash function i of the MinHash family: 8-hex-char word i%4 of ONE
+    md5 digest (seeded digest per group of 4 when i >= 4). One digest
+    yields FOUR independent 32-bit hash functions, so a k<=4 signature
+    costs one md5 per shingle instead of k — the dominant cost of the
+    LSH scan stage at corpus scale. Hex strings compare lexicographically
+    == numerically, so min() over words is a valid minhash."""
+    k, j = divmod(i, 4)
+    digest = F.md5(col) if k == 0 else md5_hash(col, str(k))
+    return F.substring(digest, 8 * j + 1, 8)
+
+
+def minhash(tokens: Column, i: int) -> Column:
+    """min over tokens of hash function i — one MinHash component."""
+    return F.array_min(F.transform(tokens, lambda t: minhash_word_expr(t, i)))
 
 
 def minhash_signature(tokens: Column, num_hashes: int) -> Column:
     """array<string> MinHash signature of length num_hashes."""
-    return F.array(*[minhash(tokens, str(i)) for i in range(num_hashes)])
+    return F.array(*[minhash(tokens, i) for i in range(num_hashes)])
 
 
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:

@@ -95,3 +95,96 @@ def curriculum_bins(
     from codebase_rag_spark.operators.scalewin import global_ntile
 
     return global_ntile(df, [F.col(c) for c in order_cols], n_bins, out_col="tier")
+
+
+def build_count_min(
+    toks: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch build: the fixed-size frequency summary that
+    answers "roughly how often does token X occur" over an unbounded
+    stream/corpus in depth*width counters — the point-query counterpart
+    of the HLL distinct sketch (queries/eventops.py).
+
+    Counter (r, bucket) = count of tokens whose hash_r lands in bucket;
+    hash_r = first-8-hex md5(token||NUL||salt||r) mod width, the same
+    engine-portable integer hashing used everywhere else in the repo, so
+    the DuckDB oracle rebuilds the identical sketch. ONE explode(depth) +
+    hash aggregate with map-side combine; output is depth*width rows
+    regardless of corpus size — mergeable across shards/batches by
+    summing counters (like HLL register max-merge, but additive).
+    """
+    from codebase_rag_spark.functions.hashing import md5_hash
+
+    t = F.col(token_col)
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(md5_hash(t, f"{salt}{r}"), 1, 8),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.groupBy(F.col("s.r").alias("r"), F.col("s.bucket").alias("bucket")).agg(
+        F.count("*").alias("c")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each query token against a built sketch: min over
+    the depth counters it hashes into (the count-min upper bound —
+    estimate >= true count always; error bounded by corpus_size * e/width
+    with probability 1 - e^-depth). The sketch side is depth*width rows —
+    broadcast; the query side never shuffles."""
+    from codebase_rag_spark.functions.hashing import md5_hash
+
+    t = F.col(token_col)
+    probes = queries.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(md5_hash(t, f"{salt}{r}"), 1, 8),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("p.r") == F.col("r")) & (F.col("p.bucket") == F.col("bucket")),
+    )
+    group_cols = [c for c in queries.columns]
+    return joined.groupBy(*group_cols).agg(F.min("c").alias("cms_n"))

@@ -68,9 +68,12 @@ def minhash_lsh_candidates(
     Docs shorter than shingle_size tokens are excluded (both here and in the
     oracle). Never builds the signature array expression twice: a naive
     `array_min(transform(...))` per hash recomputes the shingle transform
-    num_hashes times, interpreted, ~20x slower at corpus scale.
+    num_hashes times, interpreted, ~20x slower at corpus scale. The hash
+    family is word-split md5 (hashing.minhash_word_expr): a 4-hash
+    signature digests each shingle ONCE, not 4 times — subexpression
+    elimination shares the digest across the four min() aggregates.
     """
-    from codebase_rag_spark.functions.hashing import md5_hash
+    from codebase_rag_spark.functions.hashing import minhash_word_expr
 
     rows = num_hashes // bands
     toks = tokens(F.col(text_col))
@@ -81,7 +84,7 @@ def minhash_lsh_candidates(
     )
     sigs = exploded.groupBy("_id").agg(
         *[
-            F.min(md5_hash(F.col("tok"), str(i))).alias(f"mh{i}")
+            F.min(minhash_word_expr(F.col("tok"), i)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )

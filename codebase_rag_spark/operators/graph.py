@@ -370,6 +370,12 @@ def personalized_pagerank(
     )
     # parameter-sized driver fetch (one long), same class as nodes.count()
     n_seeds = seed_flag.filter(F.col("is_seed") == 1).count()
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed overlaps the edge node set — "
+            "the teleport vector would be 0/0 (all-NULL ranks); pass seeds "
+            "that appear in the graph"
+        )
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
     teleport = F.col("is_seed") / F.lit(float(n_seeds))
     ranks = seed_flag.withColumn("rank", teleport)

@@ -255,7 +255,13 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
         (r"(?i)\bIFNULL\s*\(", "COALESCE("),
         (r"(?i)\bNOW\s*\(\s*\)", "CURRENT_TIMESTAMP"),
         (r"(?i)\s*ENGINE\s*=\s*\w+", ""),
+        # idempotent DOUBLE mapping: protect an existing DOUBLE PRECISION
+        # with a placeholder first (RE2 has no lookahead, so a (?!\s+PREC)
+        # guard is not available to the oracle side), then map bare DOUBLE,
+        # then restore — 'DOUBLE PRECISION' input no longer doubles up.
+        (r"(?i)\bDOUBLE\s+PRECISION\b", "DOUBLEPRECISIONMARK"),
         (r"(?i)\bDOUBLE\b", "DOUBLE PRECISION"),
+        (r"DOUBLEPRECISIONMARK", "DOUBLE PRECISION"),
     ],
     "sqlserver": [
         (r"(?i)\bNVARCHAR\s*\((\d+)\)", "VARCHAR($1)"),
@@ -300,8 +306,10 @@ def normalize_sql_expr(sql: Column) -> Column:
 
 
 def statement_type_expr(sql: Column) -> Column:
-    """Leading-keyword statement classification; 'with' resolves to the
-    first keyword after the CTE intro for CTE queries, else 'unknown'."""
+    """Leading-keyword statement classification: the first word decides,
+    so CTE queries classify as 'with' (no lookthrough to the keyword
+    after the CTE list — the oracle applies the same rule); anything
+    outside STATEMENT_TYPES is 'unknown'."""
     head = F.lower(F.regexp_extract(F.ltrim(sql), r"^([A-Za-z]+)", 1))
     expr = F.lit("unknown")
     for t in reversed(STATEMENT_TYPES):

@@ -143,6 +143,19 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, decoder="fake")
 
 
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (1 video -> N frame rows via
+    mapInPandas; real codec swaps in for the byte slicer): every-4th-byte
+    'frames' of the synthesized video binaries. The oracle re-derives
+    each frame byte from the md5 hex digest — the Arrow batch shape,
+    row-explosion and frame numbering are what is being pinned."""
+    from codebase_rag_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = fake_media_from_text(d, "doc_id", "text")
+    return sample_frames(media, every_n_bytes=4)
+
+
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1' deterministic hash-embedder (replaces provider embeddings,
     embeddings.py:7-202): first 4 components per doc."""
@@ -183,6 +196,7 @@ QUERIES = {
     "java_entity_extract": java_entity_extract,
     "go_entity_extract": go_entity_extract,
     "media_metadata": media_metadata,
+    "video_frame_sample": video_frame_sample,
     "embed_documents": embed_documents,
     "commit_classification": commit_classification,
 }
@@ -336,4 +350,18 @@ ORACLES["go_entity_extract"] = f"""
         WITH corpus(path, content) AS (VALUES
             {_corpus_values(GO_CORPUS)})
         {_pattern_union(LANG_PATTERNS["go"])}
+"""
+
+
+ORACLES["video_frame_sample"] = """
+        WITH m AS (
+            SELECT doc_id AS media_id, md5(text) AS h
+            FROM documents
+            WHERE doc_id < 100 AND doc_id % 3 = 2
+        ),
+        f(i) AS (VALUES (0), (1), (2), (3))
+        SELECT media_id,
+               i AS frame_no,
+               ('0x' || substr(h, 8 * i + 1, 2))::INTEGER AS frame_byte
+        FROM m CROSS JOIN f
 """

@@ -42,9 +42,71 @@ def curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH, CMS_WIDTH = 4, 256
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point estimates for the exact top-10 tokens:
+    build a 4x256 sketch over the whole token stream (ONE explode +
+    map-side-combined aggregate, 1024-row output no matter the corpus
+    size), then probe it with the exact heavy hitters. cms_n >= true_n
+    always (count-min never underestimates); at 100 TB the sketch is the
+    shuffle-free way to ship approximate vocabulary counts between
+    pipeline stages — additive-mergeable across shards like the HLL
+    registers in queries/eventops.py."""
+    from codebase_rag_spark.functions.text import tokens
+    from codebase_rag_spark.operators.corpus_stats import (
+        build_count_min,
+        cms_estimate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sketch = build_count_min(toks, depth=CMS_DEPTH, width=CMS_WIDTH)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), "tok")
+        .limit(10)
+    )
+    return cms_estimate(sketch, top, depth=CMS_DEPTH, width=CMS_WIDTH).select(
+        "tok", "true_n", "cms_n"
+    )
+
+
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit over customers: interleave
+    (c_nationkey, c_custkey mod 32) into a 2-D curve key, cut the curve
+    into 16-cell file buckets, and report each bucket's nationkey span.
+    Tight per-bucket min/max spans are exactly what parquet footer
+    min/max skipping needs for predicates on EITHER dimension — the
+    write-side layout rule sources/layout.py:z_order_key encodes (what
+    Delta/Iceberg call Z-ORDER clustering)."""
+    from codebase_rag_spark.sources.layout import z_order_key
+
+    c = load_table(spark, sf_dir, "customer")
+    z = z_order_key(F.col("c_nationkey"), F.col("c_custkey") % 32, bits=5)
+    return (
+        c.select(z.alias("z"), "c_nationkey")
+        .withColumn("bucket", (F.col("z") / 64).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("c_nationkey").alias("min_nation"),
+            F.max("c_nationkey").alias("max_nation"),
+            F.min("z").alias("z_lo"),
+            F.max("z").alias("z_hi"),
+        )
+    )
+
+
 QUERIES = {
     "collocation_lift_top": collocation_lift_top,
     "curriculum_tiers": curriculum_tiers,
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "zorder_locality": zorder_locality,
 }
 
 ORACLES = {
@@ -98,3 +160,58 @@ ORACLES = {
         FROM binned GROUP BY tier
     """,
 }
+
+
+ORACLES["cms_heavy_hitters"] = rf"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+            FROM documents
+        ),
+        t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+        d(r) AS (VALUES (0), (1), (2), (3)),
+        cnt AS (
+            SELECT r,
+                   ('0x' || substr(md5(tok || chr(0) || 'cms' || r), 1, 8))::BIGINT
+                       % {CMS_WIDTH} AS bucket,
+                   count(*) AS c
+            FROM t2 CROSS JOIN d
+            GROUP BY r, bucket
+        ),
+        top AS (
+            SELECT tok, count(*) AS true_n FROM t2
+            GROUP BY tok ORDER BY true_n DESC, tok LIMIT 10
+        )
+        SELECT t.tok, t.true_n, min(c.c) AS cms_n
+        FROM top t
+        CROSS JOIN d
+        JOIN cnt c
+          ON c.r = d.r
+         AND c.bucket = ('0x' || substr(md5(t.tok || chr(0) || 'cms' || d.r),
+                                        1, 8))::BIGINT % {CMS_WIDTH}
+        GROUP BY t.tok, t.true_n
+"""
+
+
+def _zorder_sql(xcol: str, ycol: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+ORACLES["zorder_locality"] = rf"""
+        WITH z AS (
+            SELECT CAST({_zorder_sql('c_nationkey', '(c_custkey % 32)', 5)}
+                        AS BIGINT) AS z,
+                   c_nationkey
+            FROM customer
+        )
+        SELECT CAST(z // 64 AS BIGINT) AS bucket,
+               count(*) AS n_rows,
+               min(c_nationkey) AS min_nation,
+               max(c_nationkey) AS max_nation,
+               min(z) AS z_lo,
+               max(z) AS z_hi
+        FROM z GROUP BY bucket
+"""

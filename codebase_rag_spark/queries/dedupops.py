@@ -194,9 +194,14 @@ QUERIES = {
 
 
 def _minhash_sql_cols() -> str:
-    return ",\n               ".join(
-        f"min(md5(tok || chr(0) || '{i}')) AS mh{i}" for i in range(NUM_HASHES)
-    )
+    """Word-split md5 MinHash family (hashing.minhash_word_expr): hash i
+    is the 8-hex-char word i%4 of one (seeded per group of 4) digest."""
+    cols = []
+    for i in range(NUM_HASHES):
+        k, j = divmod(i, 4)
+        digest = "md5(tok)" if k == 0 else f"md5(tok || chr(0) || '{k}')"
+        cols.append(f"min(substr({digest}, {8 * j + 1}, 8)) AS mh{i}")
+    return ",\n               ".join(cols)
 
 
 _SIMHASH_HEX_HIGH = "('8','9','a','b','c','d','e','f')"

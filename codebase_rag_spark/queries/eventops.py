@@ -270,8 +270,12 @@ def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a .xxxx5 rounding boundary where Spark's and DuckDB's accumulation
     # orders disagree (decimal casts don't help — DuckDB truncates where
     # Spark rounds). Sorting each group's values and folding left-to-right
-    # makes the double sum bit-identical in any engine; groups are
-    # hour-sized, so the collected array stays small at any corpus scale.
+    # makes the double sum bit-identical in any engine. NOTE: this is an
+    # oracle-exactness tradeoff bounded at benchmark scale — an
+    # (event_type, hour) group grows with event rate, so a hot hour at
+    # full corpus scale would overflow the collected array; there, drop
+    # to plain avg() (or a pairwise/Kahan tree sum) and accept last-ulp
+    # divergence from other engines.
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(
@@ -741,7 +745,10 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(value * dt) / sum(dt) with dt = micros until the user's next
     event. Durations stay integer (exact sum); the value*dt products fold
     in canonical (timestamp-sorted) order so the double numerator is
-    bit-identical in any engine; the oracle emulates Spark's rounding."""
+    bit-identical in any engine; the oracle emulates Spark's rounding.
+    The per-user fold array is an oracle-exactness tradeoff bounded at
+    benchmark scale — an unboundedly active user would need a pairwise/
+    Kahan segmented sum instead (last-ulp divergence risk, no collect)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)

@@ -114,7 +114,12 @@ def aes_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum ARE a weighted-without-replacement sample. The fixed-size
     counterpart to the PPS Bernoulli sampler (weighted_doc_sample):
     exactly k docs per lang, bigger docs proportionally likelier. One
-    window per stratum; the key computation is scan-stage."""
+    window per stratum; the key computation is scan-stage.
+
+    pow() is not guaranteed correctly rounded across libm builds, so the
+    key is ROUNDED to 12 decimals (far above 1 ulp) in BOTH engines
+    before ranking; sub-tolerance near-ties collapse to equal keys and
+    the doc_id tiebreak decides identically on every platform."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -129,7 +134,7 @@ def aes_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(4294967296.0),
         F.lit(1e-12),
     )
-    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 12)
     w = Window.partitionBy("lang").orderBy(F.desc("key"), "doc_id")
     return (
         d.select("lang", "doc_id", "n_chars", key.alias("key"))
@@ -296,10 +301,10 @@ ORACLES["doc_sequence_packing"] = r"""
 ORACLES["aes_weighted_reservoir"] = """
         WITH k AS (
             SELECT lang, doc_id, n_chars,
-                   pow(greatest(
+                   round(pow(greatest(
                        (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'aes'),
                                         1, 8))::BIGINT) / 4294967296.0,
-                       1e-12), 1.0 / n_chars) AS key
+                       1e-12), 1.0 / n_chars), 12) AS key
             FROM documents
         ),
         r AS (

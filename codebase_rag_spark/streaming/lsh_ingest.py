@@ -43,7 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from codebase_rag_spark.functions.hashing import band_keys, md5_hash, shingles
+from codebase_rag_spark.functions.hashing import band_keys, minhash_word_expr, shingles
 from codebase_rag_spark.functions.text import tokens
 
 
@@ -67,7 +67,7 @@ def batch_signatures(
     )
     sigs = exploded.groupBy("_id").agg(
         *[
-            F.min(md5_hash(F.col("tok"), str(i))).alias(f"mh{i}")
+            F.min(minhash_word_expr(F.col("tok"), i)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )

@@ -124,3 +124,41 @@ def test_windows_ops_empty(spark):
         == 0
     )
     assert sessionize(empty, "ts", "user_id").count() == 0
+
+
+def test_personalized_pagerank_disjoint_seeds_raises(spark):
+    """ADVICE r2: a seed set with no overlap with the graph must fail
+    loudly, not silently emit all-NULL ranks (0/0 teleport)."""
+    import pytest
+
+    from codebase_rag_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    seeds = spark.createDataFrame([("zz",)], ["node"])
+    with pytest.raises(ValueError, match="no seed overlaps"):
+        personalized_pagerank(edges, seeds, iterations=1)
+
+
+def test_mysql_double_transpile_idempotent(spark):
+    """ADVICE r2: 'DOUBLE PRECISION' input must NOT become
+    'DOUBLE PRECISION PRECISION'; bare DOUBLE still maps."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.sqlmeta import transpile_expr
+
+    df = spark.createDataFrame(
+        [
+            ("a", "CREATE TABLE t (x DOUBLE, e ENGINE_VAL TINYINT(1))"),
+            ("b", "CREATE TABLE t (x DOUBLE PRECISION, y DOUBLE)"),
+        ],
+        ["id", "sql"],
+    )
+    out = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", transpile_expr(F.col("sql"), F.lit("mysql")).alias("t")
+        ).collect()
+    }
+    assert "DOUBLE PRECISION" in out["a"]
+    assert "PRECISION PRECISION" not in out["b"]
+    assert out["b"].count("DOUBLE PRECISION") == 2

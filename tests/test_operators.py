@@ -484,9 +484,11 @@ def test_lsh_bucket_cap_guards_adversarial_skew(spark):
     from codebase_rag_spark.operators.dedup import minhash_lsh_candidates
 
     boiler = [(i, "copy this exact boilerplate text block verbatim") for i in range(100)]
+    # 12-token docs differing in the final token: 9 of 10 shingles shared,
+    # so all 4 band keys collide under the word-split-md5 family
     near = [
-        (200, "alpha beta gamma delta epsilon zeta eta theta"),
-        (201, "alpha beta gamma delta epsilon zeta eta iota"),
+        (200, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        (201, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
     ]
     df = spark.createDataFrame(boiler + near, ["doc_id", "text"])
     uncapped = minhash_lsh_candidates(df, "doc_id", "text").count()
@@ -698,3 +700,28 @@ def test_prefix_filter_jaccard_equals_brute_force(spark):
                 if jac >= 0.5:
                     want[(i, j)] = round(jac, 4)
     assert got == want and (3, 4) in got and (1, 2) in got
+
+
+def test_count_min_sketch_never_underestimates(spark):
+    """CMS invariant: estimate >= true count for EVERY token; sketch size
+    is depth*width regardless of input size; counters sum to depth*N."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.corpus_stats import (
+        build_count_min,
+        cms_estimate,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta"] * 25 + ["rare"]
+    toks = spark.createDataFrame([(w,) for w in words], ["tok"])
+    sketch = build_count_min(toks, depth=4, width=16)
+    rows = sketch.collect()
+    assert len(rows) <= 4 * 16
+    assert sum(r["c"] for r in rows) == 4 * len(words)
+
+    truth = toks.groupBy("tok").agg(F.count("*").alias("true_n"))
+    est = {r["tok"]: (r["true_n"], r["cms_n"])
+           for r in cms_estimate(sketch, truth, depth=4, width=16).collect()}
+    assert set(est) == {"alpha", "beta", "gamma", "delta", "rare"}
+    for tok, (true_n, cms_n) in est.items():
+        assert cms_n >= true_n, tok

