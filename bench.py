@@ -106,6 +106,9 @@ HEADLINE = [
     "zorder_locality",
     "sql_query_analysis",
     "video_frame_sample",
+    "bloom_prune_probe",
+    "neyman_alloc_sample",
+    "mutual_nn_pairs",
 ]
 
 

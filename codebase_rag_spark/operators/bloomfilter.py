@@ -1,0 +1,92 @@
+"""Bloom-filter build/probe as DataFrames — the runtime-filter pattern
+(beyond-reference, BASELINE.json north star).
+
+Spark's own AQE injects bloom filters for some join shapes
+(spark.sql.optimizer.runtime.bloomFilter.enabled), but a pipeline often
+needs an EXPLICIT, persistable one: build the filter on the small/dim
+side once, broadcast the tiny bitmap table, and prune a 100 TB probe
+scan before any shuffle — a semi-join whose build side costs O(m/32)
+rows on the wire no matter how many keys went in.
+
+Representation: a (w, bits) table — word index and a 32-bits-per-word
+BIGINT bitmap (32, not 64, so masks stay positive in engines without
+unsigned ints). Mergeable across shards/batches with groupBy(w).bit_or.
+Hash family: first-8-hex md5(key||NUL||salt||i) mod m — the repo's
+engine-portable integer hashing, so the DuckDB oracle rebuilds the
+identical filter. False positives only, never false negatives:
+p_fp ~ (1 - e^(-k*n/m))^k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _position(key: Column, i: int, m_bits: int, salt: str) -> Column:
+    from codebase_rag_spark.functions.hashing import md5_hash
+
+    h = F.conv(
+        F.substring(md5_hash(key.cast("string"), f"{salt}{i}"), 1, 8), 16, 10
+    ).cast("bigint")
+    return h % m_bits
+
+
+def build_bloom(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 2048,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build the (w, bits) bitmap table from df's keys: explode the k bit
+    positions per key, then ONE groupBy(word).bit_or — map-side combined,
+    output <= m_bits/32 rows regardless of input size."""
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_position(key, i, m_bits, salt) for i in range(k_hashes)])
+    ).alias("p")
+    words = df.select(pos).select(
+        (F.col("p") / 32).cast("bigint").alias("w"),
+        # SQL shiftleft: both operands may be expressions (the DataFrame
+        # F.shiftleft only takes a literal bit count)
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+    )
+    return words.groupBy("w").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 2048,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+    out_col: str = "bloom_pass",
+) -> DataFrame:
+    """Adds `out_col`: True iff ALL k bit positions of the key are set.
+
+    k broadcast joins of the <=m/32-row bitmap table — the probe side is
+    NEVER shuffled, so the filter composes with any downstream plan as a
+    scan-stage predicate (the point of runtime filtering at 100 TB)."""
+    key = F.col(key_col)
+    out = df
+    pass_expr = F.lit(True)
+    for i in range(k_hashes):
+        out = out.withColumn(f"_p{i}", _position(key, i, m_bits, salt))
+        b = bloom.select(
+            F.col("w").alias(f"_bw{i}"), F.col("bits").alias(f"_bbits{i}")
+        )
+        out = out.join(
+            F.broadcast(b),
+            (F.col(f"_p{i}") / 32).cast("bigint") == F.col(f"_bw{i}"),
+            "left",
+        )
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 32 AS INT))")
+        pass_expr = pass_expr & (
+            F.coalesce(F.col(f"_bbits{i}"), F.lit(0)).bitwiseAND(mask) != 0
+        )
+    drop = [
+        c for i in range(k_hashes) for c in (f"_p{i}", f"_bw{i}", f"_bbits{i}")
+    ]
+    return out.withColumn(out_col, pass_expr).drop(*drop)

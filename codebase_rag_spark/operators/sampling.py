@@ -247,6 +247,54 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     )
 
 
+def allocation_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    spread_col: str,
+    budget: int,
+    salt: str = "alloc",
+) -> DataFrame:
+    """Neyman-style stratified allocation with an INTEGER-EXACT spread
+    proxy: stratum h receives budget * N_h * R_h div sum(N_h * R_h)
+    seats, where R_h = max(spread_col) - min(spread_col) (the classic
+    Neyman rule uses the stddev S_h; the range proxy keeps every
+    allocation an integer ratio, so the seat counts are bit-identical in
+    any engine — stddev's sqrt/accumulation-order would not be).
+    High-variance strata get proportionally more seats, which is the
+    point of Neyman allocation over plain proportional sampling.
+
+    Within a stratum, rows are picked by md5(id||salt) rank —
+    deterministic, partition-layout-free. Plan: one stats aggregate, a
+    1-row broadcast total, one per-stratum rank window (the only real
+    shuffle), broadcast seat join. Returns the selected rows with
+    `n_alloc` attached."""
+    from pyspark.sql import Window
+
+    sc = F.col(stratum_col)
+    stats = df.groupBy(stratum_col).agg(
+        F.count("*").alias("_n"),
+        (F.max(spread_col) - F.min(spread_col)).cast("bigint").alias("_r"),
+    )
+    tot = stats.agg(F.sum(F.col("_n") * F.col("_r")).alias("_tot"))
+    alloc = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            sc.alias("_stratum"),
+            F.expr(f"CAST({budget} AS BIGINT) * _n * _r div _tot").alias("n_alloc"),
+        )
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col)
+    )
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(alloc), ranked[stratum_col] == alloc["_stratum"])
+        .filter(F.col("_rk") <= F.col("n_alloc"))
+        .drop("_rk", "_stratum")
+    )
+
+
 def weighted_bernoulli_sample(
     df: DataFrame,
     id_col: str,

@@ -293,8 +293,53 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M, BLOOM_K = 2048, 3
+
+
+def bloom_prune_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime-filter pattern (operators/bloomfilter.py): build a
+    2048-bit/3-hash Bloom filter over the custkeys that placed URGENT
+    orders (constant <=64-row bitmap regardless of order count), probe
+    EVERY customer with k broadcast joins (probe side never shuffles),
+    and report per nation: bloom passes, exact members (semi-join
+    ground truth), and the false positives the filter admits. No false
+    negatives by construction — n_true <= n_pass always."""
+    from codebase_rag_spark.operators.bloomfilter import bloom_probe, build_bloom
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = o.select(F.col("o_custkey").alias("key")).distinct()
+    bloom = build_bloom(keys, "key", BLOOM_M, BLOOM_K)
+    c = load_table(spark, sf_dir, "customer")
+    probed = bloom_probe(c, "c_custkey", bloom, BLOOM_M, BLOOM_K)
+    truth = c.join(
+        keys.withColumnRenamed("key", "c_custkey"), "c_custkey", "left_semi"
+    ).select("c_custkey", F.lit(True).alias("is_member"))
+    return (
+        probed.join(truth, "c_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true"),
+            F.sum(
+                F.when(F.col("bloom_pass") & F.col("is_member").isNull(), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+    )
+
+
 QUERIES = {
     "stat_aggregates": stat_aggregates,
+    "bloom_prune_probe": bloom_prune_probe,
     "event_value_histogram": event_value_histogram,
     "price_percentiles": price_percentiles,
     "order_status_cube": order_status_cube,
@@ -488,4 +533,52 @@ ORACLES["supplier_balance_ranks"] = """
                ntile(4) OVER w AS quartile
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+"""
+
+ORACLES["bloom_prune_probe"] = f"""
+        WITH ks AS (
+            SELECT DISTINCT o_custkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ),
+        d(i) AS (VALUES (0), (1), (2)),
+        pos AS (
+            SELECT ('0x' || substr(md5(key::VARCHAR || chr(0) || 'bloom' || i),
+                                   1, 8))::BIGINT % {BLOOM_M} AS p
+            FROM ks CROSS JOIN d
+        ),
+        words AS (
+            SELECT p // 32 AS w,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+            FROM pos GROUP BY w
+        ),
+        cpos AS (
+            SELECT c_custkey, c_nationkey, i,
+                   ('0x' || substr(md5(c_custkey::VARCHAR || chr(0) || 'bloom' || i),
+                                   1, 8))::BIGINT % {BLOOM_M} AS p
+            FROM customer CROSS JOIN d
+        ),
+        hits AS (
+            SELECT c_custkey, c_nationkey,
+                   sum(CASE WHEN coalesce(w2.bits, 0)
+                                 & (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+                                 <> 0
+                            THEN 1 ELSE 0 END) AS n_hits
+            FROM cpos LEFT JOIN words w2 ON w2.w = cpos.p // 32
+            GROUP BY c_custkey, c_nationkey
+        ),
+        probe AS (
+            SELECT h.c_custkey, h.c_nationkey,
+                   h.n_hits = 3 AS bloom_pass,
+                   k.key IS NOT NULL AS is_member
+            FROM hits h LEFT JOIN ks k ON k.key = h.c_custkey
+        )
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass,
+               CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true,
+               CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_false_pos
+        FROM probe GROUP BY c_nationkey
 """

@@ -144,8 +144,26 @@ def aes_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neyman_alloc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-style stratified allocation over languages (budget 60):
+    seats per stratum proportional to N_h * range(n_chars) — the
+    variance-aware allocation rule with an integer-exact spread proxy
+    (operators/sampling.py:allocation_sample). Summarized per lang:
+    seats, rows actually drawn, and the sampled char mass."""
+    from codebase_rag_spark.operators.sampling import allocation_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    s = allocation_sample(d, "lang", "doc_id", "n_chars", budget=60)
+    return s.groupBy("lang").agg(
+        F.min("n_alloc").cast("bigint").alias("n_alloc"),
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+    )
+
+
 QUERIES = {
     "aes_weighted_reservoir": aes_weighted_reservoir,
+    "neyman_alloc_sample": neyman_alloc_sample,
     "doc_train_test_split": doc_train_test_split,
     "lineitem_expectations": lineitem_expectations,
     "lang_domain_mix": lang_domain_mix,
@@ -328,4 +346,33 @@ ORACLES["weighted_doc_sample"] = """
                round(CAST(sum(CAST(n_chars / p AS DECIMAL(18,6))) AS DOUBLE), 2)
                    AS ht_total_chars
         FROM s GROUP BY lang
+"""
+
+ORACLES["neyman_alloc_sample"] = """
+        WITH stats AS (
+            SELECT lang, count(*) AS n_h,
+                   CAST(max(n_chars) - min(n_chars) AS BIGINT) AS r_h
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(sum(n_h * r_h) AS BIGINT) AS t FROM stats),
+        alloc AS (
+            SELECT lang,
+                   CAST(CAST(60 AS BIGINT) * n_h * r_h // t AS BIGINT) AS n_alloc
+            FROM stats, tot
+        ),
+        ranked AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'alloc'),
+                                doc_id) AS rk
+            FROM documents
+        )
+        SELECT r.lang,
+               min(a.n_alloc) AS n_alloc,
+               count(*) AS n_sampled,
+               CAST(sum(r.n_chars) AS BIGINT) AS sampled_chars
+        FROM ranked r JOIN alloc a ON a.lang = r.lang
+        WHERE r.rk <= a.n_alloc
+        GROUP BY r.lang
 """

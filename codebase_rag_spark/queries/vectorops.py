@@ -105,11 +105,54 @@ def rp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_join(cands, _query_side(spark, sf_dir, 0), k=5)
 
 
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors WITHIN LSH buckets: each vector's
+    top-1 cosine neighbor among its bucket-mates; keep only MUTUAL pairs
+    (a's NN is b and b's NN is a) — the high-precision near-dup /
+    rerank signal (RNN filtering). Bucket-local by construction: the
+    pair join is keyed on the RP-LSH bucket, never corpus x corpus, so
+    cost scales with sum(bucket_size^2), which the 8-plane bucketing
+    keeps bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from codebase_rag_spark.functions.vector import cosine_similarity
+
+    b = random_hyperplane_buckets(emb, num_planes=8, dim=64).join(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("_v")), "vec_id"
+    ).select("vec_id", "bucket", "_v")
+    a = b.select(
+        F.col("vec_id").alias("id_a"), "bucket", F.col("_v").alias("_va")
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), "bucket", F.col("_v").alias("_vb")
+    )
+    pairs = a.join(c, "bucket").filter(F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    left = nn.select("id_a", "id_b", "cosine")
+    right = nn.select(
+        F.col("id_a").alias("_ra"), F.col("id_b").alias("_rb")
+    )
+    return (
+        left.join(
+            right,
+            (left["id_a"] == right["_rb"]) & (left["id_b"] == right["_ra"]),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 QUERIES = {
     "cosine_topk": cosine_topk_query,
     "centroid_assignment": centroid_assignment,
     "rp_lsh_buckets": rp_lsh_buckets,
     "rp_lsh_ann": rp_lsh_ann,
+    "mutual_nn_pairs": mutual_nn_pairs,
 }
 
 ORACLES = {
@@ -218,4 +261,38 @@ ORACLES["rp_lsh_ann"] = f"""
             FROM p GROUP BY vec_id
         )
         SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+ORACLES["mutual_nn_pairs"] = f"""
+        WITH {_RP_BUCKETS_CTE},
+        pairs AS (
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+            FROM bkt a JOIN bkt b2
+              ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+        ),
+        pe AS (
+            SELECT p.id_a, p.id_b,
+                   unnest(ea.embedding)::DOUBLE AS x,
+                   unnest(eb.embedding)::DOUBLE AS y
+            FROM pairs p
+            JOIN embeddings ea ON ea.vec_id = p.id_a
+            JOIN embeddings eb ON eb.vec_id = p.id_b
+        ),
+        pc AS (
+            SELECT id_a, id_b,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS cosine
+            FROM pe GROUP BY id_a, id_b
+        ),
+        nn AS (
+            SELECT id_a, id_b, cosine,
+                   row_number() OVER (
+                       PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+            FROM pc
+        )
+        SELECT l.id_a, l.id_b, l.cosine
+        FROM nn l JOIN nn r
+          ON l.id_a = r.id_b AND l.id_b = r.id_a AND l.rn = 1 AND r.rn = 1
+        WHERE l.id_a < l.id_b
 """

@@ -725,3 +725,53 @@ def test_count_min_sketch_never_underestimates(spark):
     assert set(est) == {"alpha", "beta", "gamma", "delta", "rare"}
     for tok, (true_n, cms_n) in est.items():
         assert cms_n >= true_n, tok
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Bloom invariant: every inserted key passes; the bitmap table is
+    bounded by m/32 rows; a disjoint probe set sees only (rare) false
+    positives, never guaranteed passes."""
+    from codebase_rag_spark.operators.bloomfilter import bloom_probe, build_bloom
+
+    members = spark.createDataFrame([(i,) for i in range(200)], ["key"])
+    bloom = build_bloom(members, "key", m_bits=2048, k_hashes=3)
+    assert bloom.count() <= 2048 // 32
+
+    probed = bloom_probe(members, "key", bloom, m_bits=2048, k_hashes=3)
+    assert probed.filter(~F.col("bloom_pass")).count() == 0  # no FN ever
+
+    others = spark.createDataFrame([(i,) for i in range(10_000, 10_200)], ["key"])
+    fp = bloom_probe(others, "key", bloom, m_bits=2048, k_hashes=3).filter(
+        F.col("bloom_pass")
+    ).count()
+    # ~(1-e^-0.29)^3 ~ 1.6% expected; generous bound
+    assert fp < 40
+
+
+def test_allocation_sample_seats_and_determinism(spark):
+    """Neyman-range allocation: integer seat formula, per-stratum draw
+    bounded by seats, identical selection across repartitionings."""
+    from codebase_rag_spark.operators.sampling import allocation_sample
+
+    rows = [(i, "a", i % 10) for i in range(100)] + [
+        (1000 + i, "b", (i * 97) % 1000) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["id", "stratum", "size"])
+    out = allocation_sample(df, "stratum", "id", "size", budget=30)
+    picked = out.collect()
+    # seats: N_a*R_a = 100*9 = 900, N_b*R_b = 50*988 = 49400; tot = 50300
+    seats = {"a": 30 * 900 // 50300, "b": 30 * 49400 // 50300}
+    got = {}
+    for r in picked:
+        got.setdefault(r["stratum"], set()).add(r["id"])
+        assert r["n_alloc"] == seats[r["stratum"]]
+    assert {k: len(v) for k, v in got.items()} == {
+        k: v for k, v in seats.items() if v > 0
+    }
+    again = {
+        (r["stratum"], r["id"])
+        for r in allocation_sample(
+            df.repartition(7, "id"), "stratum", "id", "size", budget=30
+        ).collect()
+    }
+    assert again == {(r["stratum"], r["id"]) for r in picked}

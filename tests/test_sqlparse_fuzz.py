@@ -1,0 +1,150 @@
+"""Property-based fuzzing of the vendored SQL parser (T10): generate
+random SELECT statements from a grammar and require the parser's
+(tables, ctes) extraction to agree EXACTLY with DuckDB's own parser
+(json_serialize_sql AST walk) on every one. No Spark session needed —
+this is the cheap, wide-net robustness net behind the fixed-corpus
+oracle (`sql_query_analysis`)."""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from codebase_rag_spark.functions.sqlparse import parse_sql_refs
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    # exclude words that are SQL keywords in either grammar
+    lambda s: s
+    not in {
+        "select", "from", "join", "on", "where", "group", "order", "by",
+        "with", "as", "union", "all", "left", "right", "inner", "outer",
+        "cross", "full", "limit", "having", "exists", "in", "not", "and",
+        "or", "case", "when", "then", "else", "end", "asc", "desc", "is",
+        "null", "between", "like", "distinct", "values", "natural", "using",
+        "semi", "anti", "recursive", "ignore", "respect", "nulls", "offset",
+        "fetch", "row", "rows", "only", "to", "default", "if",
+    }
+)
+
+
+def _quoted(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+@st.composite
+def _table_ref(draw):
+    name = draw(_IDENT)
+    style = draw(st.integers(0, 3))
+    if style == 0:
+        return name, name
+    if style == 1:  # quoted
+        return _quoted(name.upper()), name.upper()
+    if style == 2:  # schema-qualified
+        return f"{draw(_IDENT)}.{name}", name
+    return f"{_quoted('S' + draw(_IDENT))}.{_quoted(name)}", name
+
+
+@st.composite
+def _select(draw, depth: int = 0):
+    """Returns (sql_text, set_of_base_table_names, set_of_cte_names)."""
+    tables: set[str] = set()
+    ctes: set[str] = set()
+
+    def subquery_allowed():
+        return depth < 2 and draw(st.booleans())
+
+    # FROM clause: 1-3 factors with optional joins
+    n_factors = draw(st.integers(1, 3))
+    factors = []
+    for i in range(n_factors):
+        if subquery_allowed():
+            sub, t, c = draw(_select(depth=depth + 1))
+            tables |= t
+            ctes |= c
+            factors.append(f"({sub}) d{i}")
+        else:
+            ref, name = draw(_table_ref())
+            tables.add(name)
+            alias = draw(st.sampled_from(["", f" a{i}", f" AS a{i}"]))
+            factors.append(ref + alias)
+    joiners = [
+        draw(st.sampled_from([", ", " JOIN ", " LEFT JOIN ", " CROSS JOIN "]))
+        for _ in range(n_factors - 1)
+    ]
+    from_sql = factors[0]
+    for j, f in zip(joiners, factors[1:]):
+        from_sql += j + f
+        if "JOIN" in j and "CROSS" not in j:
+            from_sql += " ON 1 = 1"
+
+    where = ""
+    if subquery_allowed():
+        sub, t, c = draw(_select(depth=depth + 1))
+        tables |= t
+        ctes |= c
+        where = f" WHERE x IN ({sub})"
+    elif draw(st.booleans()):
+        where = " WHERE x > 0 AND y = 'from fake_tbl'"
+
+    cols = draw(
+        st.sampled_from(["*", "x", "x, y", "count(*)", "upper(x), max(y)"])
+    )
+    sql = f"SELECT {cols} FROM {from_sql}{where}"
+
+    # optional CTE prologue at the outermost level
+    if depth == 0 and draw(st.booleans()):
+        n_ctes = draw(st.integers(1, 2))
+        parts = []
+        for _ in range(n_ctes):
+            cname = draw(_IDENT)
+            sub, t, c = draw(_select(depth=depth + 1))
+            tables |= t
+            ctes |= c
+            ctes.add(cname)
+            parts.append(f"{cname} AS ({sub})")
+        sql = "WITH " + ", ".join(parts) + " " + sql
+    return sql, tables, ctes
+
+
+def _duckdb_refs(sql: str):
+    con = duckdb.connect()
+    js = con.execute(
+        "select json_serialize_sql($q::VARCHAR)", {"q": sql}
+    ).fetchone()[0]
+    ast = json.loads(js)
+    if ast.get("error"):
+        return None
+    tables, ctes = [], []
+
+    def walk(o):
+        if isinstance(o, dict):
+            if o.get("type") == "BASE_TABLE":
+                tables.append(o.get("table_name"))
+            if "cte_map" in o:
+                for e in o["cte_map"].get("map", []):
+                    ctes.append(e.get("key"))
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, list):
+            for v in o:
+                walk(v)
+
+    walk(ast)
+    return (
+        sorted({t for t in tables if t not in set(ctes)}),
+        sorted(set(ctes)),
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_select())
+def test_parser_agrees_with_duckdb_on_generated_sql(case):
+    sql, _, _ = case
+    want = _duckdb_refs(sql)
+    if want is None:  # grammar emitted something DuckDB rejects — skip
+        return
+    refs = parse_sql_refs(sql)
+    assert (refs.tables, refs.cte_names) == want, sql
