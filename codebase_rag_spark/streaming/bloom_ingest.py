@@ -1,0 +1,105 @@
+"""Streaming dedup with CONSTANT-SIZE state: a persistent Bloom filter
+instead of a growing signature table.
+
+streaming/dedup_ingest.py keeps one row per unique content hash — exact,
+but state grows with the corpus. This twin keeps a fixed (w, bits)
+bitmap (operators/bloomfilter.py): a batch drops every doc whose content
+hash PASSES the filter, then ORs its survivors' bits in. The trade:
+false positives occasionally drop a novel doc (p ~ (1-e^(-kn/m))^k),
+never the reverse — the right trade when the dedup horizon is unbounded
+but state must stay O(m) bits (edge ingestion, memory-constrained
+drivers, filters shipped between pipelines).
+
+Idempotence comes for free from OR: a replayed batch re-ORs the same
+bits into the filter (no-op) and dynamic partition overwrite rewrites
+its own output partition. The filter update is write-new-then-swap so a
+reader never sees a half-written bitmap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.operators.bloomfilter import bloom_probe, build_bloom
+
+
+def _read_bloom(spark: SparkSession, path: str) -> DataFrame | None:
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def bloom_dedup_ingest(
+    docs: DataFrame,
+    out_path: str,
+    bloom_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+):
+    """Start an availableNow stream ingesting `docs` with cross-batch/
+    cross-run approximate content dedup at constant state size. Returns
+    the StreamingQuery; await it, then read out_path."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+        # in-batch exact dedup (deterministic keeper: min id per hash)
+        keeper = hashed.groupBy("content_sha").agg(F.min(id_col).alias("_keep_id"))
+        fresh = hashed.join(
+            keeper,
+            (hashed["content_sha"] == keeper["content_sha"])
+            & (hashed[id_col] == keeper["_keep_id"]),
+        ).select(hashed["*"])
+        # cross-batch: drop everything the filter has (maybe) seen
+        old = _read_bloom(spark, bloom_path)
+        if old is not None:
+            fresh = (
+                bloom_probe(fresh, "content_sha", old, m_bits, k_hashes)
+                .filter(~F.col("bloom_pass"))
+                .drop("bloom_pass")
+            )
+        fresh = fresh.withColumn("ingest_batch", F.lit(batch_id)).localCheckpoint(
+            eager=True  # consumed twice (output write + filter update)
+        )
+
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        saved = spark.conf.get(mode_key, None)
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                fresh.write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(out_path)
+            )
+        finally:
+            if saved is not None:
+                spark.conf.set(mode_key, saved)
+
+        # merge survivors' bits into the filter: OR is idempotent, so a
+        # replayed batch converges to the same bitmap
+        add = build_bloom(fresh, "content_sha", m_bits, k_hashes)
+        merged = add if old is None else (
+            add.unionByName(old).groupBy("w").agg(F.bit_or("bits").alias("bits"))
+        )
+        tmp = bloom_path + "__tmp"
+        older = bloom_path + "__old"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(older, ignore_errors=True)
+        if os.path.exists(bloom_path):
+            os.rename(bloom_path, older)
+        os.rename(tmp, bloom_path)
+        shutil.rmtree(older, ignore_errors=True)
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

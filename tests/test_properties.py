@@ -247,3 +247,52 @@ def test_pack_budget_invariants(spark, items, budget):
             break
         want.append(i)
     assert sorted(r.id for r in rows) == sorted(want)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=1, max_size=80),
+    shards=st.integers(1, 9),
+)
+def test_scalewin_equals_global_window_property(spark, vals, shards):
+    """For ANY data and ANY shard count, the sharded decomposition equals
+    the global single-partition window on row_number, running sum, and
+    NTILE (total order: (val desc, idx))."""
+    from pyspark.sql import Window
+
+    from codebase_rag_spark.operators.scalewin import global_ntile, global_order_stats
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "idx int, val int")
+    order = [F.col("val").desc(), F.col("idx")]
+
+    got = {
+        (r["idx"], r["_rn"], r["cum"])
+        for r in global_order_stats(
+            df, order, rn_col="_rn", cum_sums={"cum": F.col("val")},
+            num_shards=shards,
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r["idx"], r["_rn"], r["cum"])
+        for r in df.select(
+            "idx",
+            F.row_number().over(Window.orderBy(*order)).cast("bigint").alias("_rn"),
+            F.sum("val").over(w).alias("cum"),
+        ).collect()
+    }
+    assert got == want
+
+    n = (len(vals) % 7) + 1
+    got_t = {
+        (r["idx"], r["tier"])
+        for r in global_ntile(df, order, n, num_shards=shards).collect()
+    }
+    want_t = {
+        (r["idx"], r["tier"])
+        for r in df.select(
+            "idx", F.ntile(n).over(Window.orderBy(*order)).alias("tier")
+        ).collect()
+    }
+    assert got_t == want_t

@@ -459,3 +459,42 @@ def test_lsh_dedup_ingest_near_dups_across_batches(spark, tmp_path):
     # index holds band rows only for survivors with signatures
     idx_ids = {r.doc_id for r in spark.read.parquet(idx).collect()}
     assert 3 not in idx_ids and 9 not in idx_ids and 10 not in idx_ids
+
+
+def test_bloom_dedup_ingest_constant_state_across_runs(spark, tmp_path):
+    """Constant-state streaming dedup: exact dup from an earlier RUN is
+    dropped via the persistent Bloom filter; novel docs pass; the filter
+    table never exceeds m/32 rows no matter how many batches ran."""
+    from codebase_rag_spark.streaming.bloom_ingest import bloom_dedup_ingest
+
+    src, out, blm, ckpt = (str(tmp_path / d) for d in ("src", "out", "blm", "ck"))
+    schema = "doc_id bigint, text string"
+
+    def run():
+        docs = spark.readStream.schema(schema).parquet(src)
+        q = bloom_dedup_ingest(docs, out, blm, ckpt)
+        q.awaitTermination()
+
+    # batch 1: one in-batch duplicate (3 == 1's content)
+    spark.createDataFrame(
+        [(1, "alpha content"), (2, "beta content"), (3, "alpha content")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # run 2: cross-run exact dup dropped, novel kept
+    spark.createDataFrame(
+        [(9, "beta content"), (10, "gamma novel content")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 9 not in got
+    assert got == {1, 2, 10}
+
+    from pyspark.sql import functions as sf
+
+    bloom = spark.read.parquet(blm)
+    assert bloom.count() <= 8192 // 32
+    # OR-merge monotonicity: every batch-1 bit survives the merge
+    assert bloom.agg(sf.sum("bits")).first()[0] > 0
