@@ -109,6 +109,7 @@ HEADLINE = [
     "bloom_prune_probe",
     "neyman_alloc_sample",
     "mutual_nn_pairs",
+    "cdc_apply_changes",
 ]
 
 

@@ -103,6 +103,7 @@ def build_count_min(
     depth: int = 4,
     width: int = 256,
     salt: str = "cms",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch build: the fixed-size frequency summary that
     answers "roughly how often does token X occur" over an unbounded
@@ -116,11 +117,18 @@ def build_count_min(
     hash aggregate with map-side combine; output is depth*width rows
     regardless of corpus size — mergeable across shards/batches by
     summing counters (like HLL register max-merge, but additive).
+
+    Pass `count_col` when `toks` is already a (token, count) VOCAB table
+    (the unigram_surprise lesson): then each DISTINCT token is hashed
+    once and its count summed in — the Zipf head collapses before any
+    hashing, so the md5 work scales with vocabulary, not occurrences.
     """
     from codebase_rag_spark.functions.hashing import md5_hash
 
     t = F.col(token_col)
+    weight = F.col(count_col) if count_col else F.lit(1).cast("bigint")
     rows = toks.select(
+        weight.alias("_w"),
         F.explode(
             F.array(
                 *[
@@ -138,10 +146,10 @@ def build_count_min(
                     for r in range(depth)
                 ]
             )
-        ).alias("s")
+        ).alias("s"),
     )
     return rows.groupBy(F.col("s.r").alias("r"), F.col("s.bucket").alias("bucket")).agg(
-        F.count("*").alias("c")
+        F.sum("_w").cast("bigint").alias("c")
     )
 
 

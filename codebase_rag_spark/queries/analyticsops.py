@@ -337,9 +337,47 @@ def bloom_prune_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 MERGE generalized to full I/U/D application
+    (sources/cdc.py:apply_cdc; reference upsert graph_service.py:414-472
+    + deletion semantics of the git-CDC path): base = customers < 200;
+    a deterministic change feed derived from the same table updates
+    keys %3==0 (+100 balance), deletes %3==1, and inserts shifted new
+    keys for %3==2. Summarized per nation after application."""
+    from codebase_rag_spark.sources.cdc import apply_cdc
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.lit(0).alias("updated"),
+    )
+    src = c.filter(F.col("c_custkey") < 90)
+    changes = src.select(
+        F.when(F.col("c_custkey") % 3 == 2, F.col("c_custkey") + 100000)
+        .otherwise(F.col("c_custkey"))
+        .alias("c_custkey"),
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100, 2).cast("double").alias("bal"),
+        F.lit(1).alias("updated"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("update"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+    )
+    out = apply_cdc(base, changes, ["c_custkey"], op_col="op")
+    return out.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("bal"), 2).alias("total_bal"),
+        F.sum(F.col("updated")).cast("bigint").alias("n_changed"),
+    )
+
+
 QUERIES = {
     "stat_aggregates": stat_aggregates,
     "bloom_prune_probe": bloom_prune_probe,
+    "cdc_apply_changes": cdc_apply_changes,
     "event_value_histogram": event_value_histogram,
     "price_percentiles": price_percentiles,
     "order_status_cube": order_status_cube,
@@ -581,4 +619,41 @@ ORACLES["bloom_prune_probe"] = f"""
                CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_false_pos
         FROM probe GROUP BY c_nationkey
+"""
+
+ORACLES["cdc_apply_changes"] = """
+        WITH base AS (
+            SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS bal,
+                   0 AS updated
+            FROM customer WHERE c_custkey < 200
+        ),
+        changes AS (
+            SELECT CASE WHEN c_custkey % 3 = 2 THEN c_custkey + 100000
+                        ELSE c_custkey END AS c_custkey,
+                   c_nationkey,
+                   CAST(round(c_acctbal + 100, 2) AS DOUBLE) AS bal,
+                   1 AS updated,
+                   CASE WHEN c_custkey % 3 = 0 THEN 'update'
+                        WHEN c_custkey % 3 = 1 THEN 'delete'
+                        ELSE 'insert' END AS op
+            FROM customer WHERE c_custkey < 90
+        ),
+        upserts AS (SELECT * EXCLUDE (op) FROM changes WHERE op <> 'delete'),
+        deletes AS (SELECT c_custkey FROM changes WHERE op = 'delete'),
+        merged AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY updated DESC) AS rn
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM upserts)
+        ),
+        applied AS (
+            SELECT m.c_custkey, m.c_nationkey, m.bal, m.updated
+            FROM merged m
+            WHERE m.rn = 1
+              AND m.c_custkey NOT IN (SELECT c_custkey FROM deletes)
+        )
+        SELECT c_nationkey,
+               count(*) AS n_rows,
+               round(sum(bal), 2) AS total_bal,
+               CAST(sum(updated) AS BIGINT) AS n_changed
+        FROM applied GROUP BY c_nationkey
 """

@@ -64,13 +64,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(tokens(F.col("text"))).alias("tok")).filter(
         F.col("tok") != ""
     )
-    sketch = build_count_min(toks, depth=CMS_DEPTH, width=CMS_WIDTH)
-    top = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("true_n"))
-        .orderBy(F.desc("true_n"), "tok")
-        .limit(10)
+    # collapse to the vocab FIRST (one corpus shuffle with map-side
+    # combine); both the sketch build and the exact top-10 then run over
+    # distinct tokens — md5 work scales with vocabulary, not occurrences
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("true_n"))
+    sketch = build_count_min(
+        vocab, depth=CMS_DEPTH, width=CMS_WIDTH, count_col="true_n"
     )
+    top = vocab.orderBy(F.desc("true_n"), "tok").limit(10)
     return cms_estimate(sketch, top, depth=CMS_DEPTH, width=CMS_WIDTH).select(
         "tok", "true_n", "cms_n"
     )

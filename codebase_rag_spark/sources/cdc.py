@@ -79,6 +79,34 @@ def merge_upsert(
     )
 
 
+def apply_cdc(
+    table: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    order_col: str = "updated",
+) -> DataFrame:
+    """Full I/U/D change application — the debezium-shaped sibling of
+    merge_upsert: `changes` carries an op column ('insert'/'update' both
+    upsert; 'delete' removes the key). Within one batch the NEWEST change
+    per key wins (window on order_col), so an insert+delete sequence in
+    the same batch nets out correctly.
+
+    Plan: one window over the (small) change batch, one upsert union +
+    keep-newest window, one anti-join for deletes — everything keyed, the
+    base table is never read more than once."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "delete").drop(op_col)
+    deletes = latest.filter(F.col(op_col) == "delete").select(*keys)
+    merged = merge_upsert(table, upserts, keys, order_col)
+    return merged.join(deletes, keys, "left_anti")
+
+
 def merge_aggregate_state(
     state: DataFrame | None,
     batch: DataFrame,

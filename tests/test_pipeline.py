@@ -217,3 +217,59 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
     got = sorted((str(r.d), r.v) for r in back.collect())
     # 2024-01-02 untouched; 2024-01-01 fully replaced by the backfill
     assert got == [("2024-01-01", 99), ("2024-01-02", 3)]
+
+
+def test_apply_cdc_insert_update_delete(spark):
+    """Full I/U/D application: updates win by recency, deletes remove the
+    key, same-batch insert-then-delete nets out to absent."""
+    from codebase_rag_spark.sources.cdc import apply_cdc
+
+    table = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], ["id", "val", "updated"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 20, "update"),
+            (3, None, 20, "delete"),
+            (4, "d", 20, "insert"),
+            (5, "e", 20, "insert"),
+            (5, None, 21, "delete"),  # same-batch insert then delete
+            (1, "a-old", 5, "update"),  # stale: older than table row? kept-newest wins
+        ],
+        ["id", "val", "updated", "op"],
+    )
+    out = {r.id: (r.val, r.updated) for r in apply_cdc(table, changes, ["id"]).collect()}
+    assert out == {1: ("a", 10), 2: ("b2", 20), 4: ("d", 20)}
+
+
+def test_versioned_store_time_travel_and_vacuum(spark, tmp_path):
+    """Copy-on-write snapshots: readers of old versions are undisturbed,
+    `_latest` flips atomically, vacuum keeps the newest k."""
+    from codebase_rag_spark.sources.versioned import (
+        current_version,
+        list_versions,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    root = str(tmp_path / "dim")
+    v1 = write_version(spark.createDataFrame([(1, "a")], ["id", "v"]), root)
+    v2 = write_version(spark.createDataFrame([(1, "a2"), (2, "b")], ["id", "v"]), root)
+    v3 = write_version(spark.createDataFrame([(2, "b3")], ["id", "v"]), root)
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert current_version(root) == 3
+
+    assert {r.v for r in read_version(spark, root).collect()} == {"b3"}
+    assert {r.v for r in read_version(spark, root, 1).collect()} == {"a"}
+    assert {r.v for r in read_version(spark, root, 2).collect()} == {"a2", "b"}
+
+    removed = vacuum(root, keep=2)
+    assert removed == [1]
+    assert list_versions(root) == [2, 3]
+    assert {r.v for r in read_version(spark, root, 2).collect()} == {"a2", "b"}
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, 1)

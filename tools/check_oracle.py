@@ -118,8 +118,9 @@ def main() -> int:
                 warned.append(name)
                 flag = "  [" + "; ".join(soft) + "]"
             print(f"OK   {name} ({len(sdf)} rows){flag}")
+    n_checked = len([n for n in queries if not only or n in only])
     print(
-        f"\n{len(queries) - len(failed)}/{len(queries)} OK"
+        f"\n{n_checked - len(failed)}/{n_checked} OK"
         + (f", {len(failed)} FAILED: {failed}" if failed else "")
     )
     return 1 if failed else 0
