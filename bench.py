@@ -110,6 +110,8 @@ HEADLINE = [
     "neyman_alloc_sample",
     "mutual_nn_pairs",
     "cdc_apply_changes",
+    "sql_dml_transpile",
+    "order_value_window_suite",
 ]
 
 

@@ -244,6 +244,7 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
         (r"(?i)\bNVL\s*\(", "COALESCE("),
         (r"(?i)\bSYSDATE\b", "CURRENT_TIMESTAMP"),
         (r"(?i)\s+FROM\s+DUAL\b", ""),
+        (r"(?i)\bSUBSTR\s*\(", "SUBSTRING("),
     ],
     "mysql": [
         (r"`([^`]*)`", "\"$1\""),
@@ -254,6 +255,10 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
         (r"(?i)\bDATETIME\b", "TIMESTAMP"),
         (r"(?i)\bIFNULL\s*\(", "COALESCE("),
         (r"(?i)\bNOW\s*\(\s*\)", "CURRENT_TIMESTAMP"),
+        (r"(?i)\bCURDATE\s*\(\s*\)", "CURRENT_DATE"),
+        (r"(?i)\bRAND\s*\(\s*\)", "RANDOM()"),
+        # MySQL two-arg LIMIT offset,count -> ANSI LIMIT count OFFSET offset
+        (r"(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)", "LIMIT $2 OFFSET $1"),
         (r"(?i)\s*ENGINE\s*=\s*\w+", ""),
         # idempotent DOUBLE mapping: protect an existing DOUBLE PRECISION
         # with a placeholder first (RE2 has no lookahead, so a (?!\s+PREC)
@@ -270,6 +275,8 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
          "GENERATED BY DEFAULT AS IDENTITY"),
         (r"(?i)\bUNIQUEIDENTIFIER\b", "UUID"),
         (r"(?i)\bGETDATE\s*\(\s*\)", "CURRENT_TIMESTAMP"),
+        (r"(?i)\bISNULL\s*\(", "COALESCE("),
+        (r"(?i)\bLEN\s*\(", "LENGTH("),
         (r"\[([^\]]*)\]", "\"$1\""),
     ],
     # postgres/generic SQL is already the target flavor

@@ -374,10 +374,31 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_value_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function window suite (completes §2.5's function
+    surface next to rank/percent_rank/cume_dist/ntile): first_value,
+    last_value and nth_value(2) over per-customer order history with an
+    EXPLICIT unbounded frame — last_value's default frame stops at
+    CURRENT ROW, the classic silent-wrong-answer; the full frame makes
+    it the true latest. One shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = order_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = F.col("o_totalprice").cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first_value(price).over(full), 2).alias("first_v"),
+        F.round(F.last_value(price).over(full), 2).alias("last_v"),
+        F.round(F.nth_value(price, 2).over(full), 2).alias("second_v"),
+    )
+
+
 QUERIES = {
     "stat_aggregates": stat_aggregates,
     "bloom_prune_probe": bloom_prune_probe,
     "cdc_apply_changes": cdc_apply_changes,
+    "order_value_window_suite": order_value_window_suite,
     "event_value_histogram": event_value_histogram,
     "price_percentiles": price_percentiles,
     "order_status_cube": order_status_cube,
@@ -656,4 +677,18 @@ ORACLES["cdc_apply_changes"] = """
                round(sum(bal), 2) AS total_bal,
                CAST(sum(updated) AS BIGINT) AS n_changed
         FROM applied GROUP BY c_nationkey
+"""
+
+ORACLES["order_value_window_suite"] = """
+        SELECT o_custkey, o_orderkey,
+               round(first_value(CAST(o_totalprice AS DOUBLE)) OVER w, 2)
+                   AS first_v,
+               round(last_value(CAST(o_totalprice AS DOUBLE)) OVER w, 2)
+                   AS last_v,
+               round(nth_value(CAST(o_totalprice AS DOUBLE), 2) OVER w, 2)
+                   AS second_v
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """

@@ -192,8 +192,50 @@ def sql_query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T11 DML corpus: per-row SOURCE dialect (DML text lacks the DDL type
+# markers dialect_detect keys on, so the dialect is a data column — the
+# reference's convert_between_dialects(sql, from, to) signature,
+# sql_parser.py:160-183)
+DML_CORPUS: list[tuple[str, str, str]] = [
+    (
+        "m1",
+        "mysql",
+        "SELECT IFNULL(name, 'n/a'), NOW(), CURDATE() FROM users "
+        "WHERE created > '2024-01-01' LIMIT 10, 20",
+    ),
+    ("m2", "mysql", "SELECT `user id`, RAND() FROM t WHERE x = 1"),
+    (
+        "o1",
+        "oracle",
+        "SELECT NVL(name, 'n/a'), SUBSTR(code, 1, 3), SYSDATE FROM DUAL",
+    ),
+    (
+        "s1",
+        "sqlserver",
+        "SELECT ISNULL(name, 'n/a'), LEN(code), GETDATE() FROM [Order Items]",
+    ),
+    ("p1", "postgres", "SELECT name, now() FROM users WHERE 1=1 AND x > 0"),
+]
+
+
+def sql_dml_transpile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 over DML (convert_between_dialects, sql_parser.py:160-183):
+    the rule-based transpiler dispatched on a per-row source-dialect
+    column — IFNULL/NVL/ISNULL -> COALESCE, NOW/SYSDATE/GETDATE ->
+    CURRENT_TIMESTAMP, MySQL two-arg LIMIT -> LIMIT/OFFSET, quoted-
+    identifier normalization, WHERE 1=1 scaffolding dropped. The oracle
+    runs the IDENTICAL chain rendered as DuckDB regexp_replace calls."""
+    df = spark.createDataFrame(DML_CORPUS, ["stmt_id", "dialect", "sql"])
+    return df.select(
+        "stmt_id",
+        "dialect",
+        transpile_expr(F.col("sql"), F.col("dialect")).alias("ansi_sql"),
+    )
+
+
 QUERIES = {
     "ddl_analysis": ddl_analysis,
+    "sql_dml_transpile": sql_dml_transpile,
     "domain_summary": domain_summary,
     "industry_template_match": industry_template_match,
     "sql_query_analysis": sql_query_analysis,
@@ -392,4 +434,19 @@ ORACLES["sql_query_analysis"] = rf"""
                CAST(len(tables_l) AS INTEGER) AS n_tables,
                CAST(len(funcs_s) AS INTEGER) AS n_functions
         FROM y
+"""
+
+
+def _dml_values() -> str:
+    rows = ",\n            ".join(
+        "('{}', '{}', '{}')".format(i, d, s.replace("'", "''"))
+        for i, d, s in DML_CORPUS
+    )
+    return f"(VALUES\n            {rows}) AS t(stmt_id, dialect, sql)"
+
+
+ORACLES["sql_dml_transpile"] = rf"""
+        SELECT stmt_id, dialect,
+               {duckdb_transpile_sql('sql', 'dialect')} AS ansi_sql
+        FROM {_dml_values()}
 """
