@@ -112,6 +112,8 @@ HEADLINE = [
     "cdc_apply_changes",
     "sql_dml_transpile",
     "order_value_window_suite",
+    "clean_text_docs",
+    "line_dedup_docs",
 ]
 
 

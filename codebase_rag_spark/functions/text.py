@@ -118,3 +118,28 @@ def sha_fingerprint(content: Column) -> Column:
     """Reference-exact file sha: sha256 hex truncated to 16 chars
     (code_ingestor.py:104-107)."""
     return F.substring(F.sha2(content, 256), 1, 16)
+
+
+# C4-style cleanup chain (beyond-reference; the pre-tokenization pass of
+# web-corpus curation). Each rule is an (RE2-compatible regex, replacement)
+# pair applied in order — the DuckDB oracle runs the identical chain, so
+# cleaned text is bit-identical across engines.
+URL_PATTERN = r"https?://[^\s]+"
+CONTROL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+CLEAN_RULES: list[tuple[str, str]] = [
+    (URL_PATTERN, " "),
+    (EMAIL_PATTERN, " "),
+    (CONTROL_PATTERN, " "),
+    (r"\s+", " "),
+]
+
+
+def clean_text(text: Column, lowercase: bool = True) -> Column:
+    """Deterministic cleanup: strip URLs/emails/control chars, collapse
+    whitespace, trim, optionally lowercase — pure regexp_replace chain
+    inside whole-stage codegen (zero Python, zero shuffles)."""
+    out = text
+    for pat, rep in CLEAN_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    out = F.trim(out)
+    return F.lower(out) if lowercase else out

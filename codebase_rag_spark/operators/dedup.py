@@ -478,3 +478,28 @@ def prefix_filter_jaccard_join(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def dedup_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repeated-line removal (the C4/Gopher boilerplate
+    step: nav menus, cookie banners and footers repeat VERBATIM inside a
+    page): keep the FIRST occurrence of each exact line, preserve order,
+    reassemble. posexplode -> (doc, line) min-pos aggregate -> ordered
+    concat_ws — two keyed shuffles, no Python, line order restored by
+    sorting the (pos, line) structs per doc."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    first = lines.groupBy(id_col, "_line").agg(F.min("_pos").alias("_pos"))
+    kept = first.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.array_sort(F.collect_list(F.struct("_pos", "_line"))).getField(
+                "_line"
+            ),
+        ).alias("text_dedup"),
+        F.count("*").cast("bigint").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_lines"))
+    return totals.join(kept, id_col)

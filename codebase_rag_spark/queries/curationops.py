@@ -304,7 +304,60 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.crossJoin(F.broadcast(orphans)).orderBy("lang")
 
 
+# C4-style cleanup corpus: URLs, emails, control chars, messy whitespace,
+# repeated boilerplate lines — each rule of the chain is exercised.
+CLEAN_CORPUS: list[tuple[int, str]] = [
+    (1, "Visit https://example.com/page?q=1 NOW   or mail bob@example.com"),
+    (2, "plain  text\twith\tmessy   spacing and UPPER Case"),
+    (3, "control\x0bchars\x0chere https://a.b/c plus trail   "),
+    (4, "already clean lowercase text"),
+]
+
+LINE_CORPUS: list[tuple[int, str]] = [
+    (
+        1,
+        "HOME | ABOUT | CONTACT\nreal article text line one\n"
+        "real article text line two\nHOME | ABOUT | CONTACT\n"
+        "subscribe to our newsletter\nHOME | ABOUT | CONTACT",
+    ),
+    (2, "only\nunique\nlines\nhere"),
+    (3, "dup\ndup\ndup"),
+]
+
+
+def clean_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleanup chain (functions/text.py:clean_text): strip
+    URLs/emails/control chars, collapse whitespace, lowercase — a pure
+    regexp_replace chain in whole-stage codegen; the oracle runs the
+    IDENTICAL chain, so cleaned text is bit-identical."""
+    from codebase_rag_spark.functions.text import clean_text
+
+    df = spark.createDataFrame(CLEAN_CORPUS, ["row_id", "text"])
+    cleaned = clean_text(F.col("text"))
+    return df.select(
+        "row_id",
+        cleaned.alias("cleaned"),
+        (cleaned != F.col("text")).alias("changed"),
+    )
+
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (operators/dedup.py:
+    dedup_lines — the C4/Gopher boilerplate step): first occurrence of
+    each exact line kept, order preserved; emits kept/total counts and
+    the md5 of the reassembled text."""
+    from codebase_rag_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(LINE_CORPUS, ["doc_id", "text"])
+    out = dedup_lines(df, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_lines", "n_lines_kept", F.md5("text_dedup").alias("text_md5")
+    )
+
+
 QUERIES = {
+    "clean_text_docs": clean_text_docs,
+    "line_dedup_docs": line_dedup_docs,
     "embedding_coverage_audit": embedding_coverage_audit,
     "dedup_clusters": dedup_clusters,
     "unigram_surprise": unigram_surprise,
@@ -512,3 +565,59 @@ ORACLES = {
         ORDER BY lang
     """,
 }
+
+
+def _clean_values() -> str:
+    rows = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in CLEAN_CORPUS
+    )
+    return f"(VALUES\n            {rows}) AS t(row_id, text)"
+
+
+def _line_values() -> str:
+    rows = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''").replace("\n", "\\n"))
+        for i, t in LINE_CORPUS
+    )
+    return f"(VALUES\n            {rows}) AS t(doc_id, raw)"
+
+
+# identical chain to functions/text.py:CLEAN_RULES + trim + lower
+_CLEAN_EXPR = (
+    "lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "text, 'https?://[^\\s]+', ' ', 'g'), "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'), "
+    "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', ' ', 'g'), "
+    "'\\s+', ' ', 'g')))"
+)
+
+ORACLES["clean_text_docs"] = f"""
+        SELECT CAST(row_id AS BIGINT) AS row_id,
+               {_CLEAN_EXPR} AS cleaned,
+               {_CLEAN_EXPR} <> text AS changed
+        FROM {_clean_values()}
+"""
+
+ORACLES["line_dedup_docs"] = f"""
+        WITH c AS (
+            SELECT doc_id, replace(raw, '\\n', chr(10)) AS text
+            FROM {_line_values()}
+        ),
+        lines AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) - 1
+                       AS pos
+            FROM c
+        ),
+        firsts AS (
+            SELECT doc_id, line, min(pos) AS pos
+            FROM lines GROUP BY doc_id, line
+        )
+        SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+               (SELECT count(*) FROM lines l WHERE l.doc_id = f.doc_id)
+                   AS n_lines,
+               count(*) AS n_lines_kept,
+               md5(string_agg(f.line, chr(10) ORDER BY f.pos)) AS text_md5
+        FROM firsts f GROUP BY f.doc_id
+"""

@@ -94,3 +94,18 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
     for v in removable:
         shutil.rmtree(_vdir(root, v), ignore_errors=True)
     return removable
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> dict[str, list[str]]:
+    """Column-level schema diff between two snapshots (the data-contract
+    check run before promoting a new version): added / removed /
+    type_changed column names. Metadata-only — no job is launched."""
+    fa = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    fb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    return {
+        "added": sorted(set(fb) - set(fa)),
+        "removed": sorted(set(fa) - set(fb)),
+        "type_changed": sorted(
+            n for n in set(fa) & set(fb) if fa[n] != fb[n]
+        ),
+    }

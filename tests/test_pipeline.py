@@ -273,3 +273,26 @@ def test_versioned_store_time_travel_and_vacuum(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_version(spark, root, 1)
+
+
+def test_schema_diff_between_versions(spark, tmp_path):
+    from codebase_rag_spark.sources.versioned import (
+        read_version,
+        schema_diff,
+        write_version,
+    )
+
+    root = str(tmp_path / "evolving")
+    write_version(spark.createDataFrame([(1, "a")], "id int, name string"), root)
+    write_version(
+        spark.createDataFrame(
+            [(1.0, 2.0, True)], "id double, score double, ok boolean"
+        ),
+        root,
+    )
+    d = schema_diff(read_version(spark, root, 1), read_version(spark, root, 2))
+    assert d == {
+        "added": ["ok", "score"],
+        "removed": ["name"],
+        "type_changed": ["id"],
+    }

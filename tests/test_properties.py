@@ -296,3 +296,55 @@ def test_scalewin_equals_global_window_property(spark, vals, shards):
         ).collect()
     }
     assert got_t == want_t
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    base=st.dictionaries(st.integers(0, 12), st.integers(0, 99), max_size=8),
+    feed=st.lists(
+        st.tuples(
+            st.integers(0, 12),                      # key
+            st.integers(0, 99),                      # value
+            st.sampled_from(["insert", "update", "delete"]),
+        ),
+        max_size=10,
+    ),
+)
+def test_apply_cdc_matches_dict_simulation(spark, base, feed):
+    """apply_cdc == the obvious sequential dict simulation, for any base
+    table and change feed: newest change per key wins (change recency >
+    base), deletes remove, upserts insert-or-replace."""
+    from codebase_rag_spark.sources.cdc import apply_cdc
+
+    base_rows = [(k, v, 0) for k, v in base.items()]
+    feed_rows = [
+        (k, v, i + 1, op) for i, (k, v, op) in enumerate(feed)
+    ]  # strictly increasing recency = arrival order
+
+    # dict simulation: only the LATEST change per key applies
+    latest: dict[int, tuple] = {}
+    for k, v, ts, op in feed_rows:
+        latest[k] = (v, ts, op)
+    want = dict(base)
+    want_ts = {k: 0 for k in base}
+    for k, (v, ts, op) in latest.items():
+        if op == "delete":
+            want.pop(k, None)
+            want_ts.pop(k, None)
+        else:
+            want[k] = v
+            want_ts[k] = ts
+
+    table = spark.createDataFrame(base_rows or [(None, None, None)],
+                                  "id int, val int, updated int").filter(
+        "id is not null"
+    )
+    changes = spark.createDataFrame(
+        feed_rows or [(None, None, None, None)],
+        "id int, val int, updated int, op string",
+    ).filter("id is not null")
+    got = {
+        r["id"]: (r["val"], r["updated"])
+        for r in apply_cdc(table, changes, ["id"]).collect()
+    }
+    assert got == {k: (want[k], want_ts[k]) for k in want}
