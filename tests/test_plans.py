@@ -274,3 +274,39 @@ def test_scalewin_matches_global_window_forms(spark):
             ).collect()
         }
         assert got_t == want_t, n
+
+
+def test_round3_ops_plan_contracts(spark, sf_dir):
+    """Round-3 operators keep their intended shapes: the CMS build is a
+    map-side-combined aggregate feeding broadcast probes (<=3 exchanges);
+    the Z-order audit is a single hash aggregate over a scan-stage curve
+    key; line dedup is explode + two keyed aggregates; the navigation
+    window suite shuffles once on its partition key; none of them has an
+    unpartitioned window or a cartesian product."""
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    bounds = {
+        "cms_heavy_hitters": 3,
+        "zorder_locality": 1,
+        "line_dedup_docs": 3,
+        "order_value_window_suite": 1,
+        "neyman_alloc_sample": 4,
+        "cdc_apply_changes": 4,
+    }
+    for name, max_exch in bounds.items():
+        df = QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) <= max_exch, name
+        assert not has_unpartitioned_window(df), name
+        assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_bloom_probe_side_broadcast_only(spark, sf_dir):
+    """The Bloom probe composes as broadcast joins: the customer probe
+    side must reach the bitmap via BroadcastHashJoin (never a shuffled
+    join of the corpus against the filter)."""
+    from codebase_rag_spark.plans import explain_str
+
+    df = QUERIES["bloom_prune_probe"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
