@@ -137,7 +137,13 @@ CLEAN_RULES: list[tuple[str, str]] = [
 def clean_text(text: Column, lowercase: bool = True) -> Column:
     """Deterministic cleanup: strip URLs/emails/control chars, collapse
     whitespace, trim, optionally lowercase — pure regexp_replace chain
-    inside whole-stage codegen (zero Python, zero shuffles)."""
+    inside whole-stage codegen (zero Python, zero shuffles).
+
+    Cross-engine caveat: lower() agrees between the JVM and DuckDB for
+    ASCII and common Unicode simple mappings (probed: German ß, Greek
+    final sigma, Cyrillic, Latin ligatures), but Turkish dotted-İ maps to
+    'i'+COMBINING-DOT on the JVM and bare 'i' in DuckDB — oracle-checked
+    corpora must avoid İ or pass lowercase=False."""
     out = text
     for pat, rep in CLEAN_RULES:
         out = F.regexp_replace(out, pat, rep)

@@ -348,3 +348,21 @@ def test_apply_cdc_matches_dict_simulation(spark, base, feed):
         for r in apply_cdc(table, changes, ["id"]).collect()
     }
     assert got == {k: (want[k], want_ts[k]) for k in want}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.sets(st.integers(-10**6, 10**6), min_size=1, max_size=60),
+    m_bits=st.sampled_from([256, 1024, 4096]),
+    k_hashes=st.integers(1, 4),
+)
+def test_bloom_never_false_negative_property(spark, keys, m_bits, k_hashes):
+    """For any key set and filter geometry: every inserted key passes the
+    probe, and the bitmap table stays within m/32 rows."""
+    from codebase_rag_spark.operators.bloomfilter import bloom_probe, build_bloom
+
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    bloom = build_bloom(df, "key", m_bits, k_hashes)
+    assert bloom.count() <= m_bits // 32
+    probed = bloom_probe(df, "key", bloom, m_bits, k_hashes)
+    assert probed.filter("NOT bloom_pass").count() == 0
