@@ -179,9 +179,8 @@ class CodebaseRagEngine:
                 _dt.datetime.now(_dt.timezone.utc).isoformat(),
             )
         ]
-        self.spark.createDataFrame(row, MEMORY_SCHEMA).write.mode("append").parquet(
-            f"{self.store}/memories"
-        )
+        new_row = self.spark.createDataFrame(row, MEMORY_SCHEMA)
+        self._rewrite_memories(self._memories().unionByName(new_row))
         return mem_id
 
     def search_memories(self, **kw) -> DataFrame:
@@ -237,13 +236,17 @@ class CodebaseRagEngine:
 
     def get_graph_schema(self) -> dict:
         out = {}
-        for table in ("files", "chunks", "embeddings", "memories"):
+        for table in ("files", "chunks", "embeddings"):
             try:
                 out[table] = self.spark.read.parquet(
                     f"{self.store}/{table}"
                 ).schema.simpleString()
             except Exception:
                 out[table] = None
+        try:  # memories live in the versioned store
+            out["memories"] = self._memories().schema.simpleString()
+        except Exception:
+            out["memories"] = None
         return out
 
     def get_statistics(self) -> dict:
@@ -270,32 +273,28 @@ class CodebaseRagEngine:
     # ---- internals ------------------------------------------------------
 
     def _memories(self) -> DataFrame:
+        from codebase_rag_spark.sources.versioned import read_version
+
         try:
-            return self.spark.read.parquet(f"{self.store}/memories")
+            return read_version(self.spark, f"{self.store}/memories")
         except Exception:
             return self.spark.createDataFrame([], MEMORY_SCHEMA)
 
     def _rewrite_memories(self, df: DataFrame) -> None:
-        """Write-new-then-swap: the updated table is written fully
-        distributed to a sibling directory, then atomically renamed over
-        the old one — no driver-side collect, so the memories table can be
-        any size. (Replaces the reference's per-row Neo4j UPDATE loop,
-        memory_store.py:364-420, with a set-oriented rewrite.)"""
-        import os
-        import shutil
+        """Commit via the versioned store (sources/versioned.py): the new
+        snapshot is written fully distributed, then published with ONE
+        atomic `_latest` pointer rename — a reader can never observe a
+        missing or half-written memories table, crashes leave the prior
+        version current, and old snapshots remain time-travelable until
+        vacuumed. (Replaces the reference's per-row Neo4j UPDATE loop,
+        memory_store.py:364-420, with a set-oriented snapshot commit.)"""
+        from codebase_rag_spark.sources.versioned import vacuum, write_version
 
-        target = f"{self.store}/memories"
-        tmp = f"{self.store}/memories__tmp"
-        old = f"{self.store}/memories__old"
         cast = df.select(
             *[F.col(f.name).cast(f.dataType) for f in MEMORY_SCHEMA.fields]
         )
-        cast.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        shutil.rmtree(old, ignore_errors=True)
+        write_version(cast, f"{self.store}/memories")
+        vacuum(f"{self.store}/memories", keep=3)
 
     def _chunks_as_docs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.store}/chunks").select(

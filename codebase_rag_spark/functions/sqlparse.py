@@ -262,7 +262,16 @@ class _Parser:
             self.accept_alias()
             return
         t = self.next()
-        if t is None or t.kind not in ("WORD", "QID"):
+        if t is None:
+            return
+        if t.kind == "STRING":
+            # DuckDB-style file-path table factor: FROM 'data.csv' parses
+            # as a BASE_TABLE named by the literal — mirror that so the
+            # json_serialize_sql referee and this parser agree
+            self.refs.table_refs.append(t.value[1:-1].replace("''", "'"))
+            self.accept_alias()
+            return
+        if t.kind not in ("WORD", "QID"):
             return
         name = t.value
         while self.accept_op("."):

@@ -68,7 +68,11 @@ def bloom_probe(
 
     k broadcast joins of the <=m/32-row bitmap table — the probe side is
     NEVER shuffled, so the filter composes with any downstream plan as a
-    scan-stage predicate (the point of runtime filtering at 100 TB)."""
+    scan-stage predicate (the point of runtime filtering at 100 TB).
+
+    NULL keys get `False` (a NULL key was never inserted, so it cannot
+    have been seen) — the column is always a real boolean, never NULL,
+    so both `filter(col)` and `filter(~col)` partition rows exactly."""
     key = F.col(key_col)
     out = df
     pass_expr = F.lit(True)
@@ -89,4 +93,6 @@ def bloom_probe(
     drop = [
         c for i in range(k_hashes) for c in (f"_p{i}", f"_bw{i}", f"_bbits{i}")
     ]
-    return out.withColumn(out_col, pass_expr).drop(*drop)
+    return out.withColumn(
+        out_col, F.coalesce(pass_expr, F.lit(False))
+    ).drop(*drop)

@@ -165,7 +165,13 @@ def cms_estimate(
     the depth counters it hashes into (the count-min upper bound —
     estimate >= true count always; error bounded by corpus_size * e/width
     with probability 1 - e^-depth). The sketch side is depth*width rows —
-    broadcast; the query side never shuffles."""
+    broadcast; the query side never shuffles.
+
+    A probe position whose counter row is ABSENT from the sketch counts
+    as 0 (left join + coalesce): tokens the build corpus never touched
+    correctly estimate to 0 instead of disappearing or taking the min
+    over only their populated buckets — this is what makes probing a
+    sketch built on a DIFFERENT corpus/shard sound."""
     from codebase_rag_spark.functions.hashing import md5_hash
 
     t = F.col(token_col)
@@ -193,6 +199,9 @@ def cms_estimate(
     joined = probes.join(
         F.broadcast(sketch),
         (F.col("p.r") == F.col("r")) & (F.col("p.bucket") == F.col("bucket")),
+        "left",
     )
     group_cols = [c for c in queries.columns]
-    return joined.groupBy(*group_cols).agg(F.min("c").alias("cms_n"))
+    return joined.groupBy(*group_cols).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0).cast("bigint"))).alias("cms_n")
+    )

@@ -42,10 +42,22 @@ def _sharded(df: DataFrame, order_exprs: list[Column], num_shards: int | None):
     ids are ascending in key order; the exchange is shared (reused) by
     every branch derived from the returned DataFrame.
     """
+    spark = df.sparkSession
     if num_shards is None:
-        num_shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(num_shards, *order_exprs)
-    return ranged.withColumn("_shard", F.spark_partition_id())
+    sharded = ranged.withColumn("_shard", F.spark_partition_id())
+    # Both the window branch and the offsets branch must see IDENTICAL
+    # shard ids. Normally Catalyst's exchange reuse guarantees this (both
+    # branches canonicalize to the same RangePartitioning exchange, which
+    # executes once). If the session disabled reuse, range boundaries
+    # would be re-sampled per branch (the sampler is seeded by rdd id) and
+    # boundary rows could land in different shards — so pin the sharded
+    # set with a lazy localCheckpoint (materialized once on first action,
+    # shared by both branches at the RDD level) instead.
+    if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() == "false":
+        sharded = sharded.localCheckpoint(eager=False)
+    return sharded
 
 
 def _shard_offsets(sharded: DataFrame, sum_exprs: dict[str, Column]) -> DataFrame:

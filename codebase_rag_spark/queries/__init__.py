@@ -120,8 +120,23 @@ _PRIORITY = [
     "java_entity_extract", "go_entity_extract",
 ]
 
+# Entries REWRITTEN in round 3 whose driver-green rows date from the old
+# implementation (scalewin rewires, lazy vector lookups, word-split-md5
+# MinHash family, A-ES key rounding, new transpile rules). The 50-entry
+# window is fully claimed by the never-checked backlog this round, so
+# these are ordered FIRST among the already-checked tail (positions just
+# past the window): the judge's own oracle runner re-verifies them this
+# round, and they are first in line for driver re-checking next round.
+_CHANGED_R3 = [
+    "customer_value_deciles", "cosine_topk", "rp_lsh_ann",
+    "aes_weighted_reservoir", "minhash_signatures", "lsh_candidates",
+    "dedup_clusters", "containment_pairs", "near_dup_verify",
+    "edit_distance_verify", "sql_transpile", "lineitem_expectations",
+]
+
 QUERIES = {
     **{k: QUERIES[k] for k in _PRIORITY if k in QUERIES},
     **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED},
+    **{k: QUERIES[k] for k in _CHANGED_R3 if k in QUERIES},
     **{k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED},
 }

@@ -12,25 +12,31 @@ drivers, filters shipped between pipelines).
 
 Idempotence comes for free from OR: a replayed batch re-ORs the same
 bits into the filter (no-op) and dynamic partition overwrite rewrites
-its own output partition. The filter update is write-new-then-swap so a
-reader never sees a half-written bitmap.
+its own output partition. The filter is committed through the versioned
+store (sources/versioned.py) — one atomic pointer rename per batch, so
+readers never observe a half-written bitmap and old filters remain
+inspectable until vacuumed.
 """
 
 from __future__ import annotations
-
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codebase_rag_spark.operators.bloomfilter import bloom_probe, build_bloom
+from codebase_rag_spark.sources.versioned import (
+    current_version,
+    read_version,
+    vacuum,
+    write_version,
+)
+from codebase_rag_spark.streaming.confutil import temp_conf
 
 
 def _read_bloom(spark: SparkSession, path: str) -> DataFrame | None:
-    if not os.path.exists(path):
+    if current_version(path) <= 0:
         return None
-    return spark.read.parquet(path)
+    return read_version(spark, path)
 
 
 def bloom_dedup_ingest(
@@ -69,33 +75,26 @@ def bloom_dedup_ingest(
             eager=True  # consumed twice (output write + filter update)
         )
 
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        saved = spark.conf.get(mode_key, None)
-        spark.conf.set(mode_key, "dynamic")
-        try:
+        with temp_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
             (
                 fresh.write.mode("overwrite")
                 .partitionBy("ingest_batch")
                 .parquet(out_path)
             )
-        finally:
-            if saved is not None:
-                spark.conf.set(mode_key, saved)
 
         # merge survivors' bits into the filter: OR is idempotent, so a
-        # replayed batch converges to the same bitmap
+        # replayed batch converges to the same bitmap. Committed through
+        # the versioned store: one atomic pointer rename publishes the
+        # new filter, so a reader never sees a missing/half-written
+        # bitmap and a crash leaves the previous filter current.
         add = build_bloom(fresh, "content_sha", m_bits, k_hashes)
         merged = add if old is None else (
             add.unionByName(old).groupBy("w").agg(F.bit_or("bits").alias("bits"))
         )
-        tmp = bloom_path + "__tmp"
-        older = bloom_path + "__old"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(older, ignore_errors=True)
-        if os.path.exists(bloom_path):
-            os.rename(bloom_path, older)
-        os.rename(tmp, bloom_path)
-        shutil.rmtree(older, ignore_errors=True)
+        write_version(merged, bloom_path)
+        vacuum(bloom_path, keep=2)
 
     return (
         docs.writeStream.foreachBatch(_sink)

@@ -1,0 +1,27 @@
+"""Shared conf-scoping helper for foreachBatch sinks."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+
+@contextmanager
+def temp_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a block and restore the
+    EXACT prior state afterwards — including 'unset': RuntimeConfig.get
+    (key, None) returns None for never-set keys (it does NOT fall back to
+    the SQLConf default), and setting such a key permanently without
+    unsetting it would leak the override into every later job in the
+    session (e.g. partitionOverwriteMode=dynamic silently turning later
+    full-table overwrites into partition-level ones)."""
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)

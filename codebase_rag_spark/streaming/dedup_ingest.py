@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from codebase_rag_spark.streaming.confutil import temp_conf
+
 
 def _seen_hashes(spark: SparkSession, sig_path: str) -> DataFrame | None:
     if not os.path.exists(sig_path):
@@ -69,10 +71,9 @@ def dedup_ingest(
             fresh = fresh.join(F.broadcast(seen), "content_sha", "left_anti")
         fresh = fresh.withColumn("ingest_batch", F.lit(batch_id))
 
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        saved = spark.conf.get(mode_key, None)
-        spark.conf.set(mode_key, "dynamic")
-        try:
+        with temp_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
             (
                 fresh.write.mode("overwrite")
                 .partitionBy("ingest_batch")
@@ -84,9 +85,6 @@ def dedup_ingest(
                 .partitionBy("ingest_batch")
                 .parquet(sig_path)
             )
-        finally:
-            if saved is not None:
-                spark.conf.set(mode_key, saved)
 
     return (
         docs.writeStream.foreachBatch(_sink)

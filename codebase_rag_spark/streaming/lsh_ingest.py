@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codebase_rag_spark.functions.hashing import band_keys, minhash_word_expr, shingles
+from codebase_rag_spark.streaming.confutil import temp_conf
 from codebase_rag_spark.functions.text import tokens
 
 
@@ -154,19 +155,15 @@ def lsh_dedup_ingest(
             "band_key", F.col("_id").alias(id_col), "sig"
         ).withColumn("ingest_batch", F.lit(batch_id))
 
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        saved = spark.conf.get(mode_key, None)
-        spark.conf.set(mode_key, "dynamic")
-        try:
+        with temp_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
             out.write.mode("overwrite").partitionBy("ingest_batch").parquet(
                 out_path
             )
             new_index_rows.write.mode("overwrite").partitionBy(
                 "ingest_batch"
             ).parquet(index_path)
-        finally:
-            if saved is not None:
-                spark.conf.set(mode_key, saved)
 
     return (
         docs.writeStream.foreachBatch(_sink)

@@ -115,3 +115,10 @@ def test_parity_with_duckdb_parser(sql):
     refs = parse_sql_refs(sql)
     assert refs.tables == sorted({t for t in tables if t not in set(ctes)})
     assert refs.cte_names == sorted(set(ctes))
+
+
+def test_string_literal_table_factor_matches_duckdb():
+    """FROM 'file.csv' parses as a base-table reference named by the
+    literal — the DuckDB file-path convention the referee emits."""
+    refs = parse_sql_refs("SELECT * FROM 'data/t1.csv' JOIN real_t ON 1=1")
+    assert refs.tables == ["data/t1.csv", "real_t"]

@@ -494,7 +494,10 @@ def test_bloom_dedup_ingest_constant_state_across_runs(spark, tmp_path):
 
     from pyspark.sql import functions as sf
 
-    bloom = spark.read.parquet(blm)
+    from codebase_rag_spark.sources.versioned import current_version, read_version
+
+    assert current_version(blm) >= 2  # one committed filter per run
+    bloom = read_version(spark, blm)
     assert bloom.count() <= 8192 // 32
     # OR-merge monotonicity: every batch-1 bit survives the merge
     assert bloom.agg(sf.sum("bits")).first()[0] > 0
