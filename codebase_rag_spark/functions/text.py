@@ -24,8 +24,11 @@ LANG_MARKERS: list[tuple[str, str]] = [
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (the reference chunks on words too,
-    transformers.py:137-163)."""
-    return F.split(text, r"\s+")
+    transformers.py:137-163). Empty-string tokens are filtered: split on
+    \\s+ emits '' for leading/trailing whitespace and for empty text, and
+    counting those as tokens skews every downstream statistic (BM25 doc
+    lengths, TTR, shingle-size gates). token_count('') is 0, not 1."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:
@@ -94,16 +97,22 @@ def redact_pii(text: Column) -> Column:
 def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
     """Gopher-style repetition signal: fraction of duplicate word n-grams
     (1 - distinct/total). High values mark boilerplate/spam for corpus
-    filtering. Docs with < n tokens yield NULL (no n-grams)."""
+    filtering. Docs with < n tokens yield NULL (no n-grams).
+
+    The short-doc case must be guarded BEFORE sequence(): for size < n
+    the bound counts DOWN and slice(toks, 0, n) is a runtime error (the
+    same pitfall dedup.word_ngrams documents) — the outer when() keeps
+    the gram expression unevaluated for those rows."""
     toks = tokens(text)
+    n_toks = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        F.sequence(F.lit(1), n_toks - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    total = F.size(grams)
     return F.when(
-        total > 0,
-        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+        n_toks >= n,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
     )
 
 

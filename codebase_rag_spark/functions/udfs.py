@@ -39,9 +39,13 @@ class _MarkdownSectionsUDTF:
 
         parts = re.split(r"(?m)^(#{1,6}\s+.*)$", text)
         # parts = [preamble, header, body, header, body, ...]
+        # Numbering matches chunking.markdown_sections: header-first docs
+        # start at 0 (Java's split drops the zero-width leading element),
+        # docs with a preamble give it 0 and the first header 1.
+        n = 0
         if parts[0].strip():
             yield (0, "", parts[0].strip())
-        n = 1
+            n = 1
         for i in range(1, len(parts) - 1, 2):
             yield (n, parts[i].strip().lstrip("#").strip(), parts[i + 1].strip())
             n += 1

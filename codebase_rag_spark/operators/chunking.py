@@ -57,6 +57,12 @@ def sliding_word_chunks(
     relationally: generate window starts with sequence(), then slice the
     token array per start. Defaults mirror the reference's 512-char/50-word
     shape scaled to tokens."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens ({overlap_tokens}) must be smaller than "
+            f"chunk_tokens ({chunk_tokens}) — equal means a zero step "
+            "(divide-by-zero), larger would walk the window backwards"
+        )
     step = chunk_tokens - overlap_tokens
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks")

@@ -49,6 +49,12 @@ ENTITY_SCHEMA = T.StructType(
 
 
 def _python_entities(path: str, content: str) -> Iterator[dict]:
+    # Reference-parity note: like the reference (transformers.py:211
+    # ast.walk(tree) over FunctionDefs, :304 ast.walk(node) per function),
+    # calls inside a NESTED function attribute to every enclosing
+    # function too — ast.walk spans nested bodies in both places. Kept
+    # deliberately: CORRECTNESS here means matching the reference's
+    # extraction, not ideal call-graph semantics.
     try:
         tree = ast.parse(content)
     except SyntaxError as e:

@@ -69,9 +69,22 @@ def collocation_lift(
         .select(
             "gram",
             "c_ab",
+            # numerator/denominator in DOUBLE: t_tokens^2 overflows BIGINT
+            # once the corpus passes ~3e9 tokens (~12 GB of text — far
+            # below the design scale), which is a hard error under ANSI
+            # mode; double products are deterministic and the oracle
+            # multiplies in the identical order
             F.round(
-                (F.col("c_ab") * F.col("t_tokens") * F.col("t_tokens"))
-                / (F.col("n_bigrams") * F.col("c_a") * F.col("c_b")),
+                (
+                    F.col("c_ab").cast("double")
+                    * F.col("t_tokens").cast("double")
+                    * F.col("t_tokens").cast("double")
+                )
+                / (
+                    F.col("n_bigrams").cast("double")
+                    * F.col("c_a").cast("double")
+                    * F.col("c_b").cast("double")
+                ),
                 4,
             ).alias("lift"),
         )

@@ -73,35 +73,39 @@ def bm25_search(
       score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
     Plan shape: postings (reused if passed), per-term df aggregate over a
-    BROADCAST query-filtered slice, doc lengths in the scan stage, one
-    final per-doc aggregate -> TakeOrderedAndProject. Corpus stats (N,
-    avgdl) are two scalars — computed once, folded into the expression.
-    At scale: postings bucketed by term; df/N/avgdl maintained
-    incrementally with update_inverted_index.
+    BROADCAST query-filtered slice, ONE doc-length projection serving
+    both the corpus stats (N, avgdl — a lazy 1-row aggregate that rides
+    the plan as a broadcast, no eager driver fetch and no second
+    tokenization pass) and the per-doc length join, one final per-doc
+    aggregate -> TakeOrderedAndProject. At scale: postings bucketed by
+    term; df/N/avgdl maintained incrementally with
+    update_inverted_index.
     """
     idx = index if index is not None else build_inverted_index(docs, id_col, text_col)
     spark = docs.sparkSession
     q = spark.createDataFrame([(t.lower(),) for t in terms], ["term"])
     matched = idx.join(F.broadcast(q), "term")
 
-    stats = docs.agg(
-        F.count("*").alias("n"),
-        F.avg(F.size(tokens(F.lower(F.col(text_col))))).alias("avgdl"),
-    ).first()
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
-
-    df_counts = matched.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
     dl = docs.select(
         F.col(id_col).alias("id"),
         F.size(tokens(F.lower(F.col(text_col)))).cast("double").alias("dl"),
     )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+
+    df_counts = matched.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_side = (
+        df_counts.crossJoin(F.broadcast(stats))
+        .withColumn("idf", idf)
+        .select("term", "idf", "_avgdl")
+    )
     contrib = (
-        matched.join(F.broadcast(df_counts.withColumn("idf", idf)), "term")
+        matched.join(F.broadcast(term_side), "term")
         .join(dl, "id")
         .select(
             "id",
@@ -111,7 +115,7 @@ def bm25_search(
                 / (
                     F.col("tf")
                     + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
                 )
             ).alias("c"),
         )

@@ -110,8 +110,17 @@ def connected_within(
 def shortest_path_length(
     edges: DataFrame, src_node: str, dst_node: str, max_depth: int = 5
 ) -> int | None:
-    """BFS with early exit (J4). Returns hop count or None."""
+    """BFS with early exit (J4). Returns hop count or None.
+
+    UNDIRECTED, matching the reference's Cypher
+    shortestPath((a)-[*]-(b)) pattern (graph_service.py:268-278): the
+    edge set is symmetrized first (the same step connected_within takes
+    for J5), so A->B and B->A always agree. Directed BFS distances are
+    the bounded_traversal(reverse=...) surface."""
     spark = edges.sparkSession
+    edges = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     seeds = spark.createDataFrame([(src_node,)], ["node"])
     frontier = seeds
     visited = seeds

@@ -62,9 +62,16 @@ def pack_budget(
     """Greedy budget knapsack (W7, pack_builder.py:63-129).
 
     Scan rows in (score desc, id asc) order, drop rows past a per-category
-    cap, keep rows while the running cost total stays <= budget. Cumulative
-    sum via an unbounded-preceding window — single pass, one sort.
+    cap, keep rows while the running cost total stays <= budget.
+
+    The running total uses the scale-safe sharded cumulative sum
+    (operators/scalewin.py) rather than a bare global window: the capped
+    candidate set is usually small, but the operator shouldn't become the
+    single-partition straggler the moment a caller skips the caps —
+    global_order_stats is bit-identical over this total order.
     """
+    from codebase_rag_spark.operators.scalewin import global_order_stats
+
     order = [F.desc(score_col), F.col(id_col)]
     work = df
     if category_col is not None and category_cap is not None:
@@ -72,11 +79,9 @@ def pack_budget(
         work = work.withColumn("_cat_rn", F.row_number().over(w_cat)).filter(
             F.col("_cat_rn") <= category_cap
         ).drop("_cat_rn")
-    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        work.withColumn("cum_cost", F.sum(cost_col).over(w_cum))
-        .filter(F.col("cum_cost") <= budget)
-    )
+    return global_order_stats(
+        work, order, rn_col=None, cum_sums={"cum_cost": F.col(cost_col)}
+    ).filter(F.col("cum_cost") <= budget)
 
 
 def hybrid_merge(

@@ -186,7 +186,15 @@ def check_expectations(
     unique_keys = unique_keys or {}
     aggs = [F.count("*").alias("__n")]
     for name, cond in row_rules.items():
-        aggs.append(F.count(F.when(~cond, 1)).alias(f"{name}__v"))
+        # NULL-valued rules count as VIOLATIONS: `col > 0` over a NULL is
+        # NULL, and a DQ gate that silently passes the malformed rows it
+        # exists to catch is worse than none — a row passes only when its
+        # rule is literally true
+        aggs.append(
+            F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(
+                f"{name}__v"
+            )
+        )
     for name, expr in unique_keys.items():
         aggs.append(F.countDistinct(expr).alias(f"{name}__d"))
     agg_df = df.agg(*aggs)

@@ -139,8 +139,8 @@ ORACLES = {
         )
         SELECT sp.gram, sp.c_ab,
                round(
-                   (sp.c_ab * t.t_tokens * t.t_tokens)
-                   / (n.n_bigrams * a.c * b.c), 4
+                   (sp.c_ab::DOUBLE * t.t_tokens::DOUBLE * t.t_tokens::DOUBLE)
+                   / (n.n_bigrams::DOUBLE * a.c::DOUBLE * b.c::DOUBLE), 4
                ) AS lift
         FROM sp
         JOIN uni a ON sp.w1 = a.tok

@@ -17,7 +17,6 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "codebase_rag_spark"
 ALLOWED: dict[str, tuple[int, str]] = {
     "operators/sampling.py": (1, "profile_columns: 1-row agg of scalars"),
     "operators/pq.py": (2, "dim probe + nlist centroid table (tiny)"),
-    "operators/fulltext.py": (1, "BM25 corpus stats: 1-row (N, avgdl)"),
     "operators/bpe.py": (1, "top-K vocab head: the tokenizer-training set"),
     "operators/similarity.py": (2, "dim probe + nprobe centroid routing"),
     "sources/layout.py": (1, "partition-layout stats: 1-row agg"),

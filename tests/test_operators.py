@@ -99,6 +99,9 @@ def test_shortest_path_length(spark):
     edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"])
     assert shortest_path_length(edges, "a", "c") == 2
     assert shortest_path_length(edges, "a", "y") is None
+    # undirected, like the reference's shortestPath((a)-[*]-(b)):
+    # reverse direction gives the same answer
+    assert shortest_path_length(edges, "c", "a") == 2
 
 
 def test_impact_scores(spark):

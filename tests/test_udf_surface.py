@@ -25,9 +25,10 @@ def test_markdown_udtf_splits_sections(spark):
     df = spark.createDataFrame([(1, MD), (2, "no headers here")], ["doc_id", "text"])
     out = markdown_sections_via_udtf(df, "doc_id", "text")
     rows = {(r.doc_id, r.section_no): (r.title, r.body) for r in out.collect()}
-    assert rows[(1, 1)][0] == "Title"
-    assert rows[(1, 2)] == ("Usage", "run it")
-    assert rows[(1, 3)] == ("Notes", "be careful")
+    # header-first docs number from 0, matching chunking.markdown_sections
+    assert rows[(1, 0)][0] == "Title"
+    assert rows[(1, 1)] == ("Usage", "run it")
+    assert rows[(1, 2)] == ("Notes", "be careful")
     # headerless doc -> single preamble section
     assert rows[(2, 0)] == ("", "no headers here")
 
