@@ -1,0 +1,101 @@
+"""Mergeable decimal-bin quantile sketch (DDSketch-style, integer-exact).
+
+A DDSketch (Masson, Rim, Lee — VLDB 2019, public) summarizes a value
+distribution as counts over exponentially-spaced bins: quantile estimates
+carry a RELATIVE-error guarantee and two sketches merge by adding bin
+counts. The classic formulation bins by floor(log_gamma(x)), which is
+libm-dependent (sub-ulp log differences can flip a bin at the boundary —
+the A-ES pow lesson, ROUND3_NOTES). This variant keeps the guarantee but
+makes the bin key INTEGER-EXACT so Spark and any oracle engine agree
+bit-for-bit:
+
+    value (positive integer, e.g. cents)  ->  bin key (m, lead2)
+      m     = ndigits(value) - 1            (the decade)
+      lead2 = first two digits              (10..99; value*10 when m = 0)
+
+Every v with key (m, lead2) satisfies  v*10 in [lead2*10^m, (lead2+1)*10^m)
+— a relative bin width of 1/lead2 <= 10%, i.e. gamma ~ 1.05..1.10. Both
+bounds are plain integer arithmetic on string length + prefix, computable
+identically in Spark and DuckDB.
+
+Scale: the sketch is ONE groupBy over (group, m, lead2) — at most
+90 * n_decades rows per group regardless of corpus size — and counts are
+additive, so shard/stream sketches union + re-agg (register-mergeable like
+the HLL/CMS family, queries/eventops.py). Quantile extraction walks the
+cumulative counts of that tiny table; the true rank-q value is provably
+inside the reported [lo, hi) bin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decimal_bin(value: Column) -> tuple[Column, Column]:
+    """(m, lead2) decimal bin of a positive integer column. Pure string/
+    integer ops — no log/pow on the classification path."""
+    s = value.cast("string")
+    m = (F.length(s) - F.lit(1)).cast("int")
+    lead2 = (
+        F.when(m >= 1, F.substring(s, 1, 2).cast("bigint"))
+        .otherwise(value * 10)
+    )
+    return m, lead2
+
+
+def build_qsketch(
+    df: DataFrame, group_cols: list[str], value: Column
+) -> DataFrame:
+    """Bin counts per group: (group..., m, lead2, cnt). `value` must be a
+    positive-integer column (scale floats to cents/deci-units first). The
+    single shuffle; output is bounded (<= 90 bins/decade/group)."""
+    m, lead2 = decimal_bin(value)
+    return (
+        df.select(*group_cols, m.alias("m"), lead2.alias("lead2"))
+        .groupBy(*group_cols, "m", "lead2")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_qsketches(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union + re-agg: the mergeability law (counts are additive)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "m", "lead2")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def qsketch_quantiles(
+    sketch: DataFrame, group_cols: list[str], quantiles: list[float]
+) -> DataFrame:
+    """Rank-based quantile bounds from a sketch: for each q, the first bin
+    (in (m, lead2) order) whose cumulative count reaches rank ceil(q * n).
+    Returns (group..., q, est_lo, est_hi) where the true rank-q value v
+    satisfies est_lo <= v*10 < est_hi (bounds in deci-units). Windows are
+    partitioned per group — never global."""
+    gw = Window.partitionBy(*group_cols).orderBy("m", "lead2")
+    cum = sketch.withColumn(
+        "cum", F.sum("cnt").over(gw.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy(*group_cols)))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn("rank", F.ceil(F.col("q") * F.col("n")))
+        .filter(F.col("cum") >= F.col("rank"))
+    )
+    pick = Window.partitionBy(*group_cols, "q").orderBy("m", "lead2")
+    pow10 = F.pow(F.lit(10.0), F.col("m").cast("double")).cast("bigint")
+    return (
+        hit.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            *group_cols,
+            "q",
+            (F.col("lead2") * pow10).alias("est_lo"),
+            ((F.col("lead2") + 1) * pow10).alias("est_hi"),
+        )
+    )

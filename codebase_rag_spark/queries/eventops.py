@@ -780,7 +780,57 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (DDSketch-style, operators/qsketch.py)
+    over event values, per event type: build integer-exact decimal bins
+    (ONE bounded groupBy — the sketch is <= 90 rows/decade/group and
+    counts are additive, so shard/stream sketches merge by re-agg),
+    extract p50/p90/p99 bin bounds from the cumulative counts, and verify
+    against the exact rank-q value (the audit pass — at 100 TB you keep
+    the sketch and drop the exact side, which is the only per-row window
+    here). within_bound proves the sketch's relative-error guarantee:
+    the true quantile always lands inside the reported [lo, hi) bin
+    (width <= 10% of lo)."""
+    from codebase_rag_spark.operators.qsketch import (
+        build_qsketch,
+        qsketch_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    sk = build_qsketch(base, ["event_type"], F.col("cents"))
+    est = qsketch_quantiles(sk, ["event_type"], [0.5, 0.9, 0.99])
+    qdf = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    w = Window.partitionBy("event_type").orderBy("cents")
+    nw = Window.partitionBy("event_type")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(nw)
+    )
+    exact = (
+        ranked.crossJoin(F.broadcast(qdf))
+        .filter(
+            F.col("rn") == F.ceil(F.col("q") * F.col("n")).cast("bigint")
+        )
+        .select("event_type", "q", F.col("cents").alias("exact_cents"))
+    )
+    return est.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "est_lo",
+        "est_hi",
+        "exact_cents",
+        (
+            (F.col("exact_cents") * 10 >= F.col("est_lo"))
+            & (F.col("exact_cents") * 10 < F.col("est_hi"))
+        ).alias("within_bound"),
+    )
+
+
 QUERIES = {
+    "value_quantile_sketch": value_quantile_sketch,
     "time_weighted_value": time_weighted_value,
     "event_value_ewma": event_value_ewma,
     "distinct_users_hll": distinct_users_hll,
@@ -1419,4 +1469,65 @@ ORACLES["session_funnel"] = """
                CAST(sum(hc) AS BIGINT) AS n_view_click,
                CAST(sum(hp) AS BIGINT) AS n_full_funnel
         FROM per
+"""
+
+ORACLES["value_quantile_sketch"] = """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        bins AS (
+            SELECT event_type,
+                   length(CAST(cents AS VARCHAR)) - 1 AS m,
+                   CASE WHEN length(CAST(cents AS VARCHAR)) >= 2
+                        THEN CAST(substr(CAST(cents AS VARCHAR), 1, 2)
+                                  AS BIGINT)
+                        ELSE cents * 10 END AS lead2
+            FROM base
+        ),
+        sk AS (
+            SELECT event_type, m, lead2, count(*) AS cnt
+            FROM bins GROUP BY event_type, m, lead2
+        ),
+        cum AS (
+            SELECT event_type, m, lead2, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY m, lead2
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM sk
+        ),
+        qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)),
+        hit AS (
+            SELECT * FROM cum CROSS JOIN qs WHERE cum >= ceil(q * n)
+        ),
+        pick AS (
+            SELECT event_type, q, m, lead2,
+                   row_number() OVER (PARTITION BY event_type, q
+                                      ORDER BY m, lead2) AS rn
+            FROM hit
+        ),
+        est AS (
+            SELECT event_type, q,
+                   lead2 * CAST(pow(10, m) AS BIGINT) AS est_lo,
+                   (lead2 + 1) * CAST(pow(10, m) AS BIGINT) AS est_hi
+            FROM pick WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        ),
+        exact AS (
+            SELECT event_type, q, cents AS exact_cents
+            FROM ranked CROSS JOIN qs
+            WHERE rn = CAST(ceil(q * n) AS BIGINT)
+        )
+        SELECT est.event_type, est.q, est_lo, est_hi, exact_cents,
+               (exact_cents * 10 >= est_lo AND exact_cents * 10 < est_hi)
+                   AS within_bound
+        FROM est JOIN exact
+          ON est.event_type = exact.event_type AND est.q = exact.q
 """

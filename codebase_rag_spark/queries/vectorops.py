@@ -147,12 +147,84 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped audit (Abbas et al. 2023, public): bucket the
+    embedding corpus (RP-LSH stands in for the k-means cells), compute
+    ALL pairwise cosines WITHIN each bucket, and report per bucket how
+    much semantic duplication exists: pair count, near-dup count at
+    cosine >= 0.9 (the SemDeDup drop set), the max cosine, and the ids
+    of the most-similar pair (the pair SemDeDup would collapse first;
+    keep-min-id is the deterministic keep rule downstream —
+    operators/dedup.py:embedding_near_dups is the verify stage when a
+    candidate set already exists).
+
+    Scale: cost is sum(bucket_size^2), never corpus x corpus — at 100 TB
+    raise num_planes (or use trained IVF cells, similarity.py:138) so
+    bucket sizes stay bounded; the audit output is <= 2^planes rows.
+    Buckets with a single vector report n_pairs = 0 and NULL cosine."""
+    from codebase_rag_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = random_hyperplane_buckets(emb, num_planes=8, dim=64)
+    v = b.join(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("_v")), "vec_id"
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), "bucket", F.col("_v").alias("_va"))
+    c = v.select(F.col("vec_id").alias("id_b"), "bucket", F.col("_v").alias("_vb"))
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "bucket",
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    pair_stats = scored.groupBy("bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("cosine") >= 0.9, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_dups"),
+        F.max("cosine").alias("max_cosine"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("cosine"), "id_a", "id_b")
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "bucket",
+            F.col("id_a").alias("top_id_a"),
+            F.col("id_b").alias("top_id_b"),
+        )
+    )
+    counts = b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+    return (
+        counts.join(pair_stats, "bucket", "left")
+        .join(top, "bucket", "left")
+        .select(
+            "bucket",
+            "n_vecs",
+            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+            F.coalesce("n_near_dups", F.lit(0).cast("bigint")).alias(
+                "n_near_dups"
+            ),
+            "max_cosine",
+            "top_id_a",
+            "top_id_b",
+        )
+    )
+
+
 QUERIES = {
     "cosine_topk": cosine_topk_query,
     "centroid_assignment": centroid_assignment,
     "rp_lsh_buckets": rp_lsh_buckets,
     "rp_lsh_ann": rp_lsh_ann,
     "mutual_nn_pairs": mutual_nn_pairs,
+    "semantic_dedup_audit": semantic_dedup_audit,
 }
 
 ORACLES = {
@@ -295,4 +367,50 @@ ORACLES["mutual_nn_pairs"] = f"""
         FROM nn l JOIN nn r
           ON l.id_a = r.id_b AND l.id_b = r.id_a AND l.rn = 1 AND r.rn = 1
         WHERE l.id_a < l.id_b
+"""
+
+
+ORACLES["semantic_dedup_audit"] = f"""
+        WITH {_RP_BUCKETS_CTE},
+        pairs AS (
+            SELECT a.bucket, a.vec_id AS id_a, b2.vec_id AS id_b
+            FROM bkt a JOIN bkt b2
+              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        ),
+        pe AS (
+            SELECT p.bucket, p.id_a, p.id_b,
+                   unnest(ea.embedding)::DOUBLE AS x,
+                   unnest(eb.embedding)::DOUBLE AS y
+            FROM pairs p
+            JOIN embeddings ea ON ea.vec_id = p.id_a
+            JOIN embeddings eb ON eb.vec_id = p.id_b
+        ),
+        pc AS (
+            SELECT bucket, id_a, id_b,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS cosine
+            FROM pe GROUP BY bucket, id_a, id_b
+        ),
+        stats AS (
+            SELECT bucket, count(*) AS n_pairs,
+                   CAST(sum(CASE WHEN cosine >= 0.9 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_near_dups,
+                   max(cosine) AS max_cosine
+            FROM pc GROUP BY bucket
+        ),
+        top AS (
+            SELECT bucket, id_a AS top_id_a, id_b AS top_id_b
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY bucket ORDER BY cosine DESC, id_a, id_b
+                  ) AS rn FROM pc) r
+            WHERE rn = 1
+        ),
+        cnt AS (SELECT bucket, count(*) AS n_vecs FROM bkt GROUP BY bucket)
+        SELECT cnt.bucket, n_vecs,
+               coalesce(n_pairs, 0) AS n_pairs,
+               coalesce(n_near_dups, 0) AS n_near_dups,
+               max_cosine, top_id_a, top_id_b
+        FROM cnt
+        LEFT JOIN stats ON cnt.bucket = stats.bucket
+        LEFT JOIN top ON cnt.bucket = top.bucket
 """

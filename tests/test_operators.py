@@ -778,3 +778,47 @@ def test_allocation_sample_seats_and_determinism(spark):
         ).collect()
     }
     assert again == {(r["stratum"], r["id"]) for r in picked}
+
+
+def test_qsketch_merge_law_and_quantile_bound(spark):
+    """Sketch mergeability (counts add: sketch(A u B) == merge(sketch A,
+    sketch B)) and the DDSketch-style guarantee: for every q, the exact
+    rank-q value lands inside the reported [lo, hi) bin and the bin is
+    <= 10% wide relative to its lower bound."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.qsketch import (
+        build_qsketch,
+        merge_qsketches,
+        qsketch_quantiles,
+    )
+
+    rng = random.Random(7)
+    rows = [("g", rng.randint(1, 10**6)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    half_a = df.filter(F.col("v") % 2 == 0)
+    half_b = df.filter(F.col("v") % 2 == 1)
+
+    whole = build_qsketch(df, ["g"], F.col("v"))
+    merged = merge_qsketches(
+        build_qsketch(half_a, ["g"], F.col("v")),
+        build_qsketch(half_b, ["g"], F.col("v")),
+        ["g"],
+    )
+    assert sorted(whole.collect()) == sorted(merged.collect())
+
+    qs = [0.5, 0.9, 0.99]
+    est = {
+        r["q"]: (r["est_lo"], r["est_hi"])
+        for r in qsketch_quantiles(whole, ["g"], qs).collect()
+    }
+    vals = sorted(v for _, v in rows)
+    import math
+
+    for q in qs:
+        lo, hi = est[q]
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert lo <= exact * 10 < hi, (q, lo, exact, hi)
+        assert (hi - lo) * 10 <= lo, "bin wider than 10% of its lower bound"
