@@ -167,3 +167,81 @@ def media_header_stats(media: DataFrame, data_col: str = "data") -> DataFrame:
         F.col("_hdr.width").alias("width"),
         F.col("_hdr.height").alias("height"),
     ).drop("_hdr")
+
+
+def make_wav_bytes(
+    sample_rate: int, channels: int, bits: int, n_frames: int
+) -> bytes:
+    """Canonical 44-byte PCM WAV header + deterministic payload (stdlib
+    struct only — test/corpus synthesizer, not a codec)."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_frames * block_align
+    payload = bytes((i * 37 + 11) % 256 for i in range(min(data_size, 64)))
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + payload
+    )
+
+
+def _u16le(data_col, pos: int):
+    """Little-endian u16 at 1-based byte offset `pos` — native expressions
+    (hex + conv), no Python worker."""
+    return F.conv(
+        F.concat(
+            F.hex(F.substring(data_col, pos + 1, 1)),
+            F.hex(F.substring(data_col, pos, 1)),
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _u32le(data_col, pos: int):
+    return F.conv(
+        F.concat(
+            F.hex(F.substring(data_col, pos + 3, 1)),
+            F.hex(F.substring(data_col, pos + 2, 1)),
+            F.hex(F.substring(data_col, pos + 1, 1)),
+            F.hex(F.substring(data_col, pos, 1)),
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def wav_audio_info(data_col) -> "F.Column":
+    """Parse a canonical PCM WAV header with NATIVE expressions — the
+    audio twin of png_dimensions: header-sniffing (not decoding) so
+    petabytes of audio can be filtered/routed/sharded by sample rate or
+    duration BEFORE any Python decode. Returns a struct (is_wav,
+    channels, sample_rate_hz, bits_per_sample, duration_ms); non-WAV or
+    truncated bytes yield (false, NULL...). duration_ms is integer floor
+    math (data_size * 1000 / byte_rate)."""
+    is_wav = (
+        (F.substring(data_col, 1, 4).cast("string") == F.lit("RIFF"))
+        & (F.substring(data_col, 9, 4).cast("string") == F.lit("WAVE"))
+        & (F.substring(data_col, 13, 4).cast("string") == F.lit("fmt "))
+        & (F.length(data_col) >= 44)
+    )
+    channels = _u16le(data_col, 23)
+    rate = _u32le(data_col, 25)
+    byte_rate = _u32le(data_col, 29)
+    bits = _u16le(data_col, 35)
+    data_size = _u32le(data_col, 41)
+    duration_ms = F.floor(data_size * 1000 / byte_rate).cast("bigint")
+    return F.struct(
+        is_wav.alias("is_wav"),
+        F.when(is_wav, channels).alias("channels"),
+        F.when(is_wav, rate).alias("sample_rate_hz"),
+        F.when(is_wav, bits).alias("bits_per_sample"),
+        F.when(is_wav, duration_ms).alias("duration_ms"),
+    )

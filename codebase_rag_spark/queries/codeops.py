@@ -156,6 +156,45 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_n_bytes=4)
 
 
+def _audio_corpus() -> list[tuple[int, str]]:
+    """Inline audio corpus (uppercase hex): three canonical PCM WAVs
+    (mono/stereo, 8/16-bit, three sample rates), a truncated header, and
+    non-audio bytes — built once by the stdlib synthesizer so the oracle
+    only has to replicate the PARSE, never the synthesis."""
+    import hashlib
+
+    from codebase_rag_spark.operators.multimodal import make_wav_bytes
+
+    return [
+        (1, make_wav_bytes(8000, 1, 16, 1600).hex().upper()),
+        (2, make_wav_bytes(44100, 2, 16, 4410).hex().upper()),
+        (3, make_wav_bytes(16000, 1, 8, 800).hex().upper()),
+        (4, make_wav_bytes(8000, 1, 16, 1600)[:20].hex().upper()),
+        (5, hashlib.md5(b"not audio").hexdigest().upper()),
+    ]
+
+
+def audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio twin of media_metadata: binary WAV column ->
+    NATIVE RIFF header sniff (operators/multimodal.py:wav_audio_info —
+    substring + hex + conv, no Python worker), yielding channels, sample
+    rate, bit depth and integer-floor duration. Header-sniffing routes
+    petabytes of audio (filter/shard by rate or duration) before any
+    codec touches the survivors; non-WAV bytes yield (false, NULLs)."""
+    from codebase_rag_spark.operators.multimodal import wav_audio_info
+
+    df = spark.createDataFrame(_audio_corpus(), ["media_id", "hex"])
+    info = wav_audio_info(F.to_binary(F.col("hex"), F.lit("hex")))
+    return df.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        info["is_wav"].alias("is_wav"),
+        info["channels"].alias("channels"),
+        info["sample_rate_hz"].alias("sample_rate_hz"),
+        info["bits_per_sample"].alias("bits_per_sample"),
+        info["duration_ms"].alias("duration_ms"),
+    )
+
+
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1' deterministic hash-embedder (replaces provider embeddings,
     embeddings.py:7-202): first 4 components per doc."""
@@ -197,6 +236,7 @@ QUERIES = {
     "go_entity_extract": go_entity_extract,
     "media_metadata": media_metadata,
     "video_frame_sample": video_frame_sample,
+    "audio_metadata": audio_metadata,
     "embed_documents": embed_documents,
     "commit_classification": commit_classification,
 }
@@ -364,4 +404,48 @@ ORACLES["video_frame_sample"] = """
                i AS frame_no,
                ('0x' || substr(h, 8 * i + 1, 2))::INTEGER AS frame_byte
         FROM m CROSS JOIN f
+"""
+
+
+def _hexb(p: int) -> str:
+    """SQL fragment: byte at 1-based offset p of hex string h."""
+    return f"substr(h, {2 * p - 1}, 2)"
+
+
+def _u16le_sql(p: int) -> str:
+    return f"('0x' || {_hexb(p + 1)} || {_hexb(p)})::BIGINT"
+
+
+def _u32le_sql(p: int) -> str:
+    return (
+        f"('0x' || {_hexb(p + 3)} || {_hexb(p + 2)} || {_hexb(p + 1)}"
+        f" || {_hexb(p)})::BIGINT"
+    )
+
+
+def _audio_values() -> str:
+    return ",\n            ".join(
+        f"({i}, '{h}')" for i, h in _audio_corpus()
+    )
+
+
+ORACLES["audio_metadata"] = f"""
+        WITH corpus(media_id, h) AS (VALUES
+            {_audio_values()}),
+        p AS (
+            SELECT media_id, h,
+                   (substr(h, 1, 8) = '52494646'
+                    AND substr(h, 17, 8) = '57415645'
+                    AND substr(h, 25, 8) = '666D7420'
+                    AND length(h) >= 88) AS is_wav
+            FROM corpus
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id, is_wav,
+               CASE WHEN is_wav THEN {_u16le_sql(23)} END AS channels,
+               CASE WHEN is_wav THEN {_u32le_sql(25)} END AS sample_rate_hz,
+               CASE WHEN is_wav THEN {_u16le_sql(35)} END AS bits_per_sample,
+               CASE WHEN is_wav THEN CAST(floor(
+                   {_u32le_sql(41)} * 1000 / {_u32le_sql(29)}
+               ) AS BIGINT) END AS duration_ms
+        FROM p
 """

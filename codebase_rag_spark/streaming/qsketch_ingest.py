@@ -1,0 +1,71 @@
+"""Streaming quantile-sketch maintenance: per-batch partial sketches,
+merged at read.
+
+The decimal-bin sketch (operators/qsketch.py) is additive-mergeable, but
+a naive read-merge-write of one running sketch would DOUBLE counts if a
+micro-batch replays after a crash. Instead each batch writes its own
+partial sketch into a partition keyed by batch id — dynamic partition
+overwrite makes a replayed batch overwrite ITS OWN partition (idempotent
+by construction, the same contract as the date-partitioned event sink) —
+and `read_qsketch` folds the partials with one tiny re-agg (the sketch is
+<= 90 rows/decade/group, so merging thousands of batch partials is
+trivial). No compare-and-swap, no dedup ledger, state bounded by
+n_batches * sketch_size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.operators.qsketch import build_qsketch
+from codebase_rag_spark.streaming.confutil import temp_conf
+
+
+def qsketch_ingest(
+    values: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    group_cols: list[str] | None = None,
+    value_col: str = "cents",
+):
+    """Start an availableNow stream folding `values` (positive-integer
+    `value_col`, pre-scaled) into per-batch partial sketches at
+    sketch_path. Returns the StreamingQuery; read the merged sketch with
+    read_qsketch."""
+    groups = group_cols or ["event_type"]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        part = build_qsketch(batch_df, groups, F.col(value_col)).withColumn(
+            "ingest_batch", F.lit(batch_id)
+        )
+        with temp_conf(
+            batch_df.sparkSession,
+            "spark.sql.sources.partitionOverwriteMode",
+            "dynamic",
+        ):
+            (
+                part.coalesce(1)  # a partial sketch is tiny by construction
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(sketch_path)
+            )
+
+    return (
+        values.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_qsketch(
+    spark: SparkSession, sketch_path: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Current merged sketch: fold all batch partials (counts add)."""
+    groups = group_cols or ["event_type"]
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy(*groups, "m", "lead2")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -144,3 +144,34 @@ def test_png_header_parse_native(spark):
     assert got[1] == (True, 320, 240)
     assert got[2] == (True, 64, 4096)
     assert got[3] == (False, None, None)
+
+
+def test_wav_header_sniff_native(spark):
+    """wav_audio_info parses canonical PCM headers with native expressions
+    and yields (false, NULLs) for truncated or non-RIFF bytes."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.multimodal import (
+        make_wav_bytes,
+        wav_audio_info,
+    )
+
+    rows = [
+        (1, bytearray(make_wav_bytes(22050, 2, 16, 2205))),
+        (2, bytearray(make_wav_bytes(8000, 1, 8, 4000))),
+        (3, bytearray(make_wav_bytes(8000, 1, 16, 100)[:12])),
+        (4, bytearray(b"\x00" * 64)),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    info = wav_audio_info(F.col("data"))
+    got = {
+        r.media_id: (
+            r.i.is_wav, r.i.channels, r.i.sample_rate_hz,
+            r.i.bits_per_sample, r.i.duration_ms,
+        )
+        for r in df.select("media_id", info.alias("i")).collect()
+    }
+    assert got[1] == (True, 2, 22050, 16, 100)   # 2205 frames @ 22050 Hz
+    assert got[2] == (True, 1, 8000, 8, 500)     # 4000 frames @ 8000 Hz
+    assert got[3] == (False, None, None, None, None)
+    assert got[4] == (False, None, None, None, None)

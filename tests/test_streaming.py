@@ -501,3 +501,59 @@ def test_bloom_dedup_ingest_constant_state_across_runs(spark, tmp_path):
     assert bloom.count() <= 8192 // 32
     # OR-merge monotonicity: every batch-1 bit survives the merge
     assert bloom.agg(sf.sum("bits")).first()[0] > 0
+
+
+def test_qsketch_ingest_matches_batch_sketch(spark, tmp_path):
+    """Streaming quantile sketch: two micro-batch runs produce batch
+    partials whose merged fold equals the one-shot batch sketch over the
+    union, and quantile bounds from the streamed sketch hold the exact
+    rank-q guarantee."""
+    import math
+
+    from pyspark.sql import functions as sf
+
+    from codebase_rag_spark.operators.qsketch import (
+        build_qsketch,
+        qsketch_quantiles,
+    )
+    from codebase_rag_spark.streaming.qsketch_ingest import (
+        qsketch_ingest,
+        read_qsketch,
+    )
+
+    src, skp, ckpt = (str(tmp_path / d) for d in ("src", "sk", "ck"))
+    schema = "event_type string, cents bigint"
+    rows1 = [("a", 100 + 7 * i) for i in range(50)] + [("b", 9)] * 5
+    rows2 = [("a", 5000 + 13 * i) for i in range(30)] + [("b", 99)] * 5
+
+    def run():
+        vals = spark.readStream.schema(schema).parquet(src)
+        qsketch_ingest(vals, skp, ckpt).awaitTermination()
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    streamed = read_qsketch(spark, skp)
+    batch = build_qsketch(
+        spark.createDataFrame(rows1 + rows2, schema),
+        ["event_type"],
+        sf.col("cents"),
+    )
+    assert sorted(streamed.collect()) == sorted(batch.collect())
+
+    est = {
+        (r["event_type"], r["q"]): (r["est_lo"], r["est_hi"])
+        for r in qsketch_quantiles(streamed, ["event_type"], [0.5, 0.9]).collect()
+    }
+    for g in ("a", "b"):
+        vals = sorted(v for t, v in rows1 + rows2 if t == g)
+        for q in (0.5, 0.9):
+            lo, hi = est[(g, q)]
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            assert lo <= exact * 10 < hi
