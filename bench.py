@@ -114,6 +114,11 @@ HEADLINE = [
     "order_value_window_suite",
     "clean_text_docs",
     "line_dedup_docs",
+    # round 3b: semantic audit, quantile sketch, audio sniff, salted join
+    "semantic_dedup_audit",
+    "value_quantile_sketch",
+    "audio_metadata",
+    "salted_segment_revenue",
 ]
 
 

@@ -161,32 +161,6 @@ def rrf_merge(
     )
 
 
-def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    key: str,
-    salt_buckets: int = 16,
-) -> DataFrame:
-    """Inner equi-join with manual skew salting: the big side gets a random
-    salt in [0, buckets); the small side is REPLICATED once per salt value
-    (explode over a literal range), so every (key, salt) pair still meets.
-    The hot key's rows spread over salt_buckets reducers instead of one.
-
-    AQE's skew-join splitting handles this automatically for sort-merge
-    joins it can observe; the manual form remains necessary when the skew
-    is in an aggregation-feeding join AQE re-plans poorly, or when salting
-    must compose with a custom partitioner. Cost: small side inflates
-    x salt_buckets — keep it to genuinely small dimension tables.
-    """
-    salted_big = big.withColumn(
-        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
-    )
-    salted_small = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    )
-    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
-
-
 def topk_per_group(
     df: DataFrame, group_col: str, order_cols: list[Column], k: int
 ) -> DataFrame:

@@ -1,0 +1,50 @@
+"""Salted equi-join: the manual skew-mitigation pattern.
+
+A shuffle join on a skewed key sends every row of a hot key to ONE
+reducer — at 100 TB that task runs hours while its siblings idle. AQE's
+skew-join split (enabled in session.py) handles sort-merge cases
+automatically; this operator is the EXPLICIT form for when the skew is
+known ahead of time (fact-side hot keys against a small-but-not-
+broadcastable dimension):
+
+  * fact side: every row gets a deterministic salt in [0, salt) derived
+    by hashing a row-unique column — a hot key's rows spread over `salt`
+    reducers;
+  * dim side: replicated `salt` times (explode over sequence), so every
+    (key, salt) bucket finds its dim row;
+  * join on (key, _salt) — same rows as the plain equi-join, per-reducer
+    load capped at ~1/salt of the hot key.
+
+The trade is dim-side replication (salt x dim rows shuffled) for fact-
+side balance; pick salt ~ (hot-key rows / target partition rows). The
+result set is EXACTLY the plain join's (oracle-checkable); only the
+physical distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    row_col: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `fact` with `dim` on `key`, salted `salt` ways.
+    `row_col` must be a fact column whose hash spreads a hot key's rows
+    (any row-unique id). Returns the same rows as fact.join(dim, key,
+    how) with no salt columns in the output."""
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    f = fact.withColumn(SALT_COL, F.pmod(F.hash(F.col(row_col)), F.lit(salt)))
+    d = dim.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return f.join(d, [key, SALT_COL], how).drop(SALT_COL)

@@ -460,7 +460,30 @@ def top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact->dim join (operators/skewjoin.py): orders
+    salted 8 ways against the customer dim (dim replicated per salt),
+    then revenue per market segment. The result set is EXACTLY the plain
+    equi-join's — the oracle runs the unsalted join — only the physical
+    distribution changes: a hot o_custkey's rows spread over 8 reducers
+    instead of melting one. The explicit form of what AQE's skew split
+    does for sort-merge joins; use it when skew is known ahead of time
+    or the join is hash-partitioned for a downstream stage."""
+    from codebase_rag_spark.operators.skewjoin import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, key="o_custkey", row_col="o_orderkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        _dsum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 QUERIES = {
+    "salted_segment_revenue": salted_segment_revenue,
     "pricing_summary": pricing_summary,
     "top_customers_lateral": top_customers_lateral,
     "late_order_priority": late_order_priority,
@@ -728,3 +751,12 @@ ORACLES["nation_acctbal_share"] = """
 """
 
 ORACLES["top_customers_lateral"] = TOP_CUSTOMERS_LATERAL_SQL
+
+ORACLES["salted_segment_revenue"] = """
+        SELECT c_mktsegment,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+"""

@@ -357,24 +357,6 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert not (by_doc[2] & by_doc[3])
 
 
-def test_salted_join_matches_plain_join(spark):
-    from pyspark.sql import functions as F
-
-    from codebase_rag_spark.operators.ranking import salted_join
-
-    big = spark.createDataFrame(
-        [(i % 3, i) for i in range(1000)], ["k", "v"]
-    )  # key 0/1/2, skewed shape
-    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
-    plain = big.join(small, "k").groupBy("k", "name").agg(F.sum("v").alias("s"))
-    salted = (
-        salted_join(big, small, "k", salt_buckets=8)
-        .groupBy("k", "name")
-        .agg(F.sum("v").alias("s"))
-    )
-    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
-
-
 def test_normalize_per_group_matches_native_window(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -822,3 +804,41 @@ def test_qsketch_merge_law_and_quantile_bound(spark):
         exact = vals[math.ceil(q * len(vals)) - 1]
         assert lo <= exact * 10 < hi, (q, lo, exact, hi)
         assert (hi - lo) * 10 <= lo, "bin wider than 10% of its lower bound"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join returns exactly the plain equi-join's rows (inner and
+    left, including unmatched fact rows and a hot key spread over salts)."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.skewjoin import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, 1 if i < 80 else i % 7, f"r{i}") for i in range(100)],
+        ["row_id", "k", "payload"],
+    )  # key 1 is hot: 80 of 100 rows
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (4, "four")], ["k", "label"]
+    )
+
+    for how in ("inner", "left"):
+        got = sorted(
+            salted_join(fact, dim, key="k", row_col="row_id", salt=8, how=how)
+            .select("row_id", "k", "payload", "label")
+            .collect()
+        )
+        want = sorted(
+            fact.join(dim, "k", how)
+            .select("row_id", "k", "payload", "label")
+            .collect()
+        )
+        assert got == want, how
+
+    # salt actually spreads the hot key across sub-keys
+    spread = (
+        fact.filter(F.col("k") == 1)
+        .select(F.pmod(F.hash("row_id"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread > 1

@@ -310,3 +310,24 @@ def test_bloom_probe_side_broadcast_only(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round3b_ops_plan_contracts(spark, sf_dir):
+    """Round-3b operators keep their intended shapes: the quantile sketch
+    is one bounded group agg + per-group windows; the semantic audit's
+    pair join is keyed on the LSH bucket (never cartesian); the salted
+    join shuffles on the salted key with no windows at all; none has an
+    unpartitioned window."""
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    bounds = {
+        "value_quantile_sketch": 6,
+        "semantic_dedup_audit": 6,
+        "salted_segment_revenue": 4,
+        "audio_metadata": 1,
+    }
+    for name, max_exch in bounds.items():
+        df = QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) <= max_exch, name
+        assert not has_unpartitioned_window(df), name
+        assert "CartesianProduct" not in explain_str(df), name
