@@ -119,6 +119,7 @@ HEADLINE = [
     "value_quantile_sketch",
     "audio_metadata",
     "salted_segment_revenue",
+    "doc_link_prediction",
 ]
 
 

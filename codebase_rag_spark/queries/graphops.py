@@ -185,6 +185,27 @@ def doc_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["doc_personalized_pagerank"] = doc_personalized_pagerank
 
+
+def doc_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the doc graph (1+2-step chain, undirected):
+    top-20 non-adjacent pairs by resource-allocation index
+    (operators/graph.py:resource_allocation_link_scores — sum of
+    1/deg(z) over common neighbors z, the log-free Adamic-Adar).
+    The candidate domain is wedge-generated (common-neighbor pairs
+    only), never all-pairs; score addends are DECIMAL-quantized so the
+    sum is order-insensitive and oracle-exact."""
+    from codebase_rag_spark.operators.graph import (
+        resource_allocation_link_scores,
+    )
+
+    scores = resource_allocation_link_scores(_doc_chain(spark, sf_dir, hops=2))
+    return scores.orderBy(
+        F.desc("ra_score"), "x", "y"
+    ).limit(20)
+
+
+QUERIES["doc_link_prediction"] = doc_link_prediction
+
 ORACLES = {
     "recursive_reachability": RECURSIVE_REACH_SQL,
     "region_two_hop": """
@@ -431,4 +452,31 @@ ORACLES["shortest_paths"] = """
         )
         SELECT node, CAST(min(dist) AS INTEGER) AS depth
         FROM walk WHERE dist >= 1 GROUP BY node
+"""
+
+ORACLES["doc_link_prediction"] = f"""
+        WITH e0 AS ({_CHAIN_1} UNION {_CHAIN_2}),
+        und AS (
+            SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+            UNION
+            SELECT dst, src FROM e0 WHERE src <> dst
+        ),
+        deg AS (SELECT a AS z, count(*) AS deg FROM und GROUP BY a),
+        wedges AS (
+            SELECT n1.a AS z, n1.b AS x, n2.b AS y
+            FROM und n1 JOIN und n2 ON n1.a = n2.a AND n1.b < n2.b
+        ),
+        cand AS (
+            SELECT w.x, w.y,
+                   count(*) AS common_neighbors,
+                   round(CAST(sum(CAST(1.0 / d.deg AS DECIMAL(18,12)))
+                              AS DOUBLE), 6) AS ra_score
+            FROM wedges w JOIN deg d ON d.z = w.z
+            GROUP BY w.x, w.y
+        )
+        SELECT c.x, c.y, c.common_neighbors, c.ra_score
+        FROM cand c
+        LEFT JOIN und ON und.a = c.x AND und.b = c.y
+        WHERE und.a IS NULL
+        ORDER BY c.ra_score DESC, c.x, c.y LIMIT 20
 """

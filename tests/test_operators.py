@@ -842,3 +842,22 @@ def test_salted_join_equals_plain_join(spark):
         .count()
     )
     assert spread > 1
+
+
+def test_resource_allocation_scores_path_graph(spark):
+    """Known-graph pin for RA link prediction: on the path a-b-c-d,
+    non-adjacent pairs (a,c) and (b,d) each share one degree-2 hub
+    (score 0.5); (a,d) shares no neighbor and must not appear; adjacent
+    pairs are excluded."""
+    from codebase_rag_spark.operators.graph import (
+        resource_allocation_link_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {
+        (r.x, r.y): (r.common_neighbors, float(r.ra_score))
+        for r in resource_allocation_link_scores(edges).collect()
+    }
+    assert got == {("a", "c"): (1, 0.5), ("b", "d"): (1, 0.5)}
