@@ -120,6 +120,7 @@ HEADLINE = [
     "audio_metadata",
     "salted_segment_revenue",
     "doc_link_prediction",
+    "bpe_segmentation",
 ]
 
 

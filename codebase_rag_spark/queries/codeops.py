@@ -195,6 +195,38 @@ def audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_CORPUS = [
+    (1, "low lower lowest"),
+    (2, "new newer newest"),
+    (3, "wide wider widest"),
+    (4, "low new wide"),
+]
+BPE_MERGES = [
+    ("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("e", "r"),
+    ("n", "e"), ("w", "i"), ("wi", "d"), ("wid", "e"),
+]
+
+
+def bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (the inference half of operators/bpe.py — training
+    is learn_bpe_merges): a fixed merge list segments the classic
+    low/lower/newest corpus, fully JVM-side (chained transform()
+    expressions — one per merge — inside whole-stage codegen; no Python
+    worker). Sequential merge application is not SQL-expressible, so the
+    oracle is GOLDEN VALUES (the code_entity_extract pattern): corpus and
+    merges are fixed literals, hence the expected output is enumerable;
+    the pure-Python twin (_apply_merge_py) is pinned to the JVM
+    expression by unit tests."""
+    from codebase_rag_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame(BPE_CORPUS, ["text_id", "text"])
+    seg = bpe_segment(df, "text", BPE_MERGES)
+    return seg.select(
+        F.col("text_id").cast("bigint").alias("text_id"),
+        F.posexplode("bpe_tokens").alias("pos", "token"),
+    )
+
+
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1' deterministic hash-embedder (replaces provider embeddings,
     embeddings.py:7-202): first 4 components per doc."""
@@ -237,6 +269,7 @@ QUERIES = {
     "media_metadata": media_metadata,
     "video_frame_sample": video_frame_sample,
     "audio_metadata": audio_metadata,
+    "bpe_segmentation": bpe_segmentation,
     "embed_documents": embed_documents,
     "commit_classification": commit_classification,
 }
@@ -448,4 +481,33 @@ ORACLES["audio_metadata"] = f"""
                    {_u32le_sql(41)} * 1000 / {_u32le_sql(29)}
                ) AS BIGINT) END AS duration_ms
         FROM p
+"""
+
+
+ORACLES["bpe_segmentation"] = """
+        SELECT CAST(text_id AS BIGINT) AS text_id,
+               CAST(pos AS INTEGER) AS pos, token
+        FROM (VALUES
+            (1, 0, 'low'),
+            (1, 1, 'low'),
+            (1, 2, 'er'),
+            (1, 3, 'low'),
+            (1, 4, 'est'),
+            (2, 0, 'ne'),
+            (2, 1, 'w'),
+            (2, 2, 'ne'),
+            (2, 3, 'w'),
+            (2, 4, 'er'),
+            (2, 5, 'ne'),
+            (2, 6, 'w'),
+            (2, 7, 'est'),
+            (3, 0, 'wide'),
+            (3, 1, 'wid'),
+            (3, 2, 'er'),
+            (3, 3, 'wid'),
+            (3, 4, 'est'),
+            (4, 0, 'low'),
+            (4, 1, 'ne'),
+            (4, 2, 'w'),
+            (4, 3, 'wide')) g(text_id, pos, token)
 """
