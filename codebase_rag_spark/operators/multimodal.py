@@ -237,7 +237,11 @@ def wav_audio_info(data_col) -> "F.Column":
     byte_rate = _u32le(data_col, 29)
     bits = _u16le(data_col, 35)
     data_size = _u32le(data_col, 41)
-    duration_ms = F.floor(data_size * 1000 / byte_rate).cast("bigint")
+    # byte_rate 0 is a malformed-but-RIFF-valid header: NULL duration,
+    # never a divide-by-zero (ANSI mode would error on the bad row)
+    duration_ms = F.when(
+        byte_rate > 0, F.floor(data_size * 1000 / byte_rate).cast("bigint")
+    )
     return F.struct(
         is_wav.alias("is_wav"),
         F.when(is_wav, channels).alias("channels"),

@@ -33,13 +33,24 @@ from pyspark.sql import functions as F
 
 
 def decimal_bin(value: Column) -> tuple[Column, Column]:
-    """(m, lead2) decimal bin of a positive integer column. Pure string/
-    integer ops — no log/pow on the classification path."""
-    s = value.cast("string")
+    """(m, lead2) decimal bin of a POSITIVE integer column. Pure string/
+    integer ops — no log/pow on the classification path. Non-positive
+    input raises at execution (a '-' prefix would silently corrupt the
+    digit-count bin; DDSketch handles negatives with a second store —
+    pre-split the sign and sketch abs(value) if you need that)."""
+    checked = F.when(value >= 1, value).otherwise(
+        F.raise_error(
+            F.format_string(
+                "decimal_bin requires positive integers, got %s",
+                value.cast("string"),
+            )
+        ).cast("bigint")
+    )
+    s = checked.cast("string")
     m = (F.length(s) - F.lit(1)).cast("int")
     lead2 = (
         F.when(m >= 1, F.substring(s, 1, 2).cast("bigint"))
-        .otherwise(value * 10)
+        .otherwise(checked * 10)
     )
     return m, lead2
 

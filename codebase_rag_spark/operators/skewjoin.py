@@ -43,6 +43,12 @@ def salted_join(
     how) with no salt columns in the output."""
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # right/full joins would emit unmatched DIM rows once per salt
+        # (salt x duplicates) — the rewrite is only lossless fact-side
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, got {how!r}"
+        )
     f = fact.withColumn(SALT_COL, F.pmod(F.hash(F.col(row_col)), F.lit(salt)))
     d = dim.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
