@@ -121,6 +121,8 @@ HEADLINE = [
     "salted_segment_revenue",
     "doc_link_prediction",
     "bpe_segmentation",
+    "k_anonymity_audit",
+    "join_skew_audit",
 ]
 
 

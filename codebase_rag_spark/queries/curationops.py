@@ -355,7 +355,63 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (Sweeney's k-anonymity + l-diversity, public): treat
+    (lang, source) as the quasi-identifier and the doc-length decade as
+    the sensitive attribute. Per QI group: size (its k), distinct
+    sensitive values (its l), and the k>=5 / l>=3 release gates. A
+    training-data pipeline runs exactly this before publishing per-slice
+    statistics — groups failing the gate need suppression or
+    generalization. ONE groupBy; output is |langs| x |sources| rows
+    regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    sens = F.length(F.col("n_chars").cast("string"))  # length decade
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").alias("group_n"),
+        F.countDistinct(sens).alias("l_distinct"),
+    )
+    return g.select(
+        "lang",
+        "source",
+        "group_n",
+        "l_distinct",
+        (F.col("group_n") >= 5).alias("k_anonymous"),
+        (F.col("l_distinct") >= 3).alias("l_diverse"),
+    )
+
+
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the measurement half of
+    operators/skewjoin.py: per-key row counts on the prospective join key
+    (orders.o_custkey), reporting the 10 hottest keys with their share of
+    all rows and their ratio to the mean key frequency. skew_ratio >> 1
+    on a key that must shuffle-join is the signal to salt (or trust AQE's
+    split); the audit itself is one groupBy + a 1-row broadcast total —
+    runs ahead of any expensive join at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("_nkeys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "o_custkey",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_nkeys") / F.col("_total"), 4
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), "o_custkey")
+        .limit(10)
+    )
+
+
 QUERIES = {
+    "k_anonymity_audit": k_anonymity_audit,
+    "join_skew_audit": join_skew_audit,
     "clean_text_docs": clean_text_docs,
     "line_dedup_docs": line_dedup_docs,
     "embedding_coverage_audit": embedding_coverage_audit,
@@ -620,4 +676,31 @@ ORACLES["line_dedup_docs"] = f"""
                count(*) AS n_lines_kept,
                md5(string_agg(f.line, chr(10) ORDER BY f.pos)) AS text_md5
         FROM firsts f GROUP BY f.doc_id
+"""
+
+ORACLES["k_anonymity_audit"] = """
+        SELECT lang, source,
+               count(*) AS group_n,
+               count(DISTINCT length(CAST(n_chars AS VARCHAR)))
+                   AS l_distinct,
+               count(*) >= 5 AS k_anonymous,
+               count(DISTINCT length(CAST(n_chars AS VARCHAR))) >= 3
+                   AS l_diverse
+        FROM documents GROUP BY lang, source
+"""
+
+ORACLES["join_skew_audit"] = """
+        WITH per_key AS (
+            SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey
+        ),
+        t AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                   count(*) AS nkeys
+            FROM per_key
+        )
+        SELECT o_custkey, n_rows,
+               round(n_rows / CAST(total AS DOUBLE), 6) AS share,
+               round(n_rows * nkeys / CAST(total AS DOUBLE), 4) AS skew_ratio
+        FROM per_key, t
+        ORDER BY n_rows DESC, o_custkey LIMIT 10
 """
