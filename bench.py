@@ -123,6 +123,7 @@ HEADLINE = [
     "bpe_segmentation",
     "k_anonymity_audit",
     "join_skew_audit",
+    "late_data_backfill",
 ]
 
 

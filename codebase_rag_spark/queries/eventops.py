@@ -829,7 +829,38 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_data_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance under late data
+    (sources/cdc.py:merge_aggregate_state): events are split into an
+    on-time stream (hourly per-type state built once) and a late-arriving
+    slice (every 17th event id); the late slice FOLDS into the stored
+    state without re-reading history — per-batch cost proportional to the
+    batch, not the corpus. The oracle is the full recompute over all
+    events, so the hash match IS the maintenance law
+    merge(agg(base), late) == agg(base UNION late). Values sum as
+    DECIMAL(18,6) (exact, order-insensitive) — the repo's _dsum rule."""
+    from codebase_rag_spark.sources.cdc import merge_aggregate_state
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    base = e.filter(F.col("event_id") % 17 != 0)
+    late = e.filter(F.col("event_id") % 17 == 0)
+    state = merge_aggregate_state(None, base, ["hour", "event_type"], ["val"])
+    merged = merge_aggregate_state(state, late, ["hour", "event_type"], ["val"])
+    return merged.select(
+        F.date_format("hour", _FMT).alias("hour"),
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_val").cast("double"), 2).alias("sum_value"),
+    )
+
+
 QUERIES = {
+    "late_data_backfill": late_data_backfill,
     "value_quantile_sketch": value_quantile_sketch,
     "time_weighted_value": time_weighted_value,
     "event_value_ewma": event_value_ewma,
@@ -1530,4 +1561,13 @@ ORACLES["value_quantile_sketch"] = """
                    AS within_bound
         FROM est JOIN exact
           ON est.event_type = exact.event_type AND est.q = exact.q
+"""
+
+ORACLES["late_data_backfill"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               count(*) AS n_rows,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS sum_value
+        FROM events GROUP BY 1, 2
 """
