@@ -124,6 +124,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "join_skew_audit",
     "late_data_backfill",
+    "curation_pipeline_e2e",
 ]
 
 

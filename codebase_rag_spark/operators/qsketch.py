@@ -33,15 +33,17 @@ from pyspark.sql import functions as F
 
 
 def decimal_bin(value: Column) -> tuple[Column, Column]:
-    """(m, lead2) decimal bin of a POSITIVE integer column. Pure string/
-    integer ops — no log/pow on the classification path. Non-positive
-    input raises at execution (a '-' prefix would silently corrupt the
-    digit-count bin; DDSketch handles negatives with a second store —
-    pre-split the sign and sketch abs(value) if you need that)."""
-    checked = F.when(value >= 1, value).otherwise(
+    """(m, lead2) decimal bin of a NON-NEGATIVE integer column. Pure
+    string/integer ops — no log/pow on the classification path. Zero gets
+    its own exact bin (m=0, lead2=0, bounds [0, 1) — the DDSketch
+    zero-store equivalent). Negative input raises at execution (a '-'
+    prefix would silently corrupt the digit-count bin; DDSketch handles
+    negatives with a second store — pre-split the sign and sketch
+    abs(value) if you need that)."""
+    checked = F.when(value >= 0, value).otherwise(
         F.raise_error(
             F.format_string(
-                "decimal_bin requires positive integers, got %s",
+                "decimal_bin requires non-negative integers, got %s",
                 value.cast("string"),
             )
         ).cast("bigint")

@@ -409,7 +409,50 @@ def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation pass — the stages a 100 TB pretraining
+    pipeline chains between raw corpus and training mix, as ONE dataflow
+    (each stage is an operator this repo ships standalone):
+
+      1. C4-style cleanup (functions/text.py:clean_text — codegen regex
+         chain, zero shuffles);
+      2. length gate 50..20000 on the CLEANED text (scan-stage filter);
+      3. exact dedup on the cleaned-content fingerprint, keep-min-id
+         (one hash groupBy + a semi-join);
+      4. per-language cap of 50 docs selected by md5(doc_id) rank — the
+         deterministic downsampling rule (lang-partitioned window, never
+         global);
+      5. per-language summary with sum_ids pinning the EXACT kept set
+         (row-level, not just count-level, correctness).
+
+    The oracle chains the identical SQL stages, so the hash match
+    certifies the whole pipeline composition, not just the pieces."""
+    from codebase_rag_spark.functions.text import clean_text
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select("doc_id", "lang", clean_text(F.col("text")).alias("clean"))
+    gated = c.filter(F.length("clean").between(50, 20000))
+    keep = gated.groupBy(F.md5("clean").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = surv.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 50
+    )
+    return capped.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.length("clean")).cast("bigint").alias("total_chars"),
+    )
+
+
 QUERIES = {
+    "curation_pipeline_e2e": curation_pipeline_e2e,
     "k_anonymity_audit": k_anonymity_audit,
     "join_skew_audit": join_skew_audit,
     "clean_text_docs": clean_text_docs,
@@ -703,4 +746,25 @@ ORACLES["join_skew_audit"] = """
                round(n_rows * nkeys / CAST(total AS DOUBLE), 4) AS skew_ratio
         FROM per_key, t
         ORDER BY n_rows DESC, o_custkey LIMIT 10
+"""
+
+ORACLES["curation_pipeline_e2e"] = f"""
+        WITH c AS (
+            SELECT doc_id, lang, {_CLEAN_EXPR} AS clean FROM documents
+        ),
+        g AS (SELECT * FROM c WHERE length(clean) BETWEEN 50 AND 20000),
+        keep AS (
+            SELECT md5(clean) AS fp, min(doc_id) AS doc_id FROM g GROUP BY 1
+        ),
+        s AS (SELECT g.* FROM g JOIN keep USING (doc_id)),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM s
+        )
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+               CAST(sum(length(clean)) AS BIGINT) AS total_chars
+        FROM r WHERE rn <= 50 GROUP BY lang
 """

@@ -805,6 +805,21 @@ def test_qsketch_merge_law_and_quantile_bound(spark):
         assert lo <= exact * 10 < hi, (q, lo, exact, hi)
         assert (hi - lo) * 10 <= lo, "bin wider than 10% of its lower bound"
 
+    # zero gets its own EXACT bin (m=0, lead2=0); negatives raise
+    zdf = spark.createDataFrame([("z", 0), ("z", 7)], "g string, v long")
+    zbins = sorted(
+        (r.m, r.lead2) for r in build_qsketch(zdf, ["g"], F.col("v")).collect()
+    )
+    assert zbins == [(0, 0), (0, 70)]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="non-negative"):
+        build_qsketch(
+            spark.createDataFrame([("n", -3)], "g string, v long"),
+            ["g"],
+            F.col("v"),
+        ).collect()
+
 
 def test_salted_join_equals_plain_join(spark):
     """salted_join returns exactly the plain equi-join's rows (inner and

@@ -366,3 +366,49 @@ def test_bloom_never_false_negative_property(spark, keys, m_bits, k_hashes):
     assert bloom.count() <= m_bits // 32
     probed = bloom_probe(df, "key", bloom, m_bits, k_hashes)
     assert probed.filter("NOT bloom_pass").count() == 0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=1, max_value=10**9), min_size=1,
+                  max_size=120),
+    q=st.sampled_from([0.25, 0.5, 0.75, 0.9, 0.99]),
+)
+def test_qsketch_bound_and_merge_property(spark, vals, q):
+    """For ANY positive-int multiset and quantile: the exact rank-q value
+    lies in the reported [lo, hi) bin, the bin is <= 10% wide relative to
+    lo, and splitting the data arbitrarily then merging sketches equals
+    the one-shot sketch."""
+    import math
+
+    from codebase_rag_spark.operators.qsketch import (
+        build_qsketch,
+        merge_qsketches,
+        qsketch_quantiles,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    whole = build_qsketch(df, ["g"], F.col("v"))
+    # split by position parity (subtract() would dedup repeated values)
+    part_a = spark.createDataFrame(
+        [("g", v) for i, v in enumerate(vals) if i % 2 == 0],
+        "g string, v long",
+    )
+    part_b_rows = [("g", v) for i, v in enumerate(vals) if i % 2 == 1]
+    if part_b_rows:
+        part_b = spark.createDataFrame(part_b_rows, "g string, v long")
+        merged = merge_qsketches(
+            build_qsketch(part_a, ["g"], F.col("v")),
+            build_qsketch(part_b, ["g"], F.col("v")),
+            ["g"],
+        )
+        assert sorted(merged.collect()) == sorted(whole.collect())
+
+    (row,) = qsketch_quantiles(whole, ["g"], [q]).collect()
+    exact = sorted(vals)[math.ceil(q * len(vals)) - 1]
+    assert row["est_lo"] <= exact * 10 < row["est_hi"]
+    assert (row["est_hi"] - row["est_lo"]) * 10 <= row["est_lo"]
