@@ -125,6 +125,7 @@ HEADLINE = [
     "join_skew_audit",
     "late_data_backfill",
     "curation_pipeline_e2e",
+    "rank_functions_suite",
 ]
 
 

@@ -394,7 +394,29 @@ def order_value_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rank_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family ranking-function suite (SURVEY §2.5): rank / dense_rank /
+    percent_rank / cume_dist / ntile over supplier balances per nation —
+    every window is nation-partitioned with a full (balance, suppkey)
+    tiebreak, so each function is deterministic and the whole suite is
+    ONE shuffle on the partition key (all five share the window frame)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.col("s_suppkey")
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 QUERIES = {
+    "rank_functions_suite": rank_functions_suite,
     "stat_aggregates": stat_aggregates,
     "bloom_prune_probe": bloom_prune_probe,
     "cdc_apply_changes": cdc_apply_changes,
@@ -691,4 +713,17 @@ ORACLES["order_value_window_suite"] = """
         WINDOW w AS (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+ORACLES["rank_functions_suite"] = """
+        SELECT s_nationkey, s_suppkey,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey
+                     ORDER BY s_acctbal DESC, s_suppkey)
 """

@@ -1,0 +1,69 @@
+"""Streaming heavy-hitters maintenance: per-batch partial count-min
+sketches, merged at read.
+
+Completes the streaming-sketch triple (bloom_ingest: membership,
+qsketch_ingest: quantiles, this: frequencies). Same replay-safety
+contract as qsketch_ingest: a micro-batch writes its partial sketch into
+a partition keyed by its batch id, so a replayed batch overwrites ITS OWN
+partition — idempotent with no dedup ledger — and `read_cms` folds the
+partials with one re-agg over depth*width*n_batches rows (counters are
+additive, the CMS merge law). Per-batch cost: one vocab aggregate + one
+bounded hash aggregate; state bounded by n_batches * depth * width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.operators.corpus_stats import build_count_min
+from codebase_rag_spark.streaming.confutil import temp_conf
+
+
+def cms_ingest(
+    toks: DataFrame,
+    cms_path: str,
+    checkpoint_path: str,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Start an availableNow stream folding a token stream into per-batch
+    partial CMS sketches at cms_path. Returns the StreamingQuery; read
+    the merged sketch with read_cms."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # collapse the batch to (token, count) first — hash the batch
+        # vocabulary once, not every occurrence (build_count_min's
+        # count_col path)
+        vocab = batch_df.groupBy(token_col).agg(F.count("*").alias("_cnt"))
+        part = build_count_min(
+            vocab, token_col, depth=depth, width=width, count_col="_cnt"
+        ).withColumn("ingest_batch", F.lit(batch_id))
+        with temp_conf(
+            batch_df.sparkSession,
+            "spark.sql.sources.partitionOverwriteMode",
+            "dynamic",
+        ):
+            (
+                part.coalesce(1)  # depth*width rows by construction
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(cms_path)
+            )
+
+    return (
+        toks.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, cms_path: str) -> DataFrame:
+    """Current merged sketch: fold all batch partials (counters add)."""
+    return (
+        spark.read.parquet(cms_path)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

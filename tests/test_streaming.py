@@ -557,3 +557,49 @@ def test_qsketch_ingest_matches_batch_sketch(spark, tmp_path):
             lo, hi = est[(g, q)]
             exact = vals[math.ceil(q * len(vals)) - 1]
             assert lo <= exact * 10 < hi
+
+
+def test_cms_ingest_matches_batch_sketch(spark, tmp_path):
+    """Streaming count-min: two micro-batch runs produce partials whose
+    merged fold equals the one-shot batch sketch over the union, and
+    point estimates from the streamed sketch keep the never-underestimate
+    guarantee."""
+    from pyspark.sql import functions as sf
+
+    from codebase_rag_spark.operators.corpus_stats import (
+        build_count_min,
+        cms_estimate,
+    )
+    from codebase_rag_spark.streaming.cms_ingest import cms_ingest, read_cms
+
+    src, cms, ckpt = (str(tmp_path / d) for d in ("src", "cms", "ck"))
+    schema = "tok string"
+    rows1 = [("alpha",)] * 30 + [("beta",)] * 5 + [("gamma",)]
+    rows2 = [("alpha",)] * 10 + [("delta",)] * 7
+
+    def run():
+        toks = spark.readStream.schema(schema).parquet(src)
+        cms_ingest(toks, cms, ckpt).awaitTermination()
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    streamed = read_cms(spark, cms)
+    batch = build_count_min(
+        spark.createDataFrame(rows1 + rows2, schema), "tok"
+    )
+    assert sorted(streamed.collect()) == sorted(batch.collect())
+
+    truth = {"alpha": 40, "beta": 5, "gamma": 1, "delta": 7, "absent": 0}
+    q = spark.createDataFrame([(t,) for t in truth], schema)
+    est = {
+        r.tok: r.cms_n for r in cms_estimate(streamed, q, "tok").collect()
+    }
+    for t, n in truth.items():
+        assert est[t] >= n, (t, est[t], n)
