@@ -126,6 +126,7 @@ HEADLINE = [
     "late_data_backfill",
     "curation_pipeline_e2e",
     "rank_functions_suite",
+    "sql_join_graph",
 ]
 
 

@@ -92,10 +92,18 @@ def tokenize(sql: str) -> list[Token]:
 
 @dataclass
 class SqlRefs:
-    """Parse result: every base-table reference and CTE name seen."""
+    """Parse result: every base-table reference, CTE name, and join seen.
+
+    `joins` holds one normalized type per join ANYWHERE in the statement
+    (subqueries and CTE bodies included), using DuckDB's join_type
+    vocabulary so the json_serialize_sql referee can check it: LEFT /
+    RIGHT / FULL / SEMI / ANTI keep their names; INNER, CROSS, NATURAL,
+    ASOF, and comma-separated factors all normalize to INNER (n comma
+    factors contribute n-1)."""
 
     table_refs: list[str] = field(default_factory=list)
     ctes: list[str] = field(default_factory=list)
+    joins: list[str] = field(default_factory=list)
 
     @property
     def tables(self) -> list[str]:
@@ -236,13 +244,22 @@ class _Parser:
         self.parse_table_factor()
         while True:
             if self.accept_op(","):
+                self.refs.joins.append("INNER")
                 self.parse_table_factor()
                 continue
             if self.at_kw(*_JOIN_KW):
-                while self.accept_kw(*(_JOIN_KW - {"JOIN"})):
-                    pass
+                jtype = "INNER"
+                while True:
+                    t = self.peek()
+                    kw = t.kw() if t is not None else None
+                    if kw not in _JOIN_KW - {"JOIN"}:
+                        break
+                    self.i += 1
+                    if kw in ("LEFT", "RIGHT", "FULL", "SEMI", "ANTI"):
+                        jtype = kw  # OUTER/INNER/CROSS/NATURAL/ASOF stay INNER
                 if not self.accept_kw("JOIN"):
                     return
+                self.refs.joins.append(jtype)
                 self.parse_table_factor()
                 if self.accept_kw("ON"):
                     self.scan_expression_until_join_or_clause()

@@ -387,3 +387,20 @@ def duckdb_transpile_sql(col_sql: str, dialect_sql: str) -> str:
 
 def duckdb_normalize_sql(col_sql: str) -> str:
     return _duck_rules(NORMALIZE_RULES, col_sql)
+
+
+def extract_sql_joins(df: DataFrame, sql_col: str = "sql") -> DataFrame:
+    """T10 join-tree extraction: one normalized join type per join
+    anywhere in the statement (subqueries and CTE bodies included),
+    in DuckDB's join_type vocabulary (functions/sqlparse.py:SqlRefs.joins)
+    so json_serialize_sql can referee. Arrow-batched pandas UDF, same
+    posture as extract_sql_refs. Adds a `joins` array column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _joins(s: pd.Series) -> pd.Series:
+        from codebase_rag_spark.functions.sqlparse import parse_sql_refs
+
+        return pd.Series([sorted(parse_sql_refs(sql or "").joins) for sql in s])
+
+    return df.withColumn("joins", _joins(F.col(sql_col)))

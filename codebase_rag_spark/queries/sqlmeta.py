@@ -192,6 +192,57 @@ def sql_query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# join-rich extension of SQL_CORPUS for the join-graph extraction
+JOIN_CORPUS: list[tuple[str, str]] = SQL_CORPUS + [
+    (
+        "j1",
+        "SELECT * FROM a JOIN b ON a.x=b.x LEFT JOIN c USING (y) "
+        "CROSS JOIN d, e",
+    ),
+    ("j2", "SELECT * FROM a NATURAL JOIN b"),
+    (
+        "j3",
+        "SELECT * FROM a SEMI JOIN b ON a.x=b.x ANTI JOIN c ON a.y=c.y",
+    ),
+    ("j4", "SELECT * FROM a FULL OUTER JOIN b ON a.x=b.x"),
+    (
+        "j5",
+        "SELECT * FROM (SELECT * FROM x JOIN y ON x.i=y.i) t "
+        "RIGHT JOIN z ON t.i=z.i",
+    ),
+    ("j6", "WITH w AS (SELECT * FROM p JOIN q ON p.i=q.i) SELECT * FROM w, w w2"),
+    ("j7", "SELECT * FROM a ASOF JOIN b ON a.t >= b.t"),
+]
+
+
+def sql_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 join-tree extraction (the join half of the reference's AST
+    analysis): per statement, every join ANYWHERE in it (subqueries and
+    CTE bodies included) counted by normalized type. The vendored parser
+    emits DuckDB's join_type vocabulary (LEFT/RIGHT/FULL/SEMI/ANTI;
+    INNER for inner/cross/natural/asof/comma factors), and the oracle
+    counts join_type nodes in DuckDB's OWN json_serialize_sql AST — two
+    unrelated parsers agreeing join-by-join."""
+    from codebase_rag_spark.operators.sqlmeta import extract_sql_joins
+
+    df = spark.createDataFrame(JOIN_CORPUS, ["query_id", "sql"])
+    out = extract_sql_joins(df, "sql")
+
+    def n_of(t: str):
+        return F.size(F.filter("joins", lambda j: j == F.lit(t)))
+
+    return out.select(
+        "query_id",
+        F.size("joins").alias("n_joins"),
+        n_of("INNER").alias("n_inner"),
+        n_of("LEFT").alias("n_left"),
+        n_of("RIGHT").alias("n_right"),
+        n_of("FULL").alias("n_full"),
+        n_of("SEMI").alias("n_semi"),
+        n_of("ANTI").alias("n_anti"),
+    )
+
+
 # T11 DML corpus: per-row SOURCE dialect (DML text lacks the DDL type
 # markers dialect_detect keys on, so the dialect is a data column — the
 # reference's convert_between_dialects(sql, from, to) signature,
@@ -239,6 +290,7 @@ QUERIES = {
     "domain_summary": domain_summary,
     "industry_template_match": industry_template_match,
     "sql_query_analysis": sql_query_analysis,
+    "sql_join_graph": sql_join_graph,
     "sql_transpile": sql_transpile,
     "sql_script_statements": sql_script_statements,
 }
@@ -449,4 +501,37 @@ ORACLES["sql_dml_transpile"] = rf"""
         SELECT stmt_id, dialect,
                {duckdb_transpile_sql('sql', 'dialect')} AS ansi_sql
         FROM {_dml_values()}
+"""
+
+
+def _join_corpus_values() -> str:
+    rows = ",\n            ".join(
+        "('{}', '{}')".format(i, s.replace("'", "''")) for i, s in JOIN_CORPUS
+    )
+    return f"(VALUES\n            {rows}) AS t(query_id, sql)"
+
+
+ORACLES["sql_join_graph"] = rf"""
+        WITH c AS (SELECT * FROM {_join_corpus_values()}),
+        j AS (
+            SELECT query_id,
+                   regexp_extract_all(json_serialize_sql(sql),
+                       '"join_type":"([A-Z]+)"', 1) AS jt
+            FROM c
+        )
+        SELECT query_id,
+               CAST(len(jt) AS INTEGER) AS n_joins,
+               CAST(len(list_filter(jt, x -> x = 'INNER')) AS INTEGER)
+                   AS n_inner,
+               CAST(len(list_filter(jt, x -> x = 'LEFT')) AS INTEGER)
+                   AS n_left,
+               CAST(len(list_filter(jt, x -> x = 'RIGHT')) AS INTEGER)
+                   AS n_right,
+               CAST(len(list_filter(jt, x -> x = 'FULL')) AS INTEGER)
+                   AS n_full,
+               CAST(len(list_filter(jt, x -> x = 'SEMI')) AS INTEGER)
+                   AS n_semi,
+               CAST(len(list_filter(jt, x -> x = 'ANTI')) AS INTEGER)
+                   AS n_anti
+        FROM j
 """

@@ -117,6 +117,9 @@ def _duckdb_refs(sql: str):
     ast = json.loads(js)
     if ast.get("error"):
         return None
+    import re as _re
+
+    joins = sorted(_re.findall(r'"join_type":"([A-Z]+)"', js))
     tables, ctes = [], []
 
     def walk(o):
@@ -136,6 +139,7 @@ def _duckdb_refs(sql: str):
     return (
         sorted({t for t in tables if t not in set(ctes)}),
         sorted(set(ctes)),
+        joins,
     )
 
 
@@ -147,4 +151,4 @@ def test_parser_agrees_with_duckdb_on_generated_sql(case):
     if want is None:  # grammar emitted something DuckDB rejects — skip
         return
     refs = parse_sql_refs(sql)
-    assert (refs.tables, refs.cte_names) == want, sql
+    assert (refs.tables, refs.cte_names, sorted(refs.joins)) == want, sql
