@@ -183,38 +183,36 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # ONE aggregation pass computes stats AND the most-similar pair: the
+    # top pair is max(struct(cosine, -id_a, -id_b)) — max cosine, ties to
+    # the smallest (id_a, id_b) — so the expensive bucket-keyed pair join
+    # is evaluated once (a separate row_number window branch would make
+    # Catalyst recompute the whole join subtree a second time)
     pair_stats = scored.groupBy("bucket").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("cosine") >= 0.9, 1).otherwise(0))
         .cast("bigint")
         .alias("n_near_dups"),
         F.max("cosine").alias("max_cosine"),
-    )
-    w = Window.partitionBy("bucket").orderBy(F.desc("cosine"), "id_a", "id_b")
-    top = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "bucket",
-            F.col("id_a").alias("top_id_a"),
-            F.col("id_b").alias("top_id_b"),
-        )
+        F.max(
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("id_a")).alias("na"),
+                (-F.col("id_b")).alias("nb"),
+            )
+        ).alias("_top"),
     )
     counts = b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
-    return (
-        counts.join(pair_stats, "bucket", "left")
-        .join(top, "bucket", "left")
-        .select(
-            "bucket",
-            "n_vecs",
-            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
-            F.coalesce("n_near_dups", F.lit(0).cast("bigint")).alias(
-                "n_near_dups"
-            ),
-            "max_cosine",
-            "top_id_a",
-            "top_id_b",
-        )
+    return counts.join(pair_stats, "bucket", "left").select(
+        "bucket",
+        "n_vecs",
+        F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+        F.coalesce("n_near_dups", F.lit(0).cast("bigint")).alias(
+            "n_near_dups"
+        ),
+        "max_cosine",
+        (-F.col("_top.na")).alias("top_id_a"),
+        (-F.col("_top.nb")).alias("top_id_b"),
     )
 
 

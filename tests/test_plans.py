@@ -322,7 +322,9 @@ def test_round3b_ops_plan_contracts(spark, sf_dir):
 
     bounds = {
         "value_quantile_sketch": 6,
-        "semantic_dedup_audit": 6,
+        # single-pass stats+top-pair agg: the bucket-keyed pair join is
+        # evaluated once (was 5 exchanges with a separate window branch)
+        "semantic_dedup_audit": 4,
         "salted_segment_revenue": 4,
         "audio_metadata": 1,
     }
