@@ -40,13 +40,17 @@ def decimal_bin(value: Column) -> tuple[Column, Column]:
     prefix would silently corrupt the digit-count bin; DDSketch handles
     negatives with a second store — pre-split the sign and sketch
     abs(value) if you need that)."""
-    checked = F.when(value >= 0, value).otherwise(
-        F.raise_error(
-            F.format_string(
-                "decimal_bin requires non-negative integers, got %s",
-                value.cast("string"),
-            )
-        ).cast("bigint")
+    checked = (
+        F.when(value.isNull(), F.lit(None).cast("bigint"))
+        .when(value >= 0, value)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "decimal_bin requires non-negative integers, got %s",
+                    value.cast("string"),
+                )
+            ).cast("bigint")
+        )
     )
     s = checked.cast("string")
     m = (F.length(s) - F.lit(1)).cast("int")
@@ -61,11 +65,14 @@ def build_qsketch(
     df: DataFrame, group_cols: list[str], value: Column
 ) -> DataFrame:
     """Bin counts per group: (group..., m, lead2, cnt). `value` must be a
-    positive-integer column (scale floats to cents/deci-units first). The
-    single shuffle; output is bounded (<= 90 bins/decade/group)."""
+    non-negative-integer column (scale floats to cents/deci-units first);
+    NULL values are excluded, matching SQL aggregate semantics (sum/avg
+    skip NULLs), while negatives raise. The single shuffle; output is
+    bounded (<= 90 bins/decade/group)."""
     m, lead2 = decimal_bin(value)
     return (
         df.select(*group_cols, m.alias("m"), lead2.alias("lead2"))
+        .filter(F.col("m").isNotNull())
         .groupBy(*group_cols, "m", "lead2")
         .agg(F.count("*").alias("cnt"))
     )

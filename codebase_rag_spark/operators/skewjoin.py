@@ -43,9 +43,12 @@ def salted_join(
     how) with no salt columns in the output."""
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
-        # right/full joins would emit unmatched DIM rows once per salt
-        # (salt x duplicates) — the rewrite is only lossless fact-side
+    # accept every alias Spark's join() accepts for the fact-preserving
+    # types; right/full joins would emit unmatched DIM rows once per salt
+    # (salt x duplicates) — the rewrite is only lossless fact-side
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti",
+    ):
         raise ValueError(
             f"salted_join supports fact-preserving joins only, got {how!r}"
         )

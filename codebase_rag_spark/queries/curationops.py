@@ -432,12 +432,18 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     c = d.select("doc_id", "lang", clean_text(F.col("text")).alias("clean"))
     gated = c.filter(F.length("clean").between(50, 20000))
-    keep = gated.groupBy(F.md5("clean").alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    surv = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
     from pyspark.sql import Window
 
+    # keep-min-id dedup as ONE fingerprint-partitioned window instead of
+    # groupBy + semi-join back: doc_id is unique, so rn=1 keeps exactly
+    # min(doc_id) per fingerprint — and the clean_text regex chain (the
+    # dominant cost at corpus scale) is evaluated once, not twice
+    fpw = Window.partitionBy(F.md5("clean")).orderBy("doc_id")
+    surv = (
+        gated.withColumn("_rn", F.row_number().over(fpw))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )

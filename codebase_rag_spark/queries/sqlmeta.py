@@ -296,11 +296,25 @@ QUERIES = {
 }
 
 
-def _values_clause() -> str:
+def _corpus_values(corpus, cols: str) -> str:
+    """Render an inline corpus as a DuckDB (VALUES ...) AS t(cols) clause.
+    Single-quote escaping and newline splicing (chr(10)) applied to every
+    string field — the ONE place corpus escaping lives."""
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''").replace(
+                "\n", "' || chr(10) || '"
+            ) + "'"
+        return str(v)
+
     rows = ",\n            ".join(
-        "('{}', '{}')".format(i, d.replace("'", "''")) for i, d in DDL_CORPUS
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in corpus
     )
-    return f"(VALUES\n            {rows}) AS t(ddl_id, ddl)"
+    return f"(VALUES\n            {rows}) AS t({cols})"
+
+
+def _values_clause() -> str:
+    return _corpus_values(DDL_CORPUS, "ddl_id, ddl")
 
 
 _ANALYZE = rf"""
@@ -381,10 +395,7 @@ ORACLES["industry_template_match"] = f"""
 
 
 def _sql_corpus_values() -> str:
-    rows = ",\n            ".join(
-        "('{}', '{}')".format(i, s.replace("'", "''")) for i, s in SQL_CORPUS
-    )
-    return f"(VALUES\n            {rows}) AS t(query_id, sql)"
+    return _corpus_values(SQL_CORPUS, "query_id, sql")
 
 
 _TYPES_IN = ", ".join(f"'{t}'" for t in STATEMENT_TYPES)
@@ -419,11 +430,7 @@ ORACLES["sql_transpile"] = f"""
 
 
 def _script_values() -> str:
-    rows = ",\n            ".join(
-        "('{}', '{}')".format(i, s.replace("'", "''").replace("\n", "' || chr(10) || '"))
-        for i, s in SCRIPT_CORPUS
-    )
-    return f"(VALUES\n            {rows}) AS t(script_id, script)"
+    return _corpus_values(SCRIPT_CORPUS, "script_id, script")
 
 
 ORACLES["sql_script_statements"] = rf"""
@@ -490,11 +497,7 @@ ORACLES["sql_query_analysis"] = rf"""
 
 
 def _dml_values() -> str:
-    rows = ",\n            ".join(
-        "('{}', '{}', '{}')".format(i, d, s.replace("'", "''"))
-        for i, d, s in DML_CORPUS
-    )
-    return f"(VALUES\n            {rows}) AS t(stmt_id, dialect, sql)"
+    return _corpus_values(DML_CORPUS, "stmt_id, dialect, sql")
 
 
 ORACLES["sql_dml_transpile"] = rf"""
@@ -505,10 +508,7 @@ ORACLES["sql_dml_transpile"] = rf"""
 
 
 def _join_corpus_values() -> str:
-    rows = ",\n            ".join(
-        "('{}', '{}')".format(i, s.replace("'", "''")) for i, s in JOIN_CORPUS
-    )
-    return f"(VALUES\n            {rows}) AS t(query_id, sql)"
+    return _corpus_values(JOIN_CORPUS, "query_id, sql")
 
 
 ORACLES["sql_join_graph"] = rf"""
