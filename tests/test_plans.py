@@ -327,6 +327,8 @@ def test_round3b_ops_plan_contracts(spark, sf_dir):
         "semantic_dedup_audit": 4,
         "salted_segment_revenue": 4,
         "audio_metadata": 1,
+        # one clean_text pass, fingerprint-window dedup, lang-window cap
+        "curation_pipeline_e2e": 4,
     }
     for name, max_exch in bounds.items():
         df = QUERIES[name](spark, sf_dir)
