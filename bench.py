@@ -127,6 +127,7 @@ HEADLINE = [
     "curation_pipeline_e2e",
     "rank_functions_suite",
     "sql_join_graph",
+    "salted_event_stats",
 ]
 
 

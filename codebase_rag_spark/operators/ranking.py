@@ -112,9 +112,16 @@ def salted_aggregate(
     column -> 'sum'|'count'|'min'|'max' (the re-aggregatable functions;
     avg = sum/count composed by the caller). AQE's skew handling covers
     joins; this is the aggregation-side equivalent for pathological keys.
+
+    Salt is DETERMINISTIC (hash of the whole row mod buckets — the
+    skewjoin.py rule: rand() re-salts differently on task retry). Rows
+    identical in every column share a salt, which only matters if a hot
+    key's rows are also byte-identical; any distribution is correct,
+    merge makes the result salt-independent.
     """
     salted = df.withColumn(
-        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
     phase1 = []
     for col, how in aggs.items():

@@ -415,7 +415,36 @@ def rank_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/ranking.py:
+    salted_aggregate): events aggregated by type through a (key, salt)
+    partial phase then a per-key merge — a hot event type's rows spread
+    over 16 reducers in phase 1. The oracle is the PLAIN one-phase
+    groupBy: the hash match proves the decomposition is lossless (value
+    sums ride DECIMAL(18,6) quantization, so the two-phase fold is
+    order-insensitive)."""
+    from codebase_rag_spark.operators.ranking import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("val"),
+        "event_id",
+    )
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {"val": "sum", "event_id": "count"},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.round(F.col("sum_val").cast("double"), 2).alias("total_value"),
+        F.col("count_event_id").cast("bigint").alias("n_events"),
+    )
+
+
 QUERIES = {
+    "salted_event_stats": salted_event_stats,
     "rank_functions_suite": rank_functions_suite,
     "stat_aggregates": stat_aggregates,
     "bloom_prune_probe": bloom_prune_probe,
@@ -726,4 +755,13 @@ ORACLES["rank_functions_suite"] = """
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey
                      ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+ORACLES["salted_event_stats"] = """
+        SELECT event_type,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS total_value,
+               count(event_id) AS n_events
+        FROM events GROUP BY event_type
 """
