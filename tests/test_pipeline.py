@@ -296,3 +296,29 @@ def test_schema_diff_between_versions(spark, tmp_path):
         "removed": ["name"],
         "type_changed": ["id"],
     }
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """S-family storage-format breadth: documents written as ORC (zlib)
+    read back content-identical, and a lang filter reaches the ORC scan
+    as a pushed predicate (ORC is Spark-native; DuckDB cannot referee it,
+    so this is a test-only format check)."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.plans import explain_str
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    path = str(tmp_path / "docs_orc")
+    d.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+    back = spark.read.orc(path)
+    assert sorted(back.collect()) == sorted(d.collect())
+
+    filtered = back.filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = explain_str(filtered)
+    assert "PushedFilters" in plan and "lang" in plan
+    got = {r.lang for r in filtered.collect()}
+    assert got <= {"en"}
