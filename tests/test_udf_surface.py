@@ -117,3 +117,26 @@ def test_parameterized_sql(spark):
         "SELECT sum(n) AS s FROM _pv WHERE lang = :lang", args={"lang": "de"}
     ).first()
     assert out.s == 5
+
+
+def test_map_in_arrow_token_count_matches_native(spark, sf_dir):
+    """mapInArrow (arrow-native batches, pyarrow.compute kernels) must
+    agree with the JVM expression for whitespace token counts — pinning
+    the fifth UDF flavor of the §2.12 surface."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.functions.udfs import token_count_arrow
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        r.doc_id: r.n_tokens for r in token_count_arrow(d, "text").collect()
+    }
+    want = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+        ).collect()
+    }
+    assert got == want
