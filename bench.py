@@ -128,6 +128,7 @@ HEADLINE = [
     "rank_functions_suite",
     "sql_join_graph",
     "salted_event_stats",
+    "lang_source_chi2",
 ]
 
 

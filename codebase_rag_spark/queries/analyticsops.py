@@ -415,6 +415,47 @@ def rank_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the (lang, source) contingency
+    table — the classic corpus-balance diagnostic (is language mix
+    independent of source?): observed cell counts, expected counts
+    row_total * col_total / n, per-cell contribution (o-e)^2/e, and the
+    global statistic + degrees of freedom. All marginals ride broadcast
+    joins onto the ONE cell aggregate; doubles divide identically in
+    both engines (IEEE), with round() quantizing the outputs."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    row_t = cells.groupBy("lang").agg(F.sum("o").alias("row_n"))
+    col_t = cells.groupBy("source").agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_src"),
+    )
+    e = F.col("row_n") * F.col("col_n") / F.col("n")
+    contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    scored = (
+        cells.join(F.broadcast(row_t), "lang")
+        .join(F.broadcast(col_t), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "o",
+            F.round(e, 4).alias("expected"),
+            F.round(contrib, 6).alias("contrib"),
+            contrib.alias("_c"),
+            ((F.col("n_lang") - 1) * (F.col("n_src") - 1)).alias("dof"),
+        )
+    )
+    return scored.groupBy("dof").agg(
+        F.round(F.sum(F.col("_c").cast("decimal(28,12)")).cast("double"), 4)
+        .alias("chi2"),
+        F.count("*").alias("n_cells"),
+        F.round(F.max("contrib"), 6).alias("max_cell_contrib"),
+    )
+
+
 def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (operators/ranking.py:
     salted_aggregate): events aggregated by type through a (key, salt)
@@ -444,6 +485,7 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "lang_source_chi2": lang_source_chi2,
     "salted_event_stats": salted_event_stats,
     "rank_functions_suite": rank_functions_suite,
     "stat_aggregates": stat_aggregates,
@@ -764,4 +806,36 @@ ORACLES["salted_event_stats"] = """
                    AS total_value,
                count(event_id) AS n_events
         FROM events GROUP BY event_type
+"""
+
+
+ORACLES["lang_source_chi2"] = """
+        WITH cells AS (
+            SELECT lang, source, count(*) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        row_t AS (SELECT lang, CAST(sum(o) AS BIGINT) AS row_n
+                  FROM cells GROUP BY lang),
+        col_t AS (SELECT source, CAST(sum(o) AS BIGINT) AS col_n
+                  FROM cells GROUP BY source),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                       count(DISTINCT lang) AS n_lang,
+                       count(DISTINCT source) AS n_src
+                FROM cells),
+        scored AS (
+            SELECT c.lang, c.source, c.o,
+                   (row_n * col_n / CAST(n AS DOUBLE)) AS e,
+                   (c.o - row_n * col_n / CAST(n AS DOUBLE))
+                     * (c.o - row_n * col_n / CAST(n AS DOUBLE))
+                     / (row_n * col_n / CAST(n AS DOUBLE)) AS contrib,
+                   (n_lang - 1) * (n_src - 1) AS dof
+            FROM cells c
+            JOIN row_t USING (lang) JOIN col_t USING (source), tot
+        )
+        SELECT CAST(dof AS BIGINT) AS dof,
+               round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 4)
+                   AS chi2,
+               count(*) AS n_cells,
+               round(max(round(contrib, 6)), 6) AS max_cell_contrib
+        FROM scored GROUP BY dof
 """
