@@ -129,6 +129,7 @@ HEADLINE = [
     "sql_join_graph",
     "salted_event_stats",
     "lang_source_chi2",
+    "linear_attribution",
 ]
 
 

@@ -137,6 +137,49 @@ def bounded_range_join_count(
     )
 
 
+def bounded_range_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_id: str,
+    lookback_minutes: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Pair-level variant of the bucketized interval join: emits one row
+    per qualifying (left, right) pair — (left_id, _lts, _rts) — with the
+    same equi-key (key, bucket) meeting rule and exact-interval residual
+    filter as the count/min variants. The multi-touch attribution and
+    pair-feature building block: same single hash shuffle, bounded 2x
+    fan-out of the right side."""
+    width_us = lookback_minutes * 60 * 1_000_000
+    lb = left.select(
+        F.col(left_id),
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).alias("_lts"),
+        (F.unix_micros(F.col(left_ts)) / width_us).cast("bigint").alias("_b"),
+    )
+    rb = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).alias("_rts"),
+        F.explode(
+            F.array(
+                (F.unix_micros(F.col(right_ts)) / width_us).cast("bigint"),
+                (F.unix_micros(F.col(right_ts)) / width_us).cast("bigint") + 1,
+            )
+        ).alias("_b"),
+    )
+    return (
+        lb.join(rb, ["_k", "_b"])
+        .filter(
+            (F.unix_micros(F.col("_rts"))
+             >= F.unix_micros(F.col("_lts")) - width_us)
+            & (F.col("_rts") <= F.col("_lts"))
+        )
+        .select(F.col(left_id), "_lts", "_rts")
+    )
+
+
 def bounded_range_join_min_ts(
     left: DataFrame,
     right: DataFrame,

@@ -859,7 +859,46 @@ def late_data_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (the equal-split complement of
+    first_touch_attribution): each purchase's value splits equally over
+    ALL the user's clicks in the preceding 24h, credited to the click's
+    hour-of-day — "which touch hours drive conversions". Pairs come from
+    the bucketized interval join (operators/windows.py:
+    bounded_range_join_pairs — one hash shuffle, never the O(n*m)
+    inequality join), and the ORACLE runs exactly that naive inequality
+    join, so the hash match proves the bucketized rewrite lossless at
+    pair level. Per-pair credit is rounded then DECIMAL-summed
+    (order-insensitive)."""
+    from codebase_rag_spark.operators.windows import bounded_range_join_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = bounded_range_join_pairs(
+        purchases, clicks, "user_id", "event_id", lookback_minutes=24 * 60
+    )
+    w = Window.partitionBy("event_id")
+    credited = (
+        pairs.join(purchases.select("event_id", "value"), "event_id")
+        .withColumn("_n", F.count("*").over(w))
+        .select(
+            F.hour("_rts").alias("touch_hour"),
+            F.round(F.col("value") / F.col("_n"), 6)
+            .cast("decimal(18,6)")
+            .alias("credit"),
+        )
+    )
+    return credited.groupBy("touch_hour").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 4).alias("total_credit"),
+    )
+
+
 QUERIES = {
+    "linear_attribution": linear_attribution,
     "late_data_backfill": late_data_backfill,
     "value_quantile_sketch": value_quantile_sketch,
     "time_weighted_value": time_weighted_value,
@@ -1570,4 +1609,30 @@ ORACLES["late_data_backfill"] = """
                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
                    AS sum_value
         FROM events GROUP BY 1, 2
+"""
+
+ORACLES["linear_attribution"] = """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        pairs AS (
+            SELECT p.event_id, p.value, c.ts AS click_ts
+            FROM purchases p JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000
+        ),
+        credited AS (
+            SELECT CAST(hour(click_ts) AS INTEGER) AS touch_hour,
+                   CAST(round(value / (count(*) OVER (PARTITION BY event_id)),
+                              6) AS DECIMAL(18,6)) AS credit
+            FROM pairs
+        )
+        SELECT touch_hour, count(*) AS n_touches,
+               round(CAST(sum(credit) AS DOUBLE), 4) AS total_credit
+        FROM credited GROUP BY touch_hour
 """
