@@ -130,6 +130,8 @@ HEADLINE = [
     "salted_event_stats",
     "lang_source_chi2",
     "linear_attribution",
+    "rfm_segments",
+    "part_basket_rules",
 ]
 
 

@@ -48,16 +48,18 @@ def _sharded(df: DataFrame, order_exprs: list[Column], num_shards: int | None):
     ranged = df.repartitionByRange(num_shards, *order_exprs)
     sharded = ranged.withColumn("_shard", F.spark_partition_id())
     # Both the window branch and the offsets branch must see IDENTICAL
-    # shard ids. Normally Catalyst's exchange reuse guarantees this (both
-    # branches canonicalize to the same RangePartitioning exchange, which
-    # executes once). If the session disabled reuse, range boundaries
-    # would be re-sampled per branch (the sampler is seeded by rdd id) and
-    # boundary rows could land in different shards — so pin the sharded
-    # set with a lazy localCheckpoint (materialized once on first action,
-    # shared by both branches at the RDD level) instead.
-    if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() == "false":
-        sharded = sharded.localCheckpoint(eager=False)
-    return sharded
+    # shard ids, and repartitionByRange SAMPLES its boundaries — if the
+    # two branches execute the exchange separately, boundary rows can
+    # land in different shards and the row numbers silently corrupt.
+    # Catalyst's exchange reuse unifies the branches for a SINGLE
+    # global_* call, but demonstrably fails for NESTED calls (chained
+    # RFM ntiles diverged at sf0.1: each dimension's branches re-sampled
+    # inside the deeper plan). Pin unconditionally with a lazy
+    # localCheckpoint: the ranged set materializes once on first action
+    # and every branch reads the same RDD — correctness of the exact
+    # decomposition must not depend on a plan-canonicalization
+    # optimization firing.
+    return sharded.localCheckpoint(eager=False)
 
 
 def _shard_offsets(sharded: DataFrame, sum_exprs: dict[str, Column]) -> DataFrame:

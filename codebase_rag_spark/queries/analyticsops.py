@@ -394,6 +394,51 @@ def order_value_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: part pairs
+    co-occurring in the same order, scored by support / confidence /
+    lift — the classic affinity analysis. The pair join is keyed on
+    l_orderkey (baskets are small — TPC-H orders hold <= 7 items — so
+    the per-basket pair fan-out is bounded; at scale, cap basket size
+    first), part marginals broadcast back, lift computed as exact
+    integer products before ONE double division. Top-20 by lift with
+    full tiebreaks."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("pa") < F.col("pb"))
+    ab = pairs.groupBy("pa", "pb").agg(F.count("*").alias("n_ab"))
+    marg = li.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    scored = (
+        ab.join(
+            F.broadcast(marg.select(F.col("l_partkey").alias("pa"),
+                                    F.col("n_p").alias("n_a"))), "pa")
+        .join(
+            F.broadcast(marg.select(F.col("l_partkey").alias("pb"),
+                                    F.col("n_p").alias("n_b"))), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "n_ab",
+            F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")), 6,
+            ).alias("lift"),
+        )
+    )
+    return scored.filter(F.col("n_ab") >= 2).orderBy(
+        F.desc("lift"), "pa", "pb"
+    ).limit(20)
+
+
 def rank_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-family ranking-function suite (SURVEY §2.5): rank / dense_rank /
     percent_rank / cume_dist / ntile over supplier balances per nation —
@@ -485,6 +530,7 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "part_basket_rules": part_basket_rules,
     "lang_source_chi2": lang_source_chi2,
     "salted_event_stats": salted_event_stats,
     "rank_functions_suite": rank_functions_suite,
@@ -838,4 +884,29 @@ ORACLES["lang_source_chi2"] = """
                count(*) AS n_cells,
                round(max(round(contrib, 6)), 6) AS max_cell_contrib
         FROM scored GROUP BY dof
+"""
+
+ORACLES["part_basket_rules"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n_o AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   count(*) AS n_ab
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        marg AS (SELECT l_partkey, count(*) AS n_p FROM li GROUP BY 1)
+        SELECT pa, pb, n_ab,
+               round(n_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+               round(n_ab / CAST(ma.n_p AS DOUBLE), 6) AS confidence,
+               round((n_ab * n_orders) / CAST(ma.n_p * mb.n_p AS DOUBLE), 6)
+                   AS lift
+        FROM pairs
+        JOIN marg ma ON ma.l_partkey = pa
+        JOIN marg mb ON mb.l_partkey = pb, n_o
+        WHERE n_ab >= 2
+        ORDER BY lift DESC, pa, pb LIMIT 20
 """

@@ -460,6 +460,34 @@ def top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the classic lifecycle-marketing partition, built on the
+    SCALE-SAFE exact NTILE (operators/scalewin.py:global_ntile: range-
+    sharded row numbers + closed-form tile, never a single-partition
+    window; three orderings = three range exchanges over the per-customer
+    aggregate). Monetary rides DECIMAL; every ordering carries the
+    custkey tiebreak so tiles are deterministic. Output: segment cube
+    with counts and total monetary value."""
+    from codebase_rag_spark.operators.scalewin import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("mon"),
+    )
+    r = global_ntile(
+        cust, [F.desc("last_order"), F.col("o_custkey")], 4, "r_tier"
+    )
+    rf = global_ntile(r, [F.desc("freq"), F.col("o_custkey")], 4, "f_tier")
+    rfm = global_ntile(rf, [F.desc("mon"), F.col("o_custkey")], 4, "m_tier")
+    return rfm.groupBy("r_tier", "f_tier", "m_tier").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("mon").cast("double"), 2).alias("total_monetary"),
+    )
+
+
 def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated fact->dim join (operators/skewjoin.py): orders
     salted 8 ways against the customer dim (dim replicated per salt),
@@ -483,6 +511,7 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rfm_segments": rfm_segments,
     "salted_segment_revenue": salted_segment_revenue,
     "pricing_summary": pricing_summary,
     "top_customers_lateral": top_customers_lateral,
@@ -759,4 +788,27 @@ ORACLES["salted_segment_revenue"] = """
                count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+"""
+
+ORACLES["rfm_segments"] = """
+        WITH cust AS (
+            SELECT o_custkey, max(o_orderdate) AS last_order,
+                   count(*) AS freq,
+                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS mon
+            FROM orders GROUP BY o_custkey
+        ),
+        t AS (
+            SELECT *,
+                   ntile(4) OVER (ORDER BY last_order DESC, o_custkey)
+                       AS r_tier,
+                   ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_tier,
+                   ntile(4) OVER (ORDER BY mon DESC, o_custkey) AS m_tier
+            FROM cust
+        )
+        SELECT CAST(r_tier AS INTEGER) AS r_tier,
+               CAST(f_tier AS INTEGER) AS f_tier,
+               CAST(m_tier AS INTEGER) AS m_tier,
+               count(*) AS n_customers,
+               round(CAST(sum(mon) AS DOUBLE), 2) AS total_monetary
+        FROM t GROUP BY r_tier, f_tier, m_tier
 """
