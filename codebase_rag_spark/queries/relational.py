@@ -477,11 +477,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("mon"),
     )
+    # 8 shards: the per-customer aggregate is tiny relative to the
+    # corpus (one row per customer), so fewer, fuller shards beat 32
+    # near-empty ones; the decomposition is exact for ANY shard count
     r = global_ntile(
-        cust, [F.desc("last_order"), F.col("o_custkey")], 4, "r_tier"
+        cust, [F.desc("last_order"), F.col("o_custkey")], 4, "r_tier",
+        num_shards=8,
     )
-    rf = global_ntile(r, [F.desc("freq"), F.col("o_custkey")], 4, "f_tier")
-    rfm = global_ntile(rf, [F.desc("mon"), F.col("o_custkey")], 4, "m_tier")
+    rf = global_ntile(
+        r, [F.desc("freq"), F.col("o_custkey")], 4, "f_tier", num_shards=8
+    )
+    rfm = global_ntile(
+        rf, [F.desc("mon"), F.col("o_custkey")], 4, "m_tier", num_shards=8
+    )
     return rfm.groupBy("r_tier", "f_tier", "m_tier").agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("mon").cast("double"), 2).alias("total_monetary"),
