@@ -132,6 +132,7 @@ HEADLINE = [
     "linear_attribution",
     "rfm_segments",
     "part_basket_rules",
+    "media_resize",
 ]
 
 

@@ -249,3 +249,61 @@ def wav_audio_info(data_col) -> "F.Column":
         F.when(is_wav, bits).alias("bits_per_sample"),
         F.when(is_wav, duration_ms).alias("duration_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_w", T.IntegerType()),
+        T.StructField("new_h", T.IntegerType()),
+        T.StructField("n_out_bytes", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize stage plumbing over mapInPandas (the third multimodal
+    verb after decode and frame-sample): per image, the aspect-preserving
+    INTEGER resize arithmetic (new = dim * max_dim // max(w, h), floor,
+    min 1 — no float scale, so every engine agrees bit-for-bit) plus a
+    deterministic stand-in for the pixel resample (byte-prefix checksum).
+    A real backend (PIL.Image.thumbnail) swaps in for _resize_one; the
+    Arrow batch shape, schema and routing are identical either way."""
+
+    def _resize_one(mid: int, data: bytes) -> dict:
+        b = bytes(data or b"")
+        w = (b[0] % 64 + 1) if b else 0
+        h = (b[1] % 64 + 1) if len(b) > 1 else 0
+        m = max(w, h)
+        if m > max_dim:
+            nw = max(1, w * max_dim // m)
+            nh = max(1, h * max_dim // m)
+        else:
+            nw, nh = w, h
+        n_out = min(len(b), nw * nh, 16)
+        return {
+            "media_id": mid,
+            "width": int(w),
+            "height": int(h),
+            "new_w": int(nw),
+            "new_h": int(nh),
+            "n_out_bytes": int(n_out),
+            "checksum": int(sum(b[:n_out]) % 256),
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _resize_one(mid, data)
+                for mid, data in zip(pdf["media_id"], pdf["data"])
+            ]
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("media_type") == "image").select(
+        "media_id", "data"
+    ).mapInPandas(run, RESIZED_SCHEMA)

@@ -227,6 +227,20 @@ def bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (operators/multimodal.py:resize_media):
+    aspect-preserving INTEGER resize arithmetic (dim * 32 // max(w, h),
+    floor, min 1 — engine-exact, no float scale) over the image rows of
+    the synthesized media table, mapInPandas-batched, with a byte-prefix
+    checksum standing in for the pixel resample. The oracle re-derives
+    everything from the md5 hex digest."""
+    from codebase_rag_spark.operators.multimodal import resize_media
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = fake_media_from_text(d, "doc_id", "text")
+    return resize_media(media, max_dim=32)
+
+
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1' deterministic hash-embedder (replaces provider embeddings,
     embeddings.py:7-202): first 4 components per doc."""
@@ -269,6 +283,7 @@ QUERIES = {
     "media_metadata": media_metadata,
     "video_frame_sample": video_frame_sample,
     "audio_metadata": audio_metadata,
+    "media_resize": media_resize,
     "bpe_segmentation": bpe_segmentation,
     "embed_documents": embed_documents,
     "commit_classification": commit_classification,
@@ -510,4 +525,43 @@ ORACLES["bpe_segmentation"] = """
             (4, 1, 'ne'),
             (4, 2, 'w'),
             (4, 3, 'wide')) g(text_id, pos, token)
+"""
+
+
+ORACLES["media_resize"] = """
+        WITH m AS (
+            SELECT doc_id AS media_id, md5(text) AS h
+            FROM documents
+            WHERE doc_id < 100 AND doc_id % 3 = 0
+        ),
+        b AS (
+            SELECT media_id,
+                   list_transform(generate_series(1, 16),
+                                  i -> ('0x' || substr(h, 2*i - 1, 2))::INT)
+                       AS bytes
+            FROM m
+        ),
+        dims AS (
+            SELECT media_id, bytes,
+                   CAST(bytes[1] % 64 + 1 AS INTEGER) AS width,
+                   CAST(bytes[2] % 64 + 1 AS INTEGER) AS height
+            FROM b
+        ),
+        rs AS (
+            SELECT media_id, bytes, width, height,
+                   CASE WHEN greatest(width, height) > 32
+                        THEN greatest(1, width * 32 // greatest(width, height))
+                        ELSE width END AS new_w,
+                   CASE WHEN greatest(width, height) > 32
+                        THEN greatest(1, height * 32 // greatest(width, height))
+                        ELSE height END AS new_h
+            FROM dims
+        )
+        SELECT media_id, width, height,
+               CAST(new_w AS INTEGER) AS new_w,
+               CAST(new_h AS INTEGER) AS new_h,
+               CAST(least(16, new_w * new_h) AS INTEGER) AS n_out_bytes,
+               CAST(list_sum(list_slice(bytes, 1, least(16, new_w * new_h)))
+                    % 256 AS INTEGER) AS checksum
+        FROM rs
 """
