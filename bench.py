@@ -133,6 +133,7 @@ HEADLINE = [
     "rfm_segments",
     "part_basket_rules",
     "media_resize",
+    "tfidf_documents",
 ]
 
 

@@ -176,3 +176,57 @@ def topk_per_term(index: DataFrame, k: int = 5) -> DataFrame:
     return index.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def tfidf_search(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Classic TF-IDF ranking (Salton's vector model — the pre-BM25
+    baseline the IR literature benchmarks against):
+
+      score(d) = sum_t (tf(t,d) / dl(d)) * ln(N / df(t))
+
+    Same plan family as bm25_search: postings join a broadcast query
+    slice, per-term df aggregate, ONE doc-length projection whose 1-row
+    stats ride the plan as a broadcast (no eager fetch), one per-doc
+    aggregate -> TakeOrderedAndProject."""
+    idx = (
+        index
+        if index is not None
+        else build_inverted_index(docs, id_col, text_col)
+    )
+    spark = docs.sparkSession
+    q = spark.createDataFrame([(t.lower(),) for t in terms], ["term"])
+    matched = idx.join(F.broadcast(q), "term")
+
+    dl = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("double").alias("dl"),
+    )
+    stats = dl.agg(F.count("*").cast("double").alias("_n"))
+    df_counts = matched.groupBy("term").agg(
+        F.countDistinct("id").cast("double").alias("df")
+    )
+    term_side = (
+        df_counts.crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.log(F.col("_n") / F.col("df")))
+        .select("term", "idf")
+    )
+    contrib = (
+        matched.join(F.broadcast(term_side), "term")
+        .join(dl, "id")
+        .select(
+            "id", (F.col("tf") / F.col("dl") * F.col("idf")).alias("_c")
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(F.round(F.sum("_c"), 6).alias("tfidf"))
+        .orderBy(F.desc("tfidf"), "id")
+        .limit(k)
+    )

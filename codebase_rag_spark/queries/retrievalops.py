@@ -39,6 +39,18 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF top-15 (operators/fulltext.py:tfidf_search) — the
+    vector-model baseline next to BM25, same query terms, same plan
+    family (broadcast query slice + lazy 1-row corpus stats)."""
+    from codebase_rag_spark.operators.fulltext import tfidf_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_search(d, TERMS, "doc_id", "text", k=15).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion of a text branch (term-frequency top-20) and
     a vector branch (cosine-to-query top-20, vec_id==doc_id): the
@@ -212,6 +224,7 @@ def sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "tfidf_documents": tfidf_documents,
     "fulltext_search": fulltext_search,
     "bm25_documents": bm25_documents,
     "rrf_fusion": rrf_fusion,
@@ -446,4 +459,40 @@ ORACLES["sql_udf_net_revenue"] = """
                                    AS DECIMAL(18,6))) AS DOUBLE), 2) AS net_revenue,
                CAST(sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
         FROM lineitem GROUP BY l_returnflag
+"""
+
+
+ORACLES["tfidf_documents"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+            FROM documents
+        ),
+        postings AS (
+            SELECT term, doc_id, count(*)::BIGINT AS tf
+            FROM toks GROUP BY term, doc_id
+        ),
+        q(term) AS (VALUES ('vector'), ('join'), ('merge')),
+        matched AS (SELECT p.* FROM postings p JOIN q USING (term)),
+        stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        dfc AS (
+            SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM matched
+            GROUP BY term
+        ),
+        dl AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE AS dl
+            FROM documents
+        ),
+        contrib AS (
+            SELECT m.doc_id,
+                   (m.tf / dl.dl) * ln((SELECT n FROM stats) / dfc.df) AS c
+            FROM matched m
+            JOIN dfc USING (term)
+            JOIN dl ON dl.doc_id = m.doc_id
+        )
+        SELECT doc_id, round(sum(c), 6) AS tfidf
+        FROM contrib GROUP BY doc_id
+        ORDER BY tfidf DESC, doc_id
+        LIMIT 15
 """
