@@ -134,6 +134,9 @@ HEADLINE = [
     "part_basket_rules",
     "media_resize",
     "tfidf_documents",
+    "session_bounce_stats",
+    "monthly_revenue_growth",
+    "customer_pareto",
 ]
 
 

@@ -897,7 +897,71 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics session quality: per session-length bucket
+    (1 = bounce, 2-4, 5+), session count, share of all sessions, and
+    average session duration in seconds — the bounce-rate report over
+    the same gap sessionization as user_sessions (one user-keyed
+    shuffle; the bucket rollup is O(3))."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "ts", "user_id", gap_minutes=30)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_ev"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dur_us"
+        ),
+    )
+    bucket = (
+        F.when(F.col("n_ev") == 1, F.lit("1_bounce"))
+        .when(F.col("n_ev") <= 4, F.lit("2_to_4"))
+        .otherwise(F.lit("5_plus"))
+    )
+    tot = per.agg(F.count("*").alias("_t"))
+    return (
+        per.select(bucket.alias("bucket"), "dur_us")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.sum("dur_us") / F.count("*") / 1e6, 2).alias(
+                "avg_duration_s"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_sessions",
+            F.round(F.col("n_sessions") / F.col("_t"), 6).alias("share"),
+            "avg_duration_s",
+        )
+    )
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period BI report: monthly order revenue with previous
+    month and growth percent (lag window). The window input is the
+    per-month AGGREGATE — O(#months), which does not grow with corpus
+    size — so the unpartitioned lag here is bounded by the calendar, not
+    the data (the documented exception to the no-global-window rule).
+    Revenue sums ride DECIMAL; growth is one rounded double division."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    w = Window.orderBy("month")
+    rev_d = F.col("rev").cast("double")
+    prev = F.lag(rev_d).over(w)
+    return monthly.select(
+        "month",
+        F.round(rev_d, 2).alias("revenue"),
+        F.round((rev_d - prev) / prev * 100, 4).alias("growth_pct"),
+    )
+
+
 QUERIES = {
+    "session_bounce_stats": session_bounce_stats,
+    "monthly_revenue_growth": monthly_revenue_growth,
     "linear_attribution": linear_attribution,
     "late_data_backfill": late_data_backfill,
     "value_quantile_sketch": value_quantile_sketch,
@@ -1635,4 +1699,54 @@ ORACLES["linear_attribution"] = """
         SELECT touch_hour, count(*) AS n_touches,
                round(CAST(sum(credit) AS DOUBLE), 4) AS total_credit
         FROM credited GROUP BY touch_hour
+"""
+
+
+ORACLES["session_bounce_stats"] = """
+        WITH s AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s2 AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM s
+        ),
+        per AS (
+            SELECT user_id, session_id, count(*) AS n_ev,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+            FROM s2 GROUP BY user_id, session_id
+        ),
+        tot AS (SELECT count(*) AS t FROM per)
+        SELECT CASE WHEN n_ev = 1 THEN '1_bounce'
+                    WHEN n_ev <= 4 THEN '2_to_4'
+                    ELSE '5_plus' END AS bucket,
+               count(*) AS n_sessions,
+               round(count(*) / CAST(t AS DOUBLE), 6) AS share,
+               round(sum(dur_us) / count(*) / 1e6, 2) AS avg_duration_s
+        FROM per, tot
+        GROUP BY 1, t
+"""
+
+ORACLES["monthly_revenue_growth"] = """
+        WITH monthly AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT month,
+               round(CAST(rev AS DOUBLE), 2) AS revenue,
+               round(CAST(rev - lag(rev) OVER w AS DOUBLE)
+                     / CAST(lag(rev) OVER w AS DOUBLE) * 100, 4)
+                   AS growth_pct
+        FROM monthly
+        WINDOW w AS (ORDER BY month)
 """

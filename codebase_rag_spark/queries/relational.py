@@ -460,6 +460,46 @@ def top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto / 80-20) curve: customers ranked by
+    total order value descending, exact cumulative revenue via the
+    scale-safe sharded running sum (operators/scalewin.py:
+    global_order_stats — per-shard windows + broadcast offsets, never a
+    single-partition window), reported at each customer-count decile:
+    what share of revenue do the top 10%/20%/... customers hold.
+    Revenue is DECIMAL end-to-end, so the running sum is exact and the
+    decile shares are engine-identical after one rounded division."""
+    from codebase_rag_spark.operators.scalewin import global_ntile, global_order_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    order_exprs = [F.desc("rev"), F.col("o_custkey")]
+    ranked = global_order_stats(
+        cust, order_exprs, rn_col="rn",
+        cum_sums={"cum_rev": F.col("rev")}, num_shards=8,
+    )
+    tiled = global_ntile(ranked, order_exprs, 10, "decile", num_shards=8)
+    tot = cust.agg(
+        F.sum("rev").alias("_total"), F.count("*").alias("_n")
+    )
+    per_decile = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.max("cum_rev").alias("_cum_at_end"),
+    )
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(
+                (F.col("_cum_at_end") / F.col("_total")).cast("double"), 6
+            ).alias("cum_revenue_share"),
+        )
+    )
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary
     quartiles) — the classic lifecycle-marketing partition, built on the
@@ -519,6 +559,7 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "customer_pareto": customer_pareto,
     "rfm_segments": rfm_segments,
     "salted_segment_revenue": salted_segment_revenue,
     "pricing_summary": pricing_summary,
@@ -819,4 +860,28 @@ ORACLES["rfm_segments"] = """
                count(*) AS n_customers,
                round(CAST(sum(mon) AS DOUBLE), 2) AS total_monetary
         FROM t GROUP BY r_tier, f_tier, m_tier
+"""
+
+ORACLES["customer_pareto"] = """
+        WITH cust AS (
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, rev,
+                   row_number() OVER w AS rn,
+                   sum(rev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_rev,
+                   ntile(10) OVER w AS decile
+            FROM cust
+            WINDOW w AS (ORDER BY rev DESC, o_custkey)
+        ),
+        tot AS (SELECT sum(rev) AS total FROM cust)
+        SELECT CAST(decile AS INTEGER) AS decile,
+               count(*) AS n_customers,
+               round(CAST(max(cum_rev) / total AS DOUBLE), 6)
+                   AS cum_revenue_share
+        FROM ranked, tot
+        GROUP BY decile, total
 """
