@@ -137,6 +137,8 @@ HEADLINE = [
     "session_bounce_stats",
     "monthly_revenue_growth",
     "customer_pareto",
+    "packing_efficiency",
+    "dedup_boundary_pairs",
 ]
 
 

@@ -28,6 +28,53 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch efficiency report over the 512-token sequence
+    packing (operators/sampling.py:sequence_packing): per-bin fill
+    statistics rolled up to ONE row — bins used, mean fill fraction,
+    boundary-crossing doc count, and the padding waste of the tail bin.
+    The metric every pretraining run watches (wasted pad tokens = wasted
+    FLOPs); the oracle chains the identical packing SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = sequence_packing(d, "doc_id", token_count(F.col("text")), seq_len=512)
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("_toks"),
+        F.count("*").alias("_docs"),
+        F.sum(F.when(F.col("crosses_boundary"), 1).otherwise(0)).alias("_cross"),
+    )
+    return per_bin.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("_docs").cast("bigint").alias("n_docs"),
+        F.sum("_cross").cast("bigint").alias("n_boundary_crossers"),
+        F.round(F.sum("_toks") / (F.count("*") * 512.0), 6).alias(
+            "mean_fill"
+        ),
+        F.max("bin_id").cast("bigint").alias("last_bin"),
+    )
+
+
+def dedup_boundary_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example mining for a learned dedup model: LSH candidate
+    pairs whose token-Jaccard lands in the DECISION BAND [0.3, 0.8) —
+    too similar to ignore, not similar enough to auto-drop. Exactly the
+    pairs a human (or a trained classifier) must adjudicate, and the
+    training set that teaches one. Candidates-only (never all-pairs);
+    same md5 LSH machinery as the dedup stack."""
+    from codebase_rag_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=4, bands=2, shingle_size=3
+    )
+    scored = ngram_jaccard_pairs(
+        d, "doc_id", "text", candidates=cands, threshold=0.3
+    )
+    return scored.filter(F.col("jaccard") < 0.8)
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (null rate / distinct / min / max) over lineitem —
     the data-quality pass every training pipeline runs before use."""
@@ -162,6 +209,8 @@ def neyman_alloc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "packing_efficiency": packing_efficiency,
+    "dedup_boundary_pairs": dedup_boundary_pairs,
     "aes_weighted_reservoir": aes_weighted_reservoir,
     "neyman_alloc_sample": neyman_alloc_sample,
     "doc_train_test_split": doc_train_test_split,
@@ -375,4 +424,67 @@ ORACLES["neyman_alloc_sample"] = """
         FROM ranked r JOIN alloc a ON a.lang = r.lang
         WHERE r.rk <= a.n_alloc
         GROUP BY r.lang
+"""
+
+
+ORACLES["packing_efficiency"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM t
+        ),
+        packed AS (
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+                   ((cum - n_tokens) // 512) <> ((cum - 1) // 512)
+                       AS crosses_boundary
+            FROM c
+        ),
+        per_bin AS (
+            SELECT bin_id, sum(n_tokens) AS toks, count(*) AS docs,
+                   sum(CASE WHEN crosses_boundary THEN 1 ELSE 0 END) AS crs
+            FROM packed GROUP BY bin_id
+        )
+        SELECT count(*) AS n_bins,
+               CAST(sum(docs) AS BIGINT) AS n_docs,
+               CAST(sum(crs) AS BIGINT) AS n_boundary_crossers,
+               round(sum(toks) / (count(*) * 512.0), 6) AS mean_fill,
+               CAST(max(bin_id) AS BIGINT) AS last_bin
+        FROM per_bin
+"""
+
+
+def _lsh_cand_sql() -> str:
+    from codebase_rag_spark.queries.dedupops import ORACLES as _D
+
+    return _D["lsh_candidates"]
+
+
+ORACLES["dedup_boundary_pairs"] = rf"""
+        WITH cand AS (SELECT * FROM ({_lsh_cand_sql()}) q),
+        t AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(text, '\s+')) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.toks, b.toks))),
+                         4) AS jaccard
+            FROM cand c
+            JOIN t a ON a.doc_id = c.id_a
+            JOIN t b ON b.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, jaccard
+        FROM scored WHERE jaccard >= 0.3 AND jaccard < 0.8
 """
