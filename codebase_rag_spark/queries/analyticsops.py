@@ -394,19 +394,43 @@ def order_value_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Baskets larger than this are excluded from the pair join (s items
+#: fan out to s^2/2 pairs — one pathological mega-basket would hot-spot
+#: a single reducer, exactly the skew the LSH band-bucket guard in
+#: operators/dedup.py caps). TPC-H orders hold <= 7 items, so the
+#: oracle-checked result is unchanged at every SF; the cap is enforced
+#: in BOTH engines so the equivalence holds for arbitrary data too.
+MAX_BASKET_SIZE = 64
+
+
 def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets: part pairs
     co-occurring in the same order, scored by support / confidence /
     lift — the classic affinity analysis. The pair join is keyed on
-    l_orderkey (baskets are small — TPC-H orders hold <= 7 items — so
-    the per-basket pair fan-out is bounded; at scale, cap basket size
-    first), part marginals broadcast back, lift computed as exact
-    integer products before ONE double division. Top-20 by lift with
-    full tiebreaks."""
+    l_orderkey with baskets capped at MAX_BASKET_SIZE BEFORE the
+    self-join (the per-basket pair fan-out is therefore bounded at
+    s^2/2 <= 2048 rows — no mega-basket can hot-spot a reducer); part
+    marginals join back with no explicit broadcast hint (the marginal
+    table grows with part cardinality — at 100x parts a forced
+    broadcast would exceed driver limits; AQE picks broadcast while it
+    fits and falls back to shuffle join when it does not), lift
+    computed as exact integer products before ONE double division.
+    Top-20 by lift with full tiebreaks."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+    )
+    # Skew guard: drop oversized baskets before any pair fan-out. The
+    # size agg reuses the l_orderkey shuffle the pair join needs anyway.
+    # The capped basket set feeds FIVE consumers (n_orders, both pair
+    # sides, both marginals) — pin it with a lazy localCheckpoint so the
+    # distinct+cap subtree runs once instead of being replayed per branch.
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("_bs"))
+    li = (
+        li.join(sizes.filter(F.col("_bs") <= MAX_BASKET_SIZE), "l_orderkey")
+        .drop("_bs")
+        .localCheckpoint(eager=False)
     )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
@@ -418,11 +442,11 @@ def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     marg = li.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
     scored = (
         ab.join(
-            F.broadcast(marg.select(F.col("l_partkey").alias("pa"),
-                                    F.col("n_p").alias("n_a"))), "pa")
+            marg.select(F.col("l_partkey").alias("pa"),
+                        F.col("n_p").alias("n_a")), "pa")
         .join(
-            F.broadcast(marg.select(F.col("l_partkey").alias("pb"),
-                                    F.col("n_p").alias("n_b"))), "pb")
+            marg.select(F.col("l_partkey").alias("pb"),
+                        F.col("n_p").alias("n_b")), "pb")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "pa", "pb", "n_ab",
@@ -887,8 +911,16 @@ ORACLES["lang_source_chi2"] = """
 """
 
 ORACLES["part_basket_rules"] = """
-        WITH li AS (
+        WITH li0 AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        -- same MAX_BASKET_SIZE=64 skew cap as the Spark side
+        li AS (
+            SELECT l_orderkey, l_partkey FROM li0
+            WHERE l_orderkey IN (
+                SELECT l_orderkey FROM li0
+                GROUP BY l_orderkey HAVING count(*) <= 64
+            )
         ),
         n_o AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
         pairs AS (

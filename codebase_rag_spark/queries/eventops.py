@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.operators.detsum import FANOUT, det_group_sum
 from codebase_rag_spark.operators.windows import (
     asof_join,
     bounded_range_join_count,
@@ -265,31 +266,23 @@ def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     last(ignorenulls) over an ordered per-type window — no driver-side
     date loop, and the spine grows with the time range, not the data."""
     e = load_table(spark, sf_dir, "events")
-    # avg via a CANONICAL-ORDER fold: a plain double avg() is
-    # summation-order-dependent, and at sf0.1 a few hourly groups land on
-    # a .xxxx5 rounding boundary where Spark's and DuckDB's accumulation
-    # orders disagree (decimal casts don't help — DuckDB truncates where
-    # Spark rounds). Sorting each group's values and folding left-to-right
-    # makes the double sum bit-identical in any engine. NOTE: this is an
-    # oracle-exactness tradeoff bounded at benchmark scale — an
-    # (event_type, hour) group grows with event rate, so a hot hour at
-    # full corpus scale would overflow the collected array; there, drop
-    # to plain avg() (or a pairwise/Kahan tree sum) and accept last-ulp
-    # divergence from other engines.
-    hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(
-        F.count("*").alias("n"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("value")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            / F.count("*"),
-            4,
-        ).alias("avg_value"),
-    )
+    # avg via a DETERMINISTIC SEGMENTED fold (operators/detsum.py): a
+    # plain double avg() is summation-order-dependent, and at sf0.1 a few
+    # hourly groups land on a .xxxx5 rounding boundary where Spark's and
+    # DuckDB's accumulation orders disagree. Folding in a fixed two-level
+    # schedule (segment by pmod(event_id, FANOUT), fold each segment's
+    # sorted values, fold segment sums in segment order) is bit-identical
+    # in any engine AND buffer-bounded: a hot hour folds ~|hour|/4096
+    # values per task instead of the whole hour in one array.
+    hourly = det_group_sum(
+        e.withColumn("h", F.date_trunc("hour", "ts")),
+        ["event_type", "h"],
+        seg=F.pmod("event_id", F.lit(FANOUT)),
+        order_key=F.col("value"),
+        value=F.col("value"),
+        sum_col="_vsum",
+        n_col="n",
+    ).withColumn("avg_value", F.round(F.col("_vsum") / F.col("n"), 4)).drop("_vsum")
     bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     spine = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
@@ -744,11 +737,12 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean when observations carry until the next one): per user,
     sum(value * dt) / sum(dt) with dt = micros until the user's next
     event. Durations stay integer (exact sum); the value*dt products fold
-    in canonical (timestamp-sorted) order so the double numerator is
-    bit-identical in any engine; the oracle emulates Spark's rounding.
-    The per-user fold array is an oracle-exactness tradeoff bounded at
-    benchmark scale — an unboundedly active user would need a pairwise/
-    Kahan segmented sum instead (last-ulp divergence risk, no collect)."""
+    through the deterministic segmented schedule (operators/detsum.py:
+    segment by pmod(micros, FANOUT), timestamp-sorted fold per segment,
+    segment-ordered combine) so the double numerator is bit-identical in
+    any engine with BOUNDED buffers — an unboundedly active user folds
+    ~|user|/4096 values per task, never the whole history in one array.
+    The oracle runs the same schedule and emulates Spark's rounding."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
@@ -758,20 +752,15 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.unix_micros(nxt) - F.unix_micros("ts")).alias("dt"),
     ).filter(F.col("dt").isNotNull())
-    agg = base.groupBy("user_id").agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("k"), (F.col("value") * F.col("dt")).alias("vd")
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x["vd"],
-        ).alias("num"),
-        F.sum("dt").alias("den"),
-        F.count("*").alias("n_intervals"),
+    agg = det_group_sum(
+        base,
+        ["user_id"],
+        seg=F.pmod("k", F.lit(FANOUT)),
+        order_key=F.col("k"),
+        value=F.col("value") * F.col("dt"),
+        int_sums={"den": F.col("dt")},
+        sum_col="num",
+        n_col="n_intervals",
     )
     return agg.select(
         "user_id",
@@ -1393,14 +1382,26 @@ ORACLES["time_weighted_value"] = """
             FROM events WHERE user_id < 30
         ),
         b AS (SELECT * FROM w WHERE dt IS NOT NULL),
+        seg AS (
+            -- same deterministic segmented fold as operators/detsum.py
+            -- (FANOUT=4096): segment by k % 4096, fold each segment's
+            -- (k)-sorted products, fold segment sums in segment order
+            SELECT user_id, k % 4096 AS s,
+                   list_reduce(list_prepend(0.0, list_transform(
+                       list_sort(list({'k': k, 'vd': value * dt})),
+                       t -> t.vd)), (a, c) -> a + c) AS s1,
+                   CAST(sum(dt) AS BIGINT) AS den1,
+                   count(*) AS n1
+            FROM b GROUP BY user_id, k % 4096
+        ),
         agg AS (
             SELECT user_id,
                    list_reduce(list_prepend(0.0, list_transform(
-                       list_sort(list({'k': k, 'vd': value * dt})),
-                       s -> s.vd)), (a, c) -> a + c) AS num,
-                   CAST(sum(dt) AS BIGINT) AS den,
-                   count(*) AS n_intervals
-            FROM b GROUP BY user_id
+                       list_sort(list({'k': s, 'v': s1})),
+                       t -> t.v)), (a, c) -> a + c) AS num,
+                   CAST(sum(den1) AS BIGINT) AS den,
+                   CAST(sum(n1) AS BIGINT) AS n_intervals
+            FROM seg GROUP BY user_id
         )
         SELECT user_id, n_intervals,
                CAST(round(CAST(CAST(num / den AS VARCHAR)
@@ -1488,20 +1489,31 @@ ORACLES["conversion_latency"] = """
 """
 
 ORACLES["hourly_gap_fill"] = """
-        WITH hourly AS (
-            -- canonical-order fold makes the double bit-identical to
-            -- Spark's; the round must then emulate Spark's semantics
-            -- (shortest decimal repr -> HALF_UP) because DuckDB's native
-            -- round() multiplies in binary and disagrees exactly on
-            -- representation-boundary values like 47.25375
+        WITH seg AS (
+            -- same deterministic segmented fold as operators/detsum.py
+            -- (FANOUT=4096): segment by event_id % 4096, fold each
+            -- segment's sorted values, fold segment sums in segment
+            -- order — bit-identical to Spark's schedule
             SELECT event_type, date_trunc('hour', ts) AS h,
-                   count(*) AS n,
+                   event_id % 4096 AS s,
+                   count(*) AS n1,
+                   list_reduce(list_prepend(0.0, list_sort(list(value))),
+                               (a, b) -> a + b) AS s1
+            FROM events GROUP BY 1, 2, 3
+        ),
+        hourly AS (
+            -- the round must emulate Spark's semantics (shortest decimal
+            -- repr -> HALF_UP) because DuckDB's native round()
+            -- multiplies in binary and disagrees exactly on
+            -- representation-boundary values like 47.25375
+            SELECT event_type, h, CAST(sum(n1) AS BIGINT) AS n,
                    CAST(round(CAST(CAST(
-                       list_reduce(list_prepend(0.0, list_sort(list(value))),
-                                   (a, b) -> a + b) / count(*)
+                       list_reduce(list_prepend(0.0, list_transform(
+                           list_sort(list({'k': s, 'v': s1})), t -> t.v)),
+                           (a, b) -> a + b) / CAST(sum(n1) AS BIGINT)
                        AS VARCHAR) AS DECIMAL(38,30)), 4) AS DOUBLE)
                        AS avg_value
-            FROM events GROUP BY event_type, date_trunc('hour', ts)
+            FROM seg GROUP BY event_type, h
         ),
         b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
         spine AS (

@@ -1,0 +1,84 @@
+"""operators/detsum.py: the segmented fold must be a pure function of
+the input multiset — identical doubles under any physical partitioning —
+while never collecting a whole group into one array."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.operators.detsum import FANOUT, det_group_sum
+
+
+def _vals(df):
+    return {
+        (r["g"], r["det_n"], r["det_sum"], r.asDict().get("exact"))
+        for r in df.collect()
+    }
+
+
+def test_det_group_sum_partitioning_independent(spark):
+    """Same multiset, three different partitionings -> bit-identical
+    sums (a plain sum(double) would differ in the last ulp)."""
+    base = spark.range(5000).select(
+        (F.col("id") % 7).alias("g"),
+        F.col("id").alias("i"),
+        (F.sin(F.col("id").cast("double")) * 1e6).alias("v"),
+        (F.col("id") % 13).cast("bigint").alias("w"),
+    )
+    results = []
+    for parts in (1, 8, 31):
+        out = det_group_sum(
+            base.repartition(parts),
+            ["g"],
+            seg=F.pmod("i", F.lit(FANOUT)),
+            order_key=F.col("i"),
+            value=F.col("v"),
+            int_sums={"exact": F.col("w")},
+        )
+        results.append(_vals(out))
+    assert results[0] == results[1] == results[2]
+    # counts and exact integer sums agree with direct aggregation
+    direct = {
+        (r["g"], r["n"], r["w"])
+        for r in base.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("w").alias("w"))
+        .collect()
+    }
+    assert {(g, n, e) for (g, n, _s, e) in results[0]} == direct
+
+
+def test_det_group_sum_close_to_plain_sum(spark):
+    """The deterministic fold is still a SUM: within float tolerance of
+    the naive aggregate (it only fixes the order, not the math)."""
+    base = spark.range(2000).select(
+        F.lit(0).alias("g"),
+        F.col("id").alias("i"),
+        (F.cos(F.col("id").cast("double")) * 100).alias("v"),
+    )
+    det = det_group_sum(
+        base, ["g"], seg=F.pmod("i", F.lit(FANOUT)),
+        order_key=F.col("i"), value=F.col("v"),
+    ).collect()[0]
+    plain = base.agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()[0]
+    assert det["det_n"] == plain["n"]
+    assert abs(det["det_sum"] - plain["s"]) < 1e-9 * max(1.0, abs(plain["s"]))
+
+
+def test_det_group_sum_buffers_are_segment_bounded(spark):
+    """No (group, segment) cell ever holds more than ceil(n_group/FANOUT)
+    values when ids are dense — the level-1 arrays shrink by the fanout,
+    which is the whole point of the schedule."""
+    n, groups = 20000, 4
+    # contiguous id blocks per group: residues mod FANOUT spread evenly
+    base = spark.range(n).select(
+        F.floor(F.col("id") / (n // groups)).alias("g"),
+        F.col("id").alias("i"),
+        F.col("id").cast("double").alias("v"),
+    )
+    cell_sizes = (
+        base.groupBy("g", F.pmod("i", F.lit(FANOUT)).alias("s"))
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert cell_sizes <= -(-(n // groups) // FANOUT) + 1

@@ -335,3 +335,50 @@ def test_round3b_ops_plan_contracts(spark, sf_dir):
         assert count_exchanges(df) <= max_exch, name
         assert not has_unpartitioned_window(df), name
         assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_round4_ops_plan_contracts(spark, sf_dir):
+    """Round-4 fixes keep their intended shapes: part_basket_rules caps
+    baskets BEFORE the pair self-join (no cartesian, bounded exchanges,
+    no forced part-marginal broadcast at scale-sensitive cardinality);
+    the gap-fill / time-weighted folds run the two-level detsum schedule
+    (keyed aggregates only — no unpartitioned window, no per-group
+    unbounded single array in a lone reducer)."""
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    bounds = {
+        "part_basket_rules": 7,
+        "hourly_gap_fill": 6,
+        "time_weighted_value": 4,
+    }
+    for name, max_exch in bounds.items():
+        df = QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) <= max_exch, name
+        assert not has_unpartitioned_window(df), name
+        assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_basket_cap_filters_before_pair_join(spark, sf_dir):
+    """The MAX_BASKET_SIZE guard must apply to the pair join's inputs: a
+    synthetic mega-basket above the cap contributes NO pairs (and the
+    capped pair count for TPC-H data equals the uncapped count, since no
+    TPC-H basket exceeds the cap)."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.queries.analyticsops import MAX_BASKET_SIZE
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    mega = spark.range(MAX_BASKET_SIZE + 1).select(
+        F.lit(-1).alias("l_orderkey"), (F.col("id") + 1000000).alias("l_partkey")
+    )
+    both = li.unionByName(mega)
+    sizes = both.groupBy("l_orderkey").agg(F.count("*").alias("_bs"))
+    capped = both.join(
+        sizes.filter(F.col("_bs") <= MAX_BASKET_SIZE), "l_orderkey"
+    ).drop("_bs")
+    assert capped.filter(F.col("l_orderkey") == -1).count() == 0
+    assert capped.count() == li.count()
