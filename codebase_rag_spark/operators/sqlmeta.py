@@ -236,30 +236,50 @@ def transpile_sql(sql: str, read: str, write: str) -> str:
 # converts to \1 for DuckDB's RE2 engine.
 TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
     "oracle": [
-        (r"(?i)\bVARCHAR2\s*\((\d+)\)", "VARCHAR($1)"),
+        (r"(?i)\bNVARCHAR2\s*\(\s*(\d+)\s*\)", "VARCHAR($1)"),
+        # VARCHAR2(30), VARCHAR2(30 CHAR), VARCHAR2(30 BYTE)
+        (r"(?i)\bVARCHAR2\s*\(\s*(\d+)\s*(?:CHAR|BYTE)?\s*\)", "VARCHAR($1)"),
         (r"(?i)\bNUMBER\s*\((\d+)\s*,\s*(\d+)\)", "NUMERIC($1,$2)"),
         (r"(?i)\bNUMBER\s*\((\d+)\)", "NUMERIC($1)"),
         (r"(?i)\bNUMBER\b", "NUMERIC"),
+        (r"(?i)\bBINARY_DOUBLE\b", "DOUBLE PRECISION"),
+        (r"(?i)\bRAW\s*\(\s*\d+\s*\)", "BYTEA"),
         (r"(?i)\bCLOB\b", "TEXT"),
         (r"(?i)\bNVL\s*\(", "COALESCE("),
+        # SYSTIMESTAMP before SYSDATE is not required (distinct tokens)
+        # but keeps the date-function family adjacent
+        (r"(?i)\bSYSTIMESTAMP\b", "CURRENT_TIMESTAMP"),
         (r"(?i)\bSYSDATE\b", "CURRENT_TIMESTAMP"),
         (r"(?i)\s+FROM\s+DUAL\b", ""),
         (r"(?i)\bSUBSTR\s*\(", "SUBSTRING("),
+        (r"(?i)\bMINUS\b", "EXCEPT"),
+        # trailing WHERE ROWNUM <= n (the bare Oracle top-k idiom) ->
+        # LIMIT n; end-anchored so mixed predicates are left untouched
+        (r"(?i)\bWHERE\s+ROWNUM\s*<=\s*(\d+)\s*$", "LIMIT $1"),
     ],
     "mysql": [
         (r"`([^`]*)`", "\"$1\""),
+        # table options strip BEFORE the bare AUTO_INCREMENT column rule
+        # (AUTO_INCREMENT=5 would otherwise become IDENTITY=5)
+        (r"(?i)\s*\bAUTO_INCREMENT\s*=\s*\d+", ""),
+        (r"(?i)\s*DEFAULT\s+CHARSET\s*=\s*\w+", ""),
+        (r"(?i)\s*ENGINE\s*=\s*\w+", ""),
         (r"(?i)\bINT\s+AUTO_INCREMENT\b", "SERIAL"),
         (r"(?i)\s*\bAUTO_INCREMENT\b", " GENERATED BY DEFAULT AS IDENTITY"),
         (r"(?i)\bTINYINT\s*\(\s*1\s*\)", "BOOLEAN"),
         (r"(?i)\bTINYINT\b", "SMALLINT"),
+        (r"(?i)\bMEDIUMINT\b", "INTEGER"),
+        (r"(?i)\b(?:LONG|MEDIUM|TINY)TEXT\b", "TEXT"),
+        (r"(?i)\s+UNSIGNED\b", ""),
         (r"(?i)\bDATETIME\b", "TIMESTAMP"),
         (r"(?i)\bIFNULL\s*\(", "COALESCE("),
+        (r"(?i)\bGROUP_CONCAT\s*\(", "STRING_AGG("),
         (r"(?i)\bNOW\s*\(\s*\)", "CURRENT_TIMESTAMP"),
         (r"(?i)\bCURDATE\s*\(\s*\)", "CURRENT_DATE"),
+        (r"(?i)\bCURTIME\s*\(\s*\)", "CURRENT_TIME"),
         (r"(?i)\bRAND\s*\(\s*\)", "RANDOM()"),
         # MySQL two-arg LIMIT offset,count -> ANSI LIMIT count OFFSET offset
         (r"(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)", "LIMIT $2 OFFSET $1"),
-        (r"(?i)\s*ENGINE\s*=\s*\w+", ""),
         # idempotent DOUBLE mapping: protect an existing DOUBLE PRECISION
         # with a placeholder first (RE2 has no lookahead, so a (?!\s+PREC)
         # guard is not available to the oracle side), then map bare DOUBLE,
@@ -274,9 +294,19 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
         (r"(?i)\bIDENTITY\s*\(\s*\d+\s*[,;]\s*\d+\s*\)",
          "GENERATED BY DEFAULT AS IDENTITY"),
         (r"(?i)\bUNIQUEIDENTIFIER\b", "UUID"),
+        # DATETIME2(7) / DATETIME2 before the bare DATETIME token
+        (r"(?i)\bDATETIME2(?:\s*\(\s*\d+\s*\))?", "TIMESTAMP"),
+        (r"(?i)\bSMALLDATETIME\b", "TIMESTAMP"),
+        (r"(?i)\bDATETIME\b", "TIMESTAMP"),
+        (r"(?i)\bBIT\b", "BOOLEAN"),
+        (r"(?i)\bGETUTCDATE\s*\(\s*\)", "CURRENT_TIMESTAMP"),
         (r"(?i)\bGETDATE\s*\(\s*\)", "CURRENT_TIMESTAMP"),
+        (r"(?i)\bNEWID\s*\(\s*\)", "GEN_RANDOM_UUID()"),
         (r"(?i)\bISNULL\s*\(", "COALESCE("),
         (r"(?i)\bLEN\s*\(", "LENGTH("),
+        # SELECT TOP n <rest> -> SELECT <rest> LIMIT n (whole-statement
+        # move; (?s) so the tail crosses newlines, end-anchored)
+        (r"(?is)^\s*SELECT\s+TOP\s+(\d+)\s+(.*)$", "SELECT $2 LIMIT $1"),
         (r"\[([^\]]*)\]", "\"$1\""),
     ],
     # postgres/generic SQL is already the target flavor

@@ -115,6 +115,39 @@ GO_CORPUS = [
 ]
 
 
+PHP_CORPUS = [
+    (
+        "src/Controllers/UserController.php",
+        "<?php\n"
+        "use App\\Models\\User;\n"
+        "use App\\Support\\Helpers;\n"
+        "require_once('lib/bootstrap.php');\n"
+        "class UserController extends BaseController {\n"
+        "    function index() { return User::all(); }\n"
+        "    function show($id) { return User::find($id); }\n"
+        "}\n",
+    ),
+    (
+        "src/helpers.php",
+        "<?php\n"
+        "require 'vendor/autoload.php';\n"
+        "function formatDate($ts) { return date('Y-m-d', $ts); }\n"
+        "class StringUtil { }\n",
+    ),
+]
+
+
+def php_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 PHP regex extraction (transformers.py:696-849): classes,
+    functions, namespaced `use` imports, require/require_once imports —
+    fully JVM-side (regexp_extract_all + explode), same plan family as
+    T4/T5/T7. Closes the last T-op without an oracle entry (VERDICT r3)."""
+    files = spark.createDataFrame(
+        [(p, "php", c) for p, c in PHP_CORPUS], ["path", "lang", "content"]
+    )
+    return extract_by_patterns(files, "php").select("path", "entity_kind", "name")
+
+
 def java_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 Java regex extraction (transformers.py:560-690): classes with
     extends, interfaces, plain/static/wildcard imports — fully JVM-side
@@ -279,6 +312,7 @@ QUERIES = {
     "code_entity_extract": code_entity_extract,
     "js_entity_extract": js_entity_extract,
     "java_entity_extract": java_entity_extract,
+    "php_entity_extract": php_entity_extract,
     "go_entity_extract": go_entity_extract,
     "media_metadata": media_metadata,
     "video_frame_sample": video_frame_sample,
@@ -432,6 +466,12 @@ ORACLES["java_entity_extract"] = f"""
         WITH corpus(path, content) AS (VALUES
             {_corpus_values(JAVA_CORPUS)})
         {_pattern_union(LANG_PATTERNS["java"])}
+"""
+
+ORACLES["php_entity_extract"] = f"""
+        WITH corpus(path, content) AS (VALUES
+            {_corpus_values(PHP_CORPUS)})
+        {_pattern_union(LANG_PATTERNS["php"])}
 """
 
 ORACLES["go_entity_extract"] = f"""

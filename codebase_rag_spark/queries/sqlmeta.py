@@ -266,6 +266,50 @@ DML_CORPUS: list[tuple[str, str, str]] = [
         "SELECT ISNULL(name, 'n/a'), LEN(code), GETDATE() FROM [Order Items]",
     ),
     ("p1", "postgres", "SELECT name, now() FROM users WHERE 1=1 AND x > 0"),
+    # round 4: corpus grown to exercise the extended rule sets
+    # (TOP->LIMIT, ROWNUM->LIMIT, MINUS->EXCEPT, GROUP_CONCAT->STRING_AGG,
+    # UNSIGNED strip, table-option strips, datetime/type mappings)
+    (
+        "m3",
+        "mysql",
+        "SELECT GROUP_CONCAT(tag), CURTIME() FROM tags "
+        "WHERE n > 0 LIMIT 5, 10",
+    ),
+    (
+        "m4",
+        "mysql",
+        "CREATE TABLE hits (id INT AUTO_INCREMENT, cnt MEDIUMINT UNSIGNED, "
+        "body LONGTEXT, seen DATETIME) ENGINE=InnoDB AUTO_INCREMENT=100 "
+        "DEFAULT CHARSET=utf8mb4",
+    ),
+    (
+        "o2",
+        "oracle",
+        "SELECT id FROM audit_log MINUS SELECT id FROM archived",
+    ),
+    (
+        "o3",
+        "oracle",
+        "SELECT name, SYSTIMESTAMP FROM accounts WHERE ROWNUM <= 25",
+    ),
+    (
+        "o4",
+        "oracle",
+        "CREATE TABLE payload (ID NUMBER(10), GUID RAW(16), "
+        "SCORE BINARY_DOUBLE, LABEL NVARCHAR2(64), NOTE VARCHAR2(2000 CHAR))",
+    ),
+    (
+        "s2",
+        "sqlserver",
+        "SELECT TOP 10 name, GETUTCDATE(), NEWID() FROM [User Accounts] "
+        "WHERE active = 1",
+    ),
+    (
+        "s3",
+        "sqlserver",
+        "CREATE TABLE flags (id UNIQUEIDENTIFIER, ok BIT, "
+        "at DATETIME2(7), backup_at SMALLDATETIME)",
+    ),
 ]
 
 

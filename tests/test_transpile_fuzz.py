@@ -1,0 +1,141 @@
+"""Property-based fuzzing of the T11 rule-based transpiler
+(operators/sqlmeta.py TRANSPILE_TO_ANSI), refereed by DuckDB two ways:
+
+1. cross-engine rule agreement: the chain applied with Python `re`
+   must equal the chain rendered as DuckDB regexp_replace(...,'g')
+   (RE2) on every generated statement — the same property the fixed
+   corpus oracle pins, but over random inputs (the Spark side runs the
+   identical chain through Java regex; the corpus oracle covers that
+   third engine);
+2. output validity: for generated SELECTs, the transpiled ANSI output
+   must PARSE in DuckDB (json_serialize_sql reports no error) — the
+   "round-trip refereed by DuckDB where its dialect permits" gate from
+   VERDICT r3 #5;
+
+plus idempotence: applying a dialect's chain twice equals applying it
+once (no rule may re-fire on its own output — the regression class the
+DOUBLE PRECISION placeholder fixed in round 3).
+
+Reference behavior: sql_parser.py:160-183 convert_between_dialects.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from codebase_rag_spark.operators.sqlmeta import (
+    NORMALIZE_RULES,
+    TRANSPILE_TO_ANSI,
+    duckdb_transpile_sql,
+)
+
+
+def _apply_py(sql: str, rules) -> str:
+    for pat, rep in rules:
+        sql = re.sub(pat, rep.replace("$", "\\"), sql)
+    return sql
+
+
+def _transpile_py(sql: str, dialect: str) -> str:
+    out = _apply_py(sql, TRANSPILE_TO_ANSI.get(dialect, []))
+    return _apply_py(out, NORMALIZE_RULES)
+
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in {
+        "select", "from", "where", "group", "order", "by", "limit",
+        "top", "dual", "minus", "rownum", "as", "and", "or", "not",
+        "bit", "len", "all", "except", "union", "offset", "to", "at",
+    }
+)
+
+
+@st.composite
+def _mysql_select(draw):
+    col = draw(_IDENT)
+    tbl = draw(_IDENT)
+    exprs = draw(st.lists(st.sampled_from([
+        f"IFNULL({col}, 'x')", "NOW()", "CURDATE()", "CURTIME()",
+        f"GROUP_CONCAT({col})", f"`{col} name`", col, "RAND()",
+    ]), min_size=1, max_size=3))
+    limit = ""
+    if draw(st.booleans()):
+        a, b = draw(st.integers(0, 99)), draw(st.integers(1, 99))
+        limit = f" LIMIT {a}, {b}"
+    where = f" WHERE {col} > 0" if draw(st.booleans()) else ""
+    return "SELECT " + ", ".join(exprs) + f" FROM `{tbl}`{where}{limit}"
+
+
+@st.composite
+def _oracle_select(draw):
+    col = draw(_IDENT)
+    tbl = draw(_IDENT)
+    exprs = draw(st.lists(st.sampled_from([
+        f"NVL({col}, 'x')", "SYSDATE", "SYSTIMESTAMP",
+        f"SUBSTR({col}, 1, 3)", col,
+    ]), min_size=1, max_size=3))
+    shape = draw(st.integers(0, 2))
+    head = "SELECT " + ", ".join(exprs)
+    if shape == 0:
+        return head + " FROM DUAL"
+    if shape == 1:
+        return head + f" FROM {tbl} WHERE ROWNUM <= {draw(st.integers(1, 99))}"
+    return head + f" FROM {tbl} MINUS SELECT {col} FROM {draw(_IDENT)}"
+
+
+@st.composite
+def _sqlserver_select(draw):
+    col = draw(_IDENT)
+    tbl = draw(_IDENT)
+    exprs = draw(st.lists(st.sampled_from([
+        f"ISNULL({col}, 'x')", f"LEN({col})", "GETDATE()", "GETUTCDATE()",
+        "NEWID()", f"[{col} name]", col,
+    ]), min_size=1, max_size=3))
+    top = f"TOP {draw(st.integers(1, 99))} " if draw(st.booleans()) else ""
+    where = f" WHERE {col} = 1" if draw(st.booleans()) else ""
+    return f"SELECT {top}" + ", ".join(exprs) + f" FROM [{tbl}]{where}"
+
+
+_CASES = st.one_of(
+    st.tuples(st.just("mysql"), _mysql_select()),
+    st.tuples(st.just("oracle"), _oracle_select()),
+    st.tuples(st.just("sqlserver"), _sqlserver_select()),
+)
+
+
+def _duck_transpile(sql: str, dialect: str) -> str:
+    con = duckdb.connect()
+    expr = duckdb_transpile_sql("$sql::VARCHAR", f"'{dialect}'")
+    return con.execute(f"SELECT {expr}", {"sql": sql}).fetchone()[0]
+
+
+def _duck_parses(sql: str) -> bool:
+    con = duckdb.connect()
+    js = con.execute(
+        "SELECT json_serialize_sql($q::VARCHAR)", {"q": sql}
+    ).fetchone()[0]
+    return not json.loads(js).get("error")
+
+
+@settings(max_examples=120, deadline=None)
+@given(_CASES)
+def test_transpile_rules_agree_across_engines_and_parse(case):
+    dialect, sql = case
+    py_out = _transpile_py(sql, dialect)
+    duck_out = _duck_transpile(sql, dialect)
+    assert py_out == duck_out, (dialect, sql)
+    assert _duck_parses(py_out), (dialect, sql, py_out)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_CASES)
+def test_transpile_is_idempotent(case):
+    dialect, sql = case
+    once = _transpile_py(sql, dialect)
+    twice = _transpile_py(once, dialect)
+    assert once == twice, (dialect, sql, once)
