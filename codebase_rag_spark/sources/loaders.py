@@ -100,17 +100,83 @@ def _inflate_flate_streams(data: bytes) -> list[bytes]:
     return out
 
 
+_PDF_LZW_STREAM = (
+    rb"/Filter\s*(?:\[\s*)?/LZWDecode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
+)
+
+
+def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (PDF 32000-1:2008 §7.4.4.2), standard library only:
+    variable-width codes 9->12 bits packed MSB-first, 256 = clear-table,
+    257 = EOD, table rebuilt from 258 after every clear. EarlyChange=1
+    (the default) widens the code one entry early. ~40 lines close the
+    reference's PyPDF2 dependency (loaders.py:51-129) for the second
+    most common PDF stream filter after Flate."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bitbuf = nbits = 0
+    width = 9
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                    new = prev + entry[:1]
+                else:  # the KwKwK case: code == len(table)
+                    entry = prev + prev[:1]
+                    new = entry
+                # a full table (4096 codes at 12 bits) stops growing;
+                # encoders then either emit a clear or keep coding from
+                # the frozen table — both decode correctly here
+                if len(table) < 4096:
+                    table.append(new)
+            out.extend(entry)
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _decode_lzw_streams(data: bytes) -> list[bytes]:
+    """All /LZWDecode stream bodies, decoded with lzw_decode. Corrupt
+    streams are skipped, not fatal (same contract as the Flate path)."""
+    import re
+
+    out = []
+    for m in re.finditer(_PDF_LZW_STREAM, data, flags=re.S):
+        try:
+            out.append(lzw_decode(m.group(1)))
+        except (IndexError, ValueError):
+            continue
+    return out
+
+
 def naive_pdf_text(data: bytes) -> str | None:
     """Dependency-free extraction of PDF text objects: the `(string) Tj` /
     `[(a)(b)] TJ` show operators parsed straight off the bytes — from the
-    raw file for uncompressed content streams AND from each FlateDecode
-    stream after stdlib zlib inflation. Returns None when nothing is
-    found (non-Flate filters like LZW/DCT genuinely need a codec
-    library). Covers plain-text generators plus the FlateDecode output of
-    mainstream PDF writers."""
+    raw file for uncompressed content streams, from each FlateDecode
+    stream after stdlib zlib inflation, and from each LZWDecode stream
+    via the native lzw_decode above. Returns None when nothing is found
+    (image/encrypted filters like DCT/JPX/Crypt genuinely need codec
+    libraries). Covers plain-text generators plus the Flate/LZW output
+    of mainstream PDF writers."""
     import re
 
-    sources = [data] + _inflate_flate_streams(data)
+    sources = [data] + _inflate_flate_streams(data) + _decode_lzw_streams(data)
     parts: list[bytes] = []
     for src in sources:
         parts.extend(m.group(1) for m in re.finditer(_PDF_TJ, src))
@@ -167,10 +233,11 @@ def extract_documents(files: DataFrame) -> DataFrame:
                             text = naive_pdf_text(bytes(data))
                             if text is None:
                                 raise NotImplementedError(
-                                    "non-Flate PDF stream filters (LZW/DCT/"
-                                    "ASCII85) require PyPDF2/pdfplumber (not "
-                                    "installed); uncompressed and FlateDecode "
-                                    "text objects are parsed natively"
+                                    "image/encrypted PDF stream filters (DCT/"
+                                    "JPX/Crypt) require PyPDF2/pdfplumber (not"
+                                    " installed); uncompressed, FlateDecode "
+                                    "and LZWDecode text objects are parsed "
+                                    "natively"
                                 )
                         rows.append(
                             {"path": path, "text": text, "extract_error": None}
