@@ -110,12 +110,16 @@ def token_count_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
         for batch in batches:
             text = batch.column(batch.schema.get_field_index(text_col))
             # trim then split on whitespace runs, count per row (all in
-            # C++; trim keeps parity with the JVM trim+split form on
-            # padded text — untrimmed input would count a leading '')
-            toks = pc.split_pattern_regex(
-                pc.utf8_trim_whitespace(text), r"\s+"
+            # C++; trim keeps parity with the canonical functions/
+            # text.py:token_count on padded text). split('') yields [''],
+            # so empty/whitespace-only rows must be masked to 0 — the
+            # canonical form filters empty tokens and returns 0 there.
+            trimmed = pc.utf8_trim_whitespace(text)
+            toks = pc.split_pattern_regex(trimmed, r"\s+")
+            raw = pc.list_value_length(toks).cast(pa.int64())
+            n = pc.if_else(
+                pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), raw
             )
-            n = pc.list_value_length(toks).cast(pa.int64())
             yield pa.RecordBatch.from_arrays(
                 [*batch.columns, n], schema=pa.schema(list(batch.schema) + [pa.field("n_tokens", pa.int64())])
             )

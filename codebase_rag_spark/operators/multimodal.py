@@ -173,7 +173,15 @@ def make_wav_bytes(
     sample_rate: int, channels: int, bits: int, n_frames: int
 ) -> bytes:
     """Canonical 44-byte PCM WAV header + deterministic payload (stdlib
-    struct only — test/corpus synthesizer, not a codec)."""
+    struct only — test/corpus synthesizer, not a codec).
+
+    INTENTIONAL header/payload mismatch: the RIFF and data chunk sizes
+    describe the FULL n_frames * block_align payload, but the emitted
+    body is truncated to 64 bytes — these fixtures exercise HEADER
+    sniffing (wav_audio_info reads only the first 44 bytes), and the
+    truncation keeps corpus rows small. Any future decode- or
+    length-validation path must synthesize its own full-length fixtures
+    rather than reuse these."""
     import struct
 
     block_align = channels * bits // 8

@@ -644,9 +644,9 @@ ORACLES = {
     "duplicated_spans": r"""
         WITH w AS (
             SELECT doc_id, lang,
-                   regexp_split_to_array(text, '\s+') AS t
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
             FROM documents
-            WHERE len(regexp_split_to_array(text, '\s+')) >= 8
+            WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 8
         ),
         g AS (
             SELECT DISTINCT doc_id, lang,

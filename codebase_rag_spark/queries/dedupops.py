@@ -216,7 +216,7 @@ _SIMHASH_BITS = " || ".join(
 ORACLES = {
     "minhash_signatures": rf"""
         WITH toks AS (
-            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
             FROM documents
         )
         SELECT doc_id,
@@ -225,9 +225,9 @@ ORACLES = {
     """,
     "lsh_candidates": rf"""
         WITH base AS (
-            SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
             FROM documents
-            WHERE len(regexp_split_to_array(text, '\s+')) >= 3
+            WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
         ),
         toks AS (
             SELECT doc_id,
@@ -251,7 +251,7 @@ ORACLES = {
     """,
     "simhash_groups": rf"""
         WITH toks AS (
-            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
             FROM documents
         ),
         digests AS (SELECT doc_id, md5(tok) AS d FROM toks),
@@ -268,7 +268,7 @@ ORACLES = {
     "near_dup_verify": None,  # filled in below from the lsh_candidates SQL
     "jaccard_pairs": r"""
         WITH t AS (
-            SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS toks
+            SELECT doc_id, list_filter(list_distinct(regexp_split_to_array(text, '\s+')), x -> x <> '') AS toks
             FROM documents WHERE doc_id < 40
         ),
         pairs AS (
@@ -311,7 +311,7 @@ ORACLES["containment_pairs"] = rf"""
         WITH cand AS ({ORACLES["lsh_candidates"]}),
         t AS (
             SELECT doc_id,
-                   list_distinct(regexp_split_to_array(text, '\s+')) AS toks
+                   list_filter(list_distinct(regexp_split_to_array(text, '\s+')), x -> x <> '') AS toks
             FROM documents
         )
         SELECT c.id_a, c.id_b,

@@ -939,12 +939,18 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
     )
     w = Window.orderBy("month")
-    rev_d = F.col("rev").cast("double")
-    prev = F.lag(rev_d).over(w)
+    # lag over the DECIMAL column and subtract exactly BEFORE the one
+    # double cast (ADVICE r3: double(rev) - double(prev) can differ from
+    # the oracle's exact decimal difference by an ulp at round(.,4)
+    # half-way boundaries)
+    prev = F.lag(F.col("rev")).over(w)
     return monthly.select(
         "month",
-        F.round(rev_d, 2).alias("revenue"),
-        F.round((rev_d - prev) / prev * 100, 4).alias("growth_pct"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double") * 100,
+            4,
+        ).alias("growth_pct"),
     )
 
 

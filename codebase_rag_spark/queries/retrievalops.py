@@ -369,9 +369,13 @@ ORACLES["bm25_documents"] = r"""
         q(term) AS (VALUES ('vector'), ('join'), ('merge')),
         matched AS (SELECT p.* FROM postings p JOIN q USING (term)),
         stats AS (
+            -- filter empty tokens so doc length matches the Spark side's
+            -- tokens() for any corpus shape (ADVICE r3), not just one
+            -- with no leading/trailing whitespace
             SELECT count(*)::DOUBLE AS n,
-                   avg(len(regexp_split_to_array(lower(text), '\s+')))::DOUBLE
-                       AS avgdl
+                   avg(len(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')))::DOUBLE AS avgdl
             FROM documents
         ),
         dfc AS (
@@ -380,7 +384,9 @@ ORACLES["bm25_documents"] = r"""
         ),
         dl AS (
             SELECT doc_id,
-                   len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE AS dl
+                   len(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> ''))::DOUBLE AS dl
             FROM documents
         ),
         contrib AS (
@@ -480,8 +486,12 @@ ORACLES["tfidf_documents"] = r"""
             GROUP BY term
         ),
         dl AS (
+            -- empty-token filter keeps dl == Spark's tokens() length on
+            -- any corpus shape (ADVICE r3)
             SELECT doc_id,
-                   len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE AS dl
+                   len(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> ''))::DOUBLE AS dl
             FROM documents
         ),
         contrib AS (

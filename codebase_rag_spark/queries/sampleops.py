@@ -345,9 +345,12 @@ ORACLES = {
 
 ORACLES["doc_sequence_packing"] = r"""
         WITH t AS (
+            -- empty-token filter keeps n_tokens == Spark's token_count
+            -- on any corpus shape (ADVICE r3)
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
-                       AS n_tokens
+                   CAST(len(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents
         ),
         c AS (
@@ -429,9 +432,12 @@ ORACLES["neyman_alloc_sample"] = """
 
 ORACLES["packing_efficiency"] = r"""
         WITH t AS (
+            -- empty-token filter keeps n_tokens == Spark's token_count
+            -- on any corpus shape (ADVICE r3)
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
-                       AS n_tokens
+                   CAST(len(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents
         ),
         c AS (
@@ -473,7 +479,9 @@ ORACLES["dedup_boundary_pairs"] = rf"""
         WITH cand AS (SELECT * FROM ({_lsh_cand_sql()}) q),
         t AS (
             SELECT doc_id,
-                   list_distinct(regexp_split_to_array(text, '\s+')) AS toks
+                   list_filter(
+                       list_distinct(regexp_split_to_array(text, '\s+')),
+                       x -> x <> '') AS toks
             FROM documents
         ),
         scored AS (

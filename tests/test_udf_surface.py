@@ -126,17 +126,26 @@ def test_map_in_arrow_token_count_matches_native(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.functions.text import token_count
     from codebase_rag_spark.functions.udfs import token_count_arrow
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # append edge rows: empty and whitespace-only text must count 0 in
+    # BOTH paths (ADVICE r3: split('') yields [''] — the arrow path now
+    # masks it to match the canonical token_count semantics)
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "   \t  "), (90003, " one  two ")],
+        ["doc_id", "text"],
+    )
+    d = d.unionByName(edge)
     got = {
         r.doc_id: r.n_tokens for r in token_count_arrow(d, "text").collect()
     }
     want = {
         r.doc_id: r.n
         for r in d.select(
-            "doc_id",
-            F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+            "doc_id", token_count(F.col("text")).alias("n")
         ).collect()
     }
     assert got == want
+    assert got[90001] == 0 and got[90002] == 0 and got[90003] == 2
