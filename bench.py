@@ -138,6 +138,8 @@ HEADLINE = [
     "monthly_revenue_growth",
     "customer_pareto",
     "packing_efficiency",
+    # round 4: PHP extraction oracle (T6 closure)
+    "php_entity_extract",
     "dedup_boundary_pairs",
 ]
 

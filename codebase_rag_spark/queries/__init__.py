@@ -59,7 +59,26 @@ for _m in _MODULES:
 # CORRECTNESS row to the back so each round's window lands on queries that
 # have not yet been driver-checked.
 _DRIVER_CHECKED = {
-    # union of CORRECTNESS_r01.json and CORRECTNESS_r02.json green rows
+    # union of CORRECTNESS_r01 + r02 + r03 green rows
+    # --- r03 (50) ---
+    "rollup_pricing", "props_json_stats", "recursive_reachability",
+    "region_two_hop", "region_impact", "doc_triangles", "doc_pagerank",
+    "doc_components", "doc_communities", "doc_k_core", "fulltext_search",
+    "bm25_documents", "rrf_fusion", "hybrid_retrieval", "order_lineage",
+    "memory_tag_search", "sql_passthrough", "sql_udf_net_revenue",
+    "code_entity_extract", "js_entity_extract", "media_metadata",
+    "embed_documents", "commit_classification", "doc_train_test_split",
+    "lineitem_expectations", "lang_domain_mix", "weighted_doc_sample",
+    "profile_lineitem", "doc_sequence_packing", "ddl_analysis",
+    "domain_summary", "industry_template_match", "sql_query_analysis",
+    "collocation_lift_top", "curriculum_tiers", "volume_shipping",
+    "market_share", "product_profit", "priority_shipping_mix",
+    "customer_order_distribution", "top_revenue_supplier",
+    "supplier_part_counts", "disjunctive_bracket_revenue",
+    "idle_customer_balance", "min_balance_shipper", "shortest_paths",
+    "markdown_sections", "sliding_chunks", "java_entity_extract",
+    "go_entity_extract",
+    # --- r01 + r02 (98) ---
     "active_segments", "aes_weighted_reservoir", "benchmark_decontamination",
     "big_orders", "centroid_assignment", "cohort_retention",
     "containment_pairs", "conversion_latency", "cosine_topk",
@@ -95,48 +114,48 @@ _DRIVER_CHECKED = {
     "user_sessions", "waiting_suppliers", "winnowing_sketch",
 }
 
-# Round-3 window (VERDICT r2 'Next round' #1): the 45 entries that have
-# never had a driver CORRECTNESS row in any round (judge-verified green in
-# r2) plus the 5 new round-3 oracle entries — exactly the 50-entry gate.
+# Round-4 window (VERDICT r3 'Next round' #1): the 35 entries that have
+# never had a driver CORRECTNESS row in any round + the 12 entries
+# rewritten in round 3 whose green rows predate their current
+# implementation + the 3 entries changed/added in round 4 — exactly the
+# 50-entry gate. After this round, every registry entry carries a
+# driver-green row from its current implementation (modulo _CHANGED_R4).
 _PRIORITY = [
-    # never-driver-checked (45)
-    "rollup_pricing", "props_json_stats", "recursive_reachability",
-    "region_two_hop", "region_impact", "doc_triangles", "doc_pagerank",
-    "doc_components", "doc_communities", "doc_k_core", "fulltext_search",
-    "bm25_documents", "rrf_fusion", "hybrid_retrieval", "order_lineage",
-    "memory_tag_search", "sql_passthrough", "sql_udf_net_revenue",
-    "code_entity_extract", "js_entity_extract", "media_metadata",
-    "embed_documents", "commit_classification", "doc_train_test_split",
-    "lineitem_expectations", "lang_domain_mix", "weighted_doc_sample",
-    "profile_lineitem", "doc_sequence_packing", "ddl_analysis",
-    "domain_summary", "industry_template_match", "sql_query_analysis",
-    "collocation_lift_top", "curriculum_tiers", "volume_shipping",
-    "market_share", "product_profit", "priority_shipping_mix",
-    "customer_order_distribution", "top_revenue_supplier",
-    "supplier_part_counts", "disjunctive_bracket_revenue",
-    "idle_customer_balance", "min_balance_shipper",
-    # new in round 3 (5)
-    "shortest_paths", "markdown_sections", "sliding_chunks",
-    "java_entity_extract", "go_entity_extract",
-]
-
-# Entries REWRITTEN in round 3 whose driver-green rows date from the old
-# implementation (scalewin rewires, lazy vector lookups, word-split-md5
-# MinHash family, A-ES key rounding, new transpile rules). The 50-entry
-# window is fully claimed by the never-checked backlog this round, so
-# these are ordered FIRST among the already-checked tail (positions just
-# past the window): the judge's own oracle runner re-verifies them this
-# round, and they are first in line for driver re-checking next round.
-_CHANGED_R3 = [
+    # never-driver-checked (35)
+    "audio_metadata", "bloom_prune_probe", "bpe_segmentation",
+    "cdc_apply_changes", "clean_text_docs", "cms_heavy_hitters",
+    "curation_pipeline_e2e", "customer_pareto", "dedup_boundary_pairs",
+    "doc_link_prediction", "join_skew_audit", "k_anonymity_audit",
+    "lang_source_chi2", "late_data_backfill", "line_dedup_docs",
+    "linear_attribution", "media_resize", "monthly_revenue_growth",
+    "mutual_nn_pairs", "neyman_alloc_sample", "order_value_window_suite",
+    "packing_efficiency", "part_basket_rules", "rank_functions_suite",
+    "rfm_segments", "salted_event_stats", "salted_segment_revenue",
+    "semantic_dedup_audit", "session_bounce_stats", "sql_dml_transpile",
+    "sql_join_graph", "tfidf_documents", "value_quantile_sketch",
+    "video_frame_sample", "zorder_locality",
+    # rewritten in round 3, driver rows stale (12)
     "customer_value_deciles", "cosine_topk", "rp_lsh_ann",
     "aes_weighted_reservoir", "minhash_signatures", "lsh_candidates",
     "dedup_clusters", "containment_pairs", "near_dup_verify",
     "edit_distance_verify", "sql_transpile", "lineitem_expectations",
+    # rewritten/added in round 4 (3): detsum segmented folds + T6 oracle
+    "hourly_gap_fill", "time_weighted_value", "php_entity_extract",
+]
+
+# Entries whose ORACLE text changed in round 4 (empty-token filter
+# alignment — results identical on this corpus, implementations
+# untouched) but whose window slots were claimed by the backlog above:
+# first in line for driver re-rows next round; the judge's full-registry
+# oracle runs re-verify them this round.
+_CHANGED_R4 = [
+    "jaccard_pairs", "simhash_groups", "bm25_documents",
+    "doc_sequence_packing", "duplicated_spans",
 ]
 
 QUERIES = {
     **{k: QUERIES[k] for k in _PRIORITY if k in QUERIES},
     **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED},
-    **{k: QUERIES[k] for k in _CHANGED_R3 if k in QUERIES},
+    **{k: QUERIES[k] for k in _CHANGED_R4 if k in QUERIES},
     **{k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED},
 }
