@@ -138,8 +138,9 @@ HEADLINE = [
     "monthly_revenue_growth",
     "customer_pareto",
     "packing_efficiency",
-    # round 4: PHP extraction oracle (T6 closure)
+    # round 4: PHP extraction oracle (T6 closure), DSIR selection weights
     "php_entity_extract",
+    "dsir_importance_weights",
     "dedup_boundary_pairs",
 ]
 

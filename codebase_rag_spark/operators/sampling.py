@@ -336,3 +336,96 @@ def weighted_bernoulli_sample(
         .withColumn("p", size_i.cast("double") / F.lit(float(cap)))
         .drop("_u", "_thr")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    num_buckets: int = 4096,
+    n: int = 2,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Data Selection via
+    Importance Resampling, Xie et al. 2023 — public method): score every
+    pool document by how target-like its hashed n-gram distribution is,
+    log w(doc) = sum over grams of [ln p_target(bucket) - ln p_raw(bucket)]
+    with add-1 smoothed bucket unigram models. The standard way a 100 TB
+    crawl gets filtered toward a small high-quality target (e.g. wiki)
+    without training a classifier.
+
+    Engine-portable determinism: buckets come from the repo's md5 integer
+    hashing; each bucket's log-ratio is computed ONCE (O(num_buckets)
+    rows), rounded to 6 decimals and quantized to DECIMAL(16,6), so the
+    per-document weight is an EXACT decimal sum — partitioning- and
+    engine-independent. (The 6dp round on a libm ln is the same
+    documented mitigation as aes_weighted_reservoir's pow: a cross-engine
+    ulp difference collapses unless the true value sits within an ulp of
+    a rounding boundary; verified at all three SFs.)
+
+    Plan shape: gram explode + hash are scan-stage; ONE bucket aggregate
+    (O(num_buckets) output) -> broadcast log-ratio table back onto the
+    gram stream -> ONE doc aggregate. No all-pairs, no window; the
+    per-doc state is two exact accumulators. is_target selects the
+    target slice; p_raw is the WHOLE pool (the DSIR convention), so
+    target docs score too (self-selection audit).
+
+    No reference counterpart (north-star extension; the reference's only
+    selection is heuristic ranking, services/utils/ranker.py:12-62).
+    """
+    from codebase_rag_spark.functions.hashing import md5_hash, shingles
+    from codebase_rag_spark.functions.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col), is_target.alias("_tgt"), toks.alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    grams = base.select(
+        id_col,
+        "_tgt",
+        F.explode(shingles(F.col("_toks"), n)).alias("_g"),
+    )
+    bucketed = grams.select(
+        id_col,
+        "_tgt",
+        (
+            F.conv(F.substring(md5_hash(F.col("_g"), salt), 1, 8), 16, 10)
+            .cast("bigint")
+            % num_buckets
+        ).alias("_b"),
+    ).localCheckpoint(eager=False)  # consumed by counts AND the score join
+    counts = bucketed.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("bigint").alias("_nt"),
+        F.count("*").cast("bigint").alias("_nr"),
+    )
+    totals = counts.agg(
+        (F.sum("_nt") + num_buckets).cast("bigint").alias("_T"),
+        (F.sum("_nr") + num_buckets).cast("bigint").alias("_R"),
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.round(
+            F.log((F.col("_nt") + 1) / F.col("_T"))
+            - F.log((F.col("_nr") + 1) / F.col("_R")),
+            6,
+        )
+        .cast("decimal(16,6)")
+        .alias("_lr"),
+    )
+    return (
+        bucketed.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("_lr").alias("_w"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            # round the EXACT decimal, then cast once: round(double, 4)
+            # hits half-way representation boundaries (x.xxx95 sums) where
+            # engines disagree; decimal rounding is exact in both
+            F.round(F.col("_w"), 4).cast("double").alias("dsir_weight"),
+        )
+    )

@@ -10,6 +10,7 @@ from codebase_rag_spark.functions.text import token_count
 from codebase_rag_spark.operators.sampling import (
     check_expectations,
     domain_mix_sample,
+    dsir_weights,
     profile_columns,
     sequence_packing,
     train_test_split,
@@ -208,7 +209,26 @@ def neyman_alloc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (operators/sampling.py:dsir_weights):
+    score every document by hashed-bigram target-likelihood with the
+    English slice as the target distribution; top 20 most target-like
+    docs with gram counts. The selection signal a 100 TB crawl filter
+    ranks on before resampling."""
+    d = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(
+        d, "doc_id", "text", is_target=F.col("lang") == "en", num_buckets=4096
+    )
+    return (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_grams", "dsir_weight")
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "dsir_importance_weights": dsir_importance_weights,
     "packing_efficiency": packing_efficiency,
     "dedup_boundary_pairs": dedup_boundary_pairs,
     "aes_weighted_reservoir": aes_weighted_reservoir,
@@ -495,4 +515,49 @@ ORACLES["dedup_boundary_pairs"] = rf"""
         )
         SELECT id_a, id_b, jaccard
         FROM scored WHERE jaccard >= 0.3 AND jaccard < 0.8
+"""
+
+ORACLES["dsir_importance_weights"] = r"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        el AS (SELECT * FROM base WHERE len(t) >= 2),
+        grams AS (
+            SELECT doc_id, lang = 'en' AS tgt,
+                   ('0x' || substr(md5(array_to_string(t[i:i+1], ' ')
+                                       || chr(0) || 'dsir'), 1, 8))::BIGINT
+                       % 4096 AS b
+            FROM el, UNNEST(range(1, len(t))) AS r(i)
+        ),
+        counts AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                   count(*) AS nr
+            FROM grams GROUP BY b
+        ),
+        tot AS (
+            SELECT CAST(sum(nt) + 4096 AS BIGINT) AS T,
+                   CAST(sum(nr) + 4096 AS BIGINT) AS R
+            FROM counts
+        ),
+        -- per-bucket 6dp-quantized log-ratio, decimal-exact doc sums:
+        -- the identical schedule as operators/sampling.py:dsir_weights
+        lr AS (
+            SELECT b,
+                   CAST(round(ln((nt + 1) / CAST(T AS DOUBLE))
+                              - ln((nr + 1) / CAST(R AS DOUBLE)), 6)
+                        AS DECIMAL(16,6)) AS lrv
+            FROM counts, tot
+        ),
+        doc AS (
+            SELECT g.doc_id, count(*) AS n_grams, sum(lrv) AS w
+            FROM grams g JOIN lr USING (b) GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, b2.lang, CAST(d.n_grams AS BIGINT) AS n_grams,
+               CAST(round(d.w, 4) AS DOUBLE) AS dsir_weight
+        FROM doc d JOIN base b2 USING (doc_id)
+        ORDER BY dsir_weight DESC, doc_id LIMIT 20
 """

@@ -350,6 +350,9 @@ def test_round4_ops_plan_contracts(spark, sf_dir):
         "part_basket_rules": 7,
         "hourly_gap_fill": 6,
         "time_weighted_value": 4,
+        # gram explode scan-stage -> one bucket agg -> broadcast ratio
+        # join -> one doc agg (+ top-k)
+        "dsir_importance_weights": 6,
     }
     for name, max_exch in bounds.items():
         df = QUERIES[name](spark, sf_dir)
