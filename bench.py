@@ -141,6 +141,9 @@ HEADLINE = [
     # round 4: PHP extraction oracle (T6 closure), DSIR selection weights
     "php_entity_extract",
     "dsir_importance_weights",
+    "bigram_surprise_docs",
+    "vocab_growth_curve",
+    "value_mad_outliers",
     "dedup_boundary_pairs",
 ]
 

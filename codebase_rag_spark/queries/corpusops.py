@@ -103,7 +103,56 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit: walk the corpus in doc_id
+    order in 100-doc buckets and report, per bucket, the token
+    occurrences added and the NEW distinct types first seen there, plus
+    both cumulative curves. Sub-linear type growth (Heaps) is the
+    expected shape; a late bucket spiking n_new_types flags an
+    out-of-distribution ingest batch — the drift check a rolling corpus
+    build runs per increment.
+
+    Scale shape: first-seen is ONE min() aggregate per type (map-side
+    combined), occurrences ONE bucket aggregate; the cumulative windows
+    run over the O(#buckets) rollup only — bounded by corpus/100 docs,
+    the same documented exception as monthly_revenue_growth's calendar
+    window (the corpus-sized streams never enter a window)."""
+    d = load_table(spark, sf_dir, "documents")
+    from codebase_rag_spark.functions.text import tokens
+
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    bucket = (F.col("doc_id") / 100).cast("bigint")
+    occ = toks.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("_fd"))
+    new_types = first_seen.groupBy(
+        (F.col("_fd") / 100).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n_new_types"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        occ.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            "n_new_types",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("n_new_types").over(w).alias("cum_types"),
+        )
+    )
+
+
 QUERIES = {
+    "vocab_growth_curve": vocab_growth_curve,
     "collocation_lift_top": collocation_lift_top,
     "curriculum_tiers": curriculum_tiers,
     "cms_heavy_hitters": cms_heavy_hitters,
@@ -215,4 +264,31 @@ ORACLES["zorder_locality"] = rf"""
                min(z) AS z_lo,
                max(z) AS z_hi
         FROM z GROUP BY bucket
+"""
+
+ORACLES["vocab_growth_curve"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id // 100 AS bucket, count(*) AS n_tokens
+            FROM toks GROUP BY 1
+        ),
+        fs AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+        nt AS (
+            SELECT fd // 100 AS bucket, count(*) AS n_new_types
+            FROM fs GROUP BY 1
+        )
+        SELECT o.bucket,
+               o.n_tokens,
+               coalesce(nt.n_new_types, 0) AS n_new_types,
+               CAST(sum(o.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(nt.n_new_types, 0)) OVER w AS BIGINT)
+                   AS cum_types
+        FROM occ o LEFT JOIN nt USING (bucket)
+        WINDOW w AS (ORDER BY o.bucket ROWS UNBOUNDED PRECEDING)
 """

@@ -457,7 +457,85 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (the CCNet/KenLM-filter shape one step
+    up from unigram_surprise): per-doc mean -ln of the interpolated
+    bigram probability 0.7*P(w2|w1) + 0.3*P(w2), with all probabilities
+    estimated from the corpus bigram table itself (contexts = bigram
+    row-sums, so the model is self-consistent). High surprise = docs the
+    corpus LM finds implausible — OCR soup, boilerplate, wrong-language
+    fragments. Top-20 most surprising docs.
+
+    Determinism contract (same as dsir_weights): each DISTINCT bigram's
+    -ln(p) is computed ONCE at vocab level, rounded to 6dp and quantized
+    to DECIMAL(16,6); per-doc totals are exact decimal sums of
+    cnt * quantized-score — partition- and engine-independent, with the
+    single double division done last. Plan: one doc-bigram collapse
+    shuffle (Zipf head collapses map-side), vocab aggregates on the
+    collapsed table, score join keyed on the bigram, one doc aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    base = d.select("doc_id", "lang", toks.alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    n_ = F.size("_t")
+    pairs = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, n_ - 1),
+                F.slice(F.col("_t"), 2, n_ - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    )
+    doc_bg = pairs.groupBy(
+        "doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count("*").alias("cnt"))
+    big = doc_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    big = big.localCheckpoint(eager=False)  # ctx, c2, n2 and the join share it
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2t = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n2 = big.agg(F.sum("c12").cast("bigint").alias("n2"))
+    p = (
+        F.lit(0.7) * (F.col("c12") / F.col("c1"))
+        + F.lit(0.3) * (F.col("c2") / F.col("n2"))
+    )
+    score = (
+        big.join(ctx, "w1")
+        .join(c2t, "w2")
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1", "w2",
+            F.round(-F.log(p), 6).cast("decimal(16,6)").alias("lp"),
+        )
+    )
+    per_doc = (
+        doc_bg.join(score, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lp")).alias("_num"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round(
+                F.col("_num").cast("double") / F.col("n_bigrams"), 4
+            ).alias("surprise"),
+        )
+        .orderBy(F.desc("surprise"), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "bigram_surprise_docs": bigram_surprise_docs,
     "curation_pipeline_e2e": curation_pipeline_e2e,
     "k_anonymity_audit": k_anonymity_audit,
     "join_skew_audit": join_skew_audit,
@@ -773,4 +851,47 @@ ORACLES["curation_pipeline_e2e"] = f"""
                CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                CAST(sum(length(clean)) AS BIGINT) AS total_chars
         FROM r WHERE rn <= 50 GROUP BY lang
+"""
+
+ORACLES["bigram_surprise_docs"] = r"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        el AS (SELECT * FROM base WHERE len(t) >= 2),
+        doc_bg AS (
+            SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2,
+                   count(*) AS cnt
+            FROM el, UNNEST(range(1, len(t))) AS r(i)
+            GROUP BY doc_id, lang, t[i], t[i+1]
+        ),
+        big AS (
+            SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+            FROM doc_bg GROUP BY w1, w2
+        ),
+        ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+        c2t AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM big GROUP BY w2),
+        n2 AS (SELECT CAST(sum(c12) AS BIGINT) AS n2 FROM big),
+        -- vocab-level 6dp-quantized -ln(p), exact decimal doc sums: the
+        -- identical schedule as the Spark side
+        score AS (
+            SELECT big.w1, big.w2,
+                   CAST(round(-ln(0.7::DOUBLE * (c12 / CAST(c1 AS DOUBLE))
+                              + 0.3::DOUBLE * (c2 / CAST(n2.n2 AS DOUBLE))), 6)
+                        AS DECIMAL(16,6)) AS lp
+            FROM big JOIN ctx USING (w1) JOIN c2t USING (w2), n2
+        ),
+        per_doc AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+                   sum(d.cnt * s.lp) AS num
+            FROM doc_bg d JOIN score s ON d.w1 = s.w1 AND d.w2 = s.w2
+            GROUP BY d.doc_id, d.lang
+        )
+        SELECT doc_id, lang, n_bigrams,
+               round(CAST(num AS DOUBLE) / n_bigrams, 4) AS surprise
+        FROM per_doc
+        ORDER BY surprise DESC, doc_id LIMIT 20
 """

@@ -954,7 +954,53 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation), flagging values beyond 3 * 1.4826 * MAD — the
+    z-score's robust cousin that one fat-tailed burst cannot poison.
+    Medians are EXACT lower medians by rank (value at ceil(n/2) in
+    (value, event_id) order), so both engines pick the identical element;
+    all arithmetic is IEEE mult/compare (no libm), so the flag set is
+    deterministic. Two per-type window passes — the exact audit form; at
+    100 TB the qsketch percentile twin (value_quantile_sketch) replaces
+    the rank windows and this query becomes its referee."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    nw = Window.partitionBy("event_type")
+    ranked = e.select("event_type", "event_id", "value").withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count("*").over(nw))
+    med = ranked.filter(
+        F.col("_rn") == F.ceil(F.col("_n") / 2).cast("bigint")
+    ).select("event_type", F.col("value").alias("_med"))
+    dev = e.select("event_type", "event_id", "value").join(
+        F.broadcast(med), "event_type"
+    ).withColumn("_dev", F.abs(F.col("value") - F.col("_med")))
+    dw = Window.partitionBy("event_type").orderBy("_dev", "event_id")
+    dranked = dev.withColumn("_rn", F.row_number().over(dw)).withColumn(
+        "_n", F.count("*").over(nw)
+    )
+    mad = dranked.filter(
+        F.col("_rn") == F.ceil(F.col("_n") / 2).cast("bigint")
+    ).select("event_type", F.col("_dev").alias("_mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "_out", F.col("_dev") > F.lit(3.0) * F.lit(1.4826) * F.col("_mad")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("_med"), 4).alias("median_value"),
+        F.round(F.min("_mad"), 4).alias("mad"),
+        F.sum(F.when(F.col("_out"), 1).otherwise(0)).cast("bigint").alias(
+            "n_outliers"
+        ),
+        F.round(
+            F.sum(F.when(F.col("_out"), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("outlier_rate"),
+    )
+
+
 QUERIES = {
+    "value_mad_outliers": value_mad_outliers,
     "session_bounce_stats": session_bounce_stats,
     "monthly_revenue_growth": monthly_revenue_growth,
     "linear_attribution": linear_attribution,
@@ -1767,4 +1813,51 @@ ORACLES["monthly_revenue_growth"] = """
                    AS growth_pct
         FROM monthly
         WINDOW w AS (ORDER BY month)
+"""
+
+ORACLES["value_mad_outliers"] = """
+        WITH base AS (
+            SELECT event_type, event_id, value FROM events
+        ),
+        ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        ),
+        med AS (
+            SELECT event_type, value AS med FROM ranked
+            WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+        ),
+        dev AS (
+            SELECT b.event_type, b.event_id, b.value, med,
+                   abs(b.value - med) AS d
+            FROM base b JOIN med USING (event_type)
+        ),
+        dranked AS (
+            SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT event_type, d AS mad FROM dranked
+            WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+        ),
+        flagged AS (
+            SELECT dev.event_type, dev.med, mad.mad,
+                   dev.d > 3.0::DOUBLE * 1.4826::DOUBLE * mad.mad AS is_out
+            FROM dev JOIN mad USING (event_type)
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(min(med), 4) AS median_value,
+               round(min(mad), 4) AS mad,
+               CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers,
+               round(sum(CASE WHEN is_out THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
+        FROM flagged GROUP BY event_type
 """

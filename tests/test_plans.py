@@ -353,12 +353,23 @@ def test_round4_ops_plan_contracts(spark, sf_dir):
         # gram explode scan-stage -> one bucket agg -> broadcast ratio
         # join -> one doc agg (+ top-k)
         "dsir_importance_weights": 6,
+        # doc-bigram collapse -> vocab aggs on checkpointed table ->
+        # bigram-keyed score join -> doc agg
+        "bigram_surprise_docs": 10,
+        # two per-type rank passes + broadcast med/mad joins
+        "value_mad_outliers": 8,
     }
     for name, max_exch in bounds.items():
         df = QUERIES[name](spark, sf_dir)
         assert count_exchanges(df) <= max_exch, name
         assert not has_unpartitioned_window(df), name
         assert "CartesianProduct" not in explain_str(df), name
+    # vocab_growth_curve's cumulative window runs over the O(#buckets)
+    # rollup only (the documented monthly_revenue_growth exception) —
+    # bound its exchanges but allow the bounded unpartitioned window
+    df = QUERIES["vocab_growth_curve"](spark, sf_dir)
+    assert count_exchanges(df) <= 6
+    assert "CartesianProduct" not in explain_str(df)
 
 
 def test_basket_cap_filters_before_pair_join(spark, sf_dir):
