@@ -423,18 +423,19 @@ def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Skew guard: drop oversized baskets before any pair fan-out. The
     # size agg reuses the l_orderkey shuffle the pair join needs anyway.
-    # The capped basket set feeds FIVE consumers (n_orders, both pair
-    # sides, both marginals) — pin it with a lazy localCheckpoint so the
-    # distinct+cap subtree runs once instead of being replayed per branch.
+    # The capped basket set feeds FOUR consumers (both pair sides, both
+    # marginals) — pin it with a lazy localCheckpoint so the distinct+cap
+    # subtree runs once instead of being replayed per branch; n_orders
+    # comes straight off the tiny capped-sizes table (no second distinct
+    # pass over the fact).
     sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("_bs"))
-    li = (
-        li.join(sizes.filter(F.col("_bs") <= MAX_BASKET_SIZE), "l_orderkey")
-        .drop("_bs")
-        .localCheckpoint(eager=False)
+    capped = sizes.filter(F.col("_bs") <= MAX_BASKET_SIZE).localCheckpoint(
+        eager=False
     )
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n_orders")
+    li = li.join(capped.select("l_orderkey"), "l_orderkey").localCheckpoint(
+        eager=False
     )
+    n_orders = capped.agg(F.count("*").alias("n_orders"))
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
     pairs = a.join(b, "l_orderkey").filter(F.col("pa") < F.col("pb"))

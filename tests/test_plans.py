@@ -347,7 +347,9 @@ def test_round4_ops_plan_contracts(spark, sf_dir):
     from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
 
     bounds = {
-        "part_basket_rules": 7,
+        # 8: the capped-sizes snapshot adds one tiny-table exchange but
+        # removes a full second distinct pass over the fact table
+        "part_basket_rules": 8,
         "hourly_gap_fill": 6,
         "time_weighted_value": 4,
         # gram explode scan-stage -> one bucket agg -> broadcast ratio
