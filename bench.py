@@ -144,6 +144,8 @@ HEADLINE = [
     "bigram_surprise_docs",
     "vocab_growth_curve",
     "value_mad_outliers",
+    "purchase_click_asof_tol",
+    "doc_clustering_coeff",
     "dedup_boundary_pairs",
 ]
 

@@ -616,3 +616,60 @@ def resource_allocation_link_scores(edges: DataFrame) -> DataFrame:
         F.col("src").alias("x"), F.col("dst").alias("y")
     )
     return cand.join(existing, ["x", "y"], "left_anti")
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected simple
+    graph: cc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)), the
+    classic cohesion metric (how close v's neighborhood is to a clique).
+
+    Same canonical a<b edge orientation and wedge-close joins as
+    triangle_count, but each closed triangle (x,y,z) is exploded back to
+    its three corners and counted per node; degrees come from the
+    symmetrized edge set. All joins are keyed on node ids (three
+    shuffles + two aggregates); the coefficient is one exact integer
+    ratio in a double division — engine-identical. Nodes with deg < 2
+    report 0.0 (no possible wedge).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # four consumers below
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    closing = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(closing, ["x", "z"])
+    tri_per_node = (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return deg.join(tri_per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )

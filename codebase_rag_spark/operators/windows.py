@@ -233,6 +233,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_micros: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts and the same key.
@@ -241,6 +242,11 @@ def asof_join(
     (key, ts, side) and carry the last right value forward with
     last(..., ignorenulls). ONE shuffle on the key — scales linearly, unlike
     the O(n*m) inequality join a naive SQL formulation produces.
+
+    `tolerance_micros` adds pandas merge_asof's tolerance semantics: a
+    match older than the tolerance is nulled out (the row survives with
+    NULL right columns) — a scan-stage conditional on the already-joined
+    output, no extra shuffle.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (key_col, right_ts)]
     l_tag = left.select(
@@ -274,11 +280,26 @@ def asof_join(
         F.last("_r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
     )
     out = carried.filter(F.col("_side") == 1)
-    return out.select(
+    res = out.select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
         *[F.col(f"{c}{suffix}") for c in right_cols],
         F.col(f"{right_ts}{suffix}"),
     )
+    if tolerance_micros is not None:
+        ok = F.col(f"{right_ts}{suffix}").isNotNull() & (
+            F.unix_micros(F.col(left_ts))
+            - F.unix_micros(F.col(f"{right_ts}{suffix}"))
+            <= F.lit(tolerance_micros)
+        )
+        res = res.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(ok, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+            F.when(ok, F.col(f"{right_ts}{suffix}")).alias(f"{right_ts}{suffix}"),
+        )
+    return res
 
 
 def bounded_ewma(

@@ -89,6 +89,29 @@ def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_click_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof semantics): each
+    purchase matched to the user's latest click at or before it, but a
+    click staler than 30 minutes is nulled out — the freshness-bounded
+    attribution form. Same one-shuffle union-tag-window plan; the
+    tolerance is a scan-stage conditional on the joined output."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, key_col="user_id", right_cols=["value"],
+        tolerance_micros=30 * 60 * 1_000_000,
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts_asof", _FMT).alias("click_ts"),
+        F.round("value_asof", 2).alias("click_value"),
+        F.col("ts_asof").isNotNull().alias("within_tolerance"),
+    )
+
+
 def purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded range join (beyond-reference; the interval-join family the
     survey notes is absent upstream): clicks per user within the 10 minutes
@@ -1028,6 +1051,7 @@ QUERIES = {
     "sliding_2h": sliding_2h,
     "user_sessions": user_sessions,
     "purchase_click_asof": purchase_click_asof,
+    "purchase_click_asof_tol": purchase_click_asof_tol,
     "purchase_click_window": purchase_click_window,
     "rollup_pricing": rollup_pricing,
     "props_json_stats": props_json_stats,
@@ -1860,4 +1884,40 @@ ORACLES["value_mad_outliers"] = """
                round(sum(CASE WHEN is_out THEN 1 ELSE 0 END)
                      / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
         FROM flagged GROUP BY event_type
+"""
+
+ORACLES["purchase_click_asof_tol"] = """
+        WITH tagged AS (
+            SELECT user_id AS k, ts AS tts, 1 AS side, event_id,
+                   NULL::TIMESTAMP AS r_ts, NULL::DOUBLE AS r_value
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, 0, NULL, ts, value
+            FROM events WHERE event_type = 'click'
+        ),
+        carried AS (
+            SELECT *,
+                   last_value(r_ts IGNORE NULLS) OVER w AS c_ts,
+                   last_value(r_value IGNORE NULLS) OVER w AS c_value
+            FROM tagged
+            WINDOW w AS (PARTITION BY k ORDER BY tts, side
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tol AS (
+            SELECT event_id,
+                   CASE WHEN c_ts IS NOT NULL
+                             AND epoch_us(tts) - epoch_us(c_ts)
+                                 <= 30 * 60 * 1000000
+                        THEN c_ts END AS t_ts,
+                   CASE WHEN c_ts IS NOT NULL
+                             AND epoch_us(tts) - epoch_us(c_ts)
+                                 <= 30 * 60 * 1000000
+                        THEN c_value END AS t_value
+            FROM carried WHERE side = 1
+        )
+        SELECT event_id,
+               strftime(t_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               round(t_value, 2) AS click_value,
+               t_ts IS NOT NULL AS within_tolerance
+        FROM tol
 """

@@ -19,6 +19,7 @@ from codebase_rag_spark.operators.graph import (
     impact_analysis,
     k_core,
     label_propagation,
+    local_clustering,
     pagerank,
     triangle_count,
     union_all,
@@ -152,11 +153,20 @@ def shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reached.select("node", F.col("depth").cast("int").alias("depth"))
 
 
+def doc_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (operators/graph.py:
+    local_clustering) over the 2-hop doc chain — the node-level cohesion
+    metric next to the global triangle count. Exact integer
+    triangle/degree ratios, one double division, engine-identical."""
+    return local_clustering(_doc_chain(spark, sf_dir, hops=2))
+
+
 QUERIES = {
     "recursive_reachability": recursive_reachability,
     "region_two_hop": region_two_hop,
     "region_impact": region_impact,
     "doc_triangles": doc_triangles,
+    "doc_clustering_coeff": doc_clustering_coeff,
     "doc_pagerank": doc_pagerank,
     "doc_components": doc_components,
     "shortest_paths": shortest_paths,
@@ -479,4 +489,41 @@ ORACLES["doc_link_prediction"] = f"""
         LEFT JOIN und ON und.a = c.x AND und.b = c.y
         WHERE und.a IS NULL
         ORDER BY c.ra_score DESC, c.x, c.y LIMIT 20
+"""
+
+
+ORACLES["doc_clustering_coeff"] = f"""
+        WITH e AS ({_CHAIN_1} UNION {_CHAIN_2}),
+        canon AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst GROUP BY 1, 2
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM canon e1
+            JOIN canon e2 ON e2.a = e1.b
+            JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tpn AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY node
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (
+                SELECT a AS node FROM canon
+                UNION ALL SELECT b FROM canon
+            ) GROUP BY node
+        )
+        SELECT deg.node, deg.degree,
+               coalesce(tpn.n_triangles, 0) AS n_triangles,
+               CASE WHEN deg.degree >= 2
+                    THEN round(2.0::DOUBLE * coalesce(tpn.n_triangles, 0)
+                               / (deg.degree * (deg.degree - 1)), 6)
+                    ELSE 0.0::DOUBLE END AS clustering_coeff
+        FROM deg LEFT JOIN tpn USING (node)
 """

@@ -360,6 +360,11 @@ def test_round4_ops_plan_contracts(spark, sf_dir):
         "bigram_surprise_docs": 10,
         # two per-type rank passes + broadcast med/mad joins
         "value_mad_outliers": 8,
+        # one keyed union-tag window + scan-stage tolerance conditional
+        "purchase_click_asof_tol": 3,
+        # canonical edges (checkpointed) -> wedge/close joins -> two
+        # node aggregates
+        "doc_clustering_coeff": 10,
     }
     for name, max_exch in bounds.items():
         df = QUERIES[name](spark, sf_dir)
