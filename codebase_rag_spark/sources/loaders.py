@@ -165,6 +165,67 @@ def _decode_lzw_streams(data: bytes) -> list[bytes]:
     return out
 
 
+def ascii85_decode(data: bytes) -> bytes:
+    """PDF ASCII85Decode (spec §7.4.3): base-85 groups of 5 chars '!'..'u'
+    -> 4 bytes, 'z' shorthand for four zero bytes, whitespace ignored,
+    '~>' EOD, partial final group keeps n-1 bytes. stdlib base64.a85decode
+    implements exactly this variant."""
+    import base64
+    import re
+
+    body = re.split(rb"~>", data, maxsplit=1)[0]
+    return base64.a85decode(re.sub(rb"\s+", b"", body))
+
+
+def asciihex_decode(data: bytes) -> bytes:
+    """PDF ASCIIHexDecode (spec §7.4.2): hex pairs, whitespace ignored,
+    '>' EOD, odd trailing digit padded with 0."""
+    import re
+
+    body = re.split(rb">", data, maxsplit=1)[0]
+    hexstr = re.sub(rb"\s+", b"", body)
+    if len(hexstr) % 2:
+        hexstr += b"0"
+    return bytes.fromhex(hexstr.decode("ascii"))
+
+
+_PDF_A85_STREAM = (
+    rb"/Filter\s*(?:\[\s*)?/ASCII85Decode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
+)
+_PDF_AHX_STREAM = (
+    rb"/Filter\s*(?:\[\s*)?/ASCIIHexDecode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
+)
+
+
+def _decode_ascii_streams(data: bytes) -> list[bytes]:
+    """All /ASCII85Decode and /ASCIIHexDecode stream bodies, decoded with
+    the stdlib. PDF writers often CHAIN these around Flate or LZW
+    ([/ASCII85Decode /FlateDecode]) — after the ASCII layer peels off,
+    try zlib then LZW on the result and keep whichever succeeds alongside
+    the raw decode (wrong guesses produce no text operators and are
+    harmless). Corrupt streams are skipped, not fatal."""
+    import re
+    import zlib
+
+    out = []
+    for pat, dec in ((_PDF_A85_STREAM, ascii85_decode),
+                     (_PDF_AHX_STREAM, asciihex_decode)):
+        for m in re.finditer(pat, data, flags=re.S):
+            try:
+                plain = dec(m.group(1))
+            except (ValueError, UnicodeDecodeError):
+                continue
+            out.append(plain)
+            try:
+                out.append(zlib.decompress(plain))
+            except zlib.error:
+                try:
+                    out.append(lzw_decode(plain))
+                except (IndexError, ValueError):
+                    pass
+    return out
+
+
 def naive_pdf_text(data: bytes) -> str | None:
     """Dependency-free extraction of PDF text objects: the `(string) Tj` /
     `[(a)(b)] TJ` show operators parsed straight off the bytes — from the
@@ -176,7 +237,12 @@ def naive_pdf_text(data: bytes) -> str | None:
     of mainstream PDF writers."""
     import re
 
-    sources = [data] + _inflate_flate_streams(data) + _decode_lzw_streams(data)
+    sources = (
+        [data]
+        + _inflate_flate_streams(data)
+        + _decode_lzw_streams(data)
+        + _decode_ascii_streams(data)
+    )
     parts: list[bytes] = []
     for src in sources:
         parts.extend(m.group(1) for m in re.finditer(_PDF_TJ, src))

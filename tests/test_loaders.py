@@ -379,3 +379,45 @@ def test_extract_documents_lzw_compressed_pdf(spark):
     assert out["lzw_real.pdf"].text == "Hello LZW stream"
     assert out["lzw_real.pdf"].extract_error is None
     assert out["flate2.pdf"].text == "still flate"
+
+
+def _ascii_pdf(text: str, kind: str) -> bytes:
+    """PDFs whose content stream is ASCII85/ASCIIHex, plain or wrapping
+    Flate (the [/ASCII85Decode /FlateDecode] chain mainstream writers
+    emit for text-safe transports)."""
+    import base64
+    import zlib
+
+    content = f"BT /F1 12 Tf 72 712 Td ({text}) Tj ET".encode()
+    if kind == "a85":
+        body, filt = base64.a85encode(content) + b"~>", b"/ASCII85Decode"
+    elif kind == "ahx":
+        body, filt = content.hex().encode() + b">", b"/ASCIIHexDecode"
+    elif kind == "a85+flate":
+        body = base64.a85encode(zlib.compress(content)) + b"~>"
+        filt = b"[/ASCII85Decode /FlateDecode]"
+    else:
+        raise ValueError(kind)
+    return (
+        b"%PDF-1.4\n2 0 obj<</Length " + str(len(body)).encode()
+        + b"/Filter " + filt + b">>stream\n" + body
+        + b"\nendstream endobj\ntrailer<<>>\n%%EOF"
+    )
+
+
+def test_extract_documents_ascii_filter_pdfs(spark):
+    """ASCII85/ASCIIHex streams decode via the stdlib, including the
+    ASCII85-wrapping-Flate chain — all three land as text rows."""
+    df = _files(
+        spark,
+        [
+            ("a85.pdf", bytearray(_ascii_pdf("ascii eighty five", "a85"))),
+            ("ahx.pdf", bytearray(_ascii_pdf("ascii hex text", "ahx"))),
+            ("chain.pdf", bytearray(_ascii_pdf("chained flate", "a85+flate"))),
+        ],
+    )
+    out = {r.path: r for r in extract_documents(df).collect()}
+    assert out["a85.pdf"].text == "ascii eighty five"
+    assert out["ahx.pdf"].text == "ascii hex text"
+    assert out["chain.pdf"].text == "chained flate"
+    assert all(v.extract_error is None for v in out.values())
