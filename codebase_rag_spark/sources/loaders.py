@@ -189,6 +189,42 @@ def asciihex_decode(data: bytes) -> bytes:
     return bytes.fromhex(hexstr.decode("ascii"))
 
 
+def runlength_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode (spec §7.4.5): length byte L — L <= 127 copies
+    the next L+1 bytes literally; L >= 129 repeats the next byte 257-L
+    times; 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln <= 127:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+_PDF_RLE_STREAM = (
+    rb"/Filter\s*(?:\[\s*)?/RunLengthDecode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
+)
+
+
+def _decode_rle_streams(data: bytes) -> list[bytes]:
+    import re
+
+    out = []
+    for m in re.finditer(_PDF_RLE_STREAM, data, flags=re.S):
+        try:
+            out.append(runlength_decode(m.group(1)))
+        except (IndexError, ValueError):
+            continue
+    return out
+
+
 _PDF_A85_STREAM = (
     rb"/Filter\s*(?:\[\s*)?/ASCII85Decode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
 )
@@ -242,6 +278,7 @@ def naive_pdf_text(data: bytes) -> str | None:
         + _inflate_flate_streams(data)
         + _decode_lzw_streams(data)
         + _decode_ascii_streams(data)
+        + _decode_rle_streams(data)
     )
     parts: list[bytes] = []
     for src in sources:

@@ -421,3 +421,28 @@ def test_extract_documents_ascii_filter_pdfs(spark):
     assert out["ahx.pdf"].text == "ascii hex text"
     assert out["chain.pdf"].text == "chained flate"
     assert all(v.extract_error is None for v in out.values())
+
+
+def test_extract_documents_runlength_pdf(spark):
+    """RunLengthDecode streams (literal runs + repeats + EOD) decode via
+    the ~15-line spec decoder."""
+    from codebase_rag_spark.sources.loaders import runlength_decode
+
+    content = b"BT (run length text) Tj ET"
+    # encode: all-literal runs of <=128 bytes + one repeat run + EOD
+    enc = bytearray()
+    enc += bytes([len(content) - 1]) + content
+    enc += bytes([257 - 3, ord(" ")])  # "   " repeat run
+    enc += bytes([2]) + b"x" * 3  # literal run after the repeat
+    enc += bytes([128])
+    assert runlength_decode(bytes(enc)) == content + b"   " + b"xxx"
+    body = bytes(enc)
+    pdf = (
+        b"%PDF-1.4\n2 0 obj<</Length " + str(len(body)).encode()
+        + b"/Filter /RunLengthDecode>>stream\n" + body
+        + b"\nendstream endobj\ntrailer<<>>\n%%EOF"
+    )
+    df = _files(spark, [("rle.pdf", bytearray(pdf))])
+    out = extract_documents(df).collect()[0]
+    assert out.text == "run length text"
+    assert out.extract_error is None
