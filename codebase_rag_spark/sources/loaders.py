@@ -273,8 +273,18 @@ def naive_pdf_text(data: bytes) -> str | None:
     of mainstream PDF writers."""
     import re
 
+    # the raw scan must not see FILTERED stream bodies: encodings with
+    # plaintext-visible payloads (RunLength literal runs, ASCIIHex of
+    # simple text) would double-extract once raw and once decoded. Blank
+    # every /Filter'ed body from the raw copy; unfiltered streams stay.
+    raw = re.sub(
+        rb"(/Filter[^>]*>>\s*stream\r?\n).*?(\r?\nendstream)",
+        rb"\1\2",
+        data,
+        flags=re.S,
+    )
     sources = (
-        [data]
+        [raw]
         + _inflate_flate_streams(data)
         + _decode_lzw_streams(data)
         + _decode_ascii_streams(data)
