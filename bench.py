@@ -146,6 +146,8 @@ HEADLINE = [
     "value_mad_outliers",
     "purchase_click_asof_tol",
     "doc_clustering_coeff",
+    "nation_revenue_trend",
+    "event_type_correlation",
     "dedup_boundary_pairs",
 ]
 

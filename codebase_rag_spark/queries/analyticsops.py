@@ -554,7 +554,59 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS revenue trend: closed-form least-squares slope and
+    intercept of monthly order revenue against a month index. ALL sums
+    are int64 (revenue in cents, month index centered at the global min
+    month) — n, Sx, Sy, Sxy, Sxx stay exact integers in any engine, and
+    the slope/intercept are two IEEE double divisions at the very end,
+    so the result is bit-deterministic with no decimal-widening hazard.
+    One fact shuffle (month aggregate) + broadcast dims + one nation
+    aggregate; the global min month rides a broadcast 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("_m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("_cents")
+        )
+    )
+    m0 = monthly.agg(F.min("_m").alias("_m0"))
+    pts = monthly.crossJoin(F.broadcast(m0)).select(
+        "n_name", (F.col("_m") - F.col("_m0")).alias("x"), F.col("_cents").alias("y")
+    )
+    agg = pts.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "n_name",
+        F.col("n").alias("n_months"),
+        F.round(slope / 100.0, 4).alias("slope_per_month"),
+        F.round(intercept / 100.0, 2).alias("intercept"),
+    )
+
+
 QUERIES = {
+    "nation_revenue_trend": nation_revenue_trend,
     "part_basket_rules": part_basket_rules,
     "lang_source_chi2": lang_source_chi2,
     "salted_event_stats": salted_event_stats,
@@ -942,4 +994,41 @@ ORACLES["part_basket_rules"] = """
         JOIN marg mb ON mb.l_partkey = pb, n_o
         WHERE n_ab >= 2
         ORDER BY lift DESC, pa, pb LIMIT 20
+"""
+
+
+ORACLES["nation_revenue_trend"] = """
+        WITH monthly AS (
+            SELECT n_name,
+                   year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ),
+        m0 AS (SELECT min(m) AS m0 FROM monthly),
+        pts AS (
+            SELECT n_name, m - m0 AS x, cents AS y FROM monthly, m0
+        ),
+        agg AS (
+            SELECT n_name,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pts GROUP BY n_name
+        )
+        SELECT n_name,
+               n AS n_months,
+               round(((n * sxy - sx * sy)::DOUBLE
+                      / (n * sxx - sx * sx)::DOUBLE) / 100.0, 4)
+                   AS slope_per_month,
+               round(((sy::DOUBLE
+                       - ((n * sxy - sx * sy)::DOUBLE
+                          / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+                      / n::DOUBLE) / 100.0, 2) AS intercept
+        FROM agg
 """

@@ -1022,7 +1022,63 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag signal mining: Pearson correlation between every pair of
+    event types' hourly count series over the full hour spine (absent
+    hours count 0 — correlating only co-present hours would bias r
+    upward). All five sufficient statistics (n, Sx, Sy, Sxy, Sxx, Syy)
+    are int64 sums of integer counts — exact in any engine — and the
+    final r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+    uses only IEEE-correctly-rounded ops (sqrt included), so r is
+    bit-deterministic with no quantization step. The pair join is keyed
+    on the hour; series tables are O(#hours * #types)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = (
+        spine.crossJoin(e.select("event_type").distinct())
+        .join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+        )
+        .localCheckpoint(eager=False)  # both pair sides read it
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"), "h", F.col("n").alias("x")
+    )
+    b = grid.select(
+        F.col("event_type").alias("type_b"), "h", F.col("n").alias("y")
+    )
+    pairs = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_hours"),
+        F.round(num / den, 6).alias("pearson_r"),
+    )
+
+
 QUERIES = {
+    "event_type_correlation": event_type_correlation,
     "value_mad_outliers": value_mad_outliers,
     "session_bounce_stats": session_bounce_stats,
     "monthly_revenue_growth": monthly_revenue_growth,
@@ -1920,4 +1976,45 @@ ORACLES["purchase_click_asof_tol"] = """
                round(t_value, 2) AS click_value,
                t_ts IS NOT NULL AS within_tolerance
         FROM tol
+"""
+
+ORACLES["event_type_correlation"] = """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        grid AS (
+            SELECT t.event_type, s.h, coalesce(hourly.n, 0) AS n
+            FROM spine s
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+            LEFT JOIN hourly ON hourly.event_type = t.event_type
+                            AND hourly.h = s.h
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b2.event_type AS type_b,
+                   a.n AS x, b2.n AS y
+            FROM grid a JOIN grid b2
+              ON a.h = b2.h AND a.event_type < b2.event_type
+        ),
+        agg AS (
+            SELECT type_a, type_b,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pairs GROUP BY type_a, type_b
+        )
+        SELECT type_a, type_b, n AS n_hours,
+               round((n * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS pearson_r
+        FROM agg
 """

@@ -365,6 +365,10 @@ def test_round4_ops_plan_contracts(spark, sf_dir):
         # canonical edges (checkpointed) -> wedge/close joins -> two
         # node aggregates
         "doc_clustering_coeff": 10,
+        # one fact shuffle + broadcast dims + one nation agg
+        "nation_revenue_trend": 4,
+        # hourly agg -> checkpointed grid -> hour-keyed pair join -> agg
+        "event_type_correlation": 7,
     }
     for name, max_exch in bounds.items():
         df = QUERIES[name](spark, sf_dir)
