@@ -148,6 +148,7 @@ HEADLINE = [
     "doc_clustering_coeff",
     "nation_revenue_trend",
     "event_type_correlation",
+    "seasonal_naive_backtest",
     "dedup_boundary_pairs",
 ]
 

@@ -1077,7 +1077,69 @@ def event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy backtest per event type: seasonal-naive forecast
+    (yhat_d = count at d-7) over the last 7 days of the daily count
+    series, scored with MAE and MASE (MAE scaled by the train-set
+    one-step naive error — the scale-free standard from Hyndman's
+    forecasting literature; MASE < 1 beats the naive baseline). The
+    daily series rides the full day spine with 0 fill, so silent gaps
+    count as misses instead of vanishing. Integer counts end-to-end; the
+    two means are int64-sum / count double divisions — deterministic.
+    Per-type lag windows are bounded by the calendar (O(#days))."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("d"), F.col("mx")
+    )
+    grid = (
+        spine.crossJoin(e.select("event_type").distinct())
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", "mx", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cur = grid.select(
+        "event_type",
+        "d",
+        "n",
+        F.lag("n", 7).over(w).alias("yhat"),
+        F.lag("n", 1).over(w).alias("prev"),
+        (F.datediff("mx", F.col("d")) < 7).alias("is_test"),
+    )
+    agg = cur.groupBy("event_type").agg(
+        F.sum(F.when(~F.col("is_test") & F.col("prev").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_train_steps"),
+        F.sum(
+            F.when(
+                ~F.col("is_test") & F.col("prev").isNotNull(),
+                F.abs(F.col("n") - F.col("prev")),
+            )
+        )
+        .cast("bigint")
+        .alias("train_abs_err"),
+        F.sum(F.when(F.col("is_test"), 1)).cast("bigint").alias("n_test_days"),
+        F.sum(F.when(F.col("is_test"), F.abs(F.col("n") - F.col("yhat"))))
+        .cast("bigint")
+        .alias("test_abs_err"),
+    )
+    mae = F.col("test_abs_err").cast("double") / F.col("n_test_days")
+    naive = F.col("train_abs_err").cast("double") / F.col("n_train_steps")
+    return agg.select(
+        "event_type",
+        "n_test_days",
+        F.round(mae, 4).alias("mae"),
+        F.round(mae / naive, 4).alias("mase"),
+    )
+
+
 QUERIES = {
+    "seasonal_naive_backtest": seasonal_naive_backtest,
     "event_type_correlation": event_type_correlation,
     "value_mad_outliers": value_mad_outliers,
     "session_bounce_stats": session_bounce_stats,
@@ -2016,5 +2078,52 @@ ORACLES["event_type_correlation"] = """
                round((n * sxy - sx * sy)::DOUBLE
                      / (sqrt((n * sxx - sx * sx)::DOUBLE)
                         * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS pearson_r
+        FROM agg
+"""
+
+ORACLES["seasonal_naive_backtest"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d,
+                   mx
+            FROM b
+        ),
+        grid AS (
+            SELECT t.event_type, s.d, s.mx, coalesce(daily.n, 0) AS n
+            FROM spine s
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+            LEFT JOIN daily ON daily.event_type = t.event_type
+                           AND daily.d = s.d
+        ),
+        cur AS (
+            SELECT event_type, d, n,
+                   lag(n, 7) OVER w AS yhat,
+                   lag(n, 1) OVER w AS prev,
+                   date_diff('day', d, mx) < 7 AS is_test
+            FROM grid
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN NOT is_test AND prev IS NOT NULL
+                                 THEN 1 END) AS BIGINT) AS n_train_steps,
+                   CAST(sum(CASE WHEN NOT is_test AND prev IS NOT NULL
+                                 THEN abs(n - prev) END) AS BIGINT)
+                       AS train_abs_err,
+                   CAST(sum(CASE WHEN is_test THEN 1 END) AS BIGINT)
+                       AS n_test_days,
+                   CAST(sum(CASE WHEN is_test THEN abs(n - yhat) END)
+                        AS BIGINT) AS test_abs_err
+            FROM cur GROUP BY event_type
+        )
+        SELECT event_type, n_test_days,
+               round(test_abs_err::DOUBLE / n_test_days, 4) AS mae,
+               round((test_abs_err::DOUBLE / n_test_days)
+                     / (train_abs_err::DOUBLE / n_train_steps), 4) AS mase
         FROM agg
 """

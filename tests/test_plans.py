@@ -369,6 +369,8 @@ def test_round4_ops_plan_contracts(spark, sf_dir):
         "nation_revenue_trend": 4,
         # hourly agg -> checkpointed grid -> hour-keyed pair join -> agg
         "event_type_correlation": 7,
+        # daily agg -> spine grid -> per-type calendar-bounded lags -> agg
+        "seasonal_naive_backtest": 7,
     }
     for name, max_exch in bounds.items():
         df = QUERIES[name](spark, sf_dir)
