@@ -149,6 +149,7 @@ HEADLINE = [
     "nation_revenue_trend",
     "event_type_correlation",
     "seasonal_naive_backtest",
+    "comment_markers",
     "dedup_boundary_pairs",
 ]
 

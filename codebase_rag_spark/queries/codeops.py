@@ -308,7 +308,43 @@ def commit_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MARKER_CORPUS = [
+    (
+        1,
+        "def setup():\n"
+        "    # TODO wire the retry budget\n"
+        "    pass\n"
+        "# FIXME race when the cache is cold\n"
+        "# NOTE callers must hold the lock\n",
+    ),
+    (
+        2,
+        "// DECISION keep the v2 wire format\n"
+        "// BUG off-by-one in the window bound\n"
+        "// plain comment, no marker here\n"
+        "// TODO and FIXME on one line -> first marker wins\n",
+    ),
+    (3, "no markers at all\njust text\n"),
+    (4, "# IMPORTANT deadline is monday\n"),
+]
+
+
+def comment_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 marker extraction (reference memory_extractor.py:697-772) as an
+    oracle-checked entry (was pytest-only): posexplode lines, classify
+    marker words to memory types with importance weights — first marker
+    in the priority list wins on multi-marker lines. Fully relational
+    (split + CASE chain), scan-stage."""
+    from codebase_rag_spark.operators.chunking import extract_markers
+
+    df = spark.createDataFrame(MARKER_CORPUS, ["snippet_id", "content"])
+    return extract_markers(df, "snippet_id", "content").select(
+        "snippet_id", "line_no", "marker", "memory_type", "importance"
+    )
+
+
 QUERIES = {
+    "comment_markers": comment_markers,
     "code_entity_extract": code_entity_extract,
     "js_entity_extract": js_entity_extract,
     "java_entity_extract": java_entity_extract,
@@ -604,4 +640,54 @@ ORACLES["media_resize"] = """
                CAST(list_sum(list_slice(bytes, 1, least(16, new_w * new_h)))
                     % 256 AS INTEGER) AS checksum
         FROM rs
+"""
+
+
+def _marker_values() -> str:
+    rows = ",\n            ".join(
+        "({}, '{}')".format(i, c.replace("'", "''").replace("\n", "\\n"))
+        for i, c in MARKER_CORPUS
+    )
+    return rows
+
+
+ORACLES["comment_markers"] = f"""
+        WITH c(snippet_id, content) AS (VALUES
+            {_marker_values()}),
+        lines AS (
+            SELECT snippet_id,
+                   CAST(generate_subscripts(l, 1) - 1 AS INTEGER) AS line_no,
+                   unnest(l) AS line
+            FROM (SELECT snippet_id,
+                         string_split(replace(content, '\\n', chr(10)),
+                                      chr(10)) AS l
+                  FROM c)
+        )
+        SELECT snippet_id, line_no,
+               CASE WHEN contains(upper(line), 'TODO') THEN 'TODO'
+                    WHEN contains(upper(line), 'FIXME') THEN 'FIXME'
+                    WHEN contains(upper(line), 'BUG') THEN 'BUG'
+                    WHEN contains(upper(line), 'NOTE') THEN 'NOTE'
+                    WHEN contains(upper(line), 'IMPORTANT') THEN 'IMPORTANT'
+                    WHEN contains(upper(line), 'DECISION') THEN 'DECISION'
+               END AS marker,
+               CASE WHEN contains(upper(line), 'TODO') THEN 'plan'
+                    WHEN contains(upper(line), 'FIXME') THEN 'experience'
+                    WHEN contains(upper(line), 'BUG') THEN 'experience'
+                    WHEN contains(upper(line), 'NOTE') THEN 'convention'
+                    WHEN contains(upper(line), 'IMPORTANT') THEN 'convention'
+                    WHEN contains(upper(line), 'DECISION') THEN 'decision'
+               END AS memory_type,
+               CASE WHEN contains(upper(line), 'TODO') THEN 0.5::DOUBLE
+                    WHEN contains(upper(line), 'FIXME') THEN 0.7::DOUBLE
+                    WHEN contains(upper(line), 'BUG') THEN 0.7::DOUBLE
+                    WHEN contains(upper(line), 'NOTE') THEN 0.6::DOUBLE
+                    WHEN contains(upper(line), 'IMPORTANT') THEN 0.6::DOUBLE
+                    WHEN contains(upper(line), 'DECISION') THEN 0.7::DOUBLE
+               END AS importance
+        FROM lines
+        WHERE contains(upper(line), 'TODO') OR contains(upper(line), 'FIXME')
+           OR contains(upper(line), 'BUG') OR contains(upper(line), 'NOTE')
+           OR contains(upper(line), 'IMPORTANT')
+           OR contains(upper(line), 'DECISION')
 """
