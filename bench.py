@@ -150,6 +150,7 @@ HEADLINE = [
     "event_type_correlation",
     "seasonal_naive_backtest",
     "comment_markers",
+    "source_token_kl",
     "dedup_boundary_pairs",
 ]
 

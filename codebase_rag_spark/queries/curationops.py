@@ -534,7 +534,63 @@ def bigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: KL(P_source || P_corpus) over unigram
+    token distributions, per source — the alarm that fires when one
+    ingest stream starts looking unlike the corpus (encoding break,
+    template flood, language shift). KL = (1/N_s) * sum_t C_s(t) *
+    ln(C_s(t)*N / (C(t)*N_s)): both ratio legs are exact int64 products,
+    the ln is quantized to 6dp DECIMAL once per (source, token) — the
+    detsum/dsir determinism pattern — and the weighted sum is an exact
+    decimal aggregate with ONE double division at the end. Vocab-level
+    cost: the Zipf head collapses in the first map-side-combined
+    aggregate; no corpus-sized join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("cs")
+    ).localCheckpoint(eager=False)  # feeds corpus vocab + totals + the join
+    vocab = st.groupBy("tok").agg(F.sum("cs").cast("bigint").alias("c"))
+    ns = st.groupBy("source").agg(F.sum("cs").cast("bigint").alias("n_s"))
+    n_tot = vocab.agg(F.sum("c").cast("bigint").alias("n"))
+    scored = (
+        st.join(vocab, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "cs",
+            "n_s",
+            F.round(
+                F.log(
+                    (F.col("cs") * F.col("n")).cast("double")
+                    / (F.col("c") * F.col("n_s")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(16,6)")
+            .alias("lr"),
+        )
+    )
+    agg = scored.groupBy("source").agg(
+        F.min("n_s").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum(F.col("cs") * F.col("lr")).alias("_num"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        F.round(F.col("_num").cast("double") / F.col("n_tokens"), 4).alias(
+            "kl_divergence"
+        ),
+    )
+
+
 QUERIES = {
+    "source_token_kl": source_token_kl,
     "bigram_surprise_docs": bigram_surprise_docs,
     "curation_pipeline_e2e": curation_pipeline_e2e,
     "k_anonymity_audit": k_anonymity_audit,
@@ -894,4 +950,37 @@ ORACLES["bigram_surprise_docs"] = r"""
                round(CAST(num AS DOUBLE) / n_bigrams, 4) AS surprise
         FROM per_doc
         ORDER BY surprise DESC, doc_id LIMIT 20
+"""
+
+ORACLES["source_token_kl"] = r"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ),
+        st AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+            FROM toks GROUP BY source, tok
+        ),
+        vocab AS (SELECT tok, CAST(sum(cs) AS BIGINT) AS c FROM st GROUP BY tok),
+        ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s FROM st GROUP BY source),
+        nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+        scored AS (
+            SELECT st.source, st.cs, ns.n_s,
+                   CAST(round(ln((st.cs * nt.n)::DOUBLE
+                                 / (vocab.c * ns.n_s)::DOUBLE), 6)
+                        AS DECIMAL(16,6)) AS lr
+            FROM st JOIN vocab USING (tok) JOIN ns USING (source), nt
+        ),
+        agg AS (
+            SELECT source, min(n_s) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   sum(cs * lr) AS num
+            FROM scored GROUP BY source
+        )
+        SELECT source, n_tokens, vocab_size,
+               round(CAST(num AS DOUBLE) / n_tokens, 4) AS kl_divergence
+        FROM agg
 """

@@ -371,6 +371,9 @@ def test_round4_ops_plan_contracts(spark, sf_dir):
         "event_type_correlation": 7,
         # daily agg -> spine grid -> per-type calendar-bounded lags -> agg
         "seasonal_naive_backtest": 7,
+        # (source, tok) collapse -> vocab/totals on checkpointed table ->
+        # token-keyed score join -> source agg
+        "source_token_kl": 8,
     }
     for name, max_exch in bounds.items():
         df = QUERIES[name](spark, sf_dir)
