@@ -151,6 +151,9 @@ _PRIORITY = [
 _CHANGED_R4 = [
     "jaccard_pairs", "simhash_groups", "bm25_documents",
     "doc_sequence_packing", "duplicated_spans",
+    # late r4: rank-filtered rewrite (bounded per-user state), oracle
+    # unchanged and green at 3 SFs
+    "top_event_paths",
 ]
 
 QUERIES = {

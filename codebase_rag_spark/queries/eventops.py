@@ -355,22 +355,24 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path analysis: each user's first three event types as an ordered
     path string, counted corpus-wide (the 'how do sessions start' query).
-    One groupBy(user) building the ordered array — structs sort by
-    (ts, event_id, type), so ordering is total and engine-identical."""
+    A rank-filtered window (row_number <= 3) bounds the per-user state at
+    THREE rows before any array forms — the previous collect_list of the
+    user's whole history buffered unbounded for a hot user (bot traffic);
+    the sort inside the window is spill-safe external sort. The tiny
+    3-element collect then assembles the path in rank order —
+    engine-identical ((ts, event_id) is a total order)."""
     e = load_table(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= 3)
+    )
+    per_user = first3.groupBy("user_id").agg(
         F.concat_ws(
             ">",
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda s: s.event_type,
-                ),
-                1,
-                3,
-            ),
+            F.array_sort(
+                F.collect_list(F.struct("_rn", "event_type"))
+            ).getField("event_type"),
         ).alias("path")
     )
     return (
