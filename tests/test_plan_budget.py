@@ -1,0 +1,40 @@
+"""Plan-budget regression net: every bench HEADLINE query's exchange
+count must not exceed its checked-in budget (tests/plan_budgets.json,
+regenerated via tools/gen_plan_budgets.py after INTENTIONAL plan
+changes). Catches the silent regression class the per-query contracts in
+test_plans.py cannot cover exhaustively: a lost broadcast, a new
+unplanned shuffle, a replayed subtree — on ANY headline query."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from bench import HEADLINE
+from codebase_rag_spark.plans import count_exchanges
+from codebase_rag_spark.queries import QUERIES
+
+_BUDGETS = json.load(
+    open(os.path.join(os.path.dirname(__file__), "plan_budgets.json"))
+)
+
+
+def test_budgets_cover_every_headline_query():
+    missing = [n for n in HEADLINE if n not in _BUDGETS]
+    assert not missing, (
+        f"run tools/gen_plan_budgets.py — new headline queries without "
+        f"budgets: {missing}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_BUDGETS))
+def test_exchange_count_within_budget(spark, sf_dir, name):
+    if name not in QUERIES:
+        pytest.skip(f"{name} no longer in registry")
+    got = count_exchanges(QUERIES[name](spark, sf_dir))
+    assert got <= _BUDGETS[name], (
+        f"{name}: {got} exchanges > budget {_BUDGETS[name]} — if the plan "
+        f"change is intentional, regenerate tests/plan_budgets.json"
+    )

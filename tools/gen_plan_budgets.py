@@ -1,0 +1,44 @@
+"""Regenerate tests/plan_budgets.json: the exchange-count budget for every
+bench HEADLINE query at the TEST scale factor (sf0.001 — plan shapes are
+SF-sensitive through broadcast thresholds, so budgets are pinned at the
+same SF the test suite uses).
+
+Run after intentionally changing a query's plan shape:
+    python tools/gen_plan_budgets.py
+and commit the diff — the test suite then enforces the new budget. A
+budget that silently GROWS is exactly the regression class this guards
+(a lost broadcast, a new unplanned shuffle, a subtree replay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import HEADLINE  # noqa: E402
+from codebase_rag_spark.plans import count_exchanges  # noqa: E402
+from codebase_rag_spark.queries import QUERIES  # noqa: E402
+from codebase_rag_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+OUT = os.path.join(REPO, "tests", "plan_budgets.json")
+
+
+def main() -> None:
+    spark = get_spark("plan-budgets", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    budgets = {}
+    for name in HEADLINE:
+        budgets[name] = count_exchanges(QUERIES[name](spark, SF_DIR))
+    with open(OUT, "w") as f:
+        json.dump(budgets, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"{OUT} written ({len(budgets)} budgets)")
+
+
+if __name__ == "__main__":
+    main()
