@@ -151,6 +151,7 @@ HEADLINE = [
     "seasonal_naive_backtest",
     "comment_markers",
     "source_token_kl",
+    "community_pagerank_mass",
     "dedup_boundary_pairs",
 ]
 

@@ -161,7 +161,30 @@ def doc_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_clustering(_doc_chain(spark, sf_dir, hops=2))
 
 
+def community_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite graph rollup: connected components x PageRank — per
+    component, its node count and total rank mass (the 'which cluster
+    holds the authority' report; mass fractions drive crawl/budget
+    allocation between communities). Composes the two iterative
+    operators on ONE shared edge snapshot; the mass sum rides
+    DECIMAL(18,8)-quantized ranks, so the per-component total is exact
+    and engine-identical (a raw double sum would be summation-order-
+    dependent)."""
+    edges = _doc_chain(spark, sf_dir, hops=1).localCheckpoint(eager=False)
+    labels = connected_components(edges, iterations=3)
+    ranks = pagerank(edges, iterations=3)
+    joined = labels.join(
+        ranks.select("node", F.round("rank", 8).cast("decimal(18,8)").alias("r")),
+        "node",
+    )
+    return joined.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.round(F.sum("r").cast("double"), 6).alias("rank_mass"),
+    )
+
+
 QUERIES = {
+    "community_pagerank_mass": community_pagerank_mass,
     "recursive_reachability": recursive_reachability,
     "region_two_hop": region_two_hop,
     "region_impact": region_impact,
@@ -526,4 +549,28 @@ ORACLES["doc_clustering_coeff"] = f"""
                                / (deg.degree * (deg.degree - 1)), 6)
                     ELSE 0.0::DOUBLE END AS clustering_coeff
         FROM deg LEFT JOIN tpn USING (node)
+"""
+
+
+ORACLES["community_pagerank_mass"] = f"""
+        WITH e AS ({_CHAIN_1}),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS component FROM u),
+        {_CC_ITER.format(i=1, prev=0)},
+        {_CC_ITER.format(i=2, prev=1)},
+        {_CC_ITER.format(i=3, prev=2)},
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        it0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM params) AS rank
+                FROM nodes),
+        {_PR_ITER.format(i=1, prev=0)},
+        {_PR_ITER.format(i=2, prev=1)},
+        {_PR_ITER.format(i=3, prev=2)}
+        SELECT l3.component,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               round(CAST(sum(CAST(round(it3.rank, 8) AS DECIMAL(18,8)))
+                          AS DOUBLE), 6) AS rank_mass
+        FROM l3 JOIN it3 ON l3.node = it3.node
+        GROUP BY l3.component
 """
