@@ -152,6 +152,7 @@ HEADLINE = [
     "comment_markers",
     "source_token_kl",
     "community_pagerank_mass",
+    "file_info_summary",
     "dedup_boundary_pairs",
 ]
 

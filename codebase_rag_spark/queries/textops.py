@@ -145,6 +145,58 @@ def ref_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILES_CORPUS: list[tuple[str, str]] = [
+    ("src/auth/token.py", "def issue():\n    return 'tok'\n"),
+    ("src/api/routes.ts", "export const r = 1;\n"),
+    ("docs/guide.md", "# Guide\nRead me first.\n"),
+    ("config/settings.yaml", "mode: fast\n"),
+    ("Makefile", "all:\n\techo hi\n"),
+    ("lib/util.xyz", "mystery bytes\n"),
+]
+
+
+def file_info_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 file-info projection + P1/P2 type/lang detection + T17
+    rule-based file summary (reference code_ingestor.py:86-117 +
+    ranker.py:64-74) as ONE oracle-checked row per file: ext, lang,
+    source_type (broadcast EXT_MAP lookup — the SAME dict renders the
+    DuckDB VALUES table), byte size, sha256[:16] of the content, and the
+    '«lang» file «name» in «dir»/ directory' summary string (root-level
+    files say 'at repository root'). Corpus is ASCII so length == byte
+    size in both engines."""
+    from codebase_rag_spark.functions.text import sha_fingerprint
+    from codebase_rag_spark.sources.scan import lang_lookup_df
+
+    df = spark.createDataFrame(FILES_CORPUS, ["path", "content"])
+    parts = F.split(F.col("path"), "/")
+    fname = F.element_at(parts, -1)
+    dirp = F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/")
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    base = df.select(
+        "path",
+        ext.alias("ext"),
+        fname.alias("fname"),
+        dirp.alias("dirp"),
+        F.length("content").cast("bigint").alias("size"),
+        sha_fingerprint(F.col("content")).alias("sha"),
+    )
+    looked = base.join(F.broadcast(lang_lookup_df(spark)), "ext", "left").fillna(
+        {"lang": "unknown", "source_type": "unknown"}
+    )
+    summary = F.concat(
+        F.col("lang"),
+        F.lit(" file "),
+        F.col("fname"),
+        F.when(F.col("dirp") == "", F.lit(" at repository root")).otherwise(
+            F.concat(F.lit(" in "), F.col("dirp"), F.lit("/ directory"))
+        ),
+    )
+    return looked.select(
+        "path", "ext", "lang", "source_type", "size", "sha",
+        summary.alias("summary"),
+    )
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: corpus-wide top-25 tokens by frequency — vocabulary
     curation / stopword discovery pass. explode -> hash aggregate with
@@ -255,6 +307,7 @@ def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "file_info_summary": file_info_summary,
     "rank_documents": rank_documents,
     "markdown_sections": markdown_section_split,
     "sliding_chunks": sliding_chunks,
@@ -516,4 +569,50 @@ ORACLES["sliding_chunks"] = r"""
                md5(array_to_string(list_slice(tk, start + 1, start + 64), ' '))
                    AS chunk_md5
         FROM st
+"""
+
+
+def _files_values() -> str:
+    rows = ",\n            ".join(
+        "('{}', '{}')".format(p_, c.replace("'", "''").replace("\n", "\\n"))
+        for p_, c in FILES_CORPUS
+    )
+    return rows
+
+
+def _ext_map_values() -> str:
+    from codebase_rag_spark.sources.scan import EXT_MAP
+
+    return ",\n            ".join(
+        f"('{e}', '{l}', '{t}')" for e, (l, t) in EXT_MAP.items()
+    )
+
+
+ORACLES["file_info_summary"] = rf"""
+        WITH c(path, raw) AS (VALUES
+            {_files_values()}),
+        f AS (
+            SELECT path, replace(raw, '\n', chr(10)) AS content,
+                   string_split(path, '/') AS parts,
+                   lower(list_extract(string_split(path, '.'), -1)) AS ext
+            FROM c
+        ),
+        m(ext, lang, source_type) AS (VALUES
+            {_ext_map_values()}),
+        j AS (
+            SELECT f.path, f.ext,
+                   coalesce(m.lang, 'unknown') AS lang,
+                   coalesce(m.source_type, 'unknown') AS source_type,
+                   CAST(length(f.content) AS BIGINT) AS size,
+                   substr(sha256(f.content), 1, 16) AS sha,
+                   list_extract(f.parts, -1) AS fname,
+                   coalesce(array_to_string(f.parts[1:len(f.parts)-1], '/'), '')
+                       AS dirp
+            FROM f LEFT JOIN m USING (ext)
+        )
+        SELECT path, ext, lang, source_type, size, sha,
+               lang || ' file ' || fname ||
+               CASE WHEN dirp = '' THEN ' at repository root'
+                    ELSE ' in ' || dirp || '/ directory' END AS summary
+        FROM j
 """
