@@ -153,6 +153,7 @@ HEADLINE = [
     "source_token_kl",
     "community_pagerank_mass",
     "file_info_summary",
+    "glob_match_audit",
     "dedup_boundary_pairs",
 ]
 

@@ -197,6 +197,43 @@ def file_info_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GLOB_PATHS: list[tuple[str]] = [
+    ("src/auth/token.py",),
+    ("src/api/routes.ts",),
+    ("lib/src/deep/mod.py",),
+    ("node_modules/pkg/index.js",),
+    ("app/node_modules/pkg/util.py",),
+    ("docs/guide.md",),
+    ("build/out.py",),
+    ("tests/test_scan.py",),
+]
+
+GLOB_INCLUDES = ["**/*.py", "**/src/**"]
+
+
+def glob_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 glob include/exclude predicates (reference
+    code_ingestor.py:76-84, pipeline.py:243-255) as an oracle-checked
+    entry: the SAME fnmatch-translated regex the scanner pushes into its
+    path filter (sources/scan.py:_glob_to_regex, matched against
+    '/'+path so '**/dir/**' anchors at the repo root), evaluated per
+    corpus path with include/exclude/kept booleans. The oracle runs the
+    IDENTICAL rendered pattern with Python/Java's \Z end-anchor
+    rewritten to RE2's $ (equivalent on newline-free paths)."""
+    from codebase_rag_spark.sources.scan import DEFAULT_EXCLUDES, _glob_to_regex
+
+    df = spark.createDataFrame(GLOB_PATHS, ["path"])
+    matchable = F.concat(F.lit("/"), F.col("path"))
+    inc = matchable.rlike(_glob_to_regex(GLOB_INCLUDES))
+    exc = matchable.rlike(_glob_to_regex(DEFAULT_EXCLUDES))
+    return df.select(
+        "path",
+        inc.alias("include_match"),
+        exc.alias("exclude_match"),
+        (inc & ~exc).alias("kept"),
+    )
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: corpus-wide top-25 tokens by frequency — vocabulary
     curation / stopword discovery pass. explode -> hash aggregate with
@@ -307,6 +344,7 @@ def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "glob_match_audit": glob_match_audit,
     "file_info_summary": file_info_summary,
     "rank_documents": rank_documents,
     "markdown_sections": markdown_section_split,
@@ -615,4 +653,32 @@ ORACLES["file_info_summary"] = rf"""
                CASE WHEN dirp = '' THEN ' at repository root'
                     ELSE ' in ' || dirp || '/ directory' END AS summary
         FROM j
+"""
+
+
+def _glob_oracle_regex(globs) -> str:
+    from codebase_rag_spark.sources.scan import _glob_to_regex
+
+    pat = _glob_to_regex(globs).replace("\\Z", "$")
+    return pat.replace("\\", "\\\\").replace("'", "''")
+
+
+def _glob_paths_values() -> str:
+    return ",\n            ".join(f"('{p_}')" for (p_,) in GLOB_PATHS)
+
+
+ORACLES["glob_match_audit"] = rf"""
+        WITH c(path) AS (VALUES
+            {_glob_paths_values()}),
+        m AS (
+            SELECT path,
+                   regexp_matches('/' || path,
+                       e'{_glob_oracle_regex(GLOB_INCLUDES)}') AS inc,
+                   regexp_matches('/' || path,
+                       e'{_glob_oracle_regex(__import__("codebase_rag_spark.sources.scan", fromlist=["DEFAULT_EXCLUDES"]).DEFAULT_EXCLUDES)}') AS exc
+            FROM c
+        )
+        SELECT path, inc AS include_match, exc AS exclude_match,
+               (inc AND NOT exc) AS kept
+        FROM m
 """

@@ -67,7 +67,14 @@ DEFAULT_EXCLUDES = [
 
 
 def _glob_to_regex(globs: list[str]) -> str:
-    return "|".join(f"(?:{fnmatch.translate(g)})" for g in globs)
+    # fnmatch.translate (>= py3.12) emits ATOMIC groups `(?>...)` — a
+    # CPython backtracking optimization that is match-equivalent for
+    # glob patterns but unsupported by RE2 (the DuckDB oracle engine).
+    # Rewrite to plain non-capturing groups so the SAME pattern runs
+    # identically under Java regex (Spark) and RE2.
+    return "|".join(
+        f"(?:{fnmatch.translate(g).replace('(?>', '(?:')})" for g in globs
+    )
 
 
 def lang_lookup_df(spark: SparkSession) -> DataFrame:
