@@ -218,7 +218,7 @@ def glob_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     path filter (sources/scan.py:_glob_to_regex, matched against
     '/'+path so '**/dir/**' anchors at the repo root), evaluated per
     corpus path with include/exclude/kept booleans. The oracle runs the
-    IDENTICAL rendered pattern with Python/Java's \Z end-anchor
+    IDENTICAL rendered pattern with Python/Java's backslash-Z end-anchor
     rewritten to RE2's $ (equivalent on newline-free paths)."""
     from codebase_rag_spark.sources.scan import DEFAULT_EXCLUDES, _glob_to_regex
 
