@@ -154,6 +154,7 @@ HEADLINE = [
     "community_pagerank_mass",
     "file_info_summary",
     "glob_match_audit",
+    "split_leakage_audit",
     "dedup_boundary_pairs",
 ]
 

@@ -227,7 +227,58 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-LEAKAGE audit: LSH near-dup candidate pairs that
+    straddle the deterministic 80/20 split — the contamination mode a
+    random split silently creates (a near-copy of a test doc in train
+    inflates eval scores). Composes the dedup stack's candidate pairs
+    with the split assignment: per (split_a, split_b) pair-class, the
+    candidate count; cross-split rows are the leakage. Candidate-
+    confined (never corpus x corpus), split lookups are two joins
+    against the tiny (doc_id, split) projection."""
+    from codebase_rag_spark.operators.dedup import minhash_lsh_candidates
+    from codebase_rag_spark.operators.sampling import train_test_split
+
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=4, bands=2, shingle_size=3
+    )
+    splits = train_test_split(d, "doc_id", test_fraction=0.2).select(
+        "doc_id", "split"
+    )
+    labeled = (
+        cands.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+    )
+    per_class = labeled.groupBy("split_a", "split_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    total = labeled.agg(
+        F.count("*").cast("bigint").alias("_tot"),
+        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_cross"),
+    )
+    return per_class.crossJoin(F.broadcast(total)).select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        F.round(F.col("_cross") / F.col("_tot"), 4).alias("leakage_rate"),
+    )
+
+
 QUERIES = {
+    "split_leakage_audit": split_leakage_audit,
     "dsir_importance_weights": dsir_importance_weights,
     "packing_efficiency": packing_efficiency,
     "dedup_boundary_pairs": dedup_boundary_pairs,
@@ -560,4 +611,32 @@ ORACLES["dsir_importance_weights"] = r"""
                CAST(round(d.w, 4) AS DOUBLE) AS dsir_weight
         FROM doc d JOIN base b2 USING (doc_id)
         ORDER BY dsir_weight DESC, doc_id LIMIT 20
+"""
+
+
+ORACLES["split_leakage_audit"] = rf"""
+        WITH cand AS (SELECT * FROM ({_lsh_cand_sql()}) q),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN {_BUCKET} < 20 THEN 'test' ELSE 'train' END
+                       AS split
+            FROM documents
+        ),
+        labeled AS (
+            SELECT c.id_a, c.id_b, a.split AS split_a, b.split AS split_b
+            FROM cand c
+            JOIN sp a ON a.doc_id = c.id_a
+            JOIN sp b ON b.doc_id = c.id_b
+        ),
+        tot AS (
+            SELECT count(*) AS t,
+                   CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x
+            FROM labeled
+        )
+        SELECT split_a, split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(tot.x / CAST(tot.t AS DOUBLE), 4) AS leakage_rate
+        FROM labeled, tot
+        GROUP BY split_a, split_b, tot.x, tot.t
 """
