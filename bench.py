@@ -155,6 +155,7 @@ HEADLINE = [
     "file_info_summary",
     "glob_match_audit",
     "split_leakage_audit",
+    "corpus_overview",
     "dedup_boundary_pairs",
 ]
 

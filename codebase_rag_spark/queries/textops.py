@@ -343,7 +343,54 @@ def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dashboard — the 'describe corpus' entrypoint every
+    ingest run prints first: doc/lang/source counts, exact char and
+    token totals, vocabulary size, mean doc length, and the exact-dup
+    footprint (docs whose full text md5 appears more than once). Three
+    bounded aggregates (doc stats, vocab, dup groups) joined as 1-row
+    broadcasts; all values integer-exact except the one rounded mean."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    base = d.select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("bigint").alias("_chars"),
+        F.size(tok).cast("bigint").alias("_toks"),
+        F.md5("text").alias("_fp"),
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("_chars").alias("total_chars"),
+        F.sum("_toks").alias("total_tokens"),
+    )
+    vocab = d.select(F.explode(tok).alias("t")).filter(
+        F.col("t") != ""
+    ).agg(F.countDistinct("t").cast("bigint").alias("vocab_size"))
+    dups = (
+        base.groupBy("_fp")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_dup_docs")
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs", "n_langs", "n_sources", "total_chars", "total_tokens",
+            "vocab_size", "n_dup_docs",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+            ).alias("avg_doc_tokens"),
+        )
+    )
+
+
 QUERIES = {
+    "corpus_overview": corpus_overview,
     "glob_match_audit": glob_match_audit,
     "file_info_summary": file_info_summary,
     "rank_documents": rank_documents,
@@ -681,4 +728,41 @@ ORACLES["glob_match_audit"] = rf"""
         SELECT path, inc AS include_match, exc AS exclude_match,
                (inc AND NOT exc) AS kept
         FROM m
+"""
+
+
+ORACLES["corpus_overview"] = r"""
+        WITH base AS (
+            SELECT doc_id, lang, source,
+                   CAST(length(text) AS BIGINT) AS chars,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS toks,
+                   md5(text) AS fp
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(sum(chars) AS BIGINT) AS total_chars,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens
+            FROM base
+        ),
+        vocab AS (
+            SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+            FROM (SELECT unnest(list_filter(
+                      regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                      AS tok
+                  FROM documents)
+        ),
+        dups AS (
+            SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_docs
+            FROM (SELECT fp, count(*) AS n FROM base GROUP BY fp
+                  HAVING count(*) > 1)
+        )
+        SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+               vocab_size, n_dup_docs,
+               round(total_tokens / CAST(n_docs AS DOUBLE), 4)
+                   AS avg_doc_tokens
+        FROM stats, vocab, dups
 """
