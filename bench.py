@@ -156,6 +156,7 @@ HEADLINE = [
     "glob_match_audit",
     "split_leakage_audit",
     "corpus_overview",
+    "mmr_diverse_topk",
     "dedup_boundary_pairs",
 ]
 

@@ -305,3 +305,89 @@ def ivf_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_side: DataFrame,
+    pool_k: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998):
+    diversify the top-k by greedily picking argmax of
+    lam * sim(q, d) - (1 - lam) * max sim(d, selected) — the standard
+    RAG answer to near-duplicate retrieval results crowding the context
+    window (reference merges by max score only,
+    neo4j_knowledge_service.py:99-110; MMR is the beyond-reference
+    upgrade).
+
+    Scale shape: the expensive part is the pool selection
+    (cosine_topk_join — TakeOrdered over the corpus, query vector as a
+    LAZY 1-row broadcast side with a `_qvec` array<double> column); the
+    greedy loop runs entirely on the POOL (pool_k rows, pool_k^2
+    pairwise cosines computed once and pinned), unrolled as k lazy
+    argmax stages — no driver collect anywhere, no corpus revisit. All
+    similarities are 4dp-quantized before the greedy arithmetic, so
+    selection order is engine-deterministic (ties break on id).
+    """
+    pool = cosine_topk_join(
+        embeddings, query_side, pool_k, id_col=id_col, vec_col=vec_col
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    )
+    pool = (
+        pool.join(vecs, pool[id_col] == vecs["_vid"])
+        .select(id_col, "cosine", "_v")
+        .localCheckpoint(eager=False)
+    )
+    a = pool.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = pool.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    pairs = (
+        a.join(b, a.id_a != b.id_b)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("pc"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam_c, inv_c = F.lit(lam), F.lit(1.0 - lam)
+    sel = (
+        pool.orderBy(F.desc("cosine"), id_col)
+        .limit(1)
+        .select(
+            id_col,
+            "cosine",
+            F.lit(1).alias("rank"),
+            (lam_c * F.col("cosine")).alias("_score"),
+        )
+    )
+    for t in range(2, k + 1):
+        sel_ids = sel.select(F.col(id_col).alias("_sid"))
+        pen = (
+            pairs.join(F.broadcast(sel_ids), pairs.id_b == F.col("_sid"))
+            .groupBy("id_a")
+            .agg(F.max("pc").alias("_pen"))
+        )
+        cand = pool.join(sel_ids, pool[id_col] == F.col("_sid"), "left_anti")
+        scored = cand.join(pen, cand[id_col] == pen.id_a, "left").select(
+            id_col,
+            "cosine",
+            (
+                lam_c * F.col("cosine")
+                - inv_c * F.coalesce(F.col("_pen"), F.lit(0.0))
+            ).alias("_score"),
+        )
+        pick = (
+            scored.orderBy(F.desc("_score"), id_col)
+            .limit(1)
+            .select(id_col, "cosine", F.lit(t).alias("rank"), "_score")
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "rank", id_col, "cosine", F.round(F.col("_score"), 4).alias("mmr_score")
+    )

@@ -216,7 +216,23 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/similarity.py:mmr_rerank):
+    top-20 cosine pool for query vector 0, greedily reranked to 5
+    results balancing query relevance (lam=0.7) against redundancy with
+    already-picked results. The oracle unrolls the identical greedy
+    argmax steps as chained SQL CTEs — selection-order agreement is the
+    check."""
+    from codebase_rag_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return mmr_rerank(
+        emb, _query_side(spark, sf_dir, 0), pool_k=20, k=5, lam=0.7
+    )
+
+
 QUERIES = {
+    "mmr_diverse_topk": mmr_diverse_topk,
     "cosine_topk": cosine_topk_query,
     "centroid_assignment": centroid_assignment,
     "rp_lsh_buckets": rp_lsh_buckets,
@@ -412,3 +428,67 @@ ORACLES["semantic_dedup_audit"] = f"""
         LEFT JOIN stats ON cnt.bucket = stats.bucket
         LEFT JOIN top ON cnt.bucket = top.bucket
 """
+
+
+def _mmr_oracle_sql(pool_k: int = 20, k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR CTE chain mirroring mmr_rerank exactly."""
+    inv = 1.0 - lam
+    parts = [f"""
+        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        px AS (
+            SELECT vec_id,
+                   unnest(embedding)::DOUBLE AS x,
+                   unnest((SELECT e FROM q))::DOUBLE AS y
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        sims AS (
+            SELECT vec_id,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS cosine
+            FROM px GROUP BY vec_id
+        ),
+        pool AS (
+            SELECT vec_id, cosine FROM sims
+            ORDER BY cosine DESC, vec_id LIMIT {pool_k}
+        ),
+        pe AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   unnest(ea.embedding)::DOUBLE AS x,
+                   unnest(eb.embedding)::DOUBLE AS y
+            FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+        ),
+        pp AS (
+            SELECT id_a, id_b,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS pc
+            FROM pe GROUP BY id_a, id_b
+        ),
+        sel1 AS (
+            SELECT vec_id, cosine, 1 AS rank, {lam} * cosine AS score
+            FROM pool ORDER BY cosine DESC, vec_id LIMIT 1
+        )"""]
+    prev = "sel1"
+    for t in range(2, k + 1):
+        parts.append(f""",
+        pick{t} AS (
+            SELECT p.vec_id, p.cosine, {t} AS rank,
+                   {lam} * p.cosine - {inv} * coalesce(max(pp.pc), 0.0)
+                       AS score
+            FROM pool p
+            LEFT JOIN pp ON pp.id_a = p.vec_id
+                        AND pp.id_b IN (SELECT vec_id FROM {prev})
+            WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+            GROUP BY p.vec_id, p.cosine
+            ORDER BY score DESC, p.vec_id LIMIT 1
+        ),
+        sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t})""")
+        prev = f"sel{t}"
+    parts.append(f"""
+        SELECT rank, vec_id, cosine, round(score, 4) AS mmr_score
+        FROM {prev}""")
+    return "".join(parts)
+
+
+ORACLES["mmr_diverse_topk"] = _mmr_oracle_sql()
