@@ -157,6 +157,7 @@ HEADLINE = [
     "split_leakage_audit",
     "corpus_overview",
     "mmr_diverse_topk",
+    "value_winsorization",
     "dedup_boundary_pairs",
 ]
 

@@ -1140,7 +1140,57 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_winsorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit per event type: clip values at the exact
+    rank-based p01/p99 (value at ceil(q*n) in (value, event_id) order —
+    the same engine-identical rank-median machinery as
+    value_mad_outliers) and report the clip bounds, clipped-row counts
+    and the mean before/after — the standard heavy-tail taming pass
+    before any least-squares fit. Mean sums ride DECIMAL(18,2)-quantized
+    values (exact, order-independent); bounds/flags are pure
+    comparisons."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    nw = Window.partitionBy("event_type")
+    ranked = e.select("event_type", "event_id", "value").withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count("*").over(nw))
+    lo = ranked.filter(
+        F.col("_rn") == F.ceil(F.col("_n") * 0.01).cast("bigint")
+    ).select("event_type", F.col("value").alias("_lo"))
+    hi = ranked.filter(
+        F.col("_rn") == F.ceil(F.col("_n") * 0.99).cast("bigint")
+    ).select("event_type", F.col("value").alias("_hi"))
+    base = (
+        e.select("event_type", "value")
+        .join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+    )
+    clipped = F.when(F.col("value") < F.col("_lo"), F.col("_lo")).when(
+        F.col("value") > F.col("_hi"), F.col("_hi")
+    ).otherwise(F.col("value"))
+    q = lambda c: F.round(c, 2).cast("decimal(18,2)")  # noqa: E731
+    return base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.min("_lo"), 4).alias("p01"),
+        F.round(F.min("_hi"), 4).alias("p99"),
+        F.sum(F.when(F.col("value") < F.col("_lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("_hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(
+            (F.sum(q(F.col("value"))) / F.count("*")).cast("double"), 4
+        ).alias("mean_raw"),
+        F.round(
+            (F.sum(q(clipped)) / F.count("*")).cast("double"), 4
+        ).alias("mean_winsorized"),
+    )
+
+
 QUERIES = {
+    "value_winsorization": value_winsorization,
     "seasonal_naive_backtest": seasonal_naive_backtest,
     "event_type_correlation": event_type_correlation,
     "value_mad_outliers": value_mad_outliers,
@@ -2128,4 +2178,43 @@ ORACLES["seasonal_naive_backtest"] = """
                round((test_abs_err::DOUBLE / n_test_days)
                      / (train_abs_err::DOUBLE / n_train_steps), 4) AS mase
         FROM agg
+"""
+
+ORACLES["value_winsorization"] = """
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        lo AS (
+            SELECT event_type, value AS lo FROM ranked
+            WHERE rn = CAST(ceil(n * 0.01) AS BIGINT)
+        ),
+        hi AS (
+            SELECT event_type, value AS hi FROM ranked
+            WHERE rn = CAST(ceil(n * 0.99) AS BIGINT)
+        ),
+        base AS (
+            SELECT e.event_type, e.value, lo.lo, hi.hi,
+                   CASE WHEN e.value < lo.lo THEN lo.lo
+                        WHEN e.value > hi.hi THEN hi.hi
+                        ELSE e.value END AS clipped
+            FROM events e
+            JOIN lo USING (event_type) JOIN hi USING (event_type)
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(min(lo), 4) AS p01,
+               round(min(hi), 4) AS p99,
+               CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_low,
+               CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_high,
+               round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(*), 4) AS mean_raw,
+               round(CAST(sum(CAST(round(clipped, 2) AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(*), 4) AS mean_winsorized
+        FROM base GROUP BY event_type
 """
