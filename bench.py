@@ -158,6 +158,7 @@ HEADLINE = [
     "corpus_overview",
     "mmr_diverse_topk",
     "value_winsorization",
+    "time_decay_attribution",
     "dedup_boundary_pairs",
 ]
 

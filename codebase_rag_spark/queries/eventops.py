@@ -911,6 +911,61 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 12h-half-life decay weights per whole hour of click->purchase lag
+#: (0..24h window). Computed ONCE in Python and shipped to BOTH engines
+#: as literals, so no runtime pow/exp anywhere — the strongest form of
+#: the quantized-libm determinism pattern.
+DECAY_WEIGHTS: list[float] = [round(0.5 ** (h / 12.0), 6) for h in range(25)]
+
+
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (completing the trio with
+    first_touch_attribution and linear_attribution): each purchase's
+    value splits over its preceding-24h clicks proportionally to a
+    12h-half-life decay weight on the click->purchase lag, credited to
+    the click's hour-of-day. Pairs ride the same bucketized interval
+    join as linear_attribution (one hash shuffle, never O(n*m)); lag
+    hours are integer; weights come from the precomputed DECAY_WEIGHTS
+    literal table; weight sums are exact DECIMAL; one double division
+    per pair, rounded credits DECIMAL-summed."""
+    from codebase_rag_spark.operators.windows import bounded_range_join_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = bounded_range_join_pairs(
+        purchases, clicks, "user_id", "event_id", lookback_minutes=24 * 60
+    )
+    wtab = F.array(*[F.lit(x) for x in DECAY_WEIGHTS])
+    dh = (
+        (F.unix_micros(F.col("_pts")) - F.unix_micros(F.col("_rts")))
+        / F.lit(3600000000)
+    ).cast("bigint")
+    w = Window.partitionBy("event_id")
+    credited = (
+        pairs.join(purchases.select("event_id", "value", F.col("ts").alias("_pts")), "event_id")
+        .withColumn("_w", F.element_at(wtab, (dh + 1).cast("int")).cast("decimal(8,6)"))
+        .withColumn("_sumw", F.sum("_w").over(w))
+        .select(
+            F.hour("_rts").alias("touch_hour"),
+            F.round(
+                F.col("value")
+                * F.col("_w").cast("double")
+                / F.col("_sumw").cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("credit"),
+        )
+    )
+    return credited.groupBy("touch_hour").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 4).alias("total_credit"),
+    )
+
+
 def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-analytics session quality: per session-length bucket
     (1 = bounce, 2-4, 5+), session count, share of all sessions, and
@@ -1197,6 +1252,7 @@ QUERIES = {
     "session_bounce_stats": session_bounce_stats,
     "monthly_revenue_growth": monthly_revenue_growth,
     "linear_attribution": linear_attribution,
+    "time_decay_attribution": time_decay_attribution,
     "late_data_backfill": late_data_backfill,
     "value_quantile_sketch": value_quantile_sketch,
     "time_weighted_value": time_weighted_value,
@@ -2217,4 +2273,43 @@ ORACLES["value_winsorization"] = """
                round(CAST(sum(CAST(round(clipped, 2) AS DECIMAL(18,2)))
                           AS DOUBLE) / count(*), 4) AS mean_winsorized
         FROM base GROUP BY event_type
+"""
+
+def _decay_values() -> str:
+    return ", ".join(f"({h}, {w})" for h, w in enumerate(DECAY_WEIGHTS))
+
+
+ORACLES["time_decay_attribution"] = f"""
+        WITH wt(h, w) AS (VALUES {_decay_values()}),
+        purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        pairs AS (
+            SELECT p.event_id, p.value, c.ts AS click_ts,
+                   (epoch_us(p.ts) - epoch_us(c.ts)) // 3600000000 AS dh
+            FROM purchases p JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000
+        ),
+        weighted AS (
+            SELECT event_id, value, click_ts,
+                   CAST(wt.w AS DECIMAL(8,6)) AS w
+            FROM pairs JOIN wt ON wt.h = pairs.dh
+        ),
+        credited AS (
+            SELECT CAST(hour(click_ts) AS INTEGER) AS touch_hour,
+                   CAST(round(value * CAST(w AS DOUBLE)
+                              / CAST(sum(w) OVER (PARTITION BY event_id)
+                                     AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS credit
+            FROM weighted
+        )
+        SELECT touch_hour, count(*) AS n_touches,
+               round(CAST(sum(credit) AS DOUBLE), 4) AS total_credit
+        FROM credited GROUP BY touch_hour
 """
