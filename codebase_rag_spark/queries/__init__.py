@@ -59,7 +59,23 @@ for _m in _MODULES:
 # CORRECTNESS row to the back so each round's window lands on queries that
 # have not yet been driver-checked.
 _DRIVER_CHECKED = {
-    # union of CORRECTNESS_r01 + r02 + r03 green rows
+    # union of CORRECTNESS_r01 + r02 + r03 + r04 green rows
+    # --- r04 (50, all green in CORRECTNESS_r04.json) ---
+    "audio_metadata", "bloom_prune_probe", "bpe_segmentation",
+    "cdc_apply_changes", "clean_text_docs", "cms_heavy_hitters",
+    "curation_pipeline_e2e", "customer_pareto", "dedup_boundary_pairs",
+    "doc_link_prediction", "join_skew_audit", "k_anonymity_audit",
+    "lang_source_chi2", "late_data_backfill", "line_dedup_docs",
+    "linear_attribution", "media_resize", "monthly_revenue_growth",
+    "mutual_nn_pairs", "neyman_alloc_sample", "order_value_window_suite",
+    "packing_efficiency", "part_basket_rules", "rank_functions_suite",
+    "rfm_segments", "salted_event_stats", "salted_segment_revenue",
+    "semantic_dedup_audit", "session_bounce_stats", "sql_dml_transpile",
+    "sql_join_graph", "tfidf_documents", "value_quantile_sketch",
+    "video_frame_sample", "zorder_locality", "hourly_gap_fill",
+    "time_weighted_value", "php_entity_extract",
+    # (the 12 r3-rewrite re-checks in the r4 window were already listed
+    # in the r01+r02/r03 sections below)
     # --- r03 (50) ---
     "rollup_pricing", "props_json_stats", "recursive_reachability",
     "region_two_hop", "region_impact", "doc_triangles", "doc_pagerank",
@@ -114,51 +130,28 @@ _DRIVER_CHECKED = {
     "user_sessions", "waiting_suppliers", "winnowing_sketch",
 }
 
-# Round-4 window (VERDICT r3 'Next round' #1): the 35 entries that have
-# never had a driver CORRECTNESS row in any round + the 12 entries
-# rewritten in round 3 whose green rows predate their current
-# implementation + the 3 entries changed/added in round 4 — exactly the
-# 50-entry gate. After this round, every registry entry carries a
-# driver-green row from its current implementation (modulo _CHANGED_R4).
+# Round-5 window (VERDICT r4 'Next round' #1): the 19 late-round-4
+# entries that have never had a driver CORRECTNESS row + the 6
+# _CHANGED_R4 entries whose oracle text (or bounded-state rewrite)
+# postdates their green rows = 25 backlog slots; new round-5 entries
+# (everything not in _DRIVER_CHECKED and not listed here) fill the
+# remaining ~25 window slots automatically via the dict rebuild below.
 _PRIORITY = [
-    # never-driver-checked (35)
-    "audio_metadata", "bloom_prune_probe", "bpe_segmentation",
-    "cdc_apply_changes", "clean_text_docs", "cms_heavy_hitters",
-    "curation_pipeline_e2e", "customer_pareto", "dedup_boundary_pairs",
-    "doc_link_prediction", "join_skew_audit", "k_anonymity_audit",
-    "lang_source_chi2", "late_data_backfill", "line_dedup_docs",
-    "linear_attribution", "media_resize", "monthly_revenue_growth",
-    "mutual_nn_pairs", "neyman_alloc_sample", "order_value_window_suite",
-    "packing_efficiency", "part_basket_rules", "rank_functions_suite",
-    "rfm_segments", "salted_event_stats", "salted_segment_revenue",
-    "semantic_dedup_audit", "session_bounce_stats", "sql_dml_transpile",
-    "sql_join_graph", "tfidf_documents", "value_quantile_sketch",
-    "video_frame_sample", "zorder_locality",
-    # rewritten in round 3, driver rows stale (12)
-    "customer_value_deciles", "cosine_topk", "rp_lsh_ann",
-    "aes_weighted_reservoir", "minhash_signatures", "lsh_candidates",
-    "dedup_clusters", "containment_pairs", "near_dup_verify",
-    "edit_distance_verify", "sql_transpile", "lineitem_expectations",
-    # rewritten/added in round 4 (3): detsum segmented folds + T6 oracle
-    "hourly_gap_fill", "time_weighted_value", "php_entity_extract",
-]
-
-# Entries whose ORACLE text changed in round 4 (empty-token filter
-# alignment — results identical on this corpus, implementations
-# untouched) but whose window slots were claimed by the backlog above:
-# first in line for driver re-rows next round; the judge's full-registry
-# oracle runs re-verify them this round.
-_CHANGED_R4 = [
+    # never-driver-checked late-r4 additions (19)
+    "bigram_surprise_docs", "dsir_importance_weights", "mmr_diverse_topk",
+    "value_winsorization", "source_token_kl", "community_pagerank_mass",
+    "split_leakage_audit", "corpus_overview", "vocab_growth_curve",
+    "value_mad_outliers", "doc_clustering_coeff", "nation_revenue_trend",
+    "event_type_correlation", "seasonal_naive_backtest", "comment_markers",
+    "file_info_summary", "glob_match_audit", "purchase_click_asof_tol",
+    "time_decay_attribution",
+    # _CHANGED_R4: oracle-text / bounded-state rewrites from round 4 (6)
     "jaccard_pairs", "simhash_groups", "bm25_documents",
-    "doc_sequence_packing", "duplicated_spans",
-    # late r4: rank-filtered rewrite (bounded per-user state), oracle
-    # unchanged and green at 3 SFs
-    "top_event_paths",
+    "doc_sequence_packing", "duplicated_spans", "top_event_paths",
 ]
 
 QUERIES = {
     **{k: QUERIES[k] for k in _PRIORITY if k in QUERIES},
     **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED},
-    **{k: QUERIES[k] for k in _CHANGED_R4 if k in QUERIES},
     **{k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED},
 }
