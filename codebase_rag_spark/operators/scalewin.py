@@ -31,6 +31,9 @@ pack_builder.py:63-129) with a shape that holds at 1000 executors.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,6 +126,86 @@ def global_order_stats(
     if rn_col is not None:
         drop.append("_lrn")
     return out.drop(*drop)
+
+
+def exact_rank_quantile(
+    df: DataFrame,
+    key_cols: list[str],
+    order_exprs: list[Column],
+    value_col: str,
+    quantiles: dict[str, float],
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Per-key EXACT rank-based quantiles without a per-key full sort.
+
+    The naive form — ``Window.partitionBy(key).orderBy(value, tie)`` +
+    ``row_number`` then ``rn == ceil(q * n)`` — puts every row of a key
+    into ONE sort task; with a handful of keys over the whole table that
+    is a single task external-sorting N/#keys rows: spill-safe, but a
+    wall-clock killer at 100 TB. This operator applies the scalewin
+    decomposition PER KEY: range-partition on (key, order...), local
+    row_number within (key, shard), and per-(key, shard) count offsets
+    from a triangular join on the tiny totals table. Since range
+    partitioning keeps each key's rows in order-contiguous shards,
+
+        per_key_rn(row) = (count in earlier shards of the SAME key)
+                          + local_rn(row)
+
+    exactly, so the value selected at rank ceil(q * n_key) is
+    bit-identical to the global-window form — DuckDB oracles keep their
+    plain per-key window SQL as the referee. Ties in ``order_exprs``
+    never split across shards (range partitioning is keyed on the full
+    tuple), and tied order keys share the same ``value_col`` whenever
+    the caller orders by the value itself, so rank selection stays
+    deterministic even without a unique tiebreak.
+
+    Returns one row per key: ``key_cols + [name for name in quantiles]``
+    where each quantile column holds the ``value_col`` of the row whose
+    per-key rank equals ``ceil(q * n_key)`` (the repo's lower-quantile
+    convention: q=0.5 is the lower median, matching ``ceil(n/2)``; the
+    n*q double product is IEEE-exact-commutative so either spelling
+    agrees bitwise). The offsets/totals tables are O(#keys + #shards)
+    rows (each key spans few shards after range partitioning), hence
+    broadcastable at any corpus size.
+
+    Shared by value_winsorization (p01/p99 clip bounds),
+    value_mad_outliers (median + MAD), and value_quantile_sketch's exact
+    referee — the reusable promotion VERDICT r4 #7 asked for.
+    """
+    keyed_order = [F.col(k) for k in key_cols] + list(order_exprs)
+    sharded = _sharded(df, keyed_order, num_shards)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols, "_shard").orderBy(*order_exprs)
+    local = sharded.withColumn("_lrn", F.row_number().over(w))
+    tot = sharded.groupBy(*key_cols, "_shard").agg(
+        F.count("*").cast("bigint").alias("_sn")
+    )
+    b = tot.select(
+        *[F.col(k).alias(f"_b_{k}") for k in key_cols],
+        F.col("_shard").alias("_bshard"),
+        F.col("_sn").alias("_bn"),
+    )
+    same_key = functools.reduce(
+        operator.and_, [tot[k] == b[f"_b_{k}"] for k in key_cols]
+    )
+    joined = tot.join(b, same_key & (b["_bshard"] < tot["_shard"]), "left")
+    offs = joined.groupBy(*key_cols, "_shard").agg(
+        F.coalesce(F.sum("_bn"), F.lit(0)).cast("bigint").alias("_off")
+    )
+    nk = tot.groupBy(*key_cols).agg(F.sum("_sn").cast("bigint").alias("_kn"))
+    ranked = (
+        local.join(F.broadcast(offs), [*key_cols, "_shard"])
+        .join(F.broadcast(nk), list(key_cols))
+        .withColumn("_krn", (F.col("_lrn") + F.col("_off")).cast("bigint"))
+    )
+    aggs = []
+    for name, q in quantiles.items():
+        target = F.ceil(F.col("_kn") * F.lit(float(q))).cast("bigint")
+        aggs.append(
+            F.min(F.when(F.col("_krn") == target, F.col(value_col))).alias(name)
+        )
+    return ranked.groupBy(*key_cols).agg(*aggs)
 
 
 def global_ntile(

@@ -801,14 +801,17 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are additive, so shard/stream sketches merge by re-agg),
     extract p50/p90/p99 bin bounds from the cumulative counts, and verify
     against the exact rank-q value (the audit pass — at 100 TB you keep
-    the sketch and drop the exact side, which is the only per-row window
-    here). within_bound proves the sketch's relative-error guarantee:
+    the sketch and drop the exact side; the exact side itself now rides
+    the scale-safe per-key rank machinery, operators/scalewin.py:
+    exact_rank_quantile, so even the audit has no per-type full-sort
+    task). within_bound proves the sketch's relative-error guarantee:
     the true quantile always lands inside the reported [lo, hi) bin
     (width <= 10% of lo)."""
     from codebase_rag_spark.operators.qsketch import (
         build_qsketch,
         qsketch_quantiles,
     )
+    from codebase_rag_spark.operators.scalewin import exact_rank_quantile
 
     e = load_table(spark, sf_dir, "events")
     base = e.select(
@@ -817,18 +820,14 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = build_qsketch(base, ["event_type"], F.col("cents"))
     est = qsketch_quantiles(sk, ["event_type"], [0.5, 0.9, 0.99])
-    qdf = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
-    w = Window.partitionBy("event_type").orderBy("cents")
-    nw = Window.partitionBy("event_type")
-    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(nw)
+    ex = exact_rank_quantile(
+        base, ["event_type"], [F.col("cents")], "cents",
+        {"_q050": 0.5, "_q090": 0.9, "_q099": 0.99},
     )
-    exact = (
-        ranked.crossJoin(F.broadcast(qdf))
-        .filter(
-            F.col("rn") == F.ceil(F.col("q") * F.col("n")).cast("bigint")
-        )
-        .select("event_type", "q", F.col("cents").alias("exact_cents"))
+    exact = ex.selectExpr(
+        "event_type",
+        "stack(3, 0.5D, _q050, 0.9D, _q090, 0.99D, _q099)"
+        " as (q, exact_cents)",
     )
     return est.join(exact, ["event_type", "q"]).select(
         "event_type",
@@ -1041,28 +1040,30 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Medians are EXACT lower medians by rank (value at ceil(n/2) in
     (value, event_id) order), so both engines pick the identical element;
     all arithmetic is IEEE mult/compare (no libm), so the flag set is
-    deterministic. Two per-type window passes — the exact audit form; at
-    100 TB the qsketch percentile twin (value_quantile_sketch) replaces
-    the rank windows and this query becomes its referee."""
+    deterministic. Both medians ride the SCALE-SAFE per-key rank
+    machinery (operators/scalewin.py:exact_rank_quantile — range-sharded
+    local windows + broadcast offsets), never a per-type full-table sort
+    task; ceil(n*0.5) == ceil(n/2) bitwise for integer n, so the DuckDB
+    oracle keeps its plain per-type window SQL as referee. At 100 TB the
+    qsketch percentile twin (value_quantile_sketch) is the production
+    path and this exact form stays the audit."""
+    from codebase_rag_spark.operators.scalewin import exact_rank_quantile
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    nw = Window.partitionBy("event_type")
-    ranked = e.select("event_type", "event_id", "value").withColumn(
-        "_rn", F.row_number().over(w)
-    ).withColumn("_n", F.count("*").over(nw))
-    med = ranked.filter(
-        F.col("_rn") == F.ceil(F.col("_n") / 2).cast("bigint")
-    ).select("event_type", F.col("value").alias("_med"))
-    dev = e.select("event_type", "event_id", "value").join(
+    base = e.select("event_type", "event_id", "value")
+    med = exact_rank_quantile(
+        base, ["event_type"], [F.col("value"), F.col("event_id")],
+        "value", {"_med": 0.5},
+    )
+    dev = base.join(
         F.broadcast(med), "event_type"
     ).withColumn("_dev", F.abs(F.col("value") - F.col("_med")))
-    dw = Window.partitionBy("event_type").orderBy("_dev", "event_id")
-    dranked = dev.withColumn("_rn", F.row_number().over(dw)).withColumn(
-        "_n", F.count("*").over(nw)
+    mad_df = exact_rank_quantile(
+        dev.select("event_type", "event_id", "_dev"),
+        ["event_type"], [F.col("_dev"), F.col("event_id")],
+        "_dev", {"_mad": 0.5},
     )
-    mad = dranked.filter(
-        F.col("_rn") == F.ceil(F.col("_n") / 2).cast("bigint")
-    ).select("event_type", F.col("_dev").alias("_mad"))
+    mad = mad_df.select("event_type", F.col("_mad"))
     flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
         "_out", F.col("_dev") > F.lit(3.0) * F.lit(1.4826) * F.col("_mad")
     )
@@ -1201,26 +1202,22 @@ def value_winsorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same engine-identical rank-median machinery as
     value_mad_outliers) and report the clip bounds, clipped-row counts
     and the mean before/after — the standard heavy-tail taming pass
-    before any least-squares fit. Mean sums ride DECIMAL(18,2)-quantized
-    values (exact, order-independent); bounds/flags are pure
-    comparisons."""
+    before any least-squares fit. Both bounds come from ONE pass of the
+    SCALE-SAFE per-key rank machinery (operators/scalewin.py:
+    exact_rank_quantile — range-sharded local windows + broadcast
+    offsets, never a per-type full-table sort task); the DuckDB oracle
+    keeps its plain per-type window SQL as the exactness referee. Mean
+    sums ride DECIMAL(18,2)-quantized values (exact, order-independent);
+    bounds/flags are pure comparisons."""
+    from codebase_rag_spark.operators.scalewin import exact_rank_quantile
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    nw = Window.partitionBy("event_type")
-    ranked = e.select("event_type", "event_id", "value").withColumn(
-        "_rn", F.row_number().over(w)
-    ).withColumn("_n", F.count("*").over(nw))
-    lo = ranked.filter(
-        F.col("_rn") == F.ceil(F.col("_n") * 0.01).cast("bigint")
-    ).select("event_type", F.col("value").alias("_lo"))
-    hi = ranked.filter(
-        F.col("_rn") == F.ceil(F.col("_n") * 0.99).cast("bigint")
-    ).select("event_type", F.col("value").alias("_hi"))
-    base = (
-        e.select("event_type", "value")
-        .join(F.broadcast(lo), "event_type")
-        .join(F.broadcast(hi), "event_type")
+    bounds = exact_rank_quantile(
+        e.select("event_type", "event_id", "value"),
+        ["event_type"], [F.col("value"), F.col("event_id")],
+        "value", {"_lo": 0.01, "_hi": 0.99},
     )
+    base = e.select("event_type", "value").join(F.broadcast(bounds), "event_type")
     clipped = F.when(F.col("value") < F.col("_lo"), F.col("_lo")).when(
         F.col("value") > F.col("_hi"), F.col("_hi")
     ).otherwise(F.col("value"))

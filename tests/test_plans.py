@@ -321,7 +321,10 @@ def test_round3b_ops_plan_contracts(spark, sf_dir):
     from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
 
     bounds = {
-        "value_quantile_sketch": 6,
+        # 8 after the r5 exact_rank_quantile migration: the range
+        # exchange + tiny totals/offsets/count aggregates (each
+        # O(#keys+#shards) rows) replace the per-type full-sort window
+        "value_quantile_sketch": 8,
         # single-pass stats+top-pair agg: the bucket-keyed pair join is
         # evaluated once (was 5 exchanges with a separate window branch)
         "semantic_dedup_audit": 4,
@@ -358,8 +361,10 @@ def test_round4_ops_plan_contracts(spark, sf_dir):
         # doc-bigram collapse -> vocab aggs on checkpointed table ->
         # bigram-keyed score join -> doc agg
         "bigram_surprise_docs": 10,
-        # two per-type rank passes + broadcast med/mad joins
-        "value_mad_outliers": 8,
+        # two exact_rank_quantile passes (r5): each adds a range
+        # exchange + tiny totals/offsets aggregates in place of the
+        # per-type full-sort window
+        "value_mad_outliers": 13,
         # one keyed union-tag window + scan-stage tolerance conditional
         "purchase_click_asof_tol": 3,
         # canonical edges (checkpointed) -> wedge/close joins -> two
@@ -412,3 +417,75 @@ def test_basket_cap_filters_before_pair_join(spark, sf_dir):
     ).drop("_bs")
     assert capped.filter(F.col("l_orderkey") == -1).count() == 0
     assert capped.count() == li.count()
+
+
+def test_exact_rank_quantile_matches_global_window(spark):
+    """exact_rank_quantile's sharded per-key decomposition is
+    bit-identical to the naive per-key global window + rn == ceil(q*n)
+    selection on the same total order (incl. duplicate order keys, which
+    range partitioning never splits across shards)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.scalewin import exact_rank_quantile
+
+    rows = [
+        (i, f"k{i % 4}", float((i * 37) % 29), i)  # dup values within keys
+        for i in range(1, 358)
+    ]
+    df = spark.createDataFrame(rows, "id int, key string, val double, tie int")
+    got = {
+        (r["key"], r["p01"], r["p50"], r["p99"])
+        for r in exact_rank_quantile(
+            df, ["key"], [F.col("val"), F.col("tie")], "val",
+            {"p01": 0.01, "p50": 0.5, "p99": 0.99}, num_shards=7,
+        ).collect()
+    }
+    w = Window.partitionBy("key").orderBy("val", "tie")
+    nw = Window.partitionBy("key")
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(nw)
+    )
+    want = {
+        (r["key"], r["p01"], r["p50"], r["p99"])
+        for r in ranked.groupBy("key").agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_rn")
+                        == F.ceil(F.col("_n") * q).cast("bigint"),
+                        F.col("val"),
+                    )
+                ).alias(name)
+                for name, q in (("p01", 0.01), ("p50", 0.5), ("p99", 0.99))
+            ]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_round5_rank_quantile_plan_contracts(spark, sf_dir):
+    """The three exact-rank call sites migrated to
+    scalewin.exact_rank_quantile must have NO window partitioned by
+    event_type alone (the per-type full-table sort task): every window's
+    partition spec must include the _shard column, and no unpartitioned
+    window / cartesian appears."""
+    import re
+
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    for name in (
+        "value_winsorization",
+        "value_mad_outliers",
+        "value_quantile_sketch",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert not has_unpartitioned_window(df), name
+        assert "CartesianProduct" not in plan, name
+        for spec in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
+            assert "_shard" in spec, (name, spec)
+        for spec in re.findall(
+            r"windowspecdefinition\(([^)]*?), [a-z_]+#\d+[^)]*ROWS", plan
+        ):
+            assert "_shard" in spec, (name, spec)
