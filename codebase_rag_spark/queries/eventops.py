@@ -2299,10 +2299,16 @@ ORACLES["time_decay_attribution"] = f"""
             FROM pairs JOIN wt ON wt.h = pairs.dh
         ),
         credited AS (
+            -- the 6dp credit round emulates Spark round(double, 6)
+            -- (shortest decimal repr -> HALF_UP): DuckDB's native
+            -- round() multiplies in binary and flips on
+            -- representation-boundary doubles (the hourly_gap_fill /
+            -- time_weighted_value precedent)
             SELECT CAST(hour(click_ts) AS INTEGER) AS touch_hour,
-                   CAST(round(value * CAST(w AS DOUBLE)
+                   CAST(round(CAST(CAST(value * CAST(w AS DOUBLE)
                               / CAST(sum(w) OVER (PARTITION BY event_id)
-                                     AS DOUBLE), 6)
+                                     AS DOUBLE) AS VARCHAR)
+                              AS DECIMAL(38,30)), 6)
                         AS DECIMAL(18,6)) AS credit
             FROM weighted
         )

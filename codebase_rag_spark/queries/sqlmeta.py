@@ -18,6 +18,7 @@ from codebase_rag_spark.operators.sqlmeta import (
     analyze_sql_text,
     dialect_detect,
     duckdb_normalize_sql,
+    duckdb_reverse_transpile_sql,
     duckdb_transpile_sql,
     industry_template_scores,
     normalize_sql_expr,
@@ -310,6 +311,81 @@ DML_CORPUS: list[tuple[str, str, str]] = [
         "CREATE TABLE flags (id UNIQUEIDENTIFIER, ok BIT, "
         "at DATETIME2(7), backup_at SMALLDATETIME)",
     ),
+    # round 5: ADVICE fixes + rule-tranche coverage (GROUP_CONCAT
+    # delimiter/SEPARATOR/DISTINCT, DISTINCT TOP + trailing semicolon,
+    # parenthesized TOP, IIF/CHARINDEX/NVL2 CASE forms, mysql
+    # attribute strips + ENUM, sqlserver/oracle type tranche)
+    (
+        "m5",
+        "mysql",
+        "SELECT GROUP_CONCAT(DISTINCT tag SEPARATOR '|'), "
+        "GROUP_CONCAT(code), UNIX_TIMESTAMP() FROM tags",
+    ),
+    (
+        "m6",
+        "mysql",
+        "CREATE TABLE prefs (id INT AUTO_INCREMENT, kind ENUM('a','b') "
+        "COMMENT 'pref kind', updated DATETIME ON UPDATE CURRENT_TIMESTAMP) "
+        "COLLATE=utf8mb4_bin",
+    ),
+    (
+        "o5",
+        "oracle",
+        "SELECT NVL2(phone, 1, 0), code FROM contacts WHERE ROWNUM <= 5",
+    ),
+    (
+        "o6",
+        "oracle",
+        "CREATE TABLE measurements (N PLS_INTEGER, X BINARY_FLOAT, "
+        "BLOB_BODY LONG RAW)",
+    ),
+    (
+        "s4",
+        "sqlserver",
+        "SELECT DISTINCT TOP (5) name FROM users;",
+    ),
+    (
+        "s5",
+        "sqlserver",
+        "SELECT IIF(x > 0, 'pos', 'neg'), CHARINDEX('a', name), "
+        "SYSDATETIME() FROM t WITH (NOLOCK)",
+    ),
+    (
+        "s6",
+        "sqlserver",
+        "CREATE TABLE billing (note NTEXT, pic IMAGE, amt MONEY, "
+        "fee SMALLMONEY)",
+    ),
+]
+
+# ANSI/postgres-flavored statements for the REVERSE direction
+# (TRANSPILE_FROM_ANSI): (stmt_id, target dialect, sql). The 'oracle'
+# row pins the unknown-target passthrough-normalized contract.
+REV_CORPUS: list[tuple[str, str, str]] = [
+    (
+        "r1",
+        "mysql",
+        'CREATE TABLE users (id SERIAL PRIMARY KEY, "full name" TEXT, '
+        "active BOOLEAN, created TIMESTAMP)",
+    ),
+    (
+        "r2",
+        "mysql",
+        "SELECT STRING_AGG(tag, ','), RANDOM() FROM \"tag list\" "
+        "WHERE 1=1 AND n > 0 LIMIT 10 OFFSET 5",
+    ),
+    (
+        "r3",
+        "mysql",
+        "CREATE TABLE files (id BIGSERIAL, body BYTEA, score DOUBLE PRECISION, "
+        "row_id INT GENERATED BY DEFAULT AS IDENTITY)",
+    ),
+    (
+        "r4",
+        "mysql",
+        "SELECT STRING_AGG(name, '|'), GEN_RANDOM_UUID() FROM t",
+    ),
+    ("r5", "oracle", "SELECT name FROM users WHERE 1=1;"),
 ]
 
 
@@ -328,9 +404,30 @@ def sql_dml_transpile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_reverse_transpile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 reverse direction (convert_between_dialects supports arbitrary
+    dialect pairs, sql_parser.py:160-183): ANSI/postgres-flavored SQL ->
+    MySQL through TRANSPILE_FROM_ANSI — double-quote -> backtick
+    identifier quoting, SERIAL/BIGSERIAL/IDENTITY -> AUTO_INCREMENT,
+    STRING_AGG -> GROUP_CONCAT (delimiter preserved via SEPARATOR),
+    LIMIT/OFFSET -> MySQL two-arg LIMIT. Unknown targets pass through
+    normalized. Pure JVM projection; oracle runs the identical chain."""
+    from codebase_rag_spark.operators.sqlmeta import reverse_transpile_expr
+
+    df = spark.createDataFrame(REV_CORPUS, ["stmt_id", "target", "sql"])
+    return df.select(
+        "stmt_id",
+        "target",
+        reverse_transpile_expr(F.col("sql"), F.col("target")).alias(
+            "dialect_sql"
+        ),
+    )
+
+
 QUERIES = {
     "ddl_analysis": ddl_analysis,
     "sql_dml_transpile": sql_dml_transpile,
+    "sql_reverse_transpile": sql_reverse_transpile,
     "domain_summary": domain_summary,
     "industry_template_match": industry_template_match,
     "sql_query_analysis": sql_query_analysis,
@@ -548,6 +645,17 @@ ORACLES["sql_dml_transpile"] = rf"""
         SELECT stmt_id, dialect,
                {duckdb_transpile_sql('sql', 'dialect')} AS ansi_sql
         FROM {_dml_values()}
+"""
+
+
+def _rev_values() -> str:
+    return _corpus_values(REV_CORPUS, "stmt_id, target, sql")
+
+
+ORACLES["sql_reverse_transpile"] = rf"""
+        SELECT stmt_id, target,
+               {duckdb_reverse_transpile_sql('sql', 'target')} AS dialect_sql
+        FROM {_rev_values()}
 """
 
 

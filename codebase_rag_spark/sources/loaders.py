@@ -77,8 +77,18 @@ def _pdf_unescape(raw: bytes) -> str:
     return re.sub(rb"\\(\d{1,3}|.)", sub, raw).decode("latin-1")
 
 
+
+# One stream-dict tail: tolerate ONE level of nested <<...>> dictionaries
+# (e.g. /DecodeParms <</Predictor 12>>) and single-angle hex strings
+# before the closing >>. The nested-dict alternative is FIRST so a
+# nested dictionary is consumed atomically and its inner >> can never
+# terminate the outer match early (the raw-scan double-extraction gap
+# ADVICE r4 flagged).
+_PDF_DICT_TAIL = rb"(?:<<[^<>]*>>|>(?!>)|[^>])*?>>"
+
 _PDF_FLATE_STREAM = (
-    rb"/Filter\s*(?:\[\s*)?/FlateDecode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
+    rb"/Filter\s*(?:\[\s*)?/FlateDecode" + _PDF_DICT_TAIL
+    + rb"\s*stream\r?\n(.*?)\r?\nendstream"
 )
 
 
@@ -101,7 +111,8 @@ def _inflate_flate_streams(data: bytes) -> list[bytes]:
 
 
 _PDF_LZW_STREAM = (
-    rb"/Filter\s*(?:\[\s*)?/LZWDecode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
+    rb"/Filter\s*(?:\[\s*)?/LZWDecode" + _PDF_DICT_TAIL
+    + rb"\s*stream\r?\n(.*?)\r?\nendstream"
 )
 
 
@@ -209,7 +220,8 @@ def runlength_decode(data: bytes) -> bytes:
 
 
 _PDF_RLE_STREAM = (
-    rb"/Filter\s*(?:\[\s*)?/RunLengthDecode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
+    rb"/Filter\s*(?:\[\s*)?/RunLengthDecode" + _PDF_DICT_TAIL
+    + rb"\s*stream\r?\n(.*?)\r?\nendstream"
 )
 
 
@@ -226,10 +238,12 @@ def _decode_rle_streams(data: bytes) -> list[bytes]:
 
 
 _PDF_A85_STREAM = (
-    rb"/Filter\s*(?:\[\s*)?/ASCII85Decode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
+    rb"/Filter\s*(?:\[\s*)?/ASCII85Decode" + _PDF_DICT_TAIL
+    + rb"\s*stream\r?\n(.*?)\r?\nendstream"
 )
 _PDF_AHX_STREAM = (
-    rb"/Filter\s*(?:\[\s*)?/ASCIIHexDecode[^>]*>>\s*stream\r?\n(.*?)\r?\nendstream"
+    rb"/Filter\s*(?:\[\s*)?/ASCIIHexDecode" + _PDF_DICT_TAIL
+    + rb"\s*stream\r?\n(.*?)\r?\nendstream"
 )
 
 
@@ -278,7 +292,7 @@ def naive_pdf_text(data: bytes) -> str | None:
     # simple text) would double-extract once raw and once decoded. Blank
     # every /Filter'ed body from the raw copy; unfiltered streams stay.
     raw = re.sub(
-        rb"(/Filter[^>]*>>\s*stream\r?\n).*?(\r?\nendstream)",
+        rb"(/Filter" + _PDF_DICT_TAIL + rb"\s*stream\r?\n).*?(\r?\nendstream)",
         rb"\1\2",
         data,
         flags=re.S,

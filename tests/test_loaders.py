@@ -446,3 +446,33 @@ def test_extract_documents_runlength_pdf(spark):
     out = extract_documents(df).collect()[0]
     assert out.text == "run length text"
     assert out.extract_error is None
+
+
+def test_pdf_nested_decodeparms_dict_is_blanked_and_decoded():
+    """A stream dict containing a NESTED dictionary
+    (/DecodeParms <</Predictor 12>>) must still be recognized: the
+    filtered body is blanked from the raw scan (no double extraction)
+    and the Flate body decodes through the nested-dict tail (ADVICE r4,
+    loaders.py raw-scan blanking)."""
+    import zlib
+
+    from codebase_rag_spark.sources.loaders import naive_pdf_text
+
+    body = zlib.compress(b"BT (nested dict text) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode "
+        b"/DecodeParms <</Predictor 1/Columns 4>> /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Filter /RunLengthDecode "
+        b"/DecodeParms <</K 0>> >>\nstream\n"
+        b"\x13(rle nested text) Tj\x80\nendstream\nendobj\n"
+        b"trailer\n"
+    )
+    text = naive_pdf_text(pdf)
+    assert text is not None
+    assert "nested dict text" in text
+    assert "rle nested text" in text
+    # exactly once each: the raw scan must NOT also see the bodies
+    assert text.count("nested dict text") == 1
+    assert text.count("rle nested text") == 1
