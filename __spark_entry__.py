@@ -26,31 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: hybrid-retrieval-style
     document ranking (reference flagship read path, SURVEY §3.1) — two
     scoring branches merged with max-score-per-doc dedup (J8), heuristic
-    multiplicative ranking (W2), top-20."""
-    from pyspark.sql import functions as F
+    multiplicative ranking (W2), top-20. Delegates to the oracle-checked
+    registry twin ``hybrid_flagship`` (queries/textops.py), so the exact
+    plan the driver smoke-checks is also hash-verified against DuckDB."""
+    from codebase_rag_spark.queries.textops import hybrid_flagship
 
-    from codebase_rag_spark.catalog import load_table
-    from codebase_rag_spark.operators.ranking import hybrid_merge, rank_score
-
-    sf_dir = "/root/testdata/sf0.001"
-    d = load_table(spark, sf_dir, "documents")
-    heur = d.select(
-        "doc_id",
-        rank_score(
-            F.col("text"),
-            terms=["join", "merge", "vector"],
-            exact=F.lower(F.col("text")).contains("spark"),
-            lang_match=F.col("lang") == "en",
-        ).alias("score"),
-        F.lit("heuristic").alias("branch"),
-    )
-    length = d.select(
-        "doc_id",
-        F.round(F.col("n_chars") / 2.0, 4).alias("score"),
-        F.lit("length").alias("branch"),
-    )
-    merged = hybrid_merge([heur, length], key_col="doc_id", score_col="score")
-    return merged.orderBy(F.desc("score"), F.col("doc_id")).limit(20)
+    return hybrid_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

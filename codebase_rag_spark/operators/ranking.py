@@ -85,13 +85,19 @@ def pack_budget(
 
 
 def hybrid_merge(
-    results: list[DataFrame], key_col: str, score_col: str
+    results: list[DataFrame], key_col: str, score_col: str,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Union retrieval branches, keep max-score row per key (J8)."""
+    """Union retrieval branches, keep max-score row per key (J8).
+
+    ``tiebreak`` columns order rows whose scores tie within a key, making
+    the winning branch deterministic (required by oracle-checked callers
+    like hybrid_flagship; score-only callers keep the legacy behavior)."""
     from functools import reduce
 
     merged = reduce(lambda a, b: a.unionByName(b), results)
-    w = Window.partitionBy(key_col).orderBy(F.desc(score_col))
+    order = [F.desc(score_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
     return (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

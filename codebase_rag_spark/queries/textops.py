@@ -70,6 +70,36 @@ def hybrid_merge_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of the driver flagship ``entry()``
+    (__spark_entry__.py): hybrid-retrieval-style document ranking — a W2
+    heuristic branch and a length branch merged with max-score-per-doc
+    dedup (J8, branch tiebreak for determinism), top-20. entry() calls
+    THIS function at sf0.001, so the flagship read path itself is
+    hash-verified, not just smoke-checked (VERDICT r4 #6)."""
+    d = load_table(spark, sf_dir, "documents")
+    heur = d.select(
+        "doc_id",
+        rank_score(
+            F.col("text"),
+            terms=["join", "merge", "vector"],
+            exact=F.lower(F.col("text")).contains("spark"),
+            lang_match=F.col("lang") == "en",
+        ).alias("score"),
+        F.lit("heuristic").alias("branch"),
+    )
+    length = d.select(
+        "doc_id",
+        F.round(F.col("n_chars") / 2.0, 4).alias("score"),
+        F.lit("length").alias("branch"),
+    )
+    merged = hybrid_merge(
+        [heur, length], key_col="doc_id", score_col="score",
+        tiebreak=["branch"],
+    )
+    return merged.orderBy(F.desc("score"), F.col("doc_id")).limit(20)
+
+
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content fingerprint (beyond-reference;
     analogue: content-sha cache key, docs/architecture/dataflow.md:1538)."""
@@ -394,6 +424,7 @@ QUERIES = {
     "glob_match_audit": glob_match_audit,
     "file_info_summary": file_info_summary,
     "rank_documents": rank_documents,
+    "hybrid_flagship": hybrid_flagship,
     "markdown_sections": markdown_section_split,
     "sliding_chunks": sliding_chunks,
     "top_tokens": top_tokens,
@@ -491,6 +522,29 @@ ORACLES = {
                  * (CASE WHEN source = 'src9' THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END),
                  4) AS score
         FROM documents
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+    "hybrid_flagship": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   round(100.0::DOUBLE * (1.0::DOUBLE + 0.3::DOUBLE * {_TERM_HITS})
+                     * (CASE WHEN contains(lower(text), 'spark') THEN 2.0::DOUBLE ELSE 1.0::DOUBLE END)
+                     * (CASE WHEN lang = 'en' THEN 1.5::DOUBLE ELSE 1.0::DOUBLE END),
+                     4) AS score,
+                   'heuristic' AS branch
+            FROM documents
+            UNION ALL
+            SELECT doc_id, round(n_chars / 2.0::DOUBLE, 4), 'length'
+            FROM documents
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, branch) AS rn
+            FROM s
+        )
+        SELECT doc_id, score, branch
+        FROM best WHERE rn = 1
         ORDER BY score DESC, doc_id
         LIMIT 20
     """,
