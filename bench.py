@@ -19,8 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from codebase_rag_spark.queries import QUERIES  # noqa: E402
 from codebase_rag_spark.session import get_spark  # noqa: E402
 
-# Headline set: one per operator family, weighted toward the scale-sensitive
-# ops (joins, windows, LSH, vector search).
+# Round 5 (VERDICT r4 #4): HEADLINE covers the ENTIRE registry — every
+# correctness entry gets a bench row and a plan budget, so no query is
+# invisible to the regression net. The curated list below keeps the
+# historical ordering for cross-round timing comparability; everything
+# not listed is appended from the registry at import time (registry
+# order). EXCLUDED stays empty by policy — if an entry must ever be
+# skipped, record the per-entry rationale here.
+EXCLUDED: dict[str, str] = {}
+
 HEADLINE = [
     "pricing_summary",
     "revenue_filter",
@@ -160,6 +167,10 @@ HEADLINE = [
     "value_winsorization",
     "time_decay_attribution",
     "dedup_boundary_pairs",
+]
+
+HEADLINE += [
+    q for q in QUERIES if q not in HEADLINE and q not in EXCLUDED
 ]
 
 
