@@ -1,0 +1,94 @@
+"""Generate a LOCAL sf1 dataset (~10x sf0.1) for the wall-clock scale
+probe (VERDICT r4 #5), by tiling the driver's sf0.1 tables 10x with key
+offsets — deterministic, distribution-preserving (per-key group sizes
+are unchanged; table cardinalities grow 10x), and fast (DuckDB
+vectorized). Dim tables (region, nation) are copied as-is; every fact /
+entity table gets 10 copies with all primary and foreign keys offset by
+copy * (max_key + 1) so referential joins stay consistent across copies.
+
+Output: /root/repo/.localdata/sf1/*.parquet (gitignored — derived data).
+The probe itself is tools/scale_probe.py; results land in SCALE.md.
+
+This dataset is for RELATIVE timing only (sf0.1 -> sf1 scaling
+exponents); it is not oracle-checked and must never feed CORRECTNESS
+runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".localdata", "sf1")
+COPIES = 10
+
+# table -> columns to offset (key columns; each offset by
+# copy * (max(col over ALL key cols of the referenced entity) + 1) —
+# simplified: every key column uses its OWN max+1 stride, which keeps
+# FK->PK consistency because parent and child share the same stride
+# source (the parent key's domain).
+STRIDES: dict[str, dict[str, str]] = {
+    # table: {column: stride_source_sql (evaluated once on sf0.1)}
+    "customer": {"c_custkey": "c"},
+    "supplier": {"s_suppkey": "s"},
+    "part": {"p_partkey": "p"},
+    "orders": {"o_orderkey": "o", "o_custkey": "c"},
+    "lineitem": {"l_orderkey": "o", "l_partkey": "p", "l_suppkey": "s"},
+    "events": {"event_id": "e", "user_id": "u"},
+    "documents": {"doc_id": "d"},
+    "embeddings": {"vec_id": "v"},
+}
+
+STRIDE_SQL = {
+    "c": "SELECT max(c_custkey) + 1 FROM read_parquet('{src}/customer.parquet')",
+    "s": "SELECT max(s_suppkey) + 1 FROM read_parquet('{src}/supplier.parquet')",
+    "p": "SELECT max(p_partkey) + 1 FROM read_parquet('{src}/part.parquet')",
+    "o": "SELECT max(o_orderkey) + 1 FROM read_parquet('{src}/orders.parquet')",
+    "e": "SELECT max(event_id) + 1 FROM read_parquet('{src}/events.parquet')",
+    "u": "SELECT max(user_id) + 1 FROM read_parquet('{src}/events.parquet')",
+    "d": "SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')",
+    "v": "SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')",
+}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    strides = {
+        k: con.execute(sql.format(src=SRC)).fetchone()[0]
+        for k, sql in STRIDE_SQL.items()
+    }
+    for t in ("region", "nation"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(t, "copied")
+    for t, keys in STRIDES.items():
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchall()]
+        selects = []
+        for i in range(COPIES):
+            proj = ", ".join(
+                f"({c} + {i * strides[keys[c]]}) AS {c}" if c in keys else c
+                for c in cols
+            )
+            selects.append(
+                f"SELECT {proj} FROM read_parquet('{SRC}/{t}.parquet')"
+            )
+        union = " UNION ALL ".join(selects)
+        con.execute(
+            f"COPY ({union}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
+        ).fetchone()[0]
+        print(t, n)
+
+
+if __name__ == "__main__":
+    main()

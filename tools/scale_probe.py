@@ -1,0 +1,81 @@
+"""sf0.1 -> sf1 wall-clock scale probe (VERDICT r4 #5): run the N
+slowest bench queries at both SFs in ONE Spark session (never two
+concurrent sessions on this box) and report per-query scaling —
+ratio t(sf1)/t(sf0.1) over a 10x data growth, and the implied exponent
+log10(ratio). Exponent ~1.0 = linear, <1 = fixed-cost amortized,
+>1 = super-linear (a finding). Each (query, sf) is run twice and the
+MIN is kept (damps GC/scheduling noise; the between-run variance on
+this box is documented at 2-4x in SCALE.md).
+
+Usage: python tools/scale_probe.py [names...]   # default: built-in list
+Writes one JSON line; transcribe into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from codebase_rag_spark.queries import QUERIES  # noqa: E402
+from codebase_rag_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".localdata", "sf1")
+
+# The 10 slowest of the round-5 full-registry bench (BENCH run of
+# 2026-08-14, 205 queries) + the two next ones whose cost is
+# corpus-independent (expected exponent ~0, pinning the contrast).
+DEFAULT = [
+    "profile_lineitem",
+    "excess_promo_suppliers",
+    "priority_shipping_mix",
+    "product_profit",
+    "bigram_surprise_docs",
+    "duplicated_spans",
+    "part_basket_rules",
+    "region_two_hop",
+    "code_entity_extract",
+    "mmr_diverse_topk",
+    "supplier_part_counts",
+    "region_impact",
+]
+
+
+def timed(spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def main() -> None:
+    import math
+
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    out = {}
+    for name in names:
+        t01 = timed(spark, name, SF01)
+        t1 = timed(spark, name, SF1)
+        ratio = round(t1 / t01, 3)
+        out[name] = {
+            "sf0.1_s": t01,
+            "sf1_s": t1,
+            "ratio": ratio,
+            "exponent": round(math.log10(max(ratio, 1e-9)), 3),
+        }
+        print(f"# {name}: {t01}s -> {t1}s  ratio {ratio}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
