@@ -1032,3 +1032,78 @@ ORACLES["nation_revenue_trend"] = """
                       / n::DOUBLE) / 100.0, 2) AS intercept
         FROM agg
 """
+
+
+def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-nation order->ship delay percentiles (p50/p90/p99 days)
+    through the SCALE-SAFE per-key rank machinery (operators/scalewin.py:
+    exact_rank_quantile — range-sharded local windows + broadcast
+    offsets), demonstrating the operator on a JOIN-derived metric: the
+    sibling of price_percentiles' percentile_disc form, but with no
+    per-group sort task anywhere. lineitem joins orders on the FK
+    (fact-fact, one shuffle), then supplier + nation broadcast; delay is
+    an integer day count, so rank selection is engine-exact with zero
+    float math. Output is O(#nations) rows."""
+    from codebase_rag_spark.operators.scalewin import exact_rank_quantile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"),
+              li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name", "l_orderkey", "l_linenumber",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .alias("delay_days"),
+        )
+    )
+    q = exact_rank_quantile(
+        j, ["n_name"],
+        [F.col("delay_days"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "delay_days", {"p50_days": 0.5, "p90_days": 0.9, "p99_days": 0.99},
+    )
+    counts = j.groupBy("n_name").agg(F.count("*").cast("bigint").alias("n_items"))
+    return q.join(counts, "n_name").select(
+        "n_name", "n_items",
+        F.col("p50_days").cast("bigint").alias("p50_days"),
+        F.col("p90_days").cast("bigint").alias("p90_days"),
+        F.col("p99_days").cast("bigint").alias("p99_days"),
+    )
+
+
+QUERIES["ship_delay_percentiles"] = ship_delay_percentiles
+ORACLES["ship_delay_percentiles"] = """
+        WITH j AS (
+            SELECT n.n_name, l.l_orderkey, l.l_linenumber,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS delay_days
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        ),
+        r AS (
+            SELECT n_name, delay_days,
+                   row_number() OVER (
+                       PARTITION BY n_name
+                       ORDER BY delay_days, l_orderkey, l_linenumber) AS rn,
+                   count(*) OVER (PARTITION BY n_name) AS n
+            FROM j
+        )
+        SELECT n_name,
+               CAST(min(n) AS BIGINT) AS n_items,
+               min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                        THEN delay_days END) AS p50_days,
+               min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                        THEN delay_days END) AS p90_days,
+               min(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                        THEN delay_days END) AS p99_days
+        FROM r GROUP BY n_name
+"""

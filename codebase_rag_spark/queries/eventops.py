@@ -2316,3 +2316,197 @@ ORACLES["time_decay_attribution"] = f"""
                round(CAST(sum(credit) AS DOUBLE), 4) AS total_credit
         FROM credited GROUP BY touch_hour
 """
+
+
+def cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type (Page 1954, the
+    standard drift monitor a data pipeline runs on ingest volumes):
+    over the full hourly count series (0-filled spine, so silent outages
+    register as drift), the one-sided CUSUM statistic
+    D_i = d_i - min_{j<=i} d_j with d_i = n*P_i - i*S (P_i = prefix
+    count sum, S = total, n = #hours — the cross-multiplied form of
+    "cumulative deviation from the mean rate", ALL int64, so the argmax
+    hour is bit-exact in any engine). Reports the peak-drift hour per
+    type (earliest on ties) and the peak magnitude in events/hour units
+    (ONE terminal double division). Windows run over the O(#hours)
+    per-type spine — the documented calendar-bounded exception class
+    (seasonal_naive_backtest precedent)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = (
+        spine.crossJoin(e.select("event_type").distinct())
+        .join(hourly, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("nh"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = (
+        grid.join(F.broadcast(tot), "event_type")
+        .withColumn("p", F.sum("n").over(w).cast("bigint"))
+        .withColumn("i", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("d", F.col("nh") * F.col("p") - F.col("i") * F.col("s"))
+        .withColumn("dmin", F.min("d").over(w))
+        .withColumn("cusum", F.col("d") - F.col("dmin"))
+    )
+    peak = pref.groupBy("event_type").agg(F.max("cusum").alias("peak"))
+    return (
+        pref.join(F.broadcast(peak), "event_type")
+        .filter(F.col("cusum") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.min("nh").alias("n_hours"),
+            F.date_format(F.min("h"), "yyyy-MM-dd HH:mm:ss").alias(
+                "change_hour"
+            ),
+            F.round(
+                (F.min("peak") / F.min("nh")).cast("double"), 4
+            ).alias("cusum_peak"),
+        )
+    )
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event stream (Kimball's
+    slowly-changing-dimension pattern; complements cdc_apply_changes'
+    Type-1 MERGE): per user (< 30 for bounded output), collapse
+    CONSECUTIVE same-type events into state intervals via gaps-and-
+    islands (change flag -> prefix-sum island id — two per-user windows,
+    bounded by per-user activity), then emit one row per island with
+    [valid_from, valid_to) and the is_current flag (valid_to NULL ->
+    'current'). Timestamps rendered as strings; interval membership is
+    integer-microsecond exact."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = flagged.withColumn("seq", F.sum("chg").over(wp).cast("bigint"))
+    # all rows in an island share one event_type by construction
+    groups = isl.groupBy("user_id", "seq").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("seq")
+    return groups.select(
+        "user_id",
+        "seq",
+        "state",
+        F.date_format("_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("_from").over(ws), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+        F.lead("_from").over(ws).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+QUERIES["cusum_change_points"] = cusum_change_points
+QUERIES["scd2_user_state"] = scd2_user_state
+
+ORACLES["cusum_change_points"] = """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        grid AS (
+            SELECT t.event_type, s.h, coalesce(hourly.n, 0) AS n
+            FROM spine s
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+            LEFT JOIN hourly ON hourly.event_type = t.event_type
+                            AND hourly.h = s.h
+        ),
+        tot AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS nh
+            FROM grid GROUP BY event_type
+        ),
+        pref AS (
+            SELECT g.event_type, g.h, t.nh, t.s,
+                   CAST(sum(g.n) OVER (PARTITION BY g.event_type ORDER BY g.h)
+                        AS BIGINT) AS p,
+                   CAST(row_number() OVER (PARTITION BY g.event_type ORDER BY g.h)
+                        AS BIGINT) AS i
+            FROM grid g JOIN tot t USING (event_type)
+        ),
+        cus AS (
+            SELECT event_type, h, nh,
+                   (nh * p - i * s)
+                   - min(nh * p - i * s) OVER (
+                         PARTITION BY event_type ORDER BY h) AS cusum
+            FROM pref
+        ),
+        peak AS (
+            SELECT event_type, max(cusum) AS pk FROM cus GROUP BY event_type
+        )
+        SELECT c.event_type,
+               min(c.nh) AS n_hours,
+               strftime(min(c.h), '%Y-%m-%d %H:%M:%S') AS change_hour,
+               round((min(p.pk) / min(c.nh))::DOUBLE, 4) AS cusum_peak
+        FROM cus c JOIN peak p USING (event_type)
+        WHERE c.cusum = p.pk
+        GROUP BY c.event_type
+"""
+
+ORACLES["scd2_user_state"] = """
+        WITH e AS (
+            SELECT user_id, event_id, ts, event_type FROM events
+            WHERE user_id < 30
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        isl AS (
+            SELECT *,
+                   CAST(sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                       AS seq
+            FROM flagged
+        ),
+        groups AS (
+            SELECT user_id, seq,
+                   min(event_type) AS state,
+                   min(ts) AS _from,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM isl GROUP BY user_id, seq
+        )
+        SELECT user_id, seq, state,
+               strftime(_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               coalesce(strftime(lead(_from) OVER ws, '%Y-%m-%d %H:%M:%S'),
+                        'current') AS valid_to,
+               lead(_from) OVER ws IS NULL AS is_current,
+               n_events
+        FROM groups
+        WINDOW ws AS (PARTITION BY user_id ORDER BY seq)
+"""

@@ -574,3 +574,101 @@ ORACLES["community_pagerank_mass"] = f"""
         FROM l3 JOIN it3 ON l3.node = it3.node
         GROUP BY l3.component
 """
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation between
+    endpoint degrees over the undirected doc-chain edge set — the
+    one-number answer to "do hubs link to hubs?" that shapes sampling
+    and partitioning strategy for any graph workload. Every canonical
+    edge contributes BOTH orientations (the symmetric definition), all
+    six sufficient statistics are int64 sums of integer degrees — exact
+    in any engine — and the final r uses only IEEE sqrt/divide. Shapes:
+    one distinct for the canonical edges, one degree aggregate, one
+    degree join back (keyed on node, scales with |E|), one global agg."""
+    edges = _doc_chain(spark, sf_dir, hops=2)
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # degree + pair branches share it
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    both = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    j = (
+        both.join(deg.select(F.col("node").alias("u"),
+                             F.col("degree").alias("dx")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("degree").alias("dy")), "v")
+    )
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+QUERIES["degree_assortativity"] = degree_assortativity
+
+ORACLES["degree_assortativity"] = f"""
+        WITH e AS ({_CHAIN_1} UNION {_CHAIN_2}),
+        canon AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst GROUP BY 1, 2
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (
+                SELECT a AS node FROM canon
+                UNION ALL SELECT b FROM canon
+            ) GROUP BY node
+        ),
+        bo AS (
+            SELECT a AS u, b AS v FROM canon
+            UNION ALL SELECT b, a FROM canon
+        ),
+        j AS (
+            SELECT du.degree AS dx, dv.degree AS dy
+            FROM bo
+            JOIN deg du ON du.node = bo.u
+            JOIN deg dv ON dv.node = bo.v
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dx) AS BIGINT) AS sx,
+                   CAST(sum(dy) AS BIGINT) AS sy,
+                   CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                   CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                   CAST(sum(dy * dy) AS BIGINT) AS syy
+            FROM j
+        )
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+               round((n * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+                   AS assortativity
+        FROM agg
+"""
