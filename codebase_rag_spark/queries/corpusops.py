@@ -292,3 +292,83 @@ ORACLES["vocab_growth_curve"] = r"""
         FROM occ o LEFT JOIN nt USING (bucket)
         WINDOW w AS (ORDER BY o.bucket ROWS UNBOUNDED PRECEDING)
 """
+
+
+def zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus head vocabulary — the companion
+    diagnostic to vocab_growth_curve's Heaps law: OLS slope of ln(freq)
+    on ln(rank) for the top-200 tokens (a healthy natural-language
+    corpus sits near -1; a flat or cliffy slope flags boilerplate or
+    templated text). Scale discipline: ONE distributed token count, a
+    TakeOrdered(200) head, and the regression runs on 200 rows. libm ln
+    follows the round-4 determinism rule — quantized ONCE per vocab row
+    (round(ln, 6) -> DECIMAL) and summed exactly; the slope is one
+    terminal double division. The 200-row rank window is the documented
+    bounded-window exception (vocab_growth_curve precedent)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+    counts = (
+        toks.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(200)
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    ranked = counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(12,6)")
+    y = F.round(F.log(F.col("n").cast("double")), 6).cast("decimal(12,6)")
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    agg = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return agg.select(
+        F.col("k").alias("n_top_tokens"),
+        F.round(num / den, 4).alias("zipf_slope"),
+    )
+
+
+QUERIES["zipf_fit_audit"] = zipf_fit_audit
+
+ORACLES["zipf_fit_audit"] = r"""
+        WITH t AS (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 200
+        ),
+        ranked AS (
+            SELECT n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+                       AS rank
+            FROM counts
+        ),
+        pts AS (
+            SELECT CAST(round(ln(rank::DOUBLE), 6) AS DECIMAL(12,6)) AS x,
+                   CAST(round(ln(n::DOUBLE), 6) AS DECIMAL(12,6)) AS y
+            FROM ranked
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts
+        )
+        SELECT k AS n_top_tokens,
+               round((k * sxy - sx * sy)::DOUBLE
+                     / (k * sxx - sx * sx)::DOUBLE, 4) AS zipf_slope
+        FROM agg
+"""

@@ -984,3 +984,96 @@ ORACLES["source_token_kl"] = r"""
                round(CAST(num AS DOUBLE) / n_tokens, 4) AS kl_divergence
         FROM agg
 """
+
+
+def encoding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class / encoding health profile per language — the
+    mojibake-and-binary-junk gate every web-scale text pipeline runs
+    before tokenization (UTF-8 damage shows up as replacement chars and
+    anomalous non-ASCII/control ratios long before a model sees it).
+    Per-doc char-class counts are scan-stage length arithmetic
+    (length(text) - length(regexp_replace(...)) — pure JVM, exact ints);
+    per-lang ratios divide the int64 SUM totals once (ratio of sums, not
+    mean of ratios — robust to doc-length mix). ONE groupBy; output is
+    O(#langs) rows at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+
+    def n_of(pat: str):
+        return n - F.length(F.regexp_replace(F.col("text"), pat, ""))
+
+    per_doc = d.select(
+        "lang",
+        n.cast("bigint").alias("n_chars"),
+        n_of("[A-Za-z]").cast("bigint").alias("n_letter"),
+        n_of("[0-9]").cast("bigint").alias("n_digit"),
+        n_of(r"\s").cast("bigint").alias("n_space"),
+        F.col("text").rlike(r"[^\x00-\x7F]").alias("has_non_ascii"),
+        F.col("text").contains("�").alias("has_replacement"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_letter").alias("sl"),
+        F.sum("n_digit").alias("sd"),
+        F.sum("n_space").alias("ss"),
+        F.sum(F.when(F.col("has_non_ascii"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_non_ascii_docs"),
+        F.sum(F.when(F.col("has_replacement"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_replacement_docs"),
+    )
+    r = lambda c: F.round(c.cast("double") / F.col("total_chars"), 6)  # noqa: E731
+    return g.select(
+        "lang", "n_docs", "total_chars",
+        r(F.col("sl")).alias("letter_ratio"),
+        r(F.col("sd")).alias("digit_ratio"),
+        r(F.col("ss")).alias("space_ratio"),
+        r(F.col("total_chars") - F.col("sl") - F.col("sd") - F.col("ss"))
+        .alias("other_ratio"),
+        "n_non_ascii_docs", "n_replacement_docs",
+    )
+
+
+QUERIES["encoding_quality_audit"] = encoding_quality_audit
+
+ORACLES["encoding_quality_audit"] = r"""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                        AS BIGINT) AS n_letter,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS BIGINT) AS n_digit,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '\s', '', 'g'))
+                        AS BIGINT) AS n_space,
+                   regexp_matches(text, '[^\x00-\x7F]') AS has_non_ascii,
+                   contains(text, chr(65533)) AS has_replacement
+            FROM documents
+        ),
+        g AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(n_letter) AS BIGINT) AS sl,
+                   CAST(sum(n_digit) AS BIGINT) AS sd,
+                   CAST(sum(n_space) AS BIGINT) AS ss,
+                   CAST(sum(CASE WHEN has_non_ascii THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_non_ascii_docs,
+                   CAST(sum(CASE WHEN has_replacement THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_replacement_docs
+            FROM per_doc GROUP BY lang
+        )
+        SELECT lang, n_docs, total_chars,
+               round(sl::DOUBLE / total_chars, 6) AS letter_ratio,
+               round(sd::DOUBLE / total_chars, 6) AS digit_ratio,
+               round(ss::DOUBLE / total_chars, 6) AS space_ratio,
+               round((total_chars - sl - sd - ss)::DOUBLE / total_chars, 6)
+                   AS other_ratio,
+               n_non_ascii_docs, n_replacement_docs
+        FROM g
+"""

@@ -640,3 +640,65 @@ ORACLES["split_leakage_audit"] = rf"""
         FROM labeled, tot
         GROUP BY split_a, split_b, tot.x, tot.t
 """
+
+
+def epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle manifest: every doc gets an
+    (epoch-salted md5) hash; shard = hash mod 8, in-shard order = hash
+    order — the layout-independent global permutation a training-data
+    writer materializes per epoch (same corpus -> bit-identical
+    manifest on ANY cluster layout; different epochs -> independent
+    permutations, no rand() non-reproducibility). Per (epoch, shard):
+    doc count, the first doc in shuffle order (min_by — no window, no
+    sort task), and an ORDER-INDEPENDENT additive checksum of the
+    assigned hashes (sum of 32-bit hash words), which downstream readers
+    can verify shard-by-shard without re-sorting. ONE groupBy over
+    2x corpus rows; output is epochs x shards = 16 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    epochs = d.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    )
+    hx = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    assigned = epochs.select(
+        "epoch",
+        "doc_id",
+        hx.alias("hx"),
+        F.pmod(
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint"), F.lit(8)
+        ).alias("shard"),
+    )
+    return assigned.groupBy("epoch", "shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min_by("doc_id", F.col("hx")).alias("first_doc"),
+        F.sum(
+            F.conv(F.substring(F.col("hx"), 9, 8), 16, 10).cast("bigint")
+        ).cast("bigint").alias("hash_checksum"),
+    )
+
+
+QUERIES["epoch_shard_shuffle"] = epoch_shard_shuffle
+
+ORACLES["epoch_shard_shuffle"] = """
+        WITH epochs AS (
+            SELECT doc_id, unnest([0, 1]) AS epoch FROM documents
+        ),
+        assigned AS (
+            SELECT epoch, doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(epoch AS VARCHAR)) AS hx
+            FROM epochs
+        )
+        SELECT epoch,
+               (('0x' || substr(hx, 1, 8))::BIGINT % 8) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min_by(doc_id, hx) AS first_doc,
+               CAST(sum(('0x' || substr(hx, 9, 8))::BIGINT) AS BIGINT)
+                   AS hash_checksum
+        FROM assigned
+        GROUP BY epoch, shard
+"""

@@ -492,3 +492,171 @@ def _mmr_oracle_sql(pool_k: int = 20, k: int = 5, lam: float = 0.7) -> str:
 
 
 ORACLES["mmr_diverse_topk"] = _mmr_oracle_sql()
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the fixed-threshold sibling of top-k ANN:
+    all vectors with cosine >= 0.1 to the query, probing ONLY the
+    query's RP-LSH bucket (rp_lsh_ann's scan discipline: 1/2^planes of
+    the corpus; same-bucket vectors share the query's 8 projection signs,
+    exactly the population a radius search wants). The query vector rides
+    the plan as a lazy 1-row broadcast; the threshold filter is
+    scan-stage; results ordered by cosine with a unique id tiebreak.
+    Range search is what dedup-by-similarity and contamination sweeps
+    actually run (every match matters, not just the top k)."""
+    from codebase_rag_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = random_hyperplane_buckets(emb, num_planes=8, dim=64).localCheckpoint(
+        eager=False
+    )
+    qbucket = b.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("_qb"))
+    cand_ids = b.join(
+        F.broadcast(qbucket), F.col("bucket") == F.col("_qb"), "inner"
+    ).select("vec_id")
+    cands = emb.filter(F.col("vec_id") != 0).join(cand_ids, "vec_id", "left_semi")
+    scored = cands.crossJoin(
+        F.broadcast(_query_side(spark, sf_dir, 0))
+    ).select(
+        "vec_id",
+        F.round(cosine_similarity(as_double(F.col("embedding")),
+                                  F.col("_qvec")), 4).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= 0.1).orderBy(
+        F.desc("cosine"), "vec_id"
+    )
+
+
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consistency audit (the Confident-Learning-shaped
+    mislabel detector): each vector's 5 nearest bucket-mates (exact
+    cosine within its RP-LSH bucket) vote a majority label; vectors
+    disagreeing with their neighborhood are flagged. Reported per label:
+    vectors audited, flagged count, flag rate. The pair join is keyed on
+    the bucket (never corpus x corpus); the per-vector top-5 and
+    majority-vote windows are bucket-bounded. Majority tiebreak: larger
+    vote count first, then smaller label — engine-exact."""
+    from codebase_rag_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = random_hyperplane_buckets(emb, num_planes=8, dim=64).join(
+        emb.select("vec_id", "label", as_double(F.col("embedding")).alias("_v")),
+        "vec_id",
+    ).select("vec_id", "label", "bucket", "_v")
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl_a"),
+        "bucket", F.col("_v").alias("_va"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"),
+        "bucket", F.col("_v").alias("_vb"),
+    )
+    pairs = a.join(c, "bucket").filter(F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "lbl_a", "id_b", "lbl_b",
+        F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.col("id_b"))
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("id_a", "lbl_a", "lbl_b").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    wv = Window.partitionBy("id_a").orderBy(F.desc("v"), F.col("lbl_b"))
+    maj = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    flagged = maj.select(
+        "id_a", "lbl_a", (F.col("lbl_b") != F.col("lbl_a")).alias("flag")
+    )
+    return flagged.groupBy(F.col("lbl_a").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("flag"), 1).otherwise(0)).cast("bigint").alias(
+            "n_flagged"
+        ),
+        F.round(
+            F.sum(F.when(F.col("flag"), 1).otherwise(0)) / F.count("*"), 4
+        ).alias("flag_rate"),
+    )
+
+
+QUERIES["ann_range_search"] = ann_range_search
+QUERIES["knn_label_consistency"] = knn_label_consistency
+
+ORACLES["ann_range_search"] = f"""
+        WITH {_RP_BUCKETS_CTE},
+        q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        cand AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id <> 0
+              AND vec_id IN (
+                  SELECT vec_id FROM bkt
+                  WHERE bucket = (SELECT bucket FROM bkt WHERE vec_id = 0))
+        ),
+        p AS (
+            SELECT vec_id,
+                   unnest(embedding)::DOUBLE AS x,
+                   unnest((SELECT e FROM q))::DOUBLE AS y
+            FROM cand
+        ),
+        s AS (
+            SELECT vec_id,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS cosine
+            FROM p GROUP BY vec_id
+        )
+        SELECT vec_id, cosine FROM s
+        WHERE cosine >= 0.1
+        ORDER BY cosine DESC, vec_id
+"""
+
+ORACLES["knn_label_consistency"] = f"""
+        WITH {_RP_BUCKETS_CTE},
+        lb AS (
+            SELECT b.vec_id, b.bucket, e.label
+            FROM bkt b JOIN embeddings e ON e.vec_id = b.vec_id
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, a.label AS lbl_a,
+                   b2.vec_id AS id_b, b2.label AS lbl_b
+            FROM lb a JOIN lb b2
+              ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+        ),
+        pe AS (
+            SELECT p.id_a, p.lbl_a, p.id_b, p.lbl_b,
+                   unnest(ea.embedding)::DOUBLE AS x,
+                   unnest(eb.embedding)::DOUBLE AS y
+            FROM pairs p
+            JOIN embeddings ea ON ea.vec_id = p.id_a
+            JOIN embeddings eb ON eb.vec_id = p.id_b
+        ),
+        pc AS (
+            SELECT id_a, lbl_a, id_b, lbl_b,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS cos
+            FROM pe GROUP BY id_a, lbl_a, id_b, lbl_b
+        ),
+        top5 AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+            FROM pc
+        ),
+        votes AS (
+            SELECT id_a, lbl_a, lbl_b, CAST(count(*) AS BIGINT) AS v
+            FROM top5 WHERE rn <= 5 GROUP BY id_a, lbl_a, lbl_b
+        ),
+        maj AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY id_a ORDER BY v DESC, lbl_b) AS vr
+            FROM votes
+        )
+        SELECT lbl_a AS label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN lbl_b <> lbl_a THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               round(sum(CASE WHEN lbl_b <> lbl_a THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS flag_rate
+        FROM maj WHERE vr = 1
+        GROUP BY lbl_a
+"""
