@@ -315,3 +315,126 @@ def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
     return media.filter(F.col("media_type") == "image").select(
         "media_id", "data"
     ).mapInPandas(run, RESIZED_SCHEMA)
+
+
+def _hx_u16be(h, p):
+    """u16 big-endian at 1-indexed byte pos p of an uppercase-hex string
+    column (byte b lives at hex chars 2b-1..2b)."""
+    return F.conv(h.substr(p * 2 - 1, F.lit(4)), 16, 10).cast("int")
+
+
+def _hx_u16le(h, p):
+    return F.conv(
+        F.concat(h.substr((p + 1) * 2 - 1, F.lit(2)), h.substr(p * 2 - 1, F.lit(2))),
+        16, 10,
+    ).cast("int")
+
+
+def _hx_u32le(h, p):
+    return F.conv(
+        F.concat(
+            h.substr((p + 3) * 2 - 1, F.lit(2)),
+            h.substr((p + 2) * 2 - 1, F.lit(2)),
+            h.substr((p + 1) * 2 - 1, F.lit(2)),
+            h.substr(p * 2 - 1, F.lit(2)),
+        ),
+        16, 10,
+    ).cast("int")
+
+
+_JPEG_SOF = ["FFC0", "FFC1", "FFC2"]
+
+
+def image_dimensions_hex(hex_col) -> "F.Column":
+    """Sniff (format, width, height) for PNG / GIF / BMP / JPEG from an
+    UPPERCASE-HEX string column with NATIVE expressions only — the
+    multi-format generalization of png_dimensions: route petabytes of
+    image bytes by type/dimensions BEFORE any Python codec runs.
+
+    PNG/GIF/BMP dims sit at fixed offsets (big-endian IHDR u32s, u16le
+    screen descriptor, u32le BITMAPINFOHEADER). JPEG stores dims in a
+    SOF segment at a VARIABLE offset; the marker walk (skip each
+    segment by its big-endian length) is unrolled 4 hops with a
+    stall-at-SOF trick — p_next = p while the current marker IS a SOF —
+    so any JPEG whose SOF appears within 4 segments (APP0/EXIF/DQT/...
+    prefixes) parses, deeper files yield (jpeg, NULL, NULL). The oracle
+    runs the identical unrolled arithmetic on the same hex. Unknown
+    bytes -> ('unknown', NULL, NULL)."""
+    h = hex_col
+    is_png = (
+        h.substr(1, 16) == "89504E470D0A1A0A"
+    ) & (h.substr(25, 8) == "49484452") & (F.length(h) >= 48)
+    is_gif = h.substr(1, 8).isin("47494638") & (F.length(h) >= 26)
+    is_bmp = (h.substr(1, 4) == "424D") & (F.length(h) >= 60)
+    is_jpeg = (h.substr(1, 4) == "FFD8") & (F.length(h) >= 8)
+    # JPEG walk: start at byte 3; stall once a SOF marker is reached
+    p = F.lit(3)
+    for _ in range(3):
+        mk = h.substr(p * 2 - 1, F.lit(4))
+        p = F.when(mk.isin(_JPEG_SOF), p).otherwise(
+            p + 2 + _hx_u16be(h, p + 2)
+        )
+    sof = h.substr(p * 2 - 1, F.lit(4)).isin(_JPEG_SOF)
+    jpeg_w = F.when(sof, _hx_u16be(h, p + 7))
+    jpeg_h = F.when(sof, _hx_u16be(h, p + 5))
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_bmp, F.lit("bmp"))
+        .when(is_jpeg, F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = (
+        F.when(is_png, F.conv(h.substr(33, 8), 16, 10).cast("int"))
+        .when(is_gif, _hx_u16le(h, F.lit(7)))
+        .when(is_bmp, _hx_u32le(h, F.lit(19)))
+        .when(is_jpeg, jpeg_w)
+    )
+    height = (
+        F.when(is_png, F.conv(h.substr(41, 8), 16, 10).cast("int"))
+        .when(is_gif, _hx_u16le(h, F.lit(9)))
+        .when(is_bmp, _hx_u32le(h, F.lit(23)))
+        .when(is_jpeg, jpeg_h)
+    )
+    return F.struct(
+        fmt.alias("format"), width.alias("width"), height.alias("height")
+    )
+
+
+def image_dimensions(data_col) -> "F.Column":
+    """Binary-column wrapper: hex once, then the shared hex parser."""
+    return image_dimensions_hex(F.hex(data_col))
+
+
+def make_image_bytes(fmt: str, width: int, height: int, depth: int = 1) -> bytes:
+    """Deterministic minimal image headers for the sniffing fixtures
+    (stdlib only; payload is header-valid, not render-valid). For JPEG,
+    ``depth`` APP0/DQT segments precede the SOF0 marker, exercising the
+    unrolled marker walk."""
+    import struct
+
+    if fmt == "png":
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+        )
+    if fmt == "gif":
+        return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    if fmt == "bmp":
+        return (
+            b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 24
+        )
+    if fmt == "jpeg":
+        segs = b"\xff\xd8"
+        for i in range(depth):
+            if i == 0:
+                segs += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            else:
+                segs += b"\xff\xdb" + struct.pack(">H", 6) + b"\x00" * 4
+        segs += (
+            b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", height, width) + b"\x03" + b"\x00" * 9
+        )
+        return segs + b"\xff\xd9"
+    raise ValueError(fmt)

@@ -691,3 +691,112 @@ ORACLES["comment_markers"] = f"""
            OR contains(upper(line), 'IMPORTANT')
            OR contains(upper(line), 'DECISION')
 """
+
+
+def _image_corpus() -> list[tuple[int, str]]:
+    """Inline image corpus (uppercase hex): one of each fixed-offset
+    format, two JPEGs exercising the unrolled SOF walk (1 and 3 prefix
+    segments), one JPEG whose SOF sits PAST the 4-hop walk (format
+    sniffs, dims NULL), a truncated PNG and non-image bytes."""
+    import hashlib
+
+    from codebase_rag_spark.operators.multimodal import make_image_bytes
+
+    rows = [
+        (1, make_image_bytes("png", 320, 200)),
+        (2, make_image_bytes("gif", 1024, 768)),
+        (3, make_image_bytes("bmp", 640, 480)),
+        (4, make_image_bytes("jpeg", 64, 48, depth=1)),
+        (5, make_image_bytes("jpeg", 1920, 1080, depth=3)),
+        (6, make_image_bytes("jpeg", 256, 256, depth=5)),
+        (7, make_image_bytes("png", 320, 200)[:12]),
+        (8, hashlib.md5(b"not an image").digest()),
+    ]
+    return [(i, b.hex().upper()) for i, b in rows]
+
+
+def image_dimensions_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format image header sniff (operators/multimodal.py:
+    image_dimensions_hex): PNG/GIF/BMP at fixed offsets, JPEG via the
+    4-hop unrolled SOF marker walk — all NATIVE substring/hex/conv
+    expressions, zero Python workers. The petabyte routing step:
+    type/dimension filters prune any downstream decode to the rows that
+    need it; the oracle runs the identical unrolled arithmetic on the
+    same hex corpus."""
+    from codebase_rag_spark.operators.multimodal import image_dimensions_hex
+
+    df = spark.createDataFrame(_image_corpus(), ["media_id", "hex"])
+    info = image_dimensions_hex(F.col("hex"))
+    return df.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        info["format"].alias("format"),
+        info["width"].alias("width"),
+        info["height"].alias("height"),
+    )
+
+
+QUERIES["image_dimensions_sniff"] = image_dimensions_sniff
+
+
+def _image_values() -> str:
+    return ",\n            ".join(f"({i}, '{h}')" for i, h in _image_corpus())
+
+
+def _hx16be(p: str) -> str:
+    return f"TRY_CAST(('0x' || substr(h, 2*({p})-1, 4)) AS BIGINT)"
+
+
+ORACLES["image_dimensions_sniff"] = f"""
+        WITH corpus(media_id, h) AS (VALUES
+            {_image_values()}),
+        w0 AS (SELECT media_id, h, CAST(3 AS BIGINT) AS p0 FROM corpus),
+        w1 AS (SELECT *, CASE WHEN substr(h, 2*p0-1, 4)
+                                   IN ('FFC0','FFC1','FFC2') THEN p0
+                              ELSE p0 + 2 + {_hx16be('p0+2')} END AS p1
+               FROM w0),
+        w2 AS (SELECT *, CASE WHEN substr(h, 2*p1-1, 4)
+                                   IN ('FFC0','FFC1','FFC2') THEN p1
+                              ELSE p1 + 2 + {_hx16be('p1+2')} END AS p2
+               FROM w1),
+        w3 AS (SELECT *, CASE WHEN substr(h, 2*p2-1, 4)
+                                   IN ('FFC0','FFC1','FFC2') THEN p2
+                              ELSE p2 + 2 + {_hx16be('p2+2')} END AS p3
+               FROM w2),
+        cls AS (
+            SELECT media_id, h, p3,
+                   (substr(h, 1, 16) = '89504E470D0A1A0A'
+                    AND substr(h, 25, 8) = '49484452'
+                    AND length(h) >= 48) AS is_png,
+                   (substr(h, 1, 8) = '47494638'
+                    AND length(h) >= 26) AS is_gif,
+                   (substr(h, 1, 4) = '424D' AND length(h) >= 60) AS is_bmp,
+                   (substr(h, 1, 4) = 'FFD8' AND length(h) >= 8) AS is_jpeg,
+                   substr(h, 2*p3-1, 4) IN ('FFC0','FFC1','FFC2') AS sof
+            FROM w3
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CASE WHEN is_png THEN 'png'
+                    WHEN is_gif THEN 'gif'
+                    WHEN is_bmp THEN 'bmp'
+                    WHEN is_jpeg THEN 'jpeg'
+                    ELSE 'unknown' END AS format,
+               CAST(CASE
+                   WHEN is_png THEN TRY_CAST(('0x' || substr(h, 33, 8)) AS BIGINT)
+                   WHEN is_gif THEN TRY_CAST(('0x' || substr(h, 15, 2)
+                                              || substr(h, 13, 2)) AS BIGINT)
+                   WHEN is_bmp THEN TRY_CAST(('0x' || substr(h, 43, 2)
+                        || substr(h, 41, 2) || substr(h, 39, 2)
+                        || substr(h, 37, 2)) AS BIGINT)
+                   WHEN is_jpeg AND sof THEN {_hx16be('p3+7')}
+               END AS INTEGER) AS width,
+               CAST(CASE
+                   WHEN is_png THEN TRY_CAST(('0x' || substr(h, 41, 8)) AS BIGINT)
+                   WHEN is_gif THEN TRY_CAST(('0x' || substr(h, 19, 2)
+                                              || substr(h, 17, 2)) AS BIGINT)
+                   WHEN is_bmp THEN TRY_CAST(('0x' || substr(h, 51, 2)
+                        || substr(h, 49, 2) || substr(h, 47, 2)
+                        || substr(h, 45, 2)) AS BIGINT)
+                   WHEN is_jpeg AND sof THEN {_hx16be('p3+5')}
+               END AS INTEGER) AS height
+        FROM cls
+"""

@@ -175,3 +175,37 @@ def test_wav_header_sniff_native(spark):
     assert got[2] == (True, 1, 8000, 8, 500)     # 4000 frames @ 8000 Hz
     assert got[3] == (False, None, None, None, None)
     assert got[4] == (False, None, None, None, None)
+
+
+def test_image_dimensions_sniff_formats_and_walk(spark):
+    """image_dimensions parses PNG/GIF/BMP fixed offsets and walks JPEG
+    segments to SOF (binary-column wrapper path); SOF past the 4-hop
+    unroll yields format-only; garbage yields unknown."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.multimodal import (
+        image_dimensions,
+        make_image_bytes,
+    )
+
+    rows = [
+        (1, make_image_bytes("png", 7, 9)),
+        (2, make_image_bytes("gif", 65535, 1)),
+        (3, make_image_bytes("bmp", 2, 3)),
+        (4, make_image_bytes("jpeg", 800, 600, depth=2)),
+        (5, make_image_bytes("jpeg", 10, 10, depth=9)),
+        (6, b"\x00\x01\x02"),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, data binary")
+    got = {
+        r["media_id"]: (r["i"]["format"], r["i"]["width"], r["i"]["height"])
+        for r in df.select(
+            "media_id", image_dimensions(F.col("data")).alias("i")
+        ).collect()
+    }
+    assert got[1] == ("png", 7, 9)
+    assert got[2] == ("gif", 65535, 1)
+    assert got[3] == ("bmp", 2, 3)
+    assert got[4] == ("jpeg", 800, 600)
+    assert got[5] == ("jpeg", None, None)
+    assert got[6] == ("unknown", None, None)
