@@ -2510,3 +2510,154 @@ ORACLES["scd2_user_state"] = """
         FROM groups
         WINDOW ws AS (PARTITION BY user_id ORDER BY seq)
 """
+
+
+def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent-session load per day — the capacity-planning
+    metric behind autoscaling and rate limits: sessionize (30-min gap,
+    keyed window), explode each session onto the hours it spans
+    (bounded: sessions are gap-bounded, so the per-session hour list is
+    tiny), count active sessions per hour, then per-day peak with the
+    peak hour (earliest on ties, via min over the hour among peak rows).
+    Distributed aggregates only — no day-sized window anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "ts", "user_id", gap_minutes=30)
+    spans = s.groupBy("user_id", "session_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = spans.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    hourly = hours.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
+    daily = hourly.withColumn("d", F.to_date("h"))
+    peak = daily.groupBy("d").agg(F.max("n_active").alias("peak"))
+    return (
+        daily.join(F.broadcast(peak), "d")
+        .filter(F.col("n_active") == F.col("peak"))
+        .groupBy("d")
+        .agg(
+            F.min("peak").alias("peak_sessions"),
+            F.date_format(F.min("h"), "yyyy-MM-dd HH:mm:ss").alias(
+                "peak_hour"
+            ),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "peak_sessions",
+            "peak_hour",
+        )
+    )
+
+
+def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window burst detection (the rate-limiter / bot-signal
+    audit): per user, the max number of events inside ANY trailing
+    10-minute window (RANGE frame over integer epoch-microseconds — a
+    keyed range window, one shuffle on user_id, exact integer bounds),
+    then per event-type of the burst-peak event: users audited, users
+    whose peak burst >= 5, and the corpus max burst. Range frames are
+    the Spark-native form of 'count within the last N minutes' — no
+    self-join, no explode."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-600_000_000, 0)
+    )
+    burst = base.withColumn(
+        "in_window", F.count(F.lit(1)).over(wr).cast("bigint")
+    )
+    wp = Window.partitionBy("user_id").orderBy(
+        F.desc("in_window"), "us", "event_id"
+    )
+    peak = burst.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") == 1
+    )
+    return peak.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("in_window") >= 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_burst_users"),
+        F.max("in_window").alias("max_burst"),
+    )
+
+
+QUERIES["session_concurrency_peak"] = session_concurrency_peak
+QUERIES["burst_detection"] = burst_detection
+
+ORACLES["session_concurrency_peak"] = """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS session_id
+            FROM flagged
+        ),
+        spans AS (
+            SELECT user_id, session_id,
+                   date_trunc('hour', min(ts)) AS h0,
+                   date_trunc('hour', max(ts)) AS h1
+            FROM sess GROUP BY user_id, session_id
+        ),
+        hours AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM spans
+        ),
+        hourly AS (
+            SELECT h, CAST(count(*) AS BIGINT) AS n_active
+            FROM hours GROUP BY h
+        ),
+        daily AS (
+            SELECT CAST(h AS DATE) AS d, h, n_active FROM hourly
+        ),
+        peak AS (
+            SELECT d, max(n_active) AS pk FROM daily GROUP BY d
+        )
+        SELECT strftime(dd.d, '%Y-%m-%d') AS day,
+               min(p.pk) AS peak_sessions,
+               strftime(min(dd.h), '%Y-%m-%d %H:%M:%S') AS peak_hour
+        FROM daily dd JOIN peak p USING (d)
+        WHERE dd.n_active = p.pk
+        GROUP BY dd.d
+"""
+
+ORACLES["burst_detection"] = """
+        WITH b AS (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS in_window
+            FROM events
+        ),
+        peak AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY in_window DESC, us, event_id) AS rn
+            FROM b
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN in_window >= 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_burst_users,
+               max(in_window) AS max_burst
+        FROM peak WHERE rn = 1
+        GROUP BY event_type
+"""

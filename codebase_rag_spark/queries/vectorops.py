@@ -660,3 +660,118 @@ ORACLES["knn_label_consistency"] = f"""
         FROM maj WHERE vr = 1
         GROUP BY lbl_a
 """
+
+
+def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means (k=4) with an EXACT
+    cross-engine contract — the iterative-ML-on-Spark showcase: seed
+    assignment is pmod(vec_id, 4) (deterministic, no init heuristic),
+    each iteration recomputes centroids as exact DECIMAL(18,9) component
+    sums (posexplode -> one (cluster, dim) aggregate — the distributed
+    mean shape; a raw double sum would be order-dependent) divided ONCE
+    in IEEE double and re-quantized (round(.,9) -> DECIMAL), then
+    reassigns every vector to the argmin exact-decimal squared distance
+    (broadcast k x dim centroid table; cluster-id tiebreak). Reports per
+    final cluster: size, how many vectors moved in iteration 2, and the
+    cluster inertia (exact decimal sum -> one double round). At 100 TB
+    each iteration is one keyed agg + one broadcast join — the textbook
+    Spark k-means plan, auditable bit-for-bit by the unrolled oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("d", "xf"),
+    ).select(
+        "vec_id",
+        "d",
+        F.round(F.col("xf").cast("double"), 9).cast("decimal(18,9)").alias("x"),
+    ).localCheckpoint(eager=False)  # consumed by both iterations
+
+    def assign(prev):  # prev: (vec_id, c)
+        cent = (
+            pts.join(prev, "vec_id")
+            .groupBy("c", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").cast("bigint").alias("n"))
+            .select(
+                "c", "d",
+                F.round(F.col("s").cast("double") / F.col("n"), 9)
+                .cast("decimal(18,9)")
+                .alias("mu"),
+            )
+        )
+        dist = (
+            pts.join(F.broadcast(cent.withColumnRenamed("c", "cc")), "d")
+            .withColumn("dd", (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))
+            .groupBy("vec_id", "cc")
+            .agg(F.sum("dd").alias("dist2"))
+        )
+        wmin = Window.partitionBy("vec_id").orderBy("dist2", "cc")
+        return (
+            dist.withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cc").alias("c"), "dist2")
+        )
+
+    seed = emb.select("vec_id", F.pmod(F.col("vec_id"), F.lit(4)).alias("c"))
+    a1 = assign(seed).localCheckpoint(eager=False)
+    a2 = assign(a1.select("vec_id", "c"))
+    moved = (
+        a1.select("vec_id", F.col("c").alias("c1"))
+        .join(a2.select("vec_id", "c", "dist2"), "vec_id")
+    )
+    return moved.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("c1") != F.col("c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+        F.round(F.sum("dist2").cast("double"), 4).alias("inertia"),
+    ).withColumnRenamed("c", "cluster")
+
+
+QUERIES["kmeans_iterations"] = kmeans_iterations
+
+_KM_PTS = """
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS d,
+                   CAST(round(unnest(embedding)::DOUBLE, 9)
+                        AS DECIMAL(18,9)) AS x
+            FROM embeddings
+"""
+
+_KM_ASSIGN = """
+        cent{i} AS (
+            SELECT a.c, p.d,
+                   CAST(round(CAST(sum(p.x) AS DOUBLE) / count(*), 9)
+                        AS DECIMAL(18,9)) AS mu
+            FROM pts p JOIN {prev} a USING (vec_id)
+            GROUP BY a.c, p.d
+        ),
+        dist{i} AS (
+            SELECT p.vec_id, c.c AS cc, sum((p.x - c.mu) * (p.x - c.mu))
+                       AS dist2
+            FROM pts p JOIN cent{i} c USING (d)
+            GROUP BY p.vec_id, c.c
+        ),
+        a{i} AS (
+            SELECT vec_id, cc AS c, dist2
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist2, cc) AS rn
+                FROM dist{i}
+            ) WHERE rn = 1
+        )
+"""
+
+ORACLES["kmeans_iterations"] = (
+    "        WITH pts AS (" + _KM_PTS + "        ),\n"
+    "        seed AS (SELECT vec_id, vec_id % 4 AS c FROM embeddings),\n"
+    + _KM_ASSIGN.format(i=1, prev="seed") + ",\n"
+    + _KM_ASSIGN.format(i=2, prev="a1") + """
+        SELECT a2.c AS cluster,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN a1.c <> a2.c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_moved,
+               round(CAST(sum(a2.dist2) AS DOUBLE), 4) AS inertia
+        FROM a2 JOIN a1 USING (vec_id)
+        GROUP BY a2.c
+"""
+)
