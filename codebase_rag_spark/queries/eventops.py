@@ -2661,3 +2661,92 @@ ORACLES["burst_detection"] = """
         FROM peak WHERE rn = 1
         GROUP BY event_type
 """
+
+
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 view->purchase latency, keyed by the purchase's
+    week — conversion_latency's distributional sibling through the
+    SCALE-SAFE per-key rank machinery (operators/scalewin.py:
+    exact_rank_quantile; fifth call site). Latencies are integer
+    microseconds (engine-exact ordering, unique user_id tiebreak);
+    quantile values convert to hours with ONE terminal double division
+    each. Grouping by week keeps the output calendar-bounded while the
+    rank work stays range-sharded."""
+    from codebase_rag_spark.operators.scalewin import exact_rank_quantile
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+        .withColumn("deadline", F.col("v_ts") + F.expr("INTERVAL 7 DAYS"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(views), "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("deadline")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    lat = purchases.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "p_ts"), "yyyy-MM-dd").alias("week"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us"),
+    )
+    q = exact_rank_quantile(
+        lat, ["week"], [F.col("lat_us"), F.col("user_id")],
+        "lat_us", {"_p50": 0.5, "_p90": 0.9, "_p99": 0.99},
+    )
+    counts = lat.groupBy("week").agg(
+        F.count("*").cast("bigint").alias("n_conversions")
+    )
+    h = lambda c: F.round(c.cast("double") / F.lit(3600000000.0), 4)  # noqa: E731
+    return q.join(counts, "week").select(
+        "week", "n_conversions",
+        h(F.col("_p50")).alias("p50_h"),
+        h(F.col("_p90")).alias("p90_h"),
+        h(F.col("_p99")).alias("p99_h"),
+    )
+
+
+QUERIES["conversion_latency_quantiles"] = conversion_latency_quantiles
+
+ORACLES["conversion_latency_quantiles"] = """
+        WITH views AS (
+            SELECT user_id, min(ts) AS v_ts,
+                   min(ts) + INTERVAL 7 DAY AS deadline
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        purchases AS (
+            SELECT e.user_id, min(e.ts) AS p_ts, min(v.v_ts) AS v_ts
+            FROM events e JOIN views v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > v.v_ts AND e.ts <= v.deadline
+            GROUP BY e.user_id
+        ),
+        lat AS (
+            SELECT user_id,
+                   strftime(date_trunc('week', p_ts), '%Y-%m-%d') AS week,
+                   epoch_us(p_ts) - epoch_us(v_ts) AS lat_us
+            FROM purchases
+        ),
+        r AS (
+            SELECT week, lat_us,
+                   row_number() OVER (
+                       PARTITION BY week ORDER BY lat_us, user_id) AS rn,
+                   count(*) OVER (PARTITION BY week) AS n
+            FROM lat
+        )
+        SELECT week,
+               CAST(min(n) AS BIGINT) AS n_conversions,
+               round(min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                              THEN lat_us END)::DOUBLE / 3600000000.0, 4)
+                   AS p50_h,
+               round(min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                              THEN lat_us END)::DOUBLE / 3600000000.0, 4)
+                   AS p90_h,
+               round(min(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                              THEN lat_us END)::DOUBLE / 3600000000.0, 4)
+                   AS p99_h
+        FROM r GROUP BY week
+"""

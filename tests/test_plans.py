@@ -489,3 +489,40 @@ def test_round5_rank_quantile_plan_contracts(spark, sf_dir):
             r"windowspecdefinition\(([^)]*?), [a-z_]+#\d+[^)]*ROWS", plan
         ):
             assert "_shard" in spec, (name, spec)
+
+
+def test_round5_new_ops_plan_contracts(spark, sf_dir):
+    """Round-5 operators keep their intended shapes: no cartesian
+    product anywhere; no unpartitioned window except the two documented
+    bounded-window exceptions (zipf's 200-row head rank,
+    degree-assortativity-free); the exact_rank_quantile consumers'
+    windows all carry the _shard column (checked separately in
+    test_round5_rank_quantile_plan_contracts)."""
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    no_window_ops = [
+        "ship_delay_percentiles",
+        "cusum_change_points",
+        "scd2_user_state",
+        "degree_assortativity",
+        "encoding_quality_audit",
+        "epoch_shard_shuffle",
+        "ann_range_search",
+        "knn_label_consistency",
+        "session_concurrency_peak",
+        "burst_detection",
+        "kmeans_iterations",
+        "conversion_latency_quantiles",
+        "image_dimensions_sniff",
+        "sql_reverse_transpile",
+        "hybrid_flagship",
+    ]
+    for name in no_window_ops:
+        df = QUERIES[name](spark, sf_dir)
+        assert not has_unpartitioned_window(df), name
+        assert "CartesianProduct" not in explain_str(df), name
+    # zipf's rank window runs over the TakeOrdered-200 head only — the
+    # documented bounded exception (vocab_growth_curve precedent)
+    df = QUERIES["zipf_fit_audit"](spark, sf_dir)
+    assert "CartesianProduct" not in explain_str(df)
+    assert "TakeOrderedAndProject" in explain_str(df)
