@@ -1241,7 +1241,141 @@ def value_winsorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type (Sen 1968 — the
+    outlier-resistant alternative to the OLS slope of
+    nation_revenue_trend): median of all pairwise slopes of the DAILY
+    value series. Scale shape: the pair join runs on the daily AGGREGATE
+    (#types x #days rows — calendar-bounded no matter the event count),
+    so pairs are O(#types x #days^2), never O(N^2) in events. All math
+    is int64 until the end: daily sums in cents, each pairwise slope as
+    floor(dy_cents * 10000 / dx_days) (numerator < 2^53, so the IEEE
+    double division is correctly rounded and floor is engine-exact; a
+    non-exact quotient sits >= 1/dx from any integer, far above 1 ulp).
+    Lower-median (rank ceil(n/2)) over (slope, d1, d2) — the per-type
+    rank window runs over the bounded pair table (the
+    cusum_change_points calendar-bounded exception class)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    d0 = daily.agg(F.min("day").alias("_d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff("day", "_d0").cast("bigint").alias("d"),
+        "cents",
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.d").alias("d1"),
+            F.col("b.d").alias("d2"),
+            F.floor(
+                (F.col("b.cents") - F.col("a.cents")) * 10000
+                / (F.col("b.d") - F.col("a.d"))
+            ).cast("bigint").alias("slope_scaled"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_scaled", "d1", "d2")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    counts = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.countDistinct("d1") + F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return (
+        ranked.join(F.broadcast(counts), "event_type")
+        .filter(F.col("rn") == F.ceil(F.col("n_pairs") / 2))
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round(F.col("slope_scaled") / 1000000.0, 6).alias(
+                "median_slope_per_day"
+            ),
+        )
+    )
+
+
+PSI_BIN_WIDTH = 50
+PSI_N_BINS = 12  # buckets 0..11; bucket 11 absorbs value >= 550
+PSI_SPLIT_DAYS = 15
+
+
+def psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the standard
+    production-ML input-drift monitor: value distribution of the first
+    PSI_SPLIT_DAYS days (reference window) vs the rest (current), over
+    FIXED-width bins (least(floor(value/50), 11) — no data-dependent
+    edges, so bin ids are engine-exact; the sf0.1 value=0.0 rows land in
+    bin 0). Laplace-smoothed proportions p = (c+1)/(t+B) make empty bins
+    finite. PSI = sum_b (p_cur - p_ref) * ln(p_cur/p_ref); the ln
+    argument is a ratio of exact int64 products (< 2^53), quantized ONCE
+    per bin (round(ln, 6) — the dsir/bigram libm rule), each bin term
+    quantized to DECIMAL(18,9) and summed exactly. One fact shuffle
+    (type x window x bin counts, <= #types*2*12 rows out); grid +
+    totals ride broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    d0 = e.agg(F.date_trunc("day", F.min("ts")).alias("_d0"))
+    binned = e.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.when(
+            F.datediff(F.col("ts"), F.col("_d0")) < PSI_SPLIT_DAYS, "ref"
+        ).otherwise("cur").alias("win"),
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_WIDTH), F.lit(PSI_N_BINS - 1)
+        ).cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "win", "bin").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    totals = binned.groupBy("event_type", "win").agg(
+        F.count("*").cast("bigint").alias("t")
+    )
+    grid = (
+        e.select("event_type").distinct()
+        .crossJoin(spark.range(PSI_N_BINS).select(F.col("id").cast("int").alias("bin")))
+        .join(F.broadcast(counts.filter(F.col("win") == "ref").drop("win")
+              .withColumnRenamed("c", "c_ref")), ["event_type", "bin"], "left")
+        .join(F.broadcast(counts.filter(F.col("win") == "cur").drop("win")
+              .withColumnRenamed("c", "c_cur")), ["event_type", "bin"], "left")
+        .join(F.broadcast(totals.filter(F.col("win") == "ref").drop("win")
+              .withColumnRenamed("t", "t_ref")), "event_type")
+        .join(F.broadcast(totals.filter(F.col("win") == "cur").drop("win")
+              .withColumnRenamed("t", "t_cur")), "event_type")
+        .fillna(0, ["c_ref", "c_cur"])
+    )
+    B = F.lit(PSI_N_BINS)
+    p_ref = (F.col("c_ref") + 1).cast("double") / (F.col("t_ref") + B).cast("double")
+    p_cur = (F.col("c_cur") + 1).cast("double") / (F.col("t_cur") + B).cast("double")
+    ln_arg = (
+        ((F.col("c_cur") + 1) * (F.col("t_ref") + B)).cast("double")
+        / ((F.col("c_ref") + 1) * (F.col("t_cur") + B)).cast("double")
+    )
+    term = F.round((p_cur - p_ref) * F.round(F.log(ln_arg), 6), 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        grid.select("event_type", "c_ref", "c_cur", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("c_ref").cast("bigint").alias("n_ref"),
+            F.sum("c_cur").cast("bigint").alias("n_cur"),
+            F.round(F.sum("term"), 6).cast("double").alias("psi"),
+        )
+    )
+
+
 QUERIES = {
+    "theil_sen_trend": theil_sen_trend,
+    "psi_drift_audit": psi_drift_audit,
     "value_winsorization": value_winsorization,
     "seasonal_naive_backtest": seasonal_naive_backtest,
     "event_type_correlation": event_type_correlation,
@@ -2749,4 +2883,102 @@ ORACLES["conversion_latency_quantiles"] = """
                               THEN lat_us END)::DOUBLE / 3600000000.0, 4)
                    AS p99_h
         FROM r GROUP BY week
+"""
+
+ORACLES["theil_sen_trend"] = """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        d0 AS (SELECT min(day) AS _d0 FROM daily),
+        pts AS (
+            SELECT event_type,
+                   CAST(date_diff('day', (SELECT _d0 FROM d0), day) AS BIGINT)
+                       AS d,
+                   cents
+            FROM daily
+        ),
+        pairs AS (
+            SELECT a.event_type, a.d AS d1, b.d AS d2,
+                   CAST(floor((b.cents - a.cents) * 10000
+                              / (b.d - a.d)) AS BIGINT) AS slope_scaled
+            FROM pts a JOIN pts b
+              ON a.event_type = b.event_type AND a.d < b.d
+        ),
+        ranked AS (
+            SELECT event_type, slope_scaled,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY slope_scaled, d1, d2) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM pairs
+        ),
+        days AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT d1) + 1 AS BIGINT) AS n_days
+            FROM pairs GROUP BY event_type
+        )
+        SELECT r.event_type, days.n_days,
+               CAST(r.n_pairs AS BIGINT) AS n_pairs,
+               round(r.slope_scaled / 1000000.0, 6) AS median_slope_per_day
+        FROM ranked r JOIN days USING (event_type)
+        WHERE r.rn = CAST(ceil(r.n_pairs / 2.0) AS BIGINT)
+"""
+
+ORACLES["psi_drift_audit"] = """
+        WITH d0 AS (SELECT date_trunc('day', min(ts)) AS _d0 FROM events),
+        binned AS (
+            SELECT event_type,
+                   CASE WHEN date_diff('day', (SELECT _d0 FROM d0),
+                                       ts) < 15
+                        THEN 'ref' ELSE 'cur' END AS win,
+                   CAST(least(floor(value / 50), 11) AS INTEGER) AS bin
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type, win, bin, CAST(count(*) AS BIGINT) AS c
+            FROM binned GROUP BY 1, 2, 3
+        ),
+        totals AS (
+            SELECT event_type, win, CAST(count(*) AS BIGINT) AS t
+            FROM binned GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, b.bin,
+                   coalesce(cr.c, 0) AS c_ref, coalesce(cc.c, 0) AS c_cur,
+                   tr.t AS t_ref, tc.t AS t_cur
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS bin) b
+            LEFT JOIN (SELECT * FROM counts WHERE win = 'ref') cr
+                   ON cr.event_type = t.event_type AND cr.bin = b.bin
+            LEFT JOIN (SELECT * FROM counts WHERE win = 'cur') cc
+                   ON cc.event_type = t.event_type AND cc.bin = b.bin
+            JOIN (SELECT * FROM totals WHERE win = 'ref') tr
+                   ON tr.event_type = t.event_type
+            JOIN (SELECT * FROM totals WHERE win = 'cur') tc
+                   ON tc.event_type = t.event_type
+        ),
+        terms AS (
+            -- both round()s emulate Spark (shortest decimal repr ->
+            -- HALF_UP): ln quantized ONCE per bin, the bin term quantized
+            -- to 9dp and summed as exact DECIMAL (the dsir/bigram rule)
+            SELECT event_type, c_ref, c_cur,
+                   CAST(round(CAST(CAST(
+                       ((c_cur + 1)::DOUBLE / (t_cur + 12)
+                        - (c_ref + 1)::DOUBLE / (t_ref + 12))
+                       * round(CAST(CAST(
+                             ln(((c_cur + 1) * (t_ref + 12))::DOUBLE
+                                / ((c_ref + 1) * (t_cur + 12))::DOUBLE)
+                             AS VARCHAR) AS DECIMAL(38,30)), 6)::DOUBLE
+                       AS VARCHAR) AS DECIMAL(38,30)), 9)
+                       AS DECIMAL(18,9)) AS term
+            FROM grid
+        )
+        SELECT event_type,
+               CAST(sum(c_ref) AS BIGINT) AS n_ref,
+               CAST(sum(c_cur) AS BIGINT) AS n_cur,
+               CAST(round(sum(term), 6) AS DOUBLE) AS psi
+        FROM terms GROUP BY event_type
 """
