@@ -589,7 +589,55 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QCLS_DIM = 1024
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring — the fastText-style
+    quality-classifier INFERENCE pass every pretraining pipeline runs
+    (e.g. the GPT-3/CCNet Wikipedia-vs-crawl filter), with the
+    deterministic plumbing real and the learned weights replaced by a
+    hash-derived fixed vector (the sandbox has no trained model; swap
+    `w_milli` for a broadcast weight table to productionize). Plan
+    shape: token explode -> feature bucket AND weight computed INLINE
+    from md5 (no weight-table join at all) -> one doc-keyed sum. The
+    margin stays an exact int64 (milli-weights in [-1000, 1000] summed
+    over tokens), so ranking and sign are engine-exact with zero float
+    hazard. Scales: one shuffle keyed on doc_id, O(tokens) work."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("tok"), F.lit("\x00qcls"))), 1, 8), 16, 10)
+        .cast("bigint") % QCLS_DIM
+    )
+    w_milli = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(bucket.cast("string"), F.lit("\x00qclsw"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint") % 2001
+        - 1000
+    )
+    scored = tok.select("doc_id", w_milli.alias("w")).groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("margin_milli"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            "margin_milli",
+            (F.col("margin_milli") > 0).alias("keep"),
+        )
+        .orderBy(F.desc("margin_milli"), "doc_id")
+        .limit(25)
+    )
+
+
 QUERIES = {
+    "quality_classifier_score": quality_classifier_score,
     "source_token_kl": source_token_kl,
     "bigram_surprise_docs": bigram_surprise_docs,
     "curation_pipeline_e2e": curation_pipeline_e2e,
@@ -1076,4 +1124,31 @@ ORACLES["encoding_quality_audit"] = r"""
                    AS other_ratio,
                n_non_ascii_docs, n_replacement_docs
         FROM g
+"""
+
+ORACLES["quality_classifier_score"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok || chr(0) || 'qcls'), 1, 8))::BIGINT
+                       % 1024 AS bucket
+            FROM tok
+        ),
+        weighted AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(bucket::VARCHAR || chr(0) || 'qclsw'),
+                                   1, 8))::BIGINT % 2001 - 1000 AS w
+            FROM feat
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w) AS BIGINT) AS margin_milli,
+               sum(w) > 0 AS keep
+        FROM weighted GROUP BY doc_id
+        ORDER BY margin_milli DESC, doc_id LIMIT 25
 """
