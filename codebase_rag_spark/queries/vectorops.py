@@ -775,3 +775,127 @@ ORACLES["kmeans_iterations"] = (
         GROUP BY a2.c
 """
 )
+
+
+import math as _math
+
+# NDCG rank-discount table, precomputed in PYTHON once and embedded as
+# integer literals in BOTH engines (micro-units): no libm call executes in
+# either engine, so there is no quantization hazard at all. _NDCG_PREFIX[k]
+# is the ideal DCG of k relevant results (prefix sum of the discounts).
+NDCG_K = 10
+_NDCG_DISC_MICRO = [
+    int(round(1_000_000 / _math.log2(r + 1))) for r in range(1, NDCG_K + 1)
+]
+_NDCG_PREFIX = [0]
+for _d in _NDCG_DISC_MICRO:
+    _NDCG_PREFIX.append(_NDCG_PREFIX[-1] + _d)
+NDCG_N_QUERIES = 5
+
+
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@10 of brute-force cosine
+    retrieval, with label agreement as the relevance oracle — the eval
+    loop every embedding-pipeline change reruns (MTEB-style), expressed
+    as ONE Spark job over the corpus. Plan shape = knn_join
+    (operators/similarity.py:81): corpus scan x broadcast(5 query rows)
+    -> cosine -> per-query rank window; only 5 x 10 rows reach the NDCG
+    arithmetic. The discount table and its prefix sums are Python-
+    precomputed integer literals (micro-units) in BOTH engines, so DCG /
+    IDCG are exact int64 sums and the single terminal division is the
+    only float op. Corpus label rides the scored row (no join-back scan).
+    At 100 TB: queries are always broadcastable (an eval set), the
+    corpus never shuffles, and the rank window sees |Q| partitions of
+    corpus size — shard it through scalewin.exact_rank_quantile's
+    decomposition if |Q| is small and N is huge; at eval-set scale the
+    TakeOrdered path dominates anyway."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NDCG_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("_qvec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= NDCG_N_QUERIES)
+    from codebase_rag_spark.functions.vector import cosine_similarity
+
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id"),
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+        F.round(cosine_similarity(F.col("embedding"), F.col("_qvec")), 4).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= NDCG_K
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC_MICRO]), F.col("rank")
+    )
+    per_q = top.groupBy("query_id", "qlabel").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(F.col("rel") * disc).cast("bigint").alias("dcg_micro"),
+    )
+    prefix = F.element_at(
+        F.array(*[F.lit(p) for p in _NDCG_PREFIX]), (F.col("n_rel") + 1).cast("int")
+    )
+    return per_q.select(
+        "query_id",
+        "qlabel",
+        "n_rel",
+        "dcg_micro",
+        prefix.cast("bigint").alias("idcg_micro"),
+        F.when(F.col("n_rel") > 0,
+               F.round(F.col("dcg_micro") / prefix, 4)).otherwise(0.0).alias("ndcg"),
+    )
+
+
+QUERIES["retrieval_eval_ndcg"] = retrieval_eval_ndcg
+
+_NDCG_DISC_SQL = "[" + ",".join(str(d) for d in _NDCG_DISC_MICRO) + "]"
+_NDCG_PREFIX_SQL = "[" + ",".join(str(p) for p in _NDCG_PREFIX) + "]"
+
+ORACLES["retrieval_eval_ndcg"] = f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+            FROM embeddings WHERE vec_id < {NDCG_N_QUERIES}
+        ),
+        p AS (
+            SELECT q.query_id, q.qlabel, c.vec_id,
+                   CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+                   unnest(c.embedding)::DOUBLE AS x,
+                   unnest(q.qe)::DOUBLE AS y
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id >= {NDCG_N_QUERIES}
+        ),
+        s AS (
+            SELECT query_id, qlabel, vec_id, min(rel) AS rel,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS cosine
+            FROM p GROUP BY query_id, qlabel, vec_id
+        ),
+        r AS (
+            SELECT query_id, qlabel, rel,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rnk
+            FROM s
+        ),
+        agg AS (
+            SELECT query_id, qlabel,
+                   CAST(sum(rel) AS BIGINT) AS n_rel,
+                   CAST(sum(rel * ({_NDCG_DISC_SQL})[rnk]) AS BIGINT)
+                       AS dcg_micro
+            FROM r WHERE rnk <= {NDCG_K}
+            GROUP BY query_id, qlabel
+        )
+        SELECT query_id, qlabel, n_rel, dcg_micro,
+               CAST(({_NDCG_PREFIX_SQL})[n_rel + 1] AS BIGINT) AS idcg_micro,
+               CASE WHEN n_rel > 0
+                    THEN round(dcg_micro::DOUBLE
+                               / ({_NDCG_PREFIX_SQL})[n_rel + 1], 4)
+                    ELSE 0.0 END AS ndcg
+        FROM agg
+"""
