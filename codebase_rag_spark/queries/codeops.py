@@ -800,3 +800,209 @@ ORACLES["image_dimensions_sniff"] = f"""
                END AS INTEGER) AS height
         FROM cls
 """
+
+
+def _pcm_wav_hex(sample_rate: int, channels: int, bits: int,
+                 samples: list[int], claim_frames: int | None = None) -> str:
+    """Honest-payload WAV synthesizer for the PCM-stats fixtures (the
+    make_wav_bytes twin WITHOUT its intentional truncation — these rows
+    exercise sample DECODING, so header data_size and payload agree
+    unless `claim_frames` deliberately overstates it to exercise the
+    truncation guard). `samples` are unsigned 16-bit words (or bytes for
+    bits=8), little-endian encoded."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    if bits == 16:
+        payload = b"".join(struct.pack("<H", s & 0xFFFF) for s in samples)
+    else:
+        payload = bytes(s & 0xFF for s in samples)
+    n_frames = claim_frames if claim_frames is not None else (
+        len(payload) // block_align
+    )
+    data_size = n_frames * block_align
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+        + b"data" + struct.pack("<I", data_size) + payload
+    ).hex().upper()
+
+
+def _pcm_corpus() -> list[tuple[int, str]]:
+    import hashlib
+
+    pat_a = [(i * 2557 + 123) % 65536 for i in range(24)]
+    pat_b = [(i * 40503 + 7) % 65536 for i in range(32)]
+    pat_c = [(i * 2557 + 123) % 65536 for i in range(10)]
+    return [
+        (1, _pcm_wav_hex(8000, 1, 16, pat_a)),
+        (2, _pcm_wav_hex(16000, 1, 16, pat_b)),
+        (3, _pcm_wav_hex(44100, 2, 16, pat_a)),          # stereo: not decoded
+        (4, _pcm_wav_hex(8000, 1, 8, list(range(16)))),  # 8-bit: not decoded
+        (5, hashlib.md5(b"not audio").hexdigest().upper()),
+        # header CLAIMS 100 frames but ships 10 — truncation guard row
+        (6, _pcm_wav_hex(8000, 1, 16, pat_c, claim_frames=100)),
+    ]
+
+
+def _pcm_values() -> str:
+    return ",\n            ".join(f"({i}, '{h}')" for i, h in _pcm_corpus())
+
+
+def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal DECODE step (the real-codec tier above audio_metadata's
+    header sniff): 16-bit mono PCM samples parsed from the WAV payload
+    with NATIVE expressions only — hex() the payload once, then a
+    transform() over sequence() slices each little-endian word and
+    sign-extends it; peak / energy / zero-crossing stats come from array
+    aggregates. Everything stays exact int64 (mean_sq is the one
+    floor-division; numerator < 2^53 so it is engine-exact), no Python
+    worker, no explode — the per-row array is bounded by the 32-sample
+    fixture cap, and at scale by whatever frame budget the caller slices.
+    Non-WAV / non-mono-16-bit rows route to NULL stats (pcm_ok=false)
+    BEFORE any sample math — the multimodal routing discipline
+    (operators/multimodal.py). The truncation guard takes
+    min(header data_size, actual payload) so an overstating header
+    (fixture row 6) never reads past the bytes that exist."""
+    from codebase_rag_spark.operators.multimodal import wav_audio_info
+
+    df = spark.createDataFrame(_pcm_corpus(), ["media_id", "hex"])
+    data = F.to_binary(F.col("hex"), F.lit("hex"))
+    info = wav_audio_info(data)
+    base = df.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        info["is_wav"].alias("is_wav"),
+        (
+            info["is_wav"]
+            & (info["channels"] == 1)
+            & (info["bits_per_sample"] == 16)
+        ).alias("pcm_ok"),
+        data.alias("data"),
+    )
+    data_words = (
+        F.conv(
+            F.concat(
+                F.hex(F.substring(F.col("data"), 44, 1)),
+                F.hex(F.substring(F.col("data"), 43, 1)),
+                F.hex(F.substring(F.col("data"), 42, 1)),
+                F.hex(F.substring(F.col("data"), 41, 1)),
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 2
+    )
+    n = F.when(
+        F.col("pcm_ok"),
+        F.least(
+            F.floor(data_words),
+            F.floor((F.length("data") - 44) / 2),
+        ).cast("int"),
+    )
+    hx = F.hex(F.substring(F.col("data"), 45, 1 << 16))
+    word = lambda i: F.conv(  # noqa: E731
+        F.concat(
+            F.substring(hx, i * 4 + 3, 2), F.substring(hx, i * 4 + 1, 2)
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sample = lambda i: (  # noqa: E731
+        F.when(word(i) >= 32768, word(i) - 65536).otherwise(word(i))
+    )
+    samples = F.when(
+        n > 0, F.transform(F.sequence(F.lit(0), n - 1), sample)
+    )
+    with_s = base.select("media_id", "is_wav", "pcm_ok", samples.alias("s"))
+    zero_cross = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("s"), 1, F.size("s") - 1),
+            F.slice(F.col("s"), 2, F.size("s") - 1),
+            lambda x, y: F.when((x < 0) != (y < 0), 1).otherwise(0),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sum_sq = F.aggregate(
+        F.col("s"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    return with_s.select(
+        "media_id",
+        "is_wav",
+        "pcm_ok",
+        F.when(F.col("pcm_ok"), F.size("s")).cast("int").alias("n_samples"),
+        F.array_max(F.transform(F.col("s"), F.abs)).cast("bigint").alias(
+            "peak_abs"
+        ),
+        F.when(F.size("s") > 0, F.floor(sum_sq / F.size("s")))
+        .cast("bigint")
+        .alias("mean_sq"),
+        F.when(F.size("s") > 1, zero_cross).cast("bigint").alias(
+            "zero_crossings"
+        ),
+    )
+
+
+QUERIES["audio_pcm_stats"] = audio_pcm_stats
+
+ORACLES["audio_pcm_stats"] = f"""
+        WITH corpus(media_id, h) AS (VALUES
+            {_pcm_values()}),
+        hdr AS (
+            SELECT media_id, h,
+                   (substr(h, 1, 8) = '52494646'
+                    AND substr(h, 17, 8) = '57415645'
+                    AND substr(h, 25, 8) = '666D7420'
+                    AND length(h) >= 88) AS is_wav
+            FROM corpus
+        ),
+        cls AS (
+            SELECT media_id, h, is_wav,
+                   -- CASE (not AND) so the substr/conv math never runs on
+                   -- non-WAV rows whose hex is too short ('0x' || '' would
+                   -- fail the INT64 cast; DuckDB AND does not short-circuit)
+                   CASE WHEN is_wav
+                        THEN {_u16le_sql(23)} = 1 AND {_u16le_sql(35)} = 16
+                        ELSE false END AS pcm_ok
+            FROM hdr
+        ),
+        sized AS (
+            SELECT media_id, h, is_wav, pcm_ok,
+                   CASE WHEN pcm_ok THEN least(
+                       CAST(floor({_u32le_sql(41)} / 2) AS BIGINT),
+                       CAST(floor((length(h) / 2 - 44) / 2) AS BIGINT)
+                   ) END AS n
+            FROM cls
+        ),
+        parsed AS (
+            SELECT media_id, is_wav, pcm_ok, n,
+                   CASE WHEN n > 0 THEN list_transform(
+                       generate_series(0, CAST(n AS INTEGER) - 1),
+                       i -> CASE WHEN ('0x' || substr(h, 89 + i*4 + 2, 2)
+                                        || substr(h, 89 + i*4, 2))::BIGINT
+                                      >= 32768
+                                 THEN ('0x' || substr(h, 89 + i*4 + 2, 2)
+                                        || substr(h, 89 + i*4, 2))::BIGINT
+                                      - 65536
+                                 ELSE ('0x' || substr(h, 89 + i*4 + 2, 2)
+                                        || substr(h, 89 + i*4, 2))::BIGINT
+                            END)
+                   END AS s
+            FROM sized
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id, is_wav, pcm_ok,
+               CASE WHEN pcm_ok THEN CAST(len(s) AS INTEGER) END AS n_samples,
+               CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT)
+                   AS peak_abs,
+               CASE WHEN len(s) > 0 THEN CAST(floor(
+                   list_sum(list_transform(s, x -> x * x)) / len(s))
+                   AS BIGINT) END AS mean_sq,
+               CASE WHEN len(s) > 1 THEN CAST(list_sum(list_transform(
+                   generate_series(1, len(s) - 1),
+                   i -> CASE WHEN (s[i] < 0) <> (s[i+1] < 0)
+                             THEN 1 ELSE 0 END)) AS BIGINT)
+               END AS zero_crossings
+        FROM parsed
+"""
