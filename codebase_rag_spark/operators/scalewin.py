@@ -168,6 +168,10 @@ def exact_rank_quantile(
     rows (each key spans few shards after range partitioning), hence
     broadcastable at any corpus size.
 
+    NULL keys are supported: every key comparison is null-safe (<=>), so
+    a NULL-keyed group yields its quantile row exactly as the naive
+    global-window form would (which partitions NULLs together).
+
     Shared by value_winsorization (p01/p99 clip bounds),
     value_mad_outliers (median + MAD), and value_quantile_sketch's exact
     referee — the reusable promotion VERDICT r4 #7 asked for.
@@ -186,18 +190,47 @@ def exact_rank_quantile(
         F.col("_shard").alias("_bshard"),
         F.col("_sn").alias("_bn"),
     )
+    # All key comparisons are NULL-SAFE (<=>): groupBy/window partitioning
+    # already treat a NULL key as its own group, so plain equi-joins here
+    # would silently drop that group's rows while the naive global-window
+    # form the docstring promises bit-identity with emits a NULL partition
+    # (ADVICE r5). eqNullSafe keeps the two forms identical on NULL keys.
     same_key = functools.reduce(
-        operator.and_, [tot[k] == b[f"_b_{k}"] for k in key_cols]
+        operator.and_, [tot[k].eqNullSafe(b[f"_b_{k}"]) for k in key_cols]
     )
-    joined = tot.join(b, same_key & (b["_bshard"] < tot["_shard"]), "left")
+    # explicit broadcast: b is the O(#keys + #shards) totals table, but
+    # eqNullSafe join keys defeat Catalyst's ndv-based size estimation,
+    # so relying on auto-broadcast here regresses to a sort-merge join
+    joined = tot.join(
+        F.broadcast(b), same_key & (b["_bshard"] < tot["_shard"]), "left"
+    )
     offs = joined.groupBy(*key_cols, "_shard").agg(
         F.coalesce(F.sum("_bn"), F.lit(0)).cast("bigint").alias("_off")
     )
     nk = tot.groupBy(*key_cols).agg(F.sum("_sn").cast("bigint").alias("_kn"))
+    offs_r = offs.select(
+        *[F.col(k).alias(f"_o_{k}") for k in key_cols],
+        F.col("_shard").alias("_o_shard"),
+        "_off",
+    )
+    nk_r = nk.select(*[F.col(k).alias(f"_n_{k}") for k in key_cols], "_kn")
+    off_cond = functools.reduce(
+        operator.and_,
+        [local[k].eqNullSafe(offs_r[f"_o_{k}"]) for k in key_cols]
+        + [local["_shard"] == offs_r["_o_shard"]],
+    )
+    nk_cond = functools.reduce(
+        operator.and_, [local[k].eqNullSafe(nk_r[f"_n_{k}"]) for k in key_cols]
+    )
     ranked = (
-        local.join(F.broadcast(offs), [*key_cols, "_shard"])
-        .join(F.broadcast(nk), list(key_cols))
+        local.join(F.broadcast(offs_r), off_cond)
+        .join(F.broadcast(nk_r), nk_cond)
         .withColumn("_krn", (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop(
+            "_o_shard", "_off",
+            *[f"_o_{k}" for k in key_cols],
+            *[f"_n_{k}" for k in key_cols],
+        )
     )
     aggs = []
     for name, q in quantiles.items():

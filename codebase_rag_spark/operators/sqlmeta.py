@@ -295,12 +295,16 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
         # preserved), then DISTINCT, then the bare form with the ','
         # default. Args may contain ONE level of nested parens (function
         # calls); deeper nesting falls through to the last-resort rename,
-        # documented as DuckDB-only fidelity.
-        (r"(?i)\bGROUP_CONCAT\s*\(\s*([^()]*(?:\([^()]*\)[^()]*)*?)"
+        # documented as DuckDB-only fidelity. The captures exclude
+        # TOP-LEVEL commas (commas inside nested parens are fine):
+        # multi-expression GROUP_CONCAT(a, b) must NOT become a 3-arg
+        # STRING_AGG (invalid in both PostgreSQL and DuckDB, ADVICE r5)
+        # — it falls through to the last-resort rename instead.
+        (r"(?i)\bGROUP_CONCAT\s*\(\s*([^(),]*(?:\([^()]*\)[^(),]*)*?)"
          r"\s+SEPARATOR\s+('[^']*')\s*\)",
          "STRING_AGG($1, $2)"),
         (r"(?i)\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?"
-         r"([^()]*(?:\([^()]*\)[^()]*)*)\)",
+         r"([^(),]*(?:\([^()]*\)[^(),]*)*)\)",
          "STRING_AGG($1$2, ',')"),
         (r"(?i)\bGROUP_CONCAT\s*\(", "STRING_AGG("),
         (r"(?i)\bNOW\s*\(\s*\)", "CURRENT_TIMESTAMP"),

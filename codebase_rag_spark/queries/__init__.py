@@ -128,26 +128,43 @@ _DRIVER_CHECKED = {
     "top_suppliers_per_nation", "top_tokens", "unigram_surprise",
     "user_event_gaps", "user_event_pivot", "user_session_windows",
     "user_sessions", "waiting_suppliers", "winnowing_sketch",
+    # --- r05 (50, all green in CORRECTNESS_r05.json) ---
+    "ann_range_search", "audio_pcm_stats", "bigram_surprise_docs",
+    "burst_detection", "comment_markers", "community_pagerank_mass",
+    "corpus_overview", "cusum_change_points", "degree_assortativity",
+    "doc_clustering_coeff", "dsir_importance_weights",
+    "encoding_quality_audit", "epoch_shard_shuffle",
+    "event_type_correlation", "file_info_summary", "glob_match_audit",
+    "hybrid_flagship", "image_dimensions_sniff", "knn_label_consistency",
+    "mmr_diverse_topk", "nation_revenue_trend", "psi_drift_audit",
+    "purchase_click_asof_tol", "quality_classifier_score",
+    "retrieval_eval_ndcg", "scd2_user_state", "seasonal_naive_backtest",
+    "session_concurrency_peak", "source_token_kl", "split_leakage_audit",
+    "sql_reverse_transpile", "theil_sen_trend", "time_decay_attribution",
+    "vocab_growth_curve", "zipf_fit_audit",
+    # (the other 15 r05-window rows — bm25_documents, customer_pareto,
+    # doc_sequence_packing, duplicated_spans, jaccard_pairs,
+    # kmeans_iterations*, pricing_summary, rfm_segments,
+    # salted_segment_revenue, simhash_groups, top_event_paths,
+    # conversion_latency_quantiles*, ship_delay_percentiles*,
+    # value_mad_outliers*, value_winsorization* — were already listed
+    # above or are re-prioritized below as _CHANGED_R6, marked *)
 }
 
-# Round-5 window (VERDICT r4 'Next round' #1): the 19 late-round-4
-# entries that have never had a driver CORRECTNESS row + the 6
-# _CHANGED_R4 entries whose oracle text (or bounded-state rewrite)
-# postdates their green rows = 25 backlog slots; new round-5 entries
-# (everything not in _DRIVER_CHECKED and not listed here) fill the
-# remaining ~25 window slots automatically via the dict rebuild below.
+# Round-6 window (VERDICT r5 'Next round' #5 + ADVICE r5): every registry
+# entry now has a driver-green row, so the backlog is exactly the entries
+# whose CURRENT implementation postdates that row — the 5
+# exact_rank_quantile call sites (null-safe key joins + explicit
+# broadcasts changed their plans this round; value_quantile_sketch was
+# additionally flagged by ADVICE r5 as rewritten-but-unscheduled) and
+# kmeans_iterations (lossless decimal(18,9) cast changed query AND
+# oracle). New round-6 entries fill the remaining ~44 window slots
+# automatically via the dict rebuild below.
 _PRIORITY = [
-    # never-driver-checked late-r4 additions (19)
-    "bigram_surprise_docs", "dsir_importance_weights", "mmr_diverse_topk",
-    "value_winsorization", "source_token_kl", "community_pagerank_mass",
-    "split_leakage_audit", "corpus_overview", "vocab_growth_curve",
-    "value_mad_outliers", "doc_clustering_coeff", "nation_revenue_trend",
-    "event_type_correlation", "seasonal_naive_backtest", "comment_markers",
-    "file_info_summary", "glob_match_audit", "purchase_click_asof_tol",
-    "time_decay_attribution",
-    # _CHANGED_R4: oracle-text / bounded-state rewrites from round 4 (6)
-    "jaccard_pairs", "simhash_groups", "bm25_documents",
-    "doc_sequence_packing", "duplicated_spans", "top_event_paths",
+    # _CHANGED_R6 (6)
+    "value_quantile_sketch", "value_winsorization", "value_mad_outliers",
+    "ship_delay_percentiles", "conversion_latency_quantiles",
+    "kmeans_iterations",
 ]
 
 QUERIES = {

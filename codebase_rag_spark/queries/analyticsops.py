@@ -1070,7 +1070,9 @@ def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delay_days", {"p50_days": 0.5, "p90_days": 0.9, "p99_days": 0.99},
     )
     counts = j.groupBy("n_name").agg(F.count("*").cast("bigint").alias("n_items"))
-    return q.join(counts, "n_name").select(
+    # broadcast explicitly: q is O(#nations) rows, but the eqNullSafe
+    # joins inside exact_rank_quantile defeat Catalyst's size estimate
+    return counts.join(F.broadcast(q), "n_name").select(
         "n_name", "n_items",
         F.col("p50_days").cast("bigint").alias("p50_days"),
         F.col("p90_days").cast("bigint").alias("p90_days"),

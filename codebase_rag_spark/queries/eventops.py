@@ -829,7 +829,10 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 0.5D, _q050, 0.9D, _q090, 0.99D, _q099)"
         " as (q, exact_cents)",
     )
-    return est.join(exact, ["event_type", "q"]).select(
+    # broadcast explicitly: the referee is O(#event_types * 3) rows, but
+    # the eqNullSafe joins inside exact_rank_quantile defeat Catalyst's
+    # ndv-based size estimate, so auto-broadcast no longer fires here
+    return est.join(F.broadcast(exact), ["event_type", "q"]).select(
         "event_type",
         "q",
         "est_lo",
@@ -2835,7 +2838,9 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_conversions")
     )
     h = lambda c: F.round(c.cast("double") / F.lit(3600000000.0), 4)  # noqa: E731
-    return q.join(counts, "week").select(
+    # broadcast explicitly: q is O(#weeks) rows, but the eqNullSafe
+    # joins inside exact_rank_quantile defeat Catalyst's size estimate
+    return counts.join(F.broadcast(q), "week").select(
         "week", "n_conversions",
         h(F.col("_p50")).alias("p50_h"),
         h(F.col("_p90")).alias("p90_h"),

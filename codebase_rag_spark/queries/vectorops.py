@@ -698,9 +698,16 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("mu"),
             )
         )
+        # (x - mu) is DECIMAL(19,9); re-cast to (18,9) LOSSLESSLY (both
+        # operands have scale 9 and |x-mu| < 1e9) so the product resolves
+        # to DECIMAL(37,18) with no precision loss — squaring the (19,9)
+        # directly yields DECIMAL(38,17) in Spark (per-term rounding at
+        # the 17th decimal) vs DuckDB's exact (38,18), which can flip the
+        # argmin on near-tied centroids (ADVICE r5).
+        diff = (F.col("x") - F.col("mu")).cast("decimal(18,9)")
         dist = (
             pts.join(F.broadcast(cent.withColumnRenamed("c", "cc")), "d")
-            .withColumn("dd", (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))
+            .withColumn("dd", diff * diff)
             .groupBy("vec_id", "cc")
             .agg(F.sum("dd").alias("dist2"))
         )
@@ -746,8 +753,9 @@ _KM_ASSIGN = """
             GROUP BY a.c, p.d
         ),
         dist{i} AS (
-            SELECT p.vec_id, c.c AS cc, sum((p.x - c.mu) * (p.x - c.mu))
-                       AS dist2
+            SELECT p.vec_id, c.c AS cc,
+                   sum(CAST(p.x - c.mu AS DECIMAL(18,9))
+                       * CAST(p.x - c.mu AS DECIMAL(18,9))) AS dist2
             FROM pts p JOIN cent{i} c USING (d)
             GROUP BY p.vec_id, c.c
         ),

@@ -162,3 +162,33 @@ def test_mysql_double_transpile_idempotent(spark):
     assert "DOUBLE PRECISION" in out["a"]
     assert "PRECISION PRECISION" not in out["b"]
     assert out["b"].count("DOUBLE PRECISION") == 2
+
+
+def test_mysql_group_concat_multi_arg_not_three_arg_string_agg(spark):
+    """ADVICE r5: GROUP_CONCAT(a, b) must NOT become the invalid 3-arg
+    STRING_AGG(a, b, ',') — multi-expression calls fall through to the
+    last-resort rename; single-expression forms still gain the explicit
+    ',' delimiter."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.sqlmeta import transpile_expr
+
+    df = spark.createDataFrame(
+        [
+            ("multi", "SELECT GROUP_CONCAT(a, b) FROM t"),
+            ("multi_sep", "SELECT GROUP_CONCAT(a, b SEPARATOR ';') FROM t"),
+            ("single", "SELECT GROUP_CONCAT(a) FROM t"),
+            ("nested", "SELECT GROUP_CONCAT(coalesce(a, b)) FROM t"),
+        ],
+        ["id", "sql"],
+    )
+    out = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", transpile_expr(F.col("sql"), F.lit("mysql")).alias("t")
+        ).collect()
+    }
+    assert out["multi"] == "SELECT STRING_AGG(a, b) FROM t"
+    assert out["multi_sep"] == "SELECT STRING_AGG(a, b SEPARATOR ';') FROM t"
+    assert out["single"] == "SELECT STRING_AGG(a, ',') FROM t"
+    assert out["nested"] == "SELECT STRING_AGG(coalesce(a, b), ',') FROM t"

@@ -464,6 +464,52 @@ def test_exact_rank_quantile_matches_global_window(spark):
     assert got == want
 
 
+def test_exact_rank_quantile_null_keys(spark):
+    """A NULL-keyed group must yield its quantile row exactly as the
+    naive global-window form would (window partitioning groups NULLs
+    together) — the joins are null-safe, not plain equi-joins (ADVICE
+    r5)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.scalewin import exact_rank_quantile
+
+    rows = [
+        (i, None if i % 3 == 0 else f"k{i % 2}", float((i * 13) % 17), i)
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "id int, key string, val double, tie int")
+    got = {
+        (r["key"], r["p50"], r["p90"])
+        for r in exact_rank_quantile(
+            df, ["key"], [F.col("val"), F.col("tie")], "val",
+            {"p50": 0.5, "p90": 0.9}, num_shards=5,
+        ).collect()
+    }
+    w = Window.partitionBy("key").orderBy("val", "tie")
+    nw = Window.partitionBy("key")
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(nw)
+    )
+    want = {
+        (r["key"], r["p50"], r["p90"])
+        for r in ranked.groupBy("key").agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_rn")
+                        == F.ceil(F.col("_n") * q).cast("bigint"),
+                        F.col("val"),
+                    )
+                ).alias(name)
+                for name, q in (("p50", 0.5), ("p90", 0.9))
+            ]
+        ).collect()
+    }
+    assert None in {k for k, _, _ in got}
+    assert got == want
+
+
 def test_round5_rank_quantile_plan_contracts(spark, sf_dir):
     """The three exact-rank call sites migrated to
     scalewin.exact_rank_quantile must have NO window partitioned by
