@@ -76,9 +76,122 @@ def table_name_from_ddl(ddl: Column) -> Column:
 def column_count(ddl: Column) -> Column:
     """A6 column totals: count top-level commas + 1 inside the paren body.
     (Exact for DDLs without nested commas; the reference's paren-balanced
-    splitter, sql_schema_parser.py:139-170, is the general path.)"""
+    splitter, sql_schema_parser.py:139-170, is the general path — see
+    parse_column_defs below for the full T12 equivalent.)"""
     body = F.regexp_extract(ddl, r"\(([\s\S]*)\)", 1)
     return (F.size(F.split(body, ",")) ).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# T12 full column-level DDL parse (VERDICT r5 'Next round' #3/#4).
+#
+# Reference semantics (sql_schema_parser.py:99-210): take the text between
+# the first '(' and the last ')', split it on TOP-LEVEL commas with a
+# paren-depth character walk (:148-170), skip blank lines and lines
+# starting with CONSTRAINT (:139-141), then per line: parts[0] = name,
+# parts[1] = data_type, nullable = 'not null' not in line, default from
+# r'default\s+([^,\s]+)' stripped of quotes, constraints = the subset of
+# {PRIMARY KEY, UNIQUE, CHECK} whose lowercase marker appears (:171-205).
+# The reference's TableInfo.primary_key/foreign_keys fields
+# (universal_sql_schema_parser.py:27-28) are declared but never populated
+# by its parser, so column-level ColumnInfo is the full parity surface.
+#
+# Spark-first re-expression of the character walk: regexes cannot edit a
+# capture in place, so top-level commas are found by a bounded
+# innermost-out masking fixpoint — per nesting level, up to
+# _MASK_COMMA_PASSES regexp_replace passes each hide ONE comma per
+# innermost paren group behind a sentinel byte, then one pass hides that
+# level's parens; after _MASK_DEPTH levels every nested comma/paren is
+# masked and a plain split(',') yields exactly the top-level segments,
+# which are then unmasked. Pure JVM expressions (whole-stage codegen), no
+# Python on the path; the DuckDB oracle runs the IDENTICAL regexp chain
+# so the bound is cross-checked, and parse_column_defs is exact for DDLs
+# with paren nesting <= _MASK_DEPTH and <= _MASK_COMMA_PASSES commas per
+# paren group (types, IN-lists, CHECK expressions all fit comfortably).
+# ---------------------------------------------------------------------------
+
+_MASK_COMMA, _MASK_LP, _MASK_RP = "\x01", "\x02", "\x03"
+_MASK_DEPTH = 3
+_MASK_COMMA_PASSES = 6
+
+
+def mask_nested_parens(body: Column) -> Column:
+    """Hide nested parens and the commas inside them behind sentinel
+    bytes so split(',') sees only top-level commas."""
+    for _depth in range(_MASK_DEPTH):
+        for _ in range(_MASK_COMMA_PASSES):
+            body = F.regexp_replace(
+                body, r"\(([^(),]*),", "($1" + _MASK_COMMA
+            )
+        body = F.regexp_replace(
+            body, r"\(([^()]*)\)", _MASK_LP + "$1" + _MASK_RP
+        )
+    return body
+
+
+def _unmask(piece: Column) -> Column:
+    out = F.regexp_replace(piece, _MASK_LP, "(")
+    out = F.regexp_replace(out, _MASK_RP, ")")
+    return F.regexp_replace(out, _MASK_COMMA, ",")
+
+
+def split_column_defs(ddl: Column) -> Column:
+    """Array of trimmed per-column definition lines (reference
+    _split_column_definitions + the _parse_columns skip rules): blank
+    lines, table-level CONSTRAINT lines, and <2-token lines (the
+    reference's parts-length gate, :174-176) are dropped, so array index
+    == the reference's ColumnInfo list index."""
+    body = F.regexp_extract(ddl, r"\(([\s\S]*)\)", 1)
+    pieces = F.split(mask_nested_parens(body), ",")
+    lines = F.transform(pieces, lambda p: F.trim(_unmask(p)))
+    return F.filter(
+        lines,
+        lambda x: (x != "")
+        & ~F.upper(x).startswith("CONSTRAINT")
+        & (F.regexp_extract(x, r"^\S+\s+(\S+)", 1) != ""),
+    )
+
+
+def parse_column_defs(df: DataFrame, ddl_col: str = "ddl") -> DataFrame:
+    """T12 ColumnInfo extraction: one output row per parsed column with
+    the reference's exact five fields plus ordinal and base type.
+
+    posexplode over the filtered line array keeps the flatMap fully
+    relational (scan-stage only, zero exchanges); every field is a JVM
+    string expression on the exploded line.
+    """
+    ddl = F.col(ddl_col)
+    out = df.select(
+        "*",
+        table_name_from_ddl(ddl).alias("table_name"),
+        F.posexplode(split_column_defs(ddl)).alias("ordinal", "_line"),
+    )
+    line = F.col("_line")
+    low = F.lower(line)
+    data_type = F.regexp_extract(line, r"^\S+\s+(\S+)", 1)
+    raw_default = F.regexp_extract(line, r"(?i)default\s+([^,\s]+)", 1)
+    constraints = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                F.when(low.contains("primary key"), F.lit("PRIMARY KEY")),
+                F.when(low.contains("unique"), F.lit("UNIQUE")),
+                F.when(low.contains("check"), F.lit("CHECK")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return out.select(
+        *[c for c in out.columns if c != "_line"],
+        F.regexp_extract(line, r"^(\S+)", 1).alias("col_name"),
+        data_type.alias("data_type"),
+        F.upper(F.split(data_type, r"\(").getItem(0)).alias("base_type"),
+        (~low.contains("not null")).alias("nullable"),
+        F.nullif(
+            F.regexp_replace(raw_default, "^['\"]+|['\"]+$", ""), F.lit("")
+        ).alias("default_value"),
+        constraints.alias("constraints"),
+    )
 
 
 def analyze_ddl(df: DataFrame, ddl_col: str = "ddl") -> DataFrame:

@@ -87,6 +87,56 @@ DDL_CORPUS: list[tuple[str, str]] = [
     ("d6", "CREATE TABLE MISC_STUFF (A INT, B TEXT)"),
 ]
 
+# Extended corpus for the T12 column-level parse (VERDICT r5 #3/#4):
+# realistic DDLs with multi-argument types (NUMBER(14,2)), inline
+# PRIMARY KEY / UNIQUE / CHECK constraints (incl. nested-paren IN-lists),
+# DEFAULT values (numeric, quoted string, function call), NOT NULL, and
+# table-level CONSTRAINT lines that the column parse must skip
+# (sql_schema_parser.py:139-141). The original 6 entries stay untouched
+# so ddl_analysis/domain_summary keep their driver-green outputs.
+DDL_COLUMNS_CORPUS: list[tuple[str, str]] = DDL_CORPUS + [
+    (
+        "d7",
+        "CREATE TABLE INS.POLICY_COVERAGE ("
+        "COVERAGE_ID NUMBER(12) NOT NULL PRIMARY KEY, "
+        "POLICY_ID NUMBER(10) NOT NULL, "
+        "LIMIT_AMT NUMBER(14,2) DEFAULT 0, "
+        "DEDUCTIBLE NUMBER(14,2) DEFAULT 500.00, "
+        "COV_TYPE VARCHAR2(30) DEFAULT 'BASIC' "
+        "CHECK (COV_TYPE IN ('BASIC','FULL')), "
+        "CONSTRAINT FK_POL FOREIGN KEY (POLICY_ID) "
+        "REFERENCES POLICY_MASTER(ID))",
+    ),
+    (
+        "d8",
+        "CREATE TABLE SHOP.ORDER_PAYMENT ("
+        "PAYMENT_ID INT AUTO_INCREMENT PRIMARY KEY, "
+        "ORDER_ID INT NOT NULL, "
+        "AMOUNT DECIMAL(18,6) NOT NULL DEFAULT 0.000000, "
+        "METHOD VARCHAR(16) UNIQUE, "
+        "PAID_AT DATETIME DEFAULT CURRENT_TIMESTAMP)",
+    ),
+    (
+        "d9",
+        "CREATE TABLE CRM.CONTACT_PREF ("
+        "PREF_ID SERIAL PRIMARY KEY, "
+        "CONTACT_ID INT NOT NULL, "
+        "CHANNEL TEXT DEFAULT 'email' "
+        "CHECK (CHANNEL IN ('email','sms','phone')), "
+        "META JSONB, "
+        "UPDATED_AT TIMESTAMP DEFAULT now())",
+    ),
+    (
+        "d10",
+        "CREATE TABLE OPS.JOB_LOG ("
+        "LOG_ID BIGINT IDENTITY(1;1), "
+        "JOB_NAME NVARCHAR(128) NOT NULL, "
+        "STATUS NVARCHAR(16) DEFAULT 'queued', "
+        "RETRIES INT DEFAULT 0 CHECK (RETRIES >= 0), "
+        "PAYLOAD NVARCHAR(4000))",
+    ),
+]
+
 
 def ddl_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12 name extraction + T13 dialect detection + A6 column count +
@@ -424,8 +474,46 @@ def sql_reverse_transpile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ddl_column_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 full ColumnInfo parse (VERDICT r5 #3; reference
+    sql_schema_parser.py:99-210): one row per column across the DDL
+    corpus with the reference's five ColumnInfo fields (name, data_type,
+    nullable, default_value, constraints) plus table name, ordinal, and
+    base type. Scan-stage-only posexplode projection — the paren-balanced
+    top-level split is the regexp masking fixpoint in
+    operators/sqlmeta.py parse_column_defs; the oracle runs the
+    IDENTICAL chain in DuckDB."""
+    from codebase_rag_spark.operators.sqlmeta import parse_column_defs
+
+    df = spark.createDataFrame(DDL_COLUMNS_CORPUS, ["ddl_id", "ddl"])
+    return parse_column_defs(df).select(
+        "ddl_id", "table_name", "ordinal", "col_name", "data_type",
+        "base_type", "nullable", "default_value", "constraints",
+    )
+
+
+def column_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 data-type distribution (VERDICT r5 #4; reference
+    sql_schema_parser.py:277-287 _analyze_data_types): per base SQL type
+    (the text before '('), the number of columns across all parsed
+    tables, sorted most-common-first. One tiny dimension aggregate on
+    top of the scan-stage column parse."""
+    from codebase_rag_spark.operators.sqlmeta import parse_column_defs
+
+    df = parse_column_defs(
+        spark.createDataFrame(DDL_COLUMNS_CORPUS, ["ddl_id", "ddl"])
+    )
+    return (
+        df.groupBy("base_type")
+        .agg(F.count("*").cast("bigint").alias("n_cols"))
+        .orderBy(F.desc("n_cols"), "base_type")
+    )
+
+
 QUERIES = {
     "ddl_analysis": ddl_analysis,
+    "ddl_column_info": ddl_column_info,
+    "column_type_distribution": column_type_distribution,
     "sql_dml_transpile": sql_dml_transpile,
     "sql_reverse_transpile": sql_reverse_transpile,
     "domain_summary": domain_summary,
@@ -513,9 +601,93 @@ ORACLES = {
     """,
 }
 
+def _duck_mask_chain(expr: str) -> str:
+    """The DuckDB twin of operators/sqlmeta.py mask_nested_parens: the
+    same 3-level x 6-pass innermost-out sentinel masking, byte for byte
+    (RE2 backrefs are \\1 where Java's are $1 — the only difference)."""
+    for _depth in range(3):
+        for _ in range(6):
+            expr = (
+                f"regexp_replace({expr}, '\\(([^(),]*),', "
+                f"'(\\1\x01', 'g')"
+            )
+        expr = (
+            f"regexp_replace({expr}, '\\(([^()]*)\\)', "
+            f"'\x02\\1\x03', 'g')"
+        )
+    return expr
+
+
+_DUCK_BODY = r"regexp_extract(ddl, '\(([\s\S]*)\)', 1)"
+
+_DUCK_COLUMN_LINES = f"""
+        WITH src AS (
+            SELECT ddl_id,
+                   regexp_extract(ddl,
+                       'CREATE\\s+TABLE\\s+(?:\\w+\\.)?([A-Za-z_][\\w$]*)', 1)
+                       AS table_name,
+                   {_duck_mask_chain(_DUCK_BODY)} AS masked
+            FROM {{values}}
+        ),
+        arrs AS (
+            SELECT ddl_id, table_name,
+                   list_filter(
+                       list_transform(string_split(masked, ','),
+                           x -> trim(replace(replace(replace(x,
+                                chr(2), '('), chr(3), ')'), chr(1), ','))),
+                       x -> x <> ''
+                            AND NOT starts_with(upper(x), 'CONSTRAINT')
+                            AND regexp_extract(x, '^\\S+\\s+(\\S+)', 1) <> ''
+                   ) AS cols
+            FROM src
+        ),
+        lines AS (
+            SELECT ddl_id, table_name,
+                   CAST(generate_subscripts(cols, 1) - 1 AS INTEGER)
+                       AS ordinal,
+                   unnest(cols) AS line
+            FROM arrs
+        )
+        SELECT ddl_id, table_name, ordinal,
+               regexp_extract(line, '^(\\S+)', 1) AS col_name,
+               regexp_extract(line, '^\\S+\\s+(\\S+)', 1) AS data_type,
+               upper(string_split(
+                   regexp_extract(line, '^\\S+\\s+(\\S+)', 1), '(')[1])
+                   AS base_type,
+               NOT contains(lower(line), 'not null') AS nullable,
+               nullif(regexp_replace(
+                   regexp_extract(line, '(?i)default\\s+([^,\\s]+)', 1),
+                   '^[''\"]+|[''\"]+$', '', 'g'), '') AS default_value,
+               concat_ws(',',
+                   CASE WHEN contains(lower(line), 'primary key')
+                        THEN 'PRIMARY KEY' END,
+                   CASE WHEN contains(lower(line), 'unique')
+                        THEN 'UNIQUE' END,
+                   CASE WHEN contains(lower(line), 'check')
+                        THEN 'CHECK' END) AS constraints
+        FROM lines
+"""
+
+
+def _columns_values_clause() -> str:
+    return _corpus_values(DDL_COLUMNS_CORPUS, "ddl_id, ddl")
+
+
 _TEMPLATE_KW_VALUES = ",\n            ".join(
     f"('{t}', '{k}')" for t, kws in INDUSTRY_TEMPLATES.items() for k in kws
 )
+
+ORACLES["ddl_column_info"] = _DUCK_COLUMN_LINES.format(
+    values=_columns_values_clause()
+)
+
+ORACLES["column_type_distribution"] = f"""
+        WITH parsed AS ({_DUCK_COLUMN_LINES.format(
+            values=_columns_values_clause())})
+        SELECT base_type, CAST(count(*) AS BIGINT) AS n_cols
+        FROM parsed GROUP BY base_type
+        ORDER BY n_cols DESC, base_type
+"""
 
 ORACLES["industry_template_match"] = f"""
         WITH analyzed AS ({_ANALYZE.format(values=_values_clause())}),

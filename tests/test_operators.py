@@ -876,3 +876,63 @@ def test_resource_allocation_scores_path_graph(spark):
         for r in resource_allocation_link_scores(edges).collect()
     }
     assert got == {("a", "c"): (1, 0.5), ("b", "d"): (1, 0.5)}
+
+
+def test_parse_column_defs_reference_parity(spark):
+    """T12 ColumnInfo parse (reference sql_schema_parser.py:99-210):
+    paren-balanced top-level split, CONSTRAINT-line skip, <2-token skip,
+    NOT NULL / DEFAULT / inline-constraint extraction — pinned against
+    hand-computed reference behavior on a nasty DDL."""
+    from codebase_rag_spark.operators.sqlmeta import parse_column_defs
+
+    ddl = (
+        "CREATE TABLE S.T ("
+        "A NUMBER(14,2) NOT NULL PRIMARY KEY, "
+        "B VARCHAR2(30) DEFAULT 'x_y' CHECK (B IN ('x,y','z')), "
+        "LONELY, "  # single token -> reference returns None, skipped
+        "C INT DEFAULT 0 UNIQUE, "
+        "CONSTRAINT PK_T PRIMARY KEY (A), "
+        "D DATE)"
+    )
+    df = spark.createDataFrame([("x", ddl)], ["ddl_id", "ddl"])
+    rows = {
+        r.ordinal: r
+        for r in parse_column_defs(df).orderBy("ordinal").collect()
+    }
+    assert len(rows) == 4
+    assert [rows[i].col_name for i in range(4)] == ["A", "B", "C", "D"]
+    a, b, c, d = (rows[i] for i in range(4))
+    assert (a.data_type, a.base_type) == ("NUMBER(14,2)", "NUMBER")
+    assert a.nullable is False and a.constraints == "PRIMARY KEY"
+    # nested IN-list commas survive (masked through the split); note a
+    # quoted comma at paren depth 0 WOULD split — the reference's char
+    # walk (:148-170) tracks parens only, not quotes, and we mirror that
+    assert b.default_value == "'x_y'".strip("'\"") and b.constraints == "CHECK"
+    assert c.default_value == "0" and c.constraints == "UNIQUE"
+    assert d.constraints == "" and d.nullable is True
+    assert d.default_value is None
+    assert rows[0].table_name == "T"
+
+
+def test_mask_nested_parens_depth_and_comma_bounds(spark):
+    """The masking fixpoint is exact up to 3 nesting levels and 6 commas
+    per paren group — probe both bounds at their edge."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.sqlmeta import split_column_defs
+
+    ddl = (
+        "CREATE TABLE T ("
+        "A INT CHECK (A IN (1,2,3,4,5,6,7)), "  # 6 commas, depth 2
+        "B INT CHECK (f(g(h(B,1),2),3) > 0), "  # depth 3 nest
+        "C INT)"
+    )
+    df = spark.createDataFrame([(ddl,)], ["ddl"])
+    got = df.select(
+        F.col("ddl"), split_column_defs(F.col("ddl")).alias("cols")
+    ).first()["cols"]
+    assert got == [
+        "A INT CHECK (A IN (1,2,3,4,5,6,7))",
+        "B INT CHECK (f(g(h(B,1),2),3) > 0)",
+        "C INT",
+    ]
