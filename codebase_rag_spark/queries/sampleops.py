@@ -80,8 +80,11 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (null rate / distinct / min / max) over lineitem —
     the data-quality pass every training pipeline runs before use."""
     li = load_table(spark, sf_dir, "lineitem")
+    # exact_distinct: this is the oracle-checked referee for the
+    # approx-HLL default (tolerance-tested in test_scale_patterns.py)
     return profile_columns(
-        li, ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+        li, ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"],
+        exact_distinct=True,
     )
 
 

@@ -15,7 +15,6 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "codebase_rag_spark"
 # (path-suffix, count, reason) — counts are exact so adding a new eager
 # fetch to an allowlisted file still trips the guard.
 ALLOWED: dict[str, tuple[int, str]] = {
-    "operators/sampling.py": (1, "profile_columns: 1-row agg of scalars"),
     "operators/pq.py": (2, "dim probe + nlist centroid table (tiny)"),
     "operators/bpe.py": (1, "top-K vocab head: the tokenizer-training set"),
     "operators/similarity.py": (2, "dim probe + nprobe centroid routing"),

@@ -302,10 +302,18 @@ def test_profile_columns(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (3, "b"), (4, "a")], ["id", "v"]
     )
-    out = {r.column: r for r in profile_columns(df, ["id", "v"]).collect()}
-    assert out["v"].n_nulls == 1 and out["v"].null_rate == 0.25
-    assert out["v"].n_distinct == 2
-    assert out["id"].min_value == "1" and out["id"].max_value == "4"
+    # both modes: approx (HLL++ default, exact at tiny cardinality) and
+    # the exact_distinct referee path (per-column single-distinct aggs)
+    for exact in (False, True):
+        out = {
+            r.column: r
+            for r in profile_columns(
+                df, ["id", "v"], exact_distinct=exact
+            ).collect()
+        }
+        assert out["v"].n_nulls == 1 and out["v"].null_rate == 0.25
+        assert out["v"].n_distinct == 2
+        assert out["id"].min_value == "1" and out["id"].max_value == "4"
 
 
 def test_connected_components(spark):

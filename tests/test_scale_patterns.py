@@ -498,3 +498,28 @@ def test_ann_recall_gate_at_sf01(spark):
     }
     ivfpq_recall = len(got & exact_l2) / 20
     assert ivfpq_recall >= 0.1, ivfpq_recall  # 10x the random baseline
+
+
+def test_profile_approx_distinct_tolerance(spark, sf_dir):
+    """VERDICT r5 #7 tolerance gate: the approx-HLL default of
+    profile_columns must land within 3 sigma of the configured
+    rsd (2%) of the exact referee on every profiled lineitem column, and its plan must
+    be Expand-free single-pass; the exact path must also be Expand-free
+    (per-column single-distinct aggregates instead of the multi-distinct
+    Expand)."""
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.operators.sampling import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+    approx_df = profile_columns(li, cols)  # default rsd=0.02
+    exact_df = profile_columns(li, cols, exact_distinct=True)
+    for df in (approx_df, exact_df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan, plan[:2000]
+    approx = {r.column: r.n_distinct for r in approx_df.collect()}
+    exact = {r.column: r.n_distinct for r in exact_df.collect()}
+    for c in cols:
+        assert abs(approx[c] - exact[c]) <= max(2, 3 * 0.02 * exact[c]), (
+            c, approx[c], exact[c],
+        )
