@@ -161,10 +161,10 @@ _DRIVER_CHECKED = {
 # oracle). New round-6 entries fill the remaining ~44 window slots
 # automatically via the dict rebuild below.
 _PRIORITY = [
-    # _CHANGED_R6 (7)
+    # _CHANGED_R6 (8)
     "value_quantile_sketch", "value_winsorization", "value_mad_outliers",
     "ship_delay_percentiles", "conversion_latency_quantiles",
-    "kmeans_iterations", "profile_lineitem",
+    "kmeans_iterations", "profile_lineitem", "duplicated_spans",
 ]
 
 QUERIES = {
