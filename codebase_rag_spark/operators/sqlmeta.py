@@ -135,17 +135,28 @@ def _unmask(piece: Column) -> Column:
     return F.regexp_replace(out, _MASK_COMMA, ",")
 
 
+def split_top_level_segments(ddl: Column) -> Column:
+    """Array of ALL trimmed top-level comma segments of the DDL body
+    (column defs AND table-level CONSTRAINT lines) — the unfiltered
+    reference _split_column_definitions (:148-170). PK/FK extraction
+    reads the CONSTRAINT segments this keeps."""
+    body = F.regexp_extract(ddl, r"\(([\s\S]*)\)", 1)
+    pieces = F.split(mask_nested_parens(body), ",")
+    return F.transform(pieces, lambda p: F.trim(_unmask(p)))
+
+
 def split_column_defs(ddl: Column) -> Column:
     """Array of trimmed per-column definition lines (reference
     _split_column_definitions + the _parse_columns skip rules): blank
     lines, table-level CONSTRAINT lines, and <2-token lines (the
     reference's parts-length gate, :174-176) are dropped, so array index
-    == the reference's ColumnInfo list index."""
-    body = F.regexp_extract(ddl, r"\(([\s\S]*)\)", 1)
-    pieces = F.split(mask_nested_parens(body), ",")
-    lines = F.transform(pieces, lambda p: F.trim(_unmask(p)))
+    == the reference's ColumnInfo list index. (Reference-parity quirk: a
+    BARE table-level `PRIMARY KEY (a, b)` line — no CONSTRAINT prefix —
+    would parse as a column named PRIMARY, exactly as the reference's
+    parts[0]/parts[1] does; Oracle-style corpora always name their
+    constraints.)"""
     return F.filter(
-        lines,
+        split_top_level_segments(ddl),
         lambda x: (x != "")
         & ~F.upper(x).startswith("CONSTRAINT")
         & (F.regexp_extract(x, r"^\S+\s+(\S+)", 1) != ""),
@@ -191,6 +202,95 @@ def parse_column_defs(df: DataFrame, ddl_col: str = "ddl") -> DataFrame:
             F.regexp_replace(raw_default, "^['\"]+|['\"]+$", ""), F.lit("")
         ).alias("default_value"),
         constraints.alias("constraints"),
+    )
+
+
+_PK_SEG = r"(?i)PRIMARY\s+KEY\s*\(([^)]*)\)"
+_FK_PAT = (
+    r"(?i)FOREIGN\s+KEY\s*\(([^)]*)\)\s*"
+    r"REFERENCES\s+(\w+(?:\.\w+)?)\s*\(([^)]*)\)"
+)
+
+
+def _norm_col_list(cols: Column) -> Column:
+    """'A, B' -> 'A,B' (trim around the top-level commas)."""
+    return F.trim(F.regexp_replace(cols, r"\s*,\s*", ","))
+
+
+def primary_keys(df: DataFrame, ddl_col: str = "ddl") -> DataFrame:
+    """Populate TableInfo.primary_key for real (the reference declares
+    the field, universal_sql_schema_parser.py:27, but its parser never
+    fills it): a table-level `[CONSTRAINT x] PRIMARY KEY (a, b)` segment
+    wins (composite keys), else the inline PRIMARY-KEY-flagged columns
+    in ordinal order. One row per table that HAS a primary key."""
+    ddl = F.col(ddl_col)
+    base = df.select(
+        "*",
+        table_name_from_ddl(ddl).alias("table_name"),
+        # F.get (not getItem): NULL on tables with no table-level PK
+        # segment instead of an ANSI out-of-bounds error
+        F.get(
+            F.array_compact(
+                F.transform(
+                    split_top_level_segments(ddl),
+                    lambda s: F.nullif(
+                        F.regexp_extract(s, _PK_SEG, 1), F.lit("")
+                    ),
+                )
+            ),
+            F.lit(0),
+        ).alias("_tbl_pk"),
+    )
+    inline = (
+        parse_column_defs(df, ddl_col)
+        .filter(F.col("constraints").contains("PRIMARY KEY"))
+        .groupBy("table_name")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ordinal", "col_name"))
+                    ),
+                    lambda s: s["col_name"],
+                ),
+            ).alias("_inline_pk")
+        )
+    )
+    return (
+        base.join(F.broadcast(inline), "table_name", "left")
+        .select(
+            *df.columns,
+            "table_name",
+            F.coalesce(
+                _norm_col_list(F.col("_tbl_pk")), F.col("_inline_pk")
+            ).alias("pk_columns"),
+        )
+        .filter(F.col("pk_columns").isNotNull())
+    )
+
+
+def foreign_keys(df: DataFrame, ddl_col: str = "ddl") -> DataFrame:
+    """Populate TableInfo.foreign_keys for real (declared-but-unfilled
+    in the reference, universal_sql_schema_parser.py:28): every
+    `FOREIGN KEY (cols) REFERENCES tbl(cols)` clause, one output row per
+    FK with ordinal, local columns, referenced table, referenced
+    columns. Pure regexp_extract_all projection — scan-stage only."""
+    ddl = F.col(ddl_col)
+    m = F.col("_fk")
+    return df.select(
+        "*",
+        table_name_from_ddl(ddl).alias("table_name"),
+        F.posexplode(F.regexp_extract_all(ddl, F.lit(_FK_PAT), 0)).alias(
+            "fk_ordinal", "_fk"
+        ),
+    ).select(
+        *df.columns,
+        "table_name",
+        "fk_ordinal",
+        _norm_col_list(F.regexp_extract(m, _FK_PAT, 1)).alias("fk_columns"),
+        F.regexp_extract(m, _FK_PAT, 2).alias("ref_table"),
+        _norm_col_list(F.regexp_extract(m, _FK_PAT, 3)).alias("ref_columns"),
     )
 
 

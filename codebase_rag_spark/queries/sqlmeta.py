@@ -135,6 +135,32 @@ DDL_COLUMNS_CORPUS: list[tuple[str, str]] = DDL_CORPUS + [
         "RETRIES INT DEFAULT 0 CHECK (RETRIES >= 0), "
         "PAYLOAD NVARCHAR(4000))",
     ),
+    # composite table-level PK + FK constraints (the PK/FK surface the
+    # reference's TableInfo declares but never populates —
+    # universal_sql_schema_parser.py:27-28; we parse it for real)
+    (
+        "d11",
+        "CREATE TABLE SALES.INVOICE_LINE ("
+        "INVOICE_ID INT NOT NULL, "
+        "LINE_NO INT NOT NULL, "
+        "PART_ID INT, "
+        "QTY DECIMAL(10,2) DEFAULT 1, "
+        "CONSTRAINT PK_INVLINE PRIMARY KEY (INVOICE_ID, LINE_NO), "
+        "CONSTRAINT FK_PART FOREIGN KEY (PART_ID) "
+        "REFERENCES PART_MASTER(PART_ID))",
+    ),
+    (
+        "d12",
+        "CREATE TABLE CRM.USER_ROLE ("
+        "USER_ID INT NOT NULL, "
+        "ROLE_ID INT NOT NULL, "
+        "GRANTED_AT TIMESTAMP DEFAULT now(), "
+        "CONSTRAINT PK_USER_ROLE PRIMARY KEY (USER_ID, ROLE_ID), "
+        "CONSTRAINT FK_USER FOREIGN KEY (USER_ID) "
+        "REFERENCES USER_ACCOUNT(ID), "
+        "CONSTRAINT FK_ROLE FOREIGN KEY (ROLE_ID) "
+        "REFERENCES ROLE_DEF(ID))",
+    ),
 ]
 
 
@@ -510,10 +536,38 @@ def column_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ddl_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 PK surface: TableInfo.primary_key populated for real (the
+    reference declares the field but never fills it,
+    universal_sql_schema_parser.py:27) — composite table-level
+    `CONSTRAINT ... PRIMARY KEY (a, b)` wins, else inline PRIMARY-KEY
+    columns in ordinal order; one row per table with a PK."""
+    from codebase_rag_spark.operators.sqlmeta import primary_keys
+
+    df = spark.createDataFrame(DDL_COLUMNS_CORPUS, ["ddl_id", "ddl"])
+    return primary_keys(df).select("ddl_id", "table_name", "pk_columns")
+
+
+def ddl_foreign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 FK surface: TableInfo.foreign_keys populated for real
+    (declared-but-unfilled in the reference,
+    universal_sql_schema_parser.py:28) — every FOREIGN KEY ... REFERENCES
+    clause as (fk_ordinal, fk_columns, ref_table, ref_columns)."""
+    from codebase_rag_spark.operators.sqlmeta import foreign_keys
+
+    df = spark.createDataFrame(DDL_COLUMNS_CORPUS, ["ddl_id", "ddl"])
+    return foreign_keys(df).select(
+        "ddl_id", "table_name", "fk_ordinal", "fk_columns",
+        "ref_table", "ref_columns",
+    )
+
+
 QUERIES = {
     "ddl_analysis": ddl_analysis,
     "ddl_column_info": ddl_column_info,
     "column_type_distribution": column_type_distribution,
+    "ddl_primary_keys": ddl_primary_keys,
+    "ddl_foreign_keys": ddl_foreign_keys,
     "sql_dml_transpile": sql_dml_transpile,
     "sql_reverse_transpile": sql_reverse_transpile,
     "domain_summary": domain_summary,
@@ -680,6 +734,75 @@ _TEMPLATE_KW_VALUES = ",\n            ".join(
 ORACLES["ddl_column_info"] = _DUCK_COLUMN_LINES.format(
     values=_columns_values_clause()
 )
+
+# shared unfiltered top-level-segment CTE (PK extraction needs the
+# CONSTRAINT lines the column parse drops)
+_DUCK_SEGMENTS = f"""
+            SELECT ddl_id,
+                   regexp_extract(ddl,
+                       'CREATE\\s+TABLE\\s+(?:\\w+\\.)?([A-Za-z_][\\w$]*)', 1)
+                       AS table_name,
+                   list_transform(
+                       string_split({_duck_mask_chain(_DUCK_BODY)}, ','),
+                       x -> trim(replace(replace(replace(x,
+                            chr(2), '('), chr(3), ')'), chr(1), ','))
+                   ) AS segs
+            FROM {{values}}
+"""
+
+_PK_SEG_DUCK = r"(?i)PRIMARY\s+KEY\s*\(([^)]*)\)"
+
+ORACLES["ddl_primary_keys"] = f"""
+        WITH segsrc AS ({_DUCK_SEGMENTS.format(values=_columns_values_clause())}),
+        tblpk AS (
+            SELECT ddl_id, table_name,
+                   list_filter(
+                       list_transform(segs,
+                           s -> nullif(regexp_extract(s,
+                               '{_PK_SEG_DUCK}', 1), '')),
+                       x -> x IS NOT NULL)[1] AS tbl_pk
+            FROM segsrc
+        ),
+        colinfo AS ({_DUCK_COLUMN_LINES.format(values=_columns_values_clause())}),
+        inlinepk AS (
+            SELECT table_name,
+                   string_agg(col_name, ',' ORDER BY ordinal) AS inline_pk
+            FROM colinfo
+            WHERE contains(constraints, 'PRIMARY KEY')
+            GROUP BY table_name
+        )
+        SELECT t.ddl_id, t.table_name,
+               coalesce(trim(regexp_replace(t.tbl_pk, '\\s*,\\s*', ',', 'g')),
+                        i.inline_pk) AS pk_columns
+        FROM tblpk t LEFT JOIN inlinepk i USING (table_name)
+        WHERE coalesce(trim(regexp_replace(t.tbl_pk, '\\s*,\\s*', ',', 'g')),
+                       i.inline_pk) IS NOT NULL
+"""
+
+_FK_PAT_DUCK = (
+    r"(?i)FOREIGN\s+KEY\s*\(([^)]*)\)\s*"
+    r"REFERENCES\s+(\w+(?:\.\w+)?)\s*\(([^)]*)\)"
+)
+
+ORACLES["ddl_foreign_keys"] = f"""
+        WITH src AS (
+            SELECT ddl_id,
+                   regexp_extract(ddl,
+                       'CREATE\\s+TABLE\\s+(?:\\w+\\.)?([A-Za-z_][\\w$]*)', 1)
+                       AS table_name,
+                   regexp_extract_all(ddl, '{_FK_PAT_DUCK}') AS fks
+            FROM {_columns_values_clause()}
+        )
+        SELECT ddl_id, table_name,
+               CAST(generate_subscripts(fks, 1) - 1 AS INTEGER) AS fk_ordinal,
+               trim(regexp_replace(regexp_extract(unnest(fks),
+                   '{_FK_PAT_DUCK}', 1), '\\s*,\\s*', ',', 'g')) AS fk_columns,
+               regexp_extract(unnest(fks), '{_FK_PAT_DUCK}', 2) AS ref_table,
+               trim(regexp_replace(regexp_extract(unnest(fks),
+                   '{_FK_PAT_DUCK}', 3), '\\s*,\\s*', ',', 'g')) AS ref_columns
+        FROM src
+        WHERE len(fks) > 0
+"""
 
 ORACLES["column_type_distribution"] = f"""
         WITH parsed AS ({_DUCK_COLUMN_LINES.format(
