@@ -21,7 +21,7 @@ These extend the dedup/sampling surface with the remaining operations a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codebase_rag_spark.catalog import load_table
@@ -677,7 +677,106 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_representative_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER dedup_clusters in a real pipeline: pick ONE
+    representative per duplicate group — the highest-quality member
+    (quality proxy: n_chars, the longest variant keeps the most
+    content; doc_id breaks ties deterministically) — and report what
+    gets dropped. Keep-best beats keep-first: boilerplate-expanded
+    variants lose to the fullest text.
+
+    Plan: the LSH pair join is the only corpus-sized shuffle; CC runs on
+    pair-sized data; the representative pick is one row_number window
+    over CLUSTER MEMBERS only (pair-graph-sized, not corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    edges = cands.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    labels = connected_components(edges, iterations=3)
+    members = labels.join(
+        d.select(
+            F.col("doc_id").cast("string").alias("node"), "doc_id", "n_chars"
+        ),
+        "node",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    rep = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("component").alias("canonical_id"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+        )
+    )
+    sizes = members.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count("*").alias("cluster_size"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return (
+        rep.join(sizes, "canonical_id")
+        .select(
+            "canonical_id",
+            "cluster_size",
+            "rep_doc_id",
+            "rep_n_chars",
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+            (F.col("total_chars") - F.col("rep_n_chars"))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+        .orderBy(F.desc("cluster_size"), "canonical_id")
+    )
+
+
+def intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style INTRA-document repetition gates (Rae et al. 2021
+    §A1.1 'duplicate n-grams', the within-doc complement of
+    duplicated_spans' cross-doc pass): per doc, the fraction of 2-gram
+    and 3-gram occurrences that are repeats of an earlier occurrence —
+    rep_n = 1 - distinct_n/total_n, an exact integer ratio. Per lang:
+    docs, docs over the 10% rep-2 gate, mean fractions.
+
+    Entirely scan-stage array math (shingles + array_distinct + size);
+    the only shuffle is the per-lang rollup — at 100 TB this is a
+    map-side-combined aggregate over one row per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def rep(n: int) -> Column:
+        g = shingles(toks, n)
+        return F.round(
+            (F.size(g) - F.size(F.array_distinct(g)))
+            / F.size(g).cast("double"),
+            4,
+        )
+
+    per_doc = d.filter(F.size(toks) >= 3).select(
+        "doc_id", "lang", rep(2).alias("rep2"), rep(3).alias("rep3")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("rep2") > 0.1, 1)).alias("n_flagged"),
+            F.round(F.avg("rep2"), 4).alias("avg_rep2"),
+            F.round(F.avg("rep3"), 4).alias("avg_rep3"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "cluster_representative_pick": cluster_representative_pick,
+    "intra_doc_repetition": intra_doc_repetition,
     "quality_classifier_score": quality_classifier_score,
     "source_token_kl": source_token_kl,
     "bigram_surprise_docs": bigram_surprise_docs,
@@ -728,6 +827,41 @@ ORACLES = {
         SELECT component AS canonical_id, count(*) AS cluster_size
         FROM l3 GROUP BY component
         ORDER BY cluster_size DESC, canonical_id
+    """,
+    "cluster_representative_pick": f"""
+        WITH cand AS ({_DEDUP_ORACLES["lsh_candidates"]}),
+        e AS (
+            SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+            FROM cand
+        ),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS component FROM u),
+        {_CC_ITER.format(i=1, prev=0)},
+        {_CC_ITER.format(i=2, prev=1)},
+        {_CC_ITER.format(i=3, prev=2)},
+        members AS (
+            SELECT l3.component, d.doc_id, d.n_chars
+            FROM l3 JOIN documents d ON CAST(d.doc_id AS VARCHAR) = l3.node
+        ),
+        rep AS (
+            SELECT component AS canonical_id, doc_id AS rep_doc_id,
+                   n_chars AS rep_n_chars,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM members
+        ),
+        sizes AS (
+            SELECT component AS canonical_id,
+                   count(*) AS cluster_size,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM members GROUP BY component
+        )
+        SELECT r.canonical_id, s.cluster_size, r.rep_doc_id, r.rep_n_chars,
+               CAST(s.cluster_size - 1 AS BIGINT) AS n_dropped,
+               CAST(s.total_chars - r.rep_n_chars AS BIGINT) AS chars_dropped
+        FROM rep r JOIN sizes s USING (canonical_id)
+        WHERE r.rn = 1
+        ORDER BY s.cluster_size DESC, r.canonical_id
     """,
     "unigram_surprise": r"""
         WITH toks AS (
@@ -863,6 +997,33 @@ ORACLES = {
                round(max(max_err) * 1e6, 2) AS max_err_ppm
         FROM per_vec GROUP BY label
         ORDER BY label
+    """,
+    "intra_doc_repetition": r"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   round(1.0 - len(list_distinct(
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])))
+                       ::DOUBLE / (len(t) - 1), 4) AS rep2,
+                   round(1.0 - len(list_distinct(
+                       list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                       ::DOUBLE / (len(t) - 2), 4) AS rep3
+            FROM w WHERE len(t) >= 3
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(count(CASE WHEN rep2 > 0.1 THEN 1 END) AS BIGINT)
+                   AS n_flagged,
+               round(avg(rep2), 4) AS avg_rep2,
+               round(avg(rep3), 4) AS avg_rep3
+        FROM per_doc GROUP BY lang
+        ORDER BY lang
     """,
     "duplicated_spans": r"""
         WITH w AS (

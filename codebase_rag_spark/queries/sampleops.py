@@ -705,3 +705,90 @@ ORACLES["epoch_shard_shuffle"] = """
         FROM assigned
         GROUP BY epoch, shard
 """
+
+
+# integer percentages, sum 100 — the target training mix
+MIX_PCT: dict[str, int] = {
+    "src0": 25, "src1": 15, "src2": 12, "src3": 10, "src4": 8,
+    "src5": 8, "src6": 7, "src7": 6, "src8": 5, "src9": 4,
+}
+
+_MIX_BUDGET = 1_000_000  # total training-token budget
+
+
+def mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch planner (the DoReMi/Pile-style bookkeeping every
+    pretraining run does): given per-source available token counts and a
+    target mix (integer percentages), how many tokens each source must
+    contribute to a fixed budget, how many EPOCHS (full passes) over the
+    source that implies, and how full the final partial epoch is (basis
+    points). Small sources get multi-epoch repetition; the plan makes
+    the repetition factor explicit before anyone trains on it.
+
+    ALL-INTEGER arithmetic (div / ceil-div / basis points) — the plan is
+    bit-identical on any engine. One map-side-combined aggregate over
+    the corpus (token counts per source); everything after is
+    dimension-table-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = [x for kv in MIX_PCT.items() for x in kv]
+    wmap = F.create_map(*[F.lit(x) for x in pairs])
+    avail = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("available_tokens")
+    )
+    return (
+        avail.withColumn("target_pct", wmap[F.col("source")].cast("bigint"))
+        .filter(F.col("target_pct").isNotNull() & (F.col("available_tokens") > 0))
+        .withColumn(
+            "needed_tokens",
+            F.expr(f"CAST({_MIX_BUDGET} * target_pct div 100 AS BIGINT)"),
+        )
+        .withColumn(
+            "n_epochs",
+            F.expr(
+                "CAST((needed_tokens + available_tokens - 1)"
+                " div available_tokens AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "last_epoch_bp",
+            F.expr(
+                "CAST(((needed_tokens - (n_epochs - 1) * available_tokens)"
+                " * 10000) div available_tokens AS BIGINT)"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["mixture_epochs_plan"] = mixture_epochs_plan
+
+_MIX_VALUES = ", ".join(f"('{s}', {p})" for s, p in MIX_PCT.items())
+
+ORACLES["mixture_epochs_plan"] = rf"""
+        WITH avail AS (
+            SELECT source,
+                   CAST(sum(len(list_filter(
+                       regexp_split_to_array(text, '\s+'), x -> x <> '')))
+                       AS BIGINT) AS available_tokens
+            FROM documents GROUP BY source
+        ),
+        mix(source, target_pct) AS (VALUES {_MIX_VALUES}),
+        plan AS (
+            SELECT a.source, a.available_tokens,
+                   CAST(m.target_pct AS BIGINT) AS target_pct,
+                   CAST(({_MIX_BUDGET} * m.target_pct) // 100 AS BIGINT)
+                       AS needed_tokens
+            FROM avail a JOIN mix m USING (source)
+            WHERE a.available_tokens > 0
+        ),
+        ep AS (
+            SELECT *,
+                   CAST((needed_tokens + available_tokens - 1)
+                        // available_tokens AS BIGINT) AS n_epochs
+            FROM plan
+        )
+        SELECT source, available_tokens, target_pct, needed_tokens, n_epochs,
+               CAST(((needed_tokens - (n_epochs - 1) * available_tokens)
+                    * 10000) // available_tokens AS BIGINT) AS last_epoch_bp
+        FROM ep ORDER BY source
+"""

@@ -40,6 +40,67 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_join(emb, _query_side(spark, sf_dir, 0), k=10)
 
 
+def mips_norm_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-k with Cauchy-Schwarz norm-bound
+    pruning — the MIPS complement of cosine_topk. Recommendation scoring
+    ranks by raw dot product of POPULARITY-SCALED item vectors (here a
+    deterministic stored weight 1 + vec_id % 10 over the unit-norm
+    embeddings — the corpus itself is unit-normalized, where a norm
+    bound is structurally vacuous; the weight models the real MIPS
+    setting where item norms vary).
+
+    Scale shape (LEMP/FEXIPRO-style): ip(x,q) <= ||x||*||q||, so any
+    vector whose norm bound falls below a lower bound tau of the k-th
+    best ip skips the O(d) dot product entirely. tau comes from a
+    200-row high-norm seed (ANY rows give a valid lower bound; high-norm
+    rows give a tight one): the 10th-best seed ip, as a broadcast 1-row
+    aggregate; the prune is then a scan-stage filter on the stored
+    norm. At 100 TB the norm is a precomputed column, the corpus is
+    SORTED by it, and the filter becomes early termination. Measured at
+    sf0.1: tau=2.24 prunes the 2 lowest of the 10 uniform weight
+    classes (20% of dot products); real Zipf-skewed popularity weights
+    concentrate mass in the head, so the same bound removes the long
+    tail there. The 1e-4 slack
+    keeps the prune safe under the 4-decimal output rounding (a pruned
+    row can never re-enter the rounded ordering) and absorbs
+    accumulation-order noise; the DuckDB oracle is the unpruned brute
+    force, so the prune's losslessness is hash-checked every round."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 1)
+    q = _query_side(spark, sf_dir, 1)
+    w = (F.lit(1) + F.col("vec_id") % 10).cast("double")
+    vec = as_double(F.col("embedding"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ip = F.col("_w") * dot(vec, F.col("_qvec"))
+    normed = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "embedding",
+        "_qvec",
+        w.alias("_w"),
+        (w * F.sqrt(dot(vec, vec))).alias("nrm"),
+        F.sqrt(dot(F.col("_qvec"), F.col("_qvec"))).alias("qn"),
+    )
+    tau = (
+        normed.orderBy(F.desc("nrm"), "vec_id")
+        .limit(200)
+        .select(ip.alias("_sip"))
+        .orderBy(F.desc("_sip"))
+        .limit(10)
+        .agg(F.min("_sip").alias("tau"))
+    )
+    pruned = normed.crossJoin(F.broadcast(tau)).filter(
+        F.col("nrm") * F.col("qn") >= F.col("tau") - F.lit(1e-4)
+    )
+    return (
+        pruned.select("vec_id", F.round(ip, 4).alias("ip"))
+        .orderBy(F.desc("ip"), "vec_id")
+        .limit(10)
+    )
+
+
 def centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer building block: per-label centroids (one shuffle),
     assign every vector to its nearest centroid by squared L2, report
@@ -234,6 +295,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mmr_diverse_topk": mmr_diverse_topk,
     "cosine_topk": cosine_topk_query,
+    "mips_norm_pruned_topk": mips_norm_pruned_topk,
     "centroid_assignment": centroid_assignment,
     "rp_lsh_buckets": rp_lsh_buckets,
     "rp_lsh_ann": rp_lsh_ann,
@@ -242,6 +304,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mips_norm_pruned_topk": """
+        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 1),
+        p AS (
+            SELECT vec_id,
+                   unnest(embedding)::DOUBLE AS x,
+                   unnest((SELECT e FROM q))::DOUBLE AS y
+            FROM embeddings WHERE vec_id <> 1
+        ),
+        s AS (SELECT vec_id,
+                     round((1 + vec_id % 10) * sum(x * y), 4) AS ip
+              FROM p GROUP BY vec_id)
+        SELECT vec_id, ip FROM s ORDER BY ip DESC, vec_id LIMIT 10
+    """,
     "cosine_topk": """
         WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         p AS (
