@@ -885,3 +885,81 @@ ORACLES["customer_pareto"] = """
         FROM ranked, tot
         GROUP BY decile, total
 """
+
+
+_FK_RELATIONS: list[tuple[str, str, str, str, str]] = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema FK integrity audit: for every foreign-key relation,
+    the child row count, NULL-key count, and ORPHAN count (non-null keys
+    with no parent) — the data-contract check a pipeline runs before
+    trusting joins (an orphan silently vanishes from every inner join
+    downstream).
+
+    Plan per relation: one left-ANTI join of the child's key column
+    against the DISTINCT parent keys. Dimension parents (nation, region,
+    customer, supplier, part) broadcast; the one fact-fact relation
+    (lineitem->orders) is a key-partitioned shuffle anti-join — at
+    100 TB that is the irreducible cost, and it is one shuffle of keys
+    only (both sides column-pruned to the join key)."""
+    out = None
+    for name, child_t, ckey, parent_t, pkey in _FK_RELATIONS:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(ckey).alias("k")
+        )
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+        )
+        base = child.agg(
+            F.count("*").cast("bigint").alias("n_child_rows"),
+            F.count(F.when(F.col("k").isNull(), 1))
+            .cast("bigint")
+            .alias("n_null_keys"),
+        )
+        orphans = (
+            child.filter(F.col("k").isNotNull())
+            .join(parent, "k", "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+        )
+        row = base.crossJoin(orphans).select(
+            F.lit(name).alias("relation"),
+            "n_child_rows",
+            "n_null_keys",
+            "n_orphans",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")
+
+
+QUERIES["referential_integrity_audit"] = referential_integrity_audit
+
+_FK_ORACLE_PARTS = "\n        UNION ALL\n".join(
+    f"""
+        SELECT '{name}' AS relation,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child_t}) AS n_child_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child_t}
+                WHERE {ckey} IS NULL) AS n_null_keys,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child_t} c
+                WHERE c.{ckey} IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM {parent_t} p
+                                  WHERE p.{pkey} = c.{ckey})) AS n_orphans
+    """
+    for name, child_t, ckey, parent_t, pkey in _FK_RELATIONS
+)
+
+ORACLES["referential_integrity_audit"] = f"""
+        SELECT * FROM ({_FK_ORACLE_PARTS})
+        ORDER BY relation
+"""

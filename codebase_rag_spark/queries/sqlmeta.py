@@ -982,3 +982,146 @@ ORACLES["sql_join_graph"] = rf"""
                    AS n_anti
         FROM j
 """
+
+
+# CREATE VIEW bodies (plain SELECTs): a 3-level dependency chain over the
+# warehouse base tables plus two independent level-1 views
+VIEW_CORPUS: list[tuple[str, str]] = [
+    (
+        "v_customer_nation",
+        "SELECT c.c_custkey, n.n_name FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey",
+    ),
+    (
+        "v_regions",
+        "SELECT n.n_nationkey, r.r_name FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey",
+    ),
+    (
+        "v_orders_enriched",
+        "SELECT o.o_orderkey, cn.n_name FROM orders o "
+        "JOIN v_customer_nation cn ON o.o_custkey = cn.c_custkey",
+    ),
+    (
+        "v_revenue",
+        "SELECT oe.n_name, sum(l.l_extendedprice) AS rev "
+        "FROM v_orders_enriched oe "
+        "JOIN lineitem l ON l.l_orderkey = oe.o_orderkey GROUP BY oe.n_name",
+    ),
+    (
+        "v_mix",
+        "SELECT rv.n_name, rg.r_name FROM v_revenue rv "
+        "JOIN v_regions rg ON 1=1",
+    ),
+    (
+        "v_top",
+        "WITH t AS (SELECT * FROM v_mix) "
+        "SELECT * FROM t JOIN v_revenue USING (n_name)",
+    ),
+]
+
+
+def view_dependency_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 depth: the view-dependency DAG of a warehouse — each view's
+    referenced tables/views (vendored recursive-descent parser; CTE
+    names excluded) and its topological LAYER (1 + longest chain of
+    view-on-view dependencies; base tables are layer 0). The layering is
+    what migration / refresh tooling runs first: layer order IS the safe
+    rebuild order.
+
+    Plan: parse once (Arrow-batched), then 6 fixed rounds of
+    edge-join + max — each round touches only the view-edge table
+    (dimension-sized; a warehouse has thousands of views, not billions).
+    The oracle derives the SAME edges from DuckDB's OWN
+    json_serialize_sql AST and layers them with a recursive CTE — two
+    unrelated parsers and two unrelated graph evaluators agreeing."""
+    from codebase_rag_spark.operators.sqlmeta import extract_sql_refs
+
+    df = spark.createDataFrame(VIEW_CORPUS, ["view_name", "sql"])
+    refs = extract_sql_refs(df, "sql")
+    views = df.select(F.col("view_name").alias("dep"))
+    vedges = (
+        refs.select("view_name", F.explode("tables").alias("dep"))
+        .join(F.broadcast(views), "dep")
+        .select("view_name", "dep")
+    )
+    layers = df.select("view_name").withColumn("layer", F.lit(1))
+    for _ in range(6):
+        bump = (
+            vedges.join(
+                layers.select(
+                    F.col("view_name").alias("dep"),
+                    F.col("layer").alias("dlayer"),
+                ),
+                "dep",
+            )
+            .groupBy("view_name")
+            .agg((F.max("dlayer") + 1).alias("cand"))
+        )
+        layers = layers.join(bump, "view_name", "left").select(
+            "view_name",
+            F.greatest(
+                F.col("layer"), F.coalesce(F.col("cand"), F.lit(1))
+            ).alias("layer"),
+        )
+    deps = refs.select(
+        "view_name",
+        F.size("tables").alias("n_deps"),
+        F.concat_ws(",", F.col("tables")).alias("deps"),
+    )
+    return (
+        layers.join(deps, "view_name")
+        .select(
+            "view_name", F.col("layer").cast("int").alias("layer"),
+            F.col("n_deps").cast("int").alias("n_deps"), "deps",
+        )
+        .orderBy("view_name")
+    )
+
+
+QUERIES["view_dependency_layers"] = view_dependency_layers
+
+
+def _view_values() -> str:
+    return _corpus_values(VIEW_CORPUS, "view_name, sql")
+
+
+ORACLES["view_dependency_layers"] = rf"""
+        WITH RECURSIVE c AS (SELECT * FROM {_view_values()}),
+        j AS (
+            SELECT view_name, json_serialize_sql(sql) AS js FROM c
+        ),
+        x AS (
+            SELECT view_name,
+                   list_distinct(regexp_extract_all(
+                       js, '"type":"BASE_TABLE"[^{{}}]*?"table_name":"([^"]+)"', 1))
+                       AS refs_l,
+                   list_distinct(regexp_extract_all(js, '"key":"([^"]+)"', 1))
+                       AS ctes_l
+            FROM j
+        ),
+        d AS (
+            SELECT view_name,
+                   list_sort(list_filter(refs_l,
+                       r -> NOT list_contains(ctes_l, r))) AS tables_l
+            FROM x
+        ),
+        e AS (SELECT view_name, unnest(tables_l) AS dep FROM d),
+        ve AS (
+            SELECT e.view_name, e.dep
+            FROM e JOIN (SELECT view_name AS dep FROM c) v USING (dep)
+        ),
+        r AS (
+            SELECT view_name, 1 AS layer FROM c
+            UNION ALL
+            SELECT ve.view_name, r.layer + 1
+            FROM r JOIN ve ON ve.dep = r.view_name
+        ),
+        lay AS (SELECT view_name, max(layer) AS layer FROM r GROUP BY view_name)
+        SELECT d.view_name,
+               CAST(lay.layer AS INTEGER) AS layer,
+               CAST(len(d.tables_l) AS INTEGER) AS n_deps,
+               array_to_string(d.tables_l, ',') AS deps
+        FROM d JOIN lay USING (view_name)
+        ORDER BY d.view_name
+"""

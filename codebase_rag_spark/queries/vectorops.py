@@ -982,3 +982,120 @@ ORACLES["retrieval_eval_ndcg"] = f"""
                     ELSE 0.0 END AS ndcg
         FROM agg
 """
+
+
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation, MRR@10 + recall@10 — the sibling of
+    retrieval_eval_ndcg over the same broadcast eval set (5 queries,
+    label agreement = relevance). ALL-INTEGER basis-point arithmetic:
+    rr_bp = 10000 div first-relevant-rank (0 if none in the top 10),
+    recall_bp = 10000 * hits-in-top-10 div total corpus relevants — no
+    float division anywhere, so the result is bit-identical on any
+    engine. Plan shape: corpus scan x broadcast(eval set) -> cosine ->
+    per-query rank window; the per-label corpus totals are one tiny
+    aggregate broadcast back."""
+    from codebase_rag_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NDCG_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("_qvec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= NDCG_N_QUERIES)
+    label_totals = corpus.groupBy(F.col("label").alias("qlabel")).agg(
+        F.count("*").cast("bigint").alias("n_rel_corpus")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id"),
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("_qvec")), 4
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= NDCG_K
+    )
+    per_q = top.groupBy("query_id", "qlabel").agg(
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.sum("rel").cast("bigint").alias("n_rel_topk"),
+    )
+    return (
+        per_q.join(F.broadcast(label_totals), "qlabel")
+        .select(
+            "query_id",
+            "qlabel",
+            "first_rel_rank",
+            F.when(
+                F.col("first_rel_rank") > 0,
+                F.expr("CAST(10000 div first_rel_rank AS BIGINT)"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("rr_bp"),
+            "n_rel_topk",
+            "n_rel_corpus",
+            F.expr("CAST((10000 * n_rel_topk) div n_rel_corpus AS BIGINT)")
+            .alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["retrieval_eval_mrr"] = retrieval_eval_mrr
+
+ORACLES["retrieval_eval_mrr"] = f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+            FROM embeddings WHERE vec_id < {NDCG_N_QUERIES}
+        ),
+        totals AS (
+            SELECT label AS qlabel, CAST(count(*) AS BIGINT) AS n_rel_corpus
+            FROM embeddings WHERE vec_id >= {NDCG_N_QUERIES}
+            GROUP BY label
+        ),
+        p AS (
+            SELECT q.query_id, q.qlabel, c.vec_id,
+                   CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+                   unnest(c.embedding)::DOUBLE AS x,
+                   unnest(q.qe)::DOUBLE AS y
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id >= {NDCG_N_QUERIES}
+        ),
+        s AS (
+            SELECT query_id, qlabel, vec_id, min(rel) AS rel,
+                   round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                       AS cosine
+            FROM p GROUP BY query_id, qlabel, vec_id
+        ),
+        r AS (
+            SELECT query_id, qlabel, rel,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rnk
+            FROM s
+        ),
+        agg AS (
+            SELECT query_id, qlabel,
+                   CAST(coalesce(min(CASE WHEN rel = 1 THEN rnk END), 0)
+                        AS BIGINT) AS first_rel_rank,
+                   CAST(sum(rel) AS BIGINT) AS n_rel_topk
+            FROM r WHERE rnk <= {NDCG_K}
+            GROUP BY query_id, qlabel
+        )
+        SELECT a.query_id, a.qlabel, a.first_rel_rank,
+               CASE WHEN a.first_rel_rank > 0
+                    THEN CAST(10000 // a.first_rel_rank AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS rr_bp,
+               a.n_rel_topk, t.n_rel_corpus,
+               CAST((10000 * a.n_rel_topk) // t.n_rel_corpus AS BIGINT)
+                   AS recall_bp
+        FROM agg a JOIN totals t USING (qlabel)
+        ORDER BY a.query_id
+"""
