@@ -968,6 +968,60 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution —
+    completing the attribution family (first-touch / linear /
+    time-decay / position): first and last touch get 40% each, the
+    middle splits the remaining 20% equally; 1 touch takes 100%, 2
+    touches split 50/50. Touch = DISTINCT (purchase, click-ts) pair —
+    position rank needs a total order, and duplicate timestamps would
+    make row_number nondeterministic. Weights are INTEGER basis points
+    (2000 div (n-2) for middles), one double multiply per pair, rounded
+    credits DECIMAL-summed. Same bucketized interval join as
+    linear_attribution (one hash shuffle, never O(n*m)); the oracle runs
+    the naive inequality join."""
+    from codebase_rag_spark.operators.windows import bounded_range_join_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = (
+        bounded_range_join_pairs(
+            purchases, clicks, "user_id", "event_id", lookback_minutes=24 * 60
+        )
+        .select("event_id", "_rts")
+        .distinct()
+    )
+    w = Window.partitionBy("event_id")
+    wo = Window.partitionBy("event_id").orderBy("_rts")
+    credited = (
+        pairs.withColumn("_pos", F.row_number().over(wo))
+        .withColumn("_n", F.count("*").over(w))
+        .join(purchases.select("event_id", "value"), "event_id")
+        .withColumn(
+            "_bp",
+            F.expr(
+                "CAST(CASE WHEN _n = 1 THEN 10000"
+                " WHEN _n = 2 THEN 5000"
+                " WHEN _pos = 1 OR _pos = _n THEN 4000"
+                " ELSE 2000 div (_n - 2) END AS BIGINT)"
+            ),
+        )
+        .select(
+            F.hour("_rts").alias("touch_hour"),
+            F.round(F.col("value") * F.col("_bp") / F.lit(10000.0), 6)
+            .cast("decimal(18,6)")
+            .alias("credit"),
+        )
+    )
+    return credited.groupBy("touch_hour").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 4).alias("total_credit"),
+    )
+
+
 def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-analytics session quality: per session-length bucket
     (1 = bounce, 2-4, 5+), session count, share of all sessions, and
@@ -1387,6 +1441,7 @@ QUERIES = {
     "monthly_revenue_growth": monthly_revenue_growth,
     "linear_attribution": linear_attribution,
     "time_decay_attribution": time_decay_attribution,
+    "position_attribution": position_attribution,
     "late_data_backfill": late_data_backfill,
     "value_quantile_sketch": value_quantile_sketch,
     "time_weighted_value": time_weighted_value,
@@ -2986,4 +3041,132 @@ ORACLES["psi_drift_audit"] = """
                CAST(sum(c_cur) AS BIGINT) AS n_cur,
                CAST(round(sum(term), 6) AS DOUBLE) AS psi
         FROM terms GROUP BY event_type
+"""
+
+
+ORACLES["position_attribution"] = """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        pairs AS (
+            SELECT DISTINCT p.event_id, c.ts AS click_ts
+            FROM purchases p JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000
+        ),
+        pos AS (
+            SELECT event_id, click_ts,
+                   row_number() OVER (PARTITION BY event_id
+                                      ORDER BY click_ts) AS p,
+                   count(*) OVER (PARTITION BY event_id) AS n
+            FROM pairs
+        ),
+        weighted AS (
+            SELECT pos.event_id, pos.click_ts, pu.value,
+                   CAST(CASE WHEN n = 1 THEN 10000
+                             WHEN n = 2 THEN 5000
+                             WHEN p = 1 OR p = n THEN 4000
+                             ELSE 2000 // (n - 2) END AS BIGINT) AS bp
+            FROM pos JOIN purchases pu USING (event_id)
+        ),
+        credited AS (
+            -- VARCHAR->DECIMAL(38,30) round: emulates Spark
+            -- round(double, 6) (the time_decay_attribution precedent)
+            SELECT CAST(hour(click_ts) AS INTEGER) AS touch_hour,
+                   CAST(round(CAST(CAST(value * bp / 10000.0 AS VARCHAR)
+                              AS DECIMAL(38,30)), 6)
+                        AS DECIMAL(18,6)) AS credit
+            FROM weighted
+        )
+        SELECT touch_hour, count(*) AS n_touches,
+               round(CAST(sum(credit) AS DOUBLE), 4) AS total_credit
+        FROM credited GROUP BY touch_hour
+"""
+
+
+# Benford first-digit expectation in basis points: round(log10(1+1/d)*10000)
+# — Python-precomputed literals, no runtime libm in either engine
+_BENFORD_BP: dict[int, int] = {
+    1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792,
+    6: 669, 7: 580, 8: 512, 9: 458,
+}
+
+
+def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over event values — the classic
+    fabricated-data / instrumentation-bug smell test. Values go through
+    the exact-cents convention (round(value*100) int64, the
+    value_quantile_sketch precedent; zero-cent rows are excluded — a
+    zero has no leading digit, and sf0.1 contains value = 0.0 rows);
+    the first digit is a pure string op on the int64 (no log10 at
+    runtime — the expected shares are Python-precomputed basis-point
+    literals). Per digit: count, observed share (bp, integer div),
+    Benford expectation (bp), and the signed deviation. One map-side
+    aggregate + a 9-row broadcast; nothing else moves."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    digits = (
+        e.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("first_digit")
+        )
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count("*").cast("bigint").alias("n_values")
+    )
+    total = counts.agg(F.sum("n_values").cast("bigint").alias("_total"))
+    btab = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_BP.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n_values",
+            F.expr("CAST((n_values * 10000) div _total AS BIGINT)").alias(
+                "observed_bp"
+            ),
+            btab[F.col("first_digit")].cast("bigint").alias("benford_bp"),
+        )
+        .withColumn(
+            "delta_bp", F.col("observed_bp") - F.col("benford_bp")
+        )
+        .orderBy("first_digit")
+    )
+
+
+QUERIES["benford_value_audit"] = benford_value_audit
+
+_BENFORD_VALUES = ", ".join(f"({d}, {bp})" for d, bp in _BENFORD_BP.items())
+
+ORACLES["benford_value_audit"] = f"""
+        WITH c AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        ),
+        d AS (
+            SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                       AS first_digit
+            FROM c WHERE cents > 0
+        ),
+        counts AS (
+            SELECT first_digit, CAST(count(*) AS BIGINT) AS n_values
+            FROM d GROUP BY first_digit
+        ),
+        total AS (SELECT CAST(sum(n_values) AS BIGINT) AS t FROM counts),
+        bf(first_digit, benford_bp) AS (VALUES {_BENFORD_VALUES})
+        SELECT c.first_digit, c.n_values,
+               CAST((c.n_values * 10000) // total.t AS BIGINT) AS observed_bp,
+               CAST(bf.benford_bp AS BIGINT) AS benford_bp,
+               CAST((c.n_values * 10000) // total.t - bf.benford_bp
+                    AS BIGINT) AS delta_bp
+        FROM counts c CROSS JOIN total JOIN bf USING (first_digit)
+        ORDER BY c.first_digit
 """
