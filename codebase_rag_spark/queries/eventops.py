@@ -3170,3 +3170,108 @@ ORACLES["benford_value_audit"] = f"""
         FROM counts c CROSS JOIN total JOIN bf USING (first_digit)
         ORDER BY c.first_digit
 """
+
+
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (the long-run "where do users spend their time" answer implied by
+    event_transitions' one-step matrix): 10 power-iteration steps of
+    pi' = pi P from the uniform start.
+
+    Exact-decimal iteration (the kmeans_iterations recipe): P entries
+    are quantized ONCE to DECIMAL(18,9) (one IEEE double division +
+    round, identical both engines); every pi update is then exact
+    decimal arithmetic — (18,9)x(18,9) products are DECIMAL(37,18) with
+    no rounding, summed exactly, re-quantized to (18,9) per step — so
+    10 chained iterations stay bit-identical cross-engine. The chain
+    state is one ~5-row broadcast table; the only corpus-sized work is
+    the single lead-window pass that builds the transition counts.
+    States with no outgoing transitions would leak mass (absent P row);
+    the event stream has none."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    tw = Window.partitionBy("from_type")
+    P = counts.select(
+        "from_type",
+        "to_type",
+        F.round(F.col("n") / F.sum("n").over(tw), 9)
+        .cast("decimal(18,9)")
+        .alias("p"),
+    ).localCheckpoint(eager=False)
+    states = P.select(F.col("from_type").alias("state")).distinct()
+    nstates = states.agg(F.count("*").alias("_k"))
+    pi = (
+        states.crossJoin(F.broadcast(nstates))
+        .select(
+            "state",
+            F.round(F.lit(1.0) / F.col("_k"), 9)
+            .cast("decimal(18,9)")
+            .alias("pi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(10):
+        pi = (
+            pi.join(P, pi["state"] == P["from_type"])
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(
+                F.round(F.sum(F.col("pi") * F.col("p")), 9)
+                .cast("decimal(18,9)")
+                .alias("pi")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pi.select(
+        "state",
+        F.round(F.col("pi").cast("double"), 6).alias("stationary_p"),
+    ).orderBy("state")
+
+
+QUERIES["event_markov_stationary"] = event_markov_stationary
+
+_MARKOV_ITER = """
+        it{i} AS (
+            SELECT P.to_type AS state,
+                   CAST(round(sum(it{prev}.pi * P.p), 9) AS DECIMAL(18,9))
+                       AS pi
+            FROM it{prev} JOIN P ON P.from_type = it{prev}.state
+            GROUP BY P.to_type
+        )"""
+
+ORACLES["event_markov_stationary"] = f"""
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        ),
+        P AS (
+            SELECT from_type, to_type,
+                   CAST(round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type),
+                              9) AS DECIMAL(18,9)) AS p
+            FROM counts
+        ),
+        states AS (SELECT DISTINCT from_type AS state FROM P),
+        it0 AS (
+            SELECT state,
+                   CAST(round(1.0::DOUBLE / (SELECT count(*) FROM states), 9)
+                        AS DECIMAL(18,9)) AS pi
+            FROM states
+        ),
+        {",".join(_MARKOV_ITER.format(i=i, prev=i - 1) for i in range(1, 11))}
+        SELECT state,
+               round(CAST(pi AS DOUBLE), 6) AS stationary_p
+        FROM it10 ORDER BY state
+"""
