@@ -3275,3 +3275,69 @@ ORACLES["event_markov_stationary"] = f"""
                round(CAST(pi AS DOUBLE), 6) AS stationary_p
         FROM it10 ORDER BY state
 """
+
+
+def late_arrival_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the batch evidence that sizes a
+    streaming watermark (`withWatermark` delay) before deploying the
+    §2.13 streaming jobs: treating event_id as arrival order, an
+    event's lateness is how far its timestamp lags the per-user running
+    maximum seen so far. Per event type: events, late events, the max
+    and mean lateness in seconds (exact integer microseconds until the
+    final division). A watermark shorter than the observed tail drops
+    those rows in production.
+
+    Plan: ONE user-keyed window (running max over arrival order) — the
+    same shuffle sessionization pays; the rollup is map-side combined.
+    The window is per-user, never global (the scalewin rule)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("late_us"),
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count(F.when(F.col("late_us") > 0, 1))
+            .cast("bigint")
+            .alias("n_late"),
+            F.expr("CAST(max(late_us) div 1000000 AS BIGINT)").alias(
+                "max_late_s"
+            ),
+            F.round(
+                F.sum("late_us") / F.count("*") / F.lit(1000000.0), 4
+            ).alias("avg_late_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["late_arrival_watermark_audit"] = late_arrival_watermark_audit
+
+ORACLES["late_arrival_watermark_audit"] = """
+        WITH late AS (
+            SELECT event_type,
+                   epoch_us(max(ts) OVER (PARTITION BY user_id
+                                          ORDER BY event_id
+                                          ROWS UNBOUNDED PRECEDING))
+                   - epoch_us(ts) AS late_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(CASE WHEN late_us > 0 THEN 1 END) AS BIGINT)
+                   AS n_late,
+               CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s,
+               round(CAST(sum(late_us) AS DOUBLE) / count(*) / 1000000.0, 4)
+                   AS avg_late_s
+        FROM late GROUP BY event_type
+        ORDER BY event_type
+"""
