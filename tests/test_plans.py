@@ -576,3 +576,27 @@ def test_round5_new_ops_plan_contracts(spark, sf_dir):
     df = QUERIES["zipf_fit_audit"](spark, sf_dir)
     assert "CartesianProduct" not in explain_str(df)
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_round6_new_operator_plan_contracts(spark, sf_dir):
+    """r6 additions: the candidate-confined / broadcast-bounded shapes
+    hold — no CartesianProduct anywhere, and the MIPS top-k compiles to
+    TakeOrderedAndProject with its tau as a broadcast (the prune must be
+    a scan-stage filter, not a shuffled join)."""
+    from codebase_rag_spark.plans import explain_str
+
+    mips = QUERIES["mips_norm_pruned_topk"](spark, sf_dir)
+    p = explain_str(mips)
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p  # q vector + tau ride as broadcasts
+
+    for name in (
+        "referential_integrity_audit",
+        "cluster_representative_pick",
+        "view_dependency_layers",
+        "position_attribution",
+        "event_markov_stationary",
+    ):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
