@@ -1354,3 +1354,116 @@ ORACLES["quality_classifier_score"] = r"""
         FROM weighted GROUP BY doc_id
         ORDER BY margin_milli DESC, doc_id LIMIT 25
 """
+
+
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level payoff line for the dedup stack: if every
+    duplicate cluster keeps only its representative (the SAME
+    n_chars-desc/doc_id rule as cluster_representative_pick), how many
+    docs and TOKENS disappear — the number a pretraining-data owner
+    actually budgets by. One row: corpus totals, clustered/dropped
+    docs, dropped tokens, savings in integer basis points.
+
+    Plan: corpus token totals are one map-side aggregate; everything
+    cluster-shaped runs on the pair graph; the final row is a crossJoin
+    of three 1-row broadcasts."""
+    from pyspark.sql import Window
+
+    from codebase_rag_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    totals = d.agg(
+        F.count("*").cast("bigint").alias("total_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    edges = cands.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    labels = connected_components(edges, iterations=3)
+    members = labels.join(
+        d.select(
+            F.col("doc_id").cast("string").alias("node"),
+            "doc_id",
+            "n_chars",
+            token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    ranked = members.withColumn("_rn", F.row_number().over(w))
+    cluster_stats = ranked.agg(
+        F.count("*").cast("bigint").alias("clustered_docs"),
+        F.count(F.when(F.col("_rn") > 1, 1)).cast("bigint").alias(
+            "dropped_docs"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("_rn") > 1, F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dropped_tokens"),
+    )
+    return totals.crossJoin(F.broadcast(cluster_stats)).select(
+        "total_docs",
+        "total_tokens",
+        "clustered_docs",
+        "dropped_docs",
+        "dropped_tokens",
+        F.expr(
+            "CAST((dropped_tokens * 10000) div total_tokens AS BIGINT)"
+        ).alias("savings_bp"),
+    )
+
+
+QUERIES["dedup_token_savings"] = dedup_token_savings
+
+ORACLES["dedup_token_savings"] = f"""
+        WITH cand AS ({_DEDUP_ORACLES["lsh_candidates"]}),
+        e AS (
+            SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+            FROM cand
+        ),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS component FROM u),
+        {_CC_ITER.format(i=1, prev=0)},
+        {_CC_ITER.format(i=2, prev=1)},
+        {_CC_ITER.format(i=3, prev=2)},
+        members AS (
+            SELECT l3.component, d.doc_id, d.n_chars,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(d.text, '\\s+'), x -> x <> ''))
+                       AS BIGINT) AS n_tokens
+            FROM l3 JOIN documents d ON CAST(d.doc_id AS VARCHAR) = l3.node
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM members
+        ),
+        cstats AS (
+            SELECT CAST(count(*) AS BIGINT) AS clustered_docs,
+                   CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT)
+                       AS dropped_docs,
+                   CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_tokens END), 0)
+                       AS BIGINT) AS dropped_tokens
+            FROM ranked
+        ),
+        totals AS (
+            SELECT CAST(count(*) AS BIGINT) AS total_docs,
+                   CAST(sum(len(list_filter(
+                       regexp_split_to_array(text, '\\s+'), x -> x <> '')))
+                       AS BIGINT) AS total_tokens
+            FROM documents
+        )
+        SELECT t.total_docs, t.total_tokens, c.clustered_docs,
+               c.dropped_docs, c.dropped_tokens,
+               CAST((c.dropped_tokens * 10000) // t.total_tokens AS BIGINT)
+                   AS savings_bp
+        FROM totals t CROSS JOIN cstats c
+"""

@@ -9,6 +9,7 @@ from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.functions.text import token_count
 from codebase_rag_spark.operators.sampling import (
     check_expectations,
+    hash_bucket,
     domain_mix_sample,
     dsir_weights,
     profile_columns,
@@ -791,4 +792,66 @@ ORACLES["mixture_epochs_plan"] = rf"""
                CAST(((needed_tokens - (n_epochs - 1) * available_tokens)
                     * 10000) // available_tokens AS BIGINT) AS last_epoch_bp
         FROM ep ORDER BY source
+"""
+
+
+def kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment + balance audit: fold =
+    md5(doc_id || 'fold') mod 5 (content-hash, layout/engine-independent
+    — the train_test_split convention), audited per (fold, lang) so a
+    skewed fold is visible before anyone trains on it. Deviation from
+    the expected lang share is integer basis points. Scan-stage
+    assignment + one small aggregate; the lang totals ride back as a
+    broadcast join."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = hash_bucket(F.col("doc_id"), 5, "fold")
+    cells = (
+        d.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    lang_tot = cells.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("_lang_total")
+    )
+    return (
+        cells.join(F.broadcast(lang_tot), "lang")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            F.expr("CAST((n_docs * 10000) div _lang_total AS BIGINT)").alias(
+                "fold_share_bp"
+            ),
+            F.expr(
+                "CAST((n_docs * 10000) div _lang_total - 2000 AS BIGINT)"
+            ).alias("dev_from_uniform_bp"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+QUERIES["kfold_assignment_audit"] = kfold_assignment_audit
+
+_FOLD = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fold'), 1, 8))"
+    "::BIGINT % 5)"
+)
+
+ORACLES["kfold_assignment_audit"] = f"""
+        WITH cells AS (
+            SELECT CAST({_FOLD} AS INTEGER) AS fold, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
+            FROM cells GROUP BY lang
+        )
+        SELECT c.fold, c.lang, c.n_docs,
+               CAST((c.n_docs * 10000) // t.lang_total AS BIGINT)
+                   AS fold_share_bp,
+               CAST((c.n_docs * 10000) // t.lang_total - 2000 AS BIGINT)
+                   AS dev_from_uniform_bp
+        FROM cells c JOIN tot t USING (lang)
+        ORDER BY c.fold, c.lang
 """
