@@ -397,3 +397,130 @@ ORACLES["prefix_jaccard_pairs"] = r"""
             WHERE len(a.toks) > 0 AND len(b.toks) > 0
         ) WHERE jaccard >= 0.4
 """
+
+
+def minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash stack: per LSH candidate
+    pair, how many of the 4 signature components agree (the MinHash
+    Jaccard ESTIMATE, matches/4) vs the EXACT 3-shingle Jaccard —
+    bucketed by agreement count. The calibration table that tells a
+    dedup-threshold owner whether `>= 3 of 4 components` actually means
+    `J >~ 0.75` on THEIR corpus before they delete data with it.
+
+    Per bucket: pair count, the implied estimate in basis points
+    (matches * 2500, exact int), and the min/avg/max exact Jaccard.
+    Candidate-confined throughout — signatures join onto the LSH pair
+    list, never all-pairs; the exact Jaccard reuses
+    ngram_jaccard_pairs' array-intersect form on the same pairs."""
+    from codebase_rag_spark.functions.hashing import minhash_word_expr
+    from codebase_rag_spark.functions.hashing import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    exact = ngram_jaccard_pairs(
+        d, "doc_id", "text", candidates=cands, threshold=0.0, n=3
+    )
+    toks = tokens(F.col("text"))
+    exploded = (
+        d.filter(F.size(toks) >= 3)
+        .select(F.col("doc_id"), F.explode(shingles(toks, 3)).alias("tok"))
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_word_expr(F.col("tok"), i)).alias(f"mh{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    siga = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    est = sum(
+        (
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(NUM_HASHES)
+        ),
+        F.lit(0),
+    )
+    j = (
+        exact.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .select("jaccard", est.alias("est_matches"))
+    )
+    return (
+        j.groupBy("est_matches")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.min("jaccard"), 4).alias("min_jaccard"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+        )
+        .select(
+            "est_matches",
+            (F.col("est_matches") * 2500).cast("bigint").alias("est_bp"),
+            "n_pairs",
+            "min_jaccard",
+            "avg_jaccard",
+            "max_jaccard",
+        )
+        .orderBy("est_matches")
+    )
+
+
+QUERIES["minhash_calibration_audit"] = minhash_calibration_audit
+
+ORACLES["minhash_calibration_audit"] = rf"""
+        WITH cand AS ({ORACLES["lsh_candidates"]}),
+        base AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+            FROM documents
+            WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS grams
+            FROM base
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 2),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS tok
+            FROM base
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sql_cols()}
+            FROM toks GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                         / len(list_distinct(sa.grams || sb.grams)), 4)
+                       AS jaccard,
+                   (CASE WHEN ga.mh0 = gb.mh0 THEN 1 ELSE 0 END
+                    + CASE WHEN ga.mh1 = gb.mh1 THEN 1 ELSE 0 END
+                    + CASE WHEN ga.mh2 = gb.mh2 THEN 1 ELSE 0 END
+                    + CASE WHEN ga.mh3 = gb.mh3 THEN 1 ELSE 0 END)
+                       AS est_matches
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+            JOIN sig ga ON ga.doc_id = c.id_a
+            JOIN sig gb ON gb.doc_id = c.id_b
+        )
+        SELECT est_matches,
+               CAST(est_matches * 2500 AS BIGINT) AS est_bp,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(min(jaccard), 4) AS min_jaccard,
+               round(avg(jaccard), 4) AS avg_jaccard,
+               round(max(jaccard), 4) AS max_jaccard
+        FROM pairs GROUP BY est_matches
+        ORDER BY est_matches
+"""
