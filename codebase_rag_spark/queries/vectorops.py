@@ -1099,3 +1099,120 @@ ORACLES["retrieval_eval_mrr"] = f"""
         FROM agg a JOIN totals t USING (qlabel)
         ORDER BY a.query_id
 """
+
+
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by 4 steps of
+    distributed power iteration (v <- A^T A v) — the embedding-pipeline
+    op behind all-but-the-top (ABTT) post-processing and drift checks.
+    Uncentered (top right-singular vector of the raw matrix; these
+    embeddings are near zero-mean) and max-abs-normalized per step — NO
+    sqrt/norm anywhere, so every step stays in the exact-decimal regime.
+
+    The kmeans_iterations contract generalized to a corpus-sized matvec:
+    components quantized ONCE to DECIMAL(18,9); each step is two exact
+    decimal aggregates (A v per vector, then A^T u per dimension — the
+    distributed matvec pair, one keyed shuffle each over the
+    posexploded (vec, dim, x) table, checkpointed once), one IEEE double
+    division by the max-abs (broadcast 1-row), re-quantize. 4 chained
+    steps are bit-identical cross-engine; the oracle unrolls them as
+    CTEs. Convergence quality is data-dependent and NOT the contract —
+    deterministic reproducibility of the estimate is."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select("vec_id", F.posexplode(F.col("embedding")).alias("d", "xf"))
+        .select(
+            "vec_id",
+            "d",
+            F.round(F.col("xf").cast("double"), 9)
+            .cast("decimal(18,9)")
+            .alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = (
+        pts.select("d")
+        .distinct()
+        .select("d", F.lit(1.0).cast("decimal(18,9)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(4):
+        u = (
+            pts.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("_u"))
+            .select(
+                "vec_id",
+                F.round(F.col("_u").cast("double"), 9)
+                .cast("decimal(18,9)")
+                .alias("u"),
+            )
+        )
+        w = (
+            pts.join(u, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("x") * F.col("u")).alias("_w"))
+            .select(
+                "d",
+                F.round(F.col("_w").cast("double"), 9)
+                .cast("decimal(18,9)")
+                .alias("w"),
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "d",
+                F.round(
+                    F.col("w").cast("double") / F.col("m").cast("double"), 9
+                )
+                .cast("decimal(18,9)")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(
+        F.col("d").alias("dim"),
+        F.round(F.col("v").cast("double"), 6).alias("component"),
+    ).orderBy("dim")
+
+
+QUERIES["embedding_pca_power_iteration"] = embedding_pca_power_iteration
+
+_PCA_ITER = """
+        u{i} AS (
+            SELECT vec_id,
+                   CAST(round(CAST(sum(pts.x * v{prev}.v) AS DOUBLE), 9)
+                        AS DECIMAL(18,9)) AS u
+            FROM pts JOIN v{prev} USING (d) GROUP BY vec_id
+        ),
+        w{i} AS (
+            SELECT d,
+                   CAST(round(CAST(sum(pts.x * u{i}.u) AS DOUBLE), 9)
+                        AS DECIMAL(18,9)) AS w
+            FROM pts JOIN u{i} USING (vec_id) GROUP BY d
+        ),
+        m{i} AS (SELECT max(abs(w)) AS m FROM w{i}),
+        v{i} AS (
+            SELECT d,
+                   CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE), 9)
+                        AS DECIMAL(18,9)) AS v
+            FROM w{i} CROSS JOIN m{i}
+        )"""
+
+ORACLES["embedding_pca_power_iteration"] = f"""
+        WITH pts AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS d,
+                   CAST(round(unnest(embedding)::DOUBLE, 9)
+                        AS DECIMAL(18,9)) AS x
+            FROM embeddings
+        ),
+        v0 AS (
+            SELECT DISTINCT d, CAST(1.0 AS DECIMAL(18,9)) AS v FROM pts
+        ),
+        {",".join(_PCA_ITER.format(i=i, prev=i - 1) for i in range(1, 5))}
+        SELECT d AS dim, round(CAST(v AS DOUBLE), 6) AS component
+        FROM v4 ORDER BY dim
+"""
