@@ -1109,3 +1109,232 @@ ORACLES["ship_delay_percentiles"] = """
                         THEN delay_days END) AS p99_days
         FROM r GROUP BY n_name
 """
+
+
+def weekly_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of DAILY order revenue
+    with a weekly period (the STL-lite "trend + seasonal + remainder"
+    split behind forecasting dashboards; complements seasonal_naive
+    _backtest, which only scores the naive seasonal forecast):
+
+      trend_t    = centered 7-day moving average (full windows only)
+      seasonal_w = mean detrended deviation of weekday class w
+      remainder  = revenue - trend - seasonal
+
+    Scale shape: ALL math runs on the daily AGGREGATE (calendar-bounded
+    rows no matter the order count — the cusum_change_points exception
+    class), so the global-ordered MA window is a bounded sort, and the
+    one corpus-sized job is the daily groupBy. Determinism: daily sums
+    are exact int64 cents; the MA is ONE IEEE division by 7.0 of an
+    exact int64 (< 2^53 ⇒ correctly rounded) then quantized to
+    DECIMAL(18,4); deviations are exact decimal subtraction; the
+    per-weekday mean is one more correctly-rounded division of an
+    exact-decimal sum; the remainder is exact decimal subtraction.
+    Cents->dollars at output is an exact DECIMAL multiply by 0.01 and a
+    DECIMAL-domain round (the r4 rule: rounding the double after /100.0
+    hits exact .5e-5 halfway points — caught at sf0.001 here).
+    Weekday class = datediff(day, min day) mod 7 — engine-neutral (no
+    dow() convention mismatch), stable under calendar gaps."""
+    _CENT = F.lit("0.01").cast("decimal(2,2)")
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("cents")
+    )
+    d0 = daily.agg(F.min("day").alias("_d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        "day",
+        (F.datediff("day", "_d0") % 7).cast("int").alias("dow"),
+        "cents",
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    ma = (
+        pts.withColumn("_n7", F.count("*").over(w))
+        .withColumn("_s7", F.sum("cents").over(w))
+        .filter(F.col("_n7") == 7)
+        .withColumn(
+            "trend_c",
+            F.round(F.col("_s7") / F.lit(7.0), 4).cast("decimal(18,4)"),
+        )
+        .withColumn(
+            "dev",
+            F.col("cents").cast("decimal(18,4)") - F.col("trend_c"),
+        )
+    )
+    seas = ma.groupBy("dow").agg(
+        F.round(
+            F.sum("dev").cast("double") / F.count("*"), 4
+        )
+        .cast("decimal(18,4)")
+        .alias("seasonal_c")
+    )
+    return (
+        ma.join(F.broadcast(seas), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dow"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("trend_c") * _CENT, 4).cast("double").alias("trend"),
+            F.round(F.col("seasonal_c") * _CENT, 4)
+            .cast("double")
+            .alias("seasonal"),
+            F.round((F.col("dev") - F.col("seasonal_c")) * _CENT, 4)
+            .cast("double")
+            .alias("remainder"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["weekly_seasonal_decomposition"] = weekly_seasonal_decomposition
+
+ORACLES["weekly_seasonal_decomposition"] = """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        d0 AS (SELECT min(day) AS _d0 FROM daily),
+        pts AS (
+            SELECT day,
+                   CAST(date_diff('day', (SELECT _d0 FROM d0), day) % 7
+                        AS INTEGER) AS dow,
+                   cents
+            FROM daily
+        ),
+        ma AS (
+            SELECT day, dow, cents,
+                   count(*) OVER (ORDER BY day
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS _n7,
+                   sum(cents) OVER (ORDER BY day
+                                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS _s7
+            FROM pts
+        ),
+        tr AS (
+            SELECT day, dow, cents,
+                   CAST(round(_s7 / 7.0, 4) AS DECIMAL(18,4)) AS trend_c,
+                   CAST(cents AS DECIMAL(18,4))
+                       - CAST(round(_s7 / 7.0, 4) AS DECIMAL(18,4)) AS dev
+            FROM ma WHERE _n7 = 7
+        ),
+        seas AS (
+            SELECT dow,
+                   CAST(round(CAST(sum(dev) AS DOUBLE) / count(*), 4)
+                        AS DECIMAL(18,4)) AS seasonal_c
+            FROM tr GROUP BY dow
+        )
+        SELECT strftime(t.day, '%Y-%m-%d') AS day,
+               t.dow,
+               round(t.cents / 100.0, 2) AS revenue,
+               CAST(round(t.trend_c * CAST(0.01 AS DECIMAL(2,2)), 4)
+                    AS DOUBLE) AS trend,
+               CAST(round(s.seasonal_c * CAST(0.01 AS DECIMAL(2,2)), 4)
+                    AS DOUBLE) AS seasonal,
+               CAST(round((t.dev - s.seasonal_c) * CAST(0.01 AS DECIMAL(2,2)),
+                          4) AS DOUBLE) AS remainder
+        FROM tr t JOIN seas s USING (dow)
+        ORDER BY day
+"""
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily order revenue at calendar lags
+    1..7 days — the weekly-cycle evidence that sizes the seasonal period
+    for weekly_seasonal_decomposition (a strong lag-7 spike = weekly
+    seasonality). acf_k = sum(z_t * z_{t+k}) / sum(z_t^2) with
+    z_t = n*y_t - S (deviations scaled by n to stay INTEGER-exact: no
+    mean subtraction in floating point anywhere). Products of int64 z
+    overflow int64, so each z is cast to DECIMAL(19,0) (forces INT128
+    multiply in DuckDB) and products are exact DECIMAL(38,0) sums; the single IEEE division per lag happens
+    on the final exact numerator/denominator. Lag alignment is by
+    CALENDAR day (join on d2 = d1 + k), not row offset, so gaps pair
+    nothing instead of smearing. Scale shape: everything after the one
+    daily groupBy runs on calendar-bounded aggregate rows; the lag table
+    is a broadcast 7-row literal."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("cents")
+    )
+    d0 = daily.agg(F.min("day").alias("_d0"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("cents").cast("bigint").alias("_s"),
+    )
+    pts = (
+        daily.crossJoin(F.broadcast(d0))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.datediff("day", "_d0").cast("bigint").alias("d"),
+            (F.col("_n") * F.col("cents") - F.col("_s"))
+            .cast("decimal(19,0)")
+            .alias("z"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    den = pts.agg(F.sum(F.col("z") * F.col("z")).alias("_den"))
+    ks = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("a.z") * F.col("b.z")).alias("_num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+QUERIES["acf_daily_revenue"] = acf_daily_revenue
+
+ORACLES["acf_daily_revenue"] = """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        d0 AS (SELECT min(day) AS _d0 FROM daily),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS _n,
+                   CAST(sum(cents) AS BIGINT) AS _s
+            FROM daily
+        ),
+        pts AS (
+            SELECT CAST(date_diff('day', (SELECT _d0 FROM d0), day)
+                        AS BIGINT) AS d,
+                   CAST(_n * cents - _s AS DECIMAL(19,0)) AS z
+            FROM daily CROSS JOIN tot
+        ),
+        den AS (SELECT sum(z * z) AS _den FROM pts),
+        ks AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        pairs AS (
+            SELECT lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   sum(a.z * b.z) AS _num
+            FROM pts a CROSS JOIN ks JOIN pts b ON b.d = a.d + lag
+            GROUP BY lag
+        )
+        SELECT lag, n_pairs,
+               round(CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE), 6) AS acf
+        FROM pairs CROSS JOIN den
+        ORDER BY lag
+"""
