@@ -3341,3 +3341,270 @@ ORACLES["late_arrival_watermark_audit"] = """
         FROM late GROUP BY event_type
         ORDER BY event_type
 """
+
+
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Markov-chain attribution with removal effects
+    (Anderl et al. 2016 — the model-based completion of the heuristic
+    attribution family first_touch / linear / time_decay / position):
+    per-user journeys are segmented at purchases (touch sequence ->
+    CONV, dangling tail -> NULL); the first-order chain over
+    {START, click, view, signup, error, CONV, NULL} is estimated from
+    transition counts; the removal effect of channel c is the drop in
+    START->CONV absorption probability when every transition INTO c is
+    redirected to NULL (standard removal semantics, no renormalization).
+
+    Absorption is computed by K=12 mass-propagation steps for ALL 5
+    chain variants (full + 4 removals) TOGETHER — the variant is a key
+    column, and CONV carries a p=1 self-loop so the accumulated
+    conversion mass rides IN the state vector: each step is therefore
+    exactly ONE tiny keyed join + groupBy (<=35-row state table), the
+    event_markov_stationary shape, with no per-step increment branches
+    to re-evaluate at the end. Exact-decimal per the kmeans/stationary
+    recipe: P quantized once to DECIMAL(18,9); each step's masses are
+    exact (37,18) products summed exactly and re-quantized to (18,9) —
+    bit-identical cross-engine (the CONV carry x 1.000000000 is exact,
+    so its re-quantization is the identity). K-step determinism (not
+    full convergence) is the contract, as in event_markov_stationary /
+    embedding_pca_power_iteration. The one corpus-sized job is the
+    per-user segmentation window; everything after runs on the
+    <=47-row transition table."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wseq.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("seg"),
+    )
+    wseg = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    wdesc = Window.partitionBy("user_id", "seg").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rowt = seq.select(
+        "event_type",
+        F.lag("event_type").over(wseg).alias("prev"),
+        F.row_number().over(wdesc).alias("rdesc"),
+    )
+    trans = (
+        rowt.select(
+            F.coalesce("prev", F.lit("START")).alias("from_state"),
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("to_state"),
+        )
+        .unionAll(
+            rowt.filter(
+                (F.col("rdesc") == 1) & (F.col("event_type") != "purchase")
+            ).select(
+                F.col("event_type").alias("from_state"),
+                F.lit("NULL").alias("to_state"),
+            )
+        )
+    )
+    counts = trans.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n")
+    )
+    wfrom = Window.partitionBy("from_state")
+    P = counts.select(
+        "from_state",
+        "to_state",
+        F.round(F.col("n") / F.sum("n").over(wfrom), 9)
+        .cast("decimal(18,9)")
+        .alias("p"),
+    ).localCheckpoint(eager=False)
+    channels = ["click", "view", "signup", "error"]
+    variants = spark.createDataFrame(
+        [(v,) for v in ["FULL"] + channels], ["variant"]
+    )
+    Pv = (
+        P.crossJoin(F.broadcast(variants))
+        .filter(F.col("from_state") != F.col("variant"))
+        .groupBy(
+            "variant",
+            "from_state",
+            F.when(F.col("to_state") == F.col("variant"), "NULL")
+            .otherwise(F.col("to_state"))
+            .alias("to_state"),
+        )
+        .agg(F.sum("p").cast("decimal(18,9)").alias("p"))
+        .unionAll(
+            variants.select(
+                "variant",
+                F.lit("CONV").alias("from_state"),
+                F.lit("CONV").alias("to_state"),
+                F.lit("1.0").cast("decimal(18,9)").alias("p"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = variants.select(
+        "variant",
+        F.lit("START").alias("state"),
+        F.lit("1.0").cast("decimal(18,9)").alias("m"),
+    )
+    for _ in range(12):
+        m = (
+            m.alias("mm")
+            .join(
+                Pv.alias("pp"),
+                (F.col("mm.variant") == F.col("pp.variant"))
+                & (F.col("pp.from_state") == F.col("mm.state")),
+            )
+            .filter(F.col("pp.to_state") != "NULL")
+            .groupBy(
+                F.col("mm.variant").alias("variant"),
+                F.col("pp.to_state").alias("state"),
+            )
+            .agg(
+                F.round(F.sum(F.col("mm.m") * F.col("pp.p")), 9)
+                .cast("decimal(18,9)")
+                .alias("m")
+            )
+            .localCheckpoint(eager=False)
+        )
+    conv = m.filter(F.col("state") == "CONV").select(
+        "variant", F.col("m").alias("pconv")
+    )
+    pfull = conv.filter(F.col("variant") == "FULL").select(
+        F.col("pconv").alias("pfull")
+    )
+    rem = (
+        spark.createDataFrame([(c,) for c in channels], ["channel"])
+        .join(conv.withColumnRenamed("variant", "channel"), "channel", "left")
+        .select(
+            "channel",
+            F.coalesce(
+                "pconv", F.lit("0").cast("decimal(18,9)")
+            ).alias("premoved"),
+        )
+        .crossJoin(F.broadcast(pfull))
+        .withColumn("effect", F.col("pfull") - F.col("premoved"))
+    )
+    tot = rem.agg(F.sum("effect").cast("decimal(18,9)").alias("_tot"))
+    return (
+        rem.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(F.col("pfull").cast("double"), 6).alias("p_conv_full"),
+            F.round(F.col("premoved").cast("double"), 6).alias(
+                "p_conv_removed"
+            ),
+            F.round(F.col("effect").cast("double"), 6).alias("removal_effect"),
+            F.round(
+                F.col("effect").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
+
+
+QUERIES["markov_removal_attribution"] = markov_removal_attribution
+
+# Each m{i} is referenced exactly once (by m{i+1}) so inlining stays a
+# linear chain; Pv is referenced by every step and MUST be MATERIALIZED
+# or DuckDB's CTE inlining replays the corpus-sized Pv chain 12 times.
+_MKV_STEP = """
+        m{i} AS (
+            SELECT m.variant, Pv.to_state AS state,
+                   CAST(round(sum(m.m * Pv.p), 9) AS DECIMAL(18,9)) AS m
+            FROM m{prev} m JOIN Pv
+              ON Pv.variant = m.variant AND Pv.from_state = m.state
+            WHERE Pv.to_state <> 'NULL'
+            GROUP BY 1, 2
+        )"""
+
+ORACLES["markov_removal_attribution"] = f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   coalesce(sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS seg
+            FROM events
+        ),
+        rowt AS MATERIALIZED (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id, seg
+                                         ORDER BY ts, event_id) AS prev,
+                   row_number() OVER (PARTITION BY user_id, seg
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rdesc
+            FROM seq
+        ),
+        trans AS (
+            SELECT coalesce(prev, 'START') AS from_state,
+                   CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END AS to_state
+            FROM rowt
+            UNION ALL
+            SELECT event_type AS from_state, 'NULL' AS to_state
+            FROM rowt WHERE rdesc = 1 AND event_type <> 'purchase'
+        ),
+        counts AS (
+            SELECT from_state, to_state, count(*) AS n
+            FROM trans GROUP BY 1, 2
+        ),
+        P AS (
+            SELECT from_state, to_state,
+                   CAST(round(n / sum(n) OVER (PARTITION BY from_state), 9)
+                        AS DECIMAL(18,9)) AS p
+            FROM counts
+        ),
+        variants AS (
+            SELECT unnest(['FULL', 'click', 'view', 'signup', 'error'])
+                AS variant
+        ),
+        Pv AS MATERIALIZED (
+            SELECT v.variant, P.from_state,
+                   CASE WHEN P.to_state = v.variant THEN 'NULL'
+                        ELSE P.to_state END AS to_state,
+                   CAST(sum(p) AS DECIMAL(18,9)) AS p
+            FROM P CROSS JOIN variants v
+            WHERE P.from_state <> v.variant
+            GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT variant, 'CONV' AS from_state, 'CONV' AS to_state,
+                   CAST(1.0 AS DECIMAL(18,9)) AS p
+            FROM variants
+        ),
+        m0 AS (
+            SELECT variant, 'START' AS state,
+                   CAST(1.0 AS DECIMAL(18,9)) AS m
+            FROM variants
+        ),
+        {",".join(_MKV_STEP.format(i=i, prev=i - 1) for i in range(1, 13))},
+        conv AS (
+            SELECT variant, m AS pconv FROM m12 WHERE state = 'CONV'
+        ),
+        pfull AS (SELECT pconv AS pfull FROM conv WHERE variant = 'FULL'),
+        rem AS (
+            SELECT ch.channel,
+                   coalesce(c.pconv, CAST(0 AS DECIMAL(18,9))) AS premoved,
+                   (SELECT pfull FROM pfull)
+                       - coalesce(c.pconv, CAST(0 AS DECIMAL(18,9)))
+                       AS effect
+            FROM (SELECT unnest(['click', 'view', 'signup', 'error'])
+                      AS channel) ch
+            LEFT JOIN conv c ON c.variant = ch.channel
+        ),
+        tot AS (SELECT CAST(sum(effect) AS DECIMAL(18,9)) AS _tot FROM rem)
+        SELECT channel,
+               round(CAST((SELECT pfull FROM pfull) AS DOUBLE), 6)
+                   AS p_conv_full,
+               round(CAST(premoved AS DOUBLE), 6) AS p_conv_removed,
+               round(CAST(effect AS DOUBLE), 6) AS removal_effect,
+               round(CAST(effect AS DOUBLE)
+                     / CAST((SELECT _tot FROM tot) AS DOUBLE), 6)
+                   AS attribution_share
+        FROM rem
+        ORDER BY channel
+"""
