@@ -511,9 +511,18 @@ def bigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -ln(p) is computed ONCE at vocab level, rounded to 6dp and quantized
     to DECIMAL(16,6); per-doc totals are exact decimal sums of
     cnt * quantized-score — partition- and engine-independent, with the
-    single double division done last. Plan: one doc-bigram collapse
-    shuffle (Zipf head collapses map-side), vocab aggregates on the
-    collapsed table, score join keyed on the bigram, one doc aggregate.
+    single double division done last.
+
+    Scale shape (re-shaped r6, VERDICT r5 100×-audit item): per-doc
+    bigram counting happens INSIDE the row — sort the doc's bigram
+    struct array, run-length-encode equal neighbours — so no bigram
+    OCCURRENCE ever reaches a shuffle. The first exchange already
+    carries doc-DISTINCT bigrams (collapsed rows), cutting shuffle rows
+    by the mean within-doc repetition factor; doc_bg is checkpointed so
+    tokenize+explode runs once for its two consumers (vocab agg + score
+    join). Downstream (vocab aggregates, score join keyed on the
+    bigram, one doc aggregate) is unchanged and bit-identical — same
+    oracle.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
@@ -521,20 +530,43 @@ def bigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_t") >= 2
     )
     n_ = F.size("_t")
-    pairs = base.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("_t"), 1, n_ - 1),
-                F.slice(F.col("_t"), 2, n_ - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("bg"),
+    bgs = F.array_sort(
+        F.zip_with(
+            F.slice(F.col("_t"), 1, n_ - 1),
+            F.slice(F.col("_t"), 2, n_ - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
     )
-    doc_bg = pairs.groupBy(
-        "doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
-    ).agg(F.count("*").alias("cnt"))
+    withbg = base.select("doc_id", "lang", bgs.alias("_bgs"))
+    # 1-based positions where a new run starts; counts = gap to the
+    # next start (sentinel size+1 closes the last run).
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size("_bgs")),
+        lambda i: (i == F.lit(1))
+        | (F.get("_bgs", i - 1) != F.get("_bgs", i - 2)),
+    )
+    runs = withbg.select("doc_id", "lang", starts.alias("_st"), "_bgs")
+    rl = F.zip_with(
+        F.col("_st"),
+        F.concat(
+            F.slice(F.col("_st"), 2, F.size("_st") - 1),
+            F.array(F.size("_bgs") + 1),
+        ),
+        lambda s, nx: F.struct(
+            F.get("_bgs", s - 1).alias("bg"), (nx - s).alias("cnt")
+        ),
+    )
+    doc_bg = (
+        runs.select("doc_id", "lang", F.explode(rl).alias("r"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("r.bg.w1").alias("w1"),
+            F.col("r.bg.w2").alias("w2"),
+            F.col("r.cnt").cast("bigint").alias("cnt"),
+        )
+        .localCheckpoint(eager=False)
+    )
     big = doc_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
     big = big.localCheckpoint(eager=False)  # ctx, c2, n2 and the join share it
     ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))

@@ -362,9 +362,10 @@ def test_round4_ops_plan_contracts(spark, sf_dir):
         # gram explode scan-stage -> one bucket agg -> broadcast ratio
         # join -> one doc agg (+ top-k)
         "dsir_importance_weights": 6,
-        # doc-bigram collapse -> vocab aggs on checkpointed table ->
-        # bigram-keyed score join -> doc agg
-        "bigram_surprise_docs": 10,
+        # in-row run-length bigram counts (r6: no occurrence shuffle) ->
+        # vocab aggs on checkpointed doc_bg -> bigram-keyed score join
+        # -> doc agg
+        "bigram_surprise_docs": 8,
         # two exact_rank_quantile passes (r5): each adds a range
         # exchange + tiny totals/offsets aggregates in place of the
         # per-type full-sort window
