@@ -671,31 +671,55 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e.g. the GPT-3/CCNet Wikipedia-vs-crawl filter), with the
     deterministic plumbing real and the learned weights replaced by a
     hash-derived fixed vector (the sandbox has no trained model; swap
-    `w_milli` for a broadcast weight table to productionize). Plan
-    shape: token explode -> feature bucket AND weight computed INLINE
-    from md5 (no weight-table join at all) -> one doc-keyed sum. The
-    margin stays an exact int64 (milli-weights in [-1000, 1000] summed
-    over tokens), so ranking and sign are engine-exact with zero float
-    hazard. Scales: one shuffle keyed on doc_id, O(tokens) work."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.col("tok"), F.lit("\x00qcls"))), 1, 8), 16, 10)
-        .cast("bigint") % QCLS_DIM
-    )
-    w_milli = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(bucket.cast("string"), F.lit("\x00qclsw"))), 1, 8
-            ),
+    the literal weight array for a broadcast weight table to
+    productionize). Plan shape (re-shaped r6 — was the slowest bench
+    row): ZERO exchanges. The QCLS_DIM=1024 weight vector is
+    Python-precomputed (hashlib.md5, the identical derivation the
+    DuckDB oracle still runs symbolically — the NDCG discount-table
+    precedent) and baked in as an array literal, so scoring is one md5
+    + one array lookup per token; the per-doc margin is computed
+    INSIDE the row (transform + aggregate over the token array — no
+    explode, no doc-keyed shuffle), and the top-25 is a TakeOrdered.
+    The margin stays an exact int64 (milli-weights in [-1000, 1000]
+    summed over tokens), so ranking and sign are engine-exact with
+    zero float hazard. Scales: scan-stage only, O(tokens) work."""
+    import hashlib
+
+    w_table = [
+        int(
+            hashlib.md5(
+                (str(b) + "\x00qclsw").encode()
+            ).hexdigest()[:8],
             16,
-            10,
-        ).cast("bigint") % 2001
+        )
+        % 2001
         - 1000
+        for b in range(QCLS_DIM)
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("_t")).filter(
+        F.size("_t") >= 1
     )
-    scored = tok.select("doc_id", w_milli.alias("w")).groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.sum("w").cast("bigint").alias("margin_milli"),
+
+    def w_milli(t):
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.concat(t, F.lit("\x00qcls"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % QCLS_DIM
+        )
+        return F.get(F.lit(w_table), bucket.cast("int")).cast("bigint")
+
+    scored = base.select(
+        "doc_id",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform(F.col("_t"), w_milli),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("margin_milli"),
     )
     return (
         scored.select(
