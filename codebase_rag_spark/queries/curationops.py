@@ -1523,3 +1523,148 @@ ORACLES["dedup_token_savings"] = f"""
                    AS savings_bp
         FROM totals t CROSS JOIN cstats c
 """
+
+
+def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the LSH near-duplicate pair graph — the
+    graph-native answer to 'which doc is the hub of its duplicate
+    neighbourhood' (complements cluster_representative_pick's
+    keep-longest rule with a structural one: template masters and
+    boilerplate sources score high because many variants link to them).
+    Damping 0.85, 8 power-iteration steps.
+
+    Exact-decimal per the markov/kmeans recipe: per-edge weight 1/deg
+    and the teleport 0.15/N are exact-int IEEE divisions quantized ONCE
+    to DECIMAL(18,9); each step is exact (r*w) decimal products summed
+    exactly, re-quantized to (18,9), then one exact (10,9)x(18,9)
+    damping product and an exact add — bit-identical cross-engine, so
+    the top-20 cut (rank desc, doc_id tiebreak) is deterministic.
+
+    Scale shape: the LSH band self-join is the only corpus-sized
+    shuffle; the 8 iteration joins and aggregates run on the PAIR-GRAPH
+    (edges + nodes), which dedup keeps tiny relative to the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    edges = cands.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        cands.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    ew = (
+        edges.join(deg, "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.lit(1.0) / F.col("deg"), 9)
+            .cast("decimal(18,9)")
+            .alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nn = deg.agg(F.count("*").cast("bigint").alias("_n"))
+    base = (
+        deg.select(F.col("src").alias("node"), "deg")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            "deg",
+            F.round(F.lit(0.15) / F.col("_n"), 9)
+            .cast("decimal(18,9)")
+            .alias("tp"),
+            F.round(F.lit(1.0) / F.col("_n"), 9)
+            .cast("decimal(18,9)")
+            .alias("r0"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    damp = F.lit("0.850000000").cast("decimal(10,9)")
+    zero = F.lit("0").cast("decimal(18,9)")
+    r = base.select("node", F.col("r0").alias("r"))
+    for _ in range(8):
+        s9 = (
+            r.join(ew, F.col("src") == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(F.sum(F.col("r") * F.col("w")), 9)
+                .cast("decimal(18,9)")
+                .alias("s9")
+            )
+        )
+        r = (
+            base.join(s9, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.col("tp") + damp * F.coalesce(F.col("s9"), zero), 9
+                )
+                .cast("decimal(18,9)")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        r.join(base.select("node", "deg"), "node")
+        .orderBy(F.desc("r"), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.round(F.col("r").cast("double"), 6).alias("pagerank"),
+        )
+    )
+
+
+QUERIES["doc_pagerank_centrality"] = doc_pagerank_centrality
+
+_PR_STEP = """
+        r{i} AS (
+            SELECT b.node,
+                   CAST(round(b.tp + CAST(0.850000000 AS DECIMAL(10,9))
+                              * coalesce(s.s9, CAST(0 AS DECIMAL(18,9))), 9)
+                        AS DECIMAL(18,9)) AS r
+            FROM base b
+            LEFT JOIN (
+                SELECT ew.dst AS node,
+                       CAST(round(sum(r.r * ew.w), 9) AS DECIMAL(18,9)) AS s9
+                FROM r{prev} r JOIN ew ON ew.src = r.node
+                GROUP BY ew.dst
+            ) s USING (node)
+        )"""
+
+ORACLES["doc_pagerank_centrality"] = f"""
+        WITH cand AS ({_DEDUP_ORACLES["lsh_candidates"]}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cand
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM cand
+        ),
+        deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ),
+        ew AS MATERIALIZED (
+            SELECT e.src, e.dst,
+                   CAST(round(CAST(1 AS DOUBLE) / deg, 9) AS DECIMAL(18,9))
+                       AS w
+            FROM edges e JOIN deg USING (src)
+        ),
+        base AS MATERIALIZED (
+            SELECT src AS node, deg,
+                   CAST(round(CAST(0.15 AS DOUBLE)
+                              / (SELECT count(*) FROM deg), 9)
+                        AS DECIMAL(18,9)) AS tp,
+                   CAST(round(CAST(1 AS DOUBLE)
+                              / (SELECT count(*) FROM deg), 9)
+                        AS DECIMAL(18,9)) AS r0
+            FROM deg
+        ),
+        r0 AS (SELECT node, r0 AS r FROM base),
+        {",".join(_PR_STEP.format(i=i, prev=i - 1) for i in range(1, 9))}
+        SELECT b.node AS doc_id, b.deg AS degree,
+               round(CAST(r.r AS DOUBLE), 6) AS pagerank
+        FROM r8 r JOIN base b USING (node)
+        ORDER BY r.r DESC, b.node LIMIT 20
+"""

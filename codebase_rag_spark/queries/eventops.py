@@ -3608,3 +3608,160 @@ ORACLES["markov_removal_attribution"] = f"""
         FROM rem
         ORDER BY channel
 """
+
+
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (the survival-analysis
+    standard for 'how long until a user purchases', right-censoring
+    included): each user's clock starts at their FIRST event day;
+    converters 'die' at their first purchase day, non-converters are
+    censored at their last observed day. S(t) = prod_{t_i<=t}
+    (1 - d_i/n_i) over death days, with censored-at-t users still in
+    the day-t risk set (standard convention).
+
+    Determinism: the per-day hazard factor's ln is quantized ONCE at
+    day level (round(ln((n-d)/n), 9) -> DECIMAL(18,9) — the
+    dsir/zipf libm-quantization pattern; (n-d)/n is an exact-int IEEE
+    division so both engines round the same double), the cumulative
+    sum is an exact decimal window over the DAY table, and exp/round
+    happen once at output. If a day ever kills the whole risk set the
+    curve is pinned to 0 from there (cumulative flag, no ln(0)).
+
+    Scale shape: ONE corpus shuffle (groupBy user_id); the day table is
+    calendar-bounded (= distinct duration days), so its single-partition
+    cumulative windows are O(days), not O(events)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("dp"),
+        F.max(F.to_date("ts")).alias("dl"),
+    )
+    subj = per_user.select(
+        F.when(
+            F.col("dp").isNotNull(), F.datediff("dp", "d0")
+        )
+        .otherwise(F.datediff("dl", "d0"))
+        .alias("day_t"),
+        F.col("dp").isNotNull().cast("int").alias("death"),
+    )
+    day = subj.groupBy("day_t").agg(
+        F.sum("death").cast("bigint").alias("n_deaths"),
+        F.sum(1 - F.col("death")).cast("bigint").alias("n_censored"),
+    )
+    tot = subj.agg(F.count("*").cast("bigint").alias("_n"))
+    wprev = (
+        Window.orderBy("day_t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = Window.orderBy("day_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        day.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("n_deaths") + F.col("n_censored")).over(wprev),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_lnq",
+            F.when(
+                (F.col("n_deaths") > 0)
+                & (F.col("n_deaths") < F.col("n_at_risk")),
+                F.round(
+                    F.log(
+                        (
+                            F.col("n_at_risk") - F.col("n_deaths")
+                        ).cast("double")
+                        / F.col("n_at_risk").cast("double")
+                    ),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,9)"),
+        )
+        .withColumn(
+            "_dead_end",
+            F.max(
+                F.when(
+                    F.col("n_deaths") >= F.col("n_at_risk"), 1
+                ).otherwise(0)
+            ).over(wrun),
+        )
+    )
+    return risk.select(
+        "day_t",
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        F.when(F.col("_dead_end") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("_lnq").over(wrun).cast("double")), 6)
+        )
+        .alias("survival"),
+    ).orderBy("day_t")
+
+
+QUERIES["kaplan_meier_survival"] = kaplan_meier_survival
+
+ORACLES["kaplan_meier_survival"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CAST(ts AS DATE)) AS d0,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS dp,
+                   max(CAST(ts AS DATE)) AS dl
+            FROM events GROUP BY user_id
+        ),
+        subj AS (
+            SELECT CASE WHEN dp IS NOT NULL THEN datediff('day', d0, dp)
+                        ELSE datediff('day', d0, dl) END AS day_t,
+                   CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS death
+            FROM per_user
+        ),
+        day AS (
+            SELECT day_t,
+                   CAST(sum(death) AS BIGINT) AS n_deaths,
+                   CAST(sum(1 - death) AS BIGINT) AS n_censored
+            FROM subj GROUP BY day_t
+        ),
+        risk AS (
+            SELECT day_t, n_deaths, n_censored,
+                   (SELECT count(*) FROM subj)
+                       - coalesce(sum(n_deaths + n_censored) OVER (
+                             ORDER BY day_t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n_at_risk
+            FROM day
+        ),
+        lnq AS (
+            SELECT day_t, n_deaths, n_censored, n_at_risk,
+                   CAST(CASE WHEN n_deaths > 0 AND n_deaths < n_at_risk
+                             THEN round(ln(CAST(n_at_risk - n_deaths
+                                               AS DOUBLE)
+                                          / CAST(n_at_risk AS DOUBLE)), 9)
+                             ELSE 0.0 END AS DECIMAL(18,9)) AS _lnq,
+                   max(CASE WHEN n_deaths >= n_at_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY day_t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS _dead_end
+            FROM risk
+        )
+        SELECT day_t,
+               CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               n_deaths, n_censored,
+               CASE WHEN _dead_end = 1 THEN 0.0
+                    ELSE round(exp(CAST(sum(_lnq) OVER (
+                             ORDER BY day_t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS DOUBLE)), 6)
+               END AS survival
+        FROM lnq
+        ORDER BY day_t
+"""

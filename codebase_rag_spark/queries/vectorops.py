@@ -1216,3 +1216,157 @@ ORACLES["embedding_pca_power_iteration"] = f"""
         SELECT d AS dim, round(CAST(v AS DOUBLE), 6) AS component
         FROM v4 ORDER BY dim
 """
+
+
+def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization recall audit — the calibration pass for
+    shipping a quantized ANN index (FAISS SQ8 shape): per-vector
+    symmetric int8 quantization (scale = max|x|/127, q_i =
+    floor(127*x_i/s + 0.5)), then for 10 probe queries (vec_id < 10)
+    compare the quantized-dot top-10 against the full-precision top-10
+    and report recall@10 in basis points.
+
+    Determinism — BOTH rankings are engine-exact: the quantized score's
+    int dot is an exact int64 sum (|terms| <= 127^2, 64 dims) scaled by
+    one fixed-order double product, and the full-precision score is the
+    rp_lsh decimal fold (per-term DECIMAL(20,10) quantization + exact
+    decimal sum), so row_number ties break only on vec_id and the
+    recall count is bit-stable cross-engine.
+
+    Scale shape: quantization + both scores are SCAN-STAGE expressions
+    over corpus x broadcast(10 queries); both ranks come from ONE
+    window pass over the pair table (same partition key, two orderings
+    share the query_id-keyed shuffle). The 10-key skew is the audit's
+    bounded cost — at 100 TB you sample the corpus per query (the
+    minhash_calibration_audit convention), not widen the key space."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    corp = emb.select(
+        "vec_id",
+        v.alias("_v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("_s"),
+    )
+    qs = corp.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_s").alias("_qs"),
+    )
+
+    def qvec(arr, s):
+        return F.transform(
+            arr,
+            lambda x: F.when(s == 0.0, F.lit(0).cast("bigint")).otherwise(
+                F.floor(x * F.lit(127.0) / s + F.lit(0.5))
+            ),
+        )
+
+    intdot = F.aggregate(
+        F.zip_with(
+            qvec(F.col("_v"), F.col("_s")),
+            qvec(F.col("_qv"), F.col("_qs")),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("_v"), F.col("_qv"), lambda a, b: (a * b).cast("decimal(20,10)")
+        ),
+        F.lit(0).cast("decimal(27,10)"),
+        lambda acc, x: (acc + x).cast("decimal(27,10)"),
+    )
+    scores = (
+        corp.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.col("_s") * F.col("_qs") * intdot.cast("double")
+                / F.lit(16129.0)
+            ).alias("approx"),
+            exact.alias("exact"),
+        )
+    )
+    ranked = scores.select(
+        "query_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("approx"), "vec_id"
+            )
+        )
+        .alias("ra"),
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(F.desc("exact"), "vec_id")
+        )
+        .alias("re"),
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("ra") <= 10) & (F.col("re") <= 10), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") * 1000).cast("bigint").alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["int8_quant_recall"] = int8_quant_recall
+
+ORACLES["int8_quant_recall"] = """
+        WITH corp AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                                           x -> abs(CAST(x AS DOUBLE)))) AS s
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   c.s AS sx, q.s AS sy,
+                   unnest(c.embedding)::DOUBLE AS x,
+                   unnest(q.embedding)::DOUBLE AS y
+            FROM corp c JOIN corp q ON q.vec_id < 10
+                                   AND c.vec_id <> q.vec_id
+        ),
+        scores AS (
+            SELECT query_id, vec_id,
+                   sx * sy * sum(
+                       (CASE WHEN sx = 0 THEN 0
+                             ELSE floor(x * CAST(127 AS DOUBLE) / sx
+                                        + CAST(0.5 AS DOUBLE)) END)
+                       * (CASE WHEN sy = 0 THEN 0
+                               ELSE floor(y * CAST(127 AS DOUBLE) / sy
+                                          + CAST(0.5 AS DOUBLE)) END)
+                   ) / CAST(16129 AS DOUBLE) AS approx,
+                   sum(CAST(x * y AS DECIMAL(20,10))) AS exact
+            FROM pairs GROUP BY query_id, vec_id, sx, sy
+        ),
+        ranked AS (
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx DESC, vec_id) AS ra,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY exact DESC, vec_id) AS re
+            FROM scores
+        )
+        SELECT query_id,
+               CAST(sum(CASE WHEN ra <= 10 AND re <= 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(sum(CASE WHEN ra <= 10 AND re <= 10
+                             THEN 1 ELSE 0 END) * 1000 AS BIGINT) AS recall_bp
+        FROM ranked GROUP BY query_id
+        ORDER BY query_id
+"""
