@@ -372,3 +372,153 @@ ORACLES["zipf_fit_audit"] = r"""
                      / (k * sxx - sx * sx)::DOUBLE, 4) AS zipf_slope
         FROM agg
 """
+
+
+def heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram-LM perplexity per source — the classic
+    corpus-quality eval loop: fit an add-one-smoothed unigram LM on the
+    deterministic train split (doc_id % 10 < 8, the doc_train_test_split
+    convention), score the held-out docs, and report per-source
+    cross-entropy / perplexity / OOV rate. A source whose held-out
+    perplexity is far above the rest is distributionally alien to the
+    corpus (encoding break, language drift, template flood) — the
+    actionable sibling of source_token_kl that also covers UNSEEN
+    tokens via smoothing.
+
+    Determinism (dsir/zipf libm pattern): each distinct train token's
+    -ln((c+1)/(N+V)) is quantized ONCE at vocab level (6dp DECIMAL);
+    the OOV score -ln(1/(N+V)) is a 1-row broadcast quantized the same
+    way; per-source totals are exact decimal sums of count x quantized
+    score, with exp/round once at output.
+
+    Scale shape: one vocab aggregate over the train split, one
+    (source, token) aggregate over the held split, one vocab-keyed
+    join (Zipf head collapses map-side both times); no corpus-sized
+    row-wise join."""
+    d = load_table(spark, sf_dir, "documents")
+    from codebase_rag_spark.functions.text import tokens
+
+    toks = lambda df: df.select(  # noqa: E731
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    train = toks(d.filter(F.col("doc_id") % 10 < 8))
+    held = toks(d.filter(F.col("doc_id") % 10 >= 8))
+    vocab = train.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    stats = vocab.agg(
+        F.sum("c").cast("bigint").alias("_n"),
+        F.count("*").cast("bigint").alias("_v"),
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            -F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("_n") + F.col("_v")).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(16,6)")
+        .alias("_lp"),
+    )
+    oov = stats.select(
+        F.round(
+            -F.log(
+                F.lit(1.0) / (F.col("_n") + F.col("_v")).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(16,6)")
+        .alias("_oov_lp")
+    )
+    hs = held.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("hc")
+    )
+    joined = (
+        hs.join(scored_vocab, "tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "source",
+            "hc",
+            F.coalesce(F.col("_lp"), F.col("_oov_lp")).alias("_score"),
+            F.when(F.col("_lp").isNull(), F.col("hc"))
+            .otherwise(F.lit(0))
+            .alias("_oov_n"),
+        )
+    )
+    agg = joined.groupBy("source").agg(
+        F.sum("hc").cast("bigint").alias("held_tokens"),
+        F.sum("_oov_n").cast("bigint").alias("_oov"),
+        F.sum(F.col("hc") * F.col("_score")).alias("_num"),
+    )
+    ce = F.col("_num").cast("double") / F.col("held_tokens")
+    return agg.select(
+        "source",
+        "held_tokens",
+        F.expr("CAST((_oov * 10000) DIV held_tokens AS BIGINT)").alias(
+            "oov_bp"
+        ),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 4).alias("perplexity"),
+    ).orderBy("source")
+
+
+QUERIES["heldout_perplexity"] = heldout_perplexity
+
+ORACLES["heldout_perplexity"] = r"""
+        WITH train AS (
+            SELECT source,
+                   unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents WHERE doc_id % 10 < 8
+        ),
+        held AS (
+            SELECT source,
+                   unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents WHERE doc_id % 10 >= 8
+        ),
+        vocab AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM train GROUP BY tok
+        ),
+        stats AS (
+            SELECT CAST(sum(c) AS BIGINT) AS _n,
+                   CAST(count(*) AS BIGINT) AS _v
+            FROM vocab
+        ),
+        scored_vocab AS MATERIALIZED (
+            SELECT tok,
+                   CAST(round(-ln(CAST(c + 1 AS DOUBLE)
+                                  / CAST(_n + _v AS DOUBLE)), 6)
+                        AS DECIMAL(16,6)) AS _lp
+            FROM vocab, stats
+        ),
+        oov AS (
+            SELECT CAST(round(-ln(CAST(1 AS DOUBLE)
+                                  / CAST(_n + _v AS DOUBLE)), 6)
+                        AS DECIMAL(16,6)) AS _oov_lp
+            FROM stats
+        ),
+        hs AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS hc
+            FROM held GROUP BY source, tok
+        ),
+        agg AS (
+            SELECT h.source,
+                   CAST(sum(h.hc) AS BIGINT) AS held_tokens,
+                   CAST(sum(CASE WHEN v._lp IS NULL THEN h.hc ELSE 0 END)
+                        AS BIGINT) AS _oov,
+                   sum(h.hc * coalesce(v._lp, (SELECT _oov_lp FROM oov)))
+                       AS _num
+            FROM hs h LEFT JOIN scored_vocab v USING (tok)
+            GROUP BY h.source
+        )
+        SELECT source, held_tokens,
+               CAST((_oov * 10000) // held_tokens AS BIGINT) AS oov_bp,
+               round(CAST(_num AS DOUBLE) / held_tokens, 6) AS cross_entropy,
+               round(exp(CAST(_num AS DOUBLE) / held_tokens), 4) AS perplexity
+        FROM agg
+        ORDER BY source
+"""

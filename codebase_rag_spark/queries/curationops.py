@@ -1668,3 +1668,179 @@ ORACLES["doc_pagerank_centrality"] = f"""
         FROM r8 r JOIN base b USING (node)
         ORDER BY r.r DESC, b.node LIMIT 20
 """
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease readability audit per language — the
+    classic quality gate complementing gopher_quality_flags' length/
+    ratio heuristics with a sentence-structure signal (OCR soup and
+    boilerplate score far off the human-text band). Syllables are
+    approximated by vowel GROUPS ([aeiouy]+ runs, the standard cheap
+    estimator), sentences by terminal-punctuation runs ([.!?]+), both
+    via one regexp_count over the text — the identical regex runs in
+    RE2 (DuckDB) and Java regex (Spark); character classes of literals
+    behave the same in both.
+
+    Determinism: the per-doc score is a FIXED-order double expression
+    over exact ints (int/int IEEE divisions), rounded to 4dp and
+    quantized to DECIMAL(12,4) per doc; per-lang means are exact
+    decimal sums with ONE double division at the end.
+
+    Scale shape: everything per-doc is scan-stage; the only exchange is
+    the tiny per-lang aggregate (map-side combined)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.size(tokens(F.col("text")))
+    s = F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    y = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    wrd = F.greatest(w, F.lit(1)).cast("double")
+    sent = F.greatest(s, F.lit(1)).cast("double")
+    wps = w.cast("double") / sent
+    spw = y.cast("double") / wrd
+    fre = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    per_doc = d.select(
+        "lang",
+        F.round(wps, 4).cast("decimal(12,4)").alias("_wps"),
+        F.round(spw, 4).cast("decimal(12,4)").alias("_spw"),
+        F.round(fre, 4).cast("decimal(12,4)").alias("_fre"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_wps").alias("_sw"),
+        F.sum("_spw").alias("_ss"),
+        F.sum("_fre").alias("_sf"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("_sw").cast("double") / F.col("n_docs"), 4).alias(
+            "avg_words_per_sentence"
+        ),
+        F.round(F.col("_ss").cast("double") / F.col("n_docs"), 4).alias(
+            "avg_syllables_per_word"
+        ),
+        F.round(F.col("_sf").cast("double") / F.col("n_docs"), 4).alias(
+            "avg_flesch_ease"
+        ),
+    ).orderBy("lang")
+
+
+QUERIES["readability_scores"] = readability_scores
+
+ORACLES["readability_scores"] = r"""
+        WITH per_doc AS (
+            SELECT lang,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS w,
+                   len(regexp_extract_all(text, '[.!?]+')) AS s,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+            FROM documents
+        ),
+        scored AS (
+            SELECT lang,
+                   CAST(round(CAST(w AS DOUBLE)
+                              / CAST(greatest(s, 1) AS DOUBLE), 4)
+                        AS DECIMAL(12,4)) AS _wps,
+                   CAST(round(CAST(y AS DOUBLE)
+                              / CAST(greatest(w, 1) AS DOUBLE), 4)
+                        AS DECIMAL(12,4)) AS _spw,
+                   CAST(round(CAST(206.835 AS DOUBLE)
+                              - CAST(1.015 AS DOUBLE)
+                                * (CAST(w AS DOUBLE)
+                                   / CAST(greatest(s, 1) AS DOUBLE))
+                              - CAST(84.6 AS DOUBLE)
+                                * (CAST(y AS DOUBLE)
+                                   / CAST(greatest(w, 1) AS DOUBLE)), 4)
+                        AS DECIMAL(12,4)) AS _fre
+            FROM per_doc
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(sum(_wps) AS DOUBLE) / count(*), 4)
+                   AS avg_words_per_sentence,
+               round(CAST(sum(_spw) AS DOUBLE) / count(*), 4)
+                   AS avg_syllables_per_word,
+               round(CAST(sum(_fre) AS DOUBLE) / count(*), 4)
+                   AS avg_flesch_ease
+        FROM scored GROUP BY lang
+        ORDER BY lang
+"""
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source duplication matrix — the ingest-governance view
+    of the dedup stack: which pairs of ingest sources copy each other
+    (mirrors, scraped re-posts, licensed re-syndication). LSH candidate
+    pairs are attributed to the (source_a, source_b) cell, canonicalized
+    with least/greatest so the matrix is upper-triangular; cells carry
+    the pair count and its share of all candidate pairs in integer
+    basis points (exact int math, largest-remainder NOT needed — shares
+    are per-cell floor(bp), documented as summing to <= 10000).
+
+    Scale shape: the LSH band self-join is the only corpus-sized
+    shuffle; attributing sources is two column-pruned equi-joins of the
+    PAIR table to (doc_id, source); the matrix aggregate is tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    src = d.select("doc_id", "source")
+    pairs = (
+        cands.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    cells = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    tot = cells.agg(F.sum("n_pairs").cast("bigint").alias("_t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.expr("CAST((n_pairs * 10000) DIV _t AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )
+
+
+QUERIES["cross_source_dup_matrix"] = cross_source_dup_matrix
+
+ORACLES["cross_source_dup_matrix"] = f"""
+        WITH cand AS ({_DEDUP_ORACLES["lsh_candidates"]}),
+        pairs AS (
+            SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b
+            FROM cand c
+            JOIN documents sa ON sa.doc_id = c.id_a
+            JOIN documents sb ON sb.doc_id = c.id_b
+        ),
+        cells AS (
+            SELECT source_a, source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY source_a, source_b
+        )
+        SELECT source_a, source_b, n_pairs,
+               CAST(n_pairs * 10000 // (SELECT sum(n_pairs) FROM cells)
+                    AS BIGINT) AS share_bp
+        FROM cells
+        ORDER BY n_pairs DESC, source_a, source_b
+"""
