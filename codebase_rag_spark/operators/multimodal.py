@@ -438,3 +438,116 @@ def make_image_bytes(fmt: str, width: int, height: int, depth: int = 1) -> bytes
         )
         return segs + b"\xff\xd9"
     raise ValueError(fmt)
+
+
+def _hx_u32be(h, p):
+    return F.conv(h.substr(p * 2 - 1, F.lit(8)), 16, 10).cast("bigint")
+
+
+_MP4_MOOV = "6D6F6F76"  # 'moov'
+_MP4_MVHD = "6D766864"  # 'mvhd'
+
+
+def with_mp4_video_info(df, hex_col: str, prefix: str = "") -> "DataFrame":
+    """Sniff (is_mp4, major_brand, timescale, duration_ms) from an
+    UPPERCASE-HEX MP4/ISO-BMFF column with NATIVE expressions only —
+    the video sibling of image_dimensions_hex / wav_audio_info: route
+    petabytes of video bytes by container/duration BEFORE any Python
+    codec runs. ISO boxes are [u32be size][4cc type][payload]; the
+    top-level walk to 'moov' is unrolled 3 hops (moov within the first
+    5 boxes parses; ftyp must lead, per spec), the child walk to
+    'mvhd' is unrolled 2 hops (mvhd first or second child). mvhd v0
+    carries timescale/duration at payload bytes 12-19; v1 (64-bit) and
+    malformed sizes (< 8, would loop) yield NULL duration — a size-0
+    box jumps the walk to a sentinel offset where every match fails.
+    duration_ms = floor(duration * 1000 / timescale), the identical
+    double arithmetic in both engines.
+
+    Shaped as a DataFrame transformer (one aliased select per hop),
+    NOT a single expression builder: each hop references the previous
+    offset COLUMN, so the plan is a linear chain of small Projects.
+    Hand-inlining the same walk into one expression replicates the
+    offset subtree ~3x per hop (3^5 copies by mvhd) and took Catalyst
+    minutes to analyze; CollapseProject keeps the chained form intact
+    because the offsets are non-cheap and multiply-referenced."""
+    h = F.col(hex_col)
+    kill = F.lit(1_000_000_000).cast("bigint")
+    keep = [c for c in df.columns]
+    size1 = _hx_u32be(h, F.lit(1).cast("bigint"))
+    cur = df.select(
+        *keep,
+        (
+            (h.substr(9, 8) == "66747970")
+            & (F.length(h) >= 32)
+            & (size1 >= 16)
+        ).alias("_is_mp4"),
+        h.substr(17, 8).alias("_brand_hex"),
+        (F.lit(1).cast("bigint") + size1).alias("_p"),
+    )
+    for _ in range(3):
+        p = F.col("_p")
+        typ = h.substr((p + 4) * 2 - 1, F.lit(8))
+        sz = _hx_u32be(h, p)
+        cur = cur.select(
+            *keep,
+            "_is_mp4",
+            "_brand_hex",
+            F.when(typ == _MP4_MOOV, p)
+            .otherwise(F.when(sz >= 8, p + sz).otherwise(kill))
+            .alias("_p"),
+        )
+    p = F.col("_p")
+    cur = cur.select(
+        *keep,
+        "_is_mp4",
+        "_brand_hex",
+        (h.substr((p + 4) * 2 - 1, F.lit(8)) == _MP4_MOOV).alias("_moov"),
+        (p + 8).alias("_c"),
+    )
+    for _ in range(2):
+        c = F.col("_c")
+        ctyp = h.substr((c + 4) * 2 - 1, F.lit(8))
+        csz = _hx_u32be(h, c)
+        cur = cur.select(
+            *keep,
+            "_is_mp4",
+            "_brand_hex",
+            "_moov",
+            F.when(ctyp == _MP4_MVHD, c)
+            .otherwise(F.when(csz >= 8, c + csz).otherwise(kill))
+            .alias("_c"),
+        )
+    c = F.col("_c")
+    cur = cur.select(
+        *keep,
+        "_is_mp4",
+        "_brand_hex",
+        (
+            F.col("_is_mp4")
+            & F.col("_moov")
+            & (h.substr((c + 4) * 2 - 1, F.lit(8)) == _MP4_MVHD)
+            & (h.substr((c + 8) * 2 - 1, F.lit(2)) == "00")
+        ).alias("_mvhd_ok"),
+        _hx_u32be(h, c + 20).alias("_ts"),
+        _hx_u32be(h, c + 24).alias("_dur"),
+    )
+    ok = F.col("_mvhd_ok") & (F.col("_ts") > 0)
+    brand = (
+        F.when(F.col("_brand_hex") == "69736F6D", F.lit("isom"))
+        .when(F.col("_brand_hex") == "6D703432", F.lit("mp42"))
+        .otherwise(F.lit("other"))
+    )
+    return cur.select(
+        *keep,
+        F.col("_is_mp4").alias(prefix + "is_mp4"),
+        F.when(F.col("_is_mp4"), brand).alias(prefix + "major_brand"),
+        F.when(ok, F.col("_ts")).alias(prefix + "timescale"),
+        F.when(
+            ok,
+            F.floor(
+                F.col("_dur").cast("double")
+                * F.lit(1000.0)
+                / F.col("_ts").cast("double")
+            ).cast("bigint"),
+        ).alias(prefix + "duration_ms"),
+    )

@@ -1006,3 +1006,150 @@ ORACLES["audio_pcm_stats"] = f"""
                END AS zero_crossings
         FROM parsed
 """
+
+
+def _mp4_box(t: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + t + payload
+
+
+def _mp4_mvhd(ts: int, dur: int, version: int = 0) -> bytes:
+    import struct
+
+    return _mp4_box(
+        b"mvhd",
+        bytes([version]) + b"\x00" * 3 + struct.pack(">IIII", 1, 2, ts, dur),
+    )
+
+
+def _mp4_corpus() -> list[tuple[int, str]]:
+    """Honest ISO-BMFF fixtures: real box sizes/offsets (the parser is
+    what's synthetic-proof, not the bytes). Rows exercise: moov first /
+    after free+mdat (top-level hop 3), mvhd second child, non-video
+    bytes, moov missing, a size-0 box (walk kill), and mvhd v1."""
+    import hashlib
+    import struct
+
+    def ftyp(b: bytes) -> bytes:
+        return _mp4_box(b"ftyp", b + struct.pack(">I", 0) + b"isom")
+
+    def moov(*kids: bytes) -> bytes:
+        return _mp4_box(b"moov", b"".join(kids))
+
+    free = _mp4_box(b"free", b"\x00" * 6)
+    mdat = _mp4_box(b"mdat", b"DATADATA")
+    udta = _mp4_box(b"udta", b"\x00" * 4)
+    rows = [
+        (1, ftyp(b"isom") + moov(_mp4_mvhd(1000, 5000))),
+        (2, ftyp(b"mp42") + free + mdat + moov(_mp4_mvhd(90000, 449999))),
+        (3, ftyp(b"isom") + moov(udta, _mp4_mvhd(600, 1234))),
+        (4, hashlib.md5(b"not a video").digest() * 2),
+        (5, ftyp(b"isom") + mdat),
+        (6, ftyp(b"isom") + struct.pack(">I", 0) + b"wide"),
+        (7, ftyp(b"isom") + moov(_mp4_mvhd(1000, 5000, version=1))),
+    ]
+    return [(i, b.hex().upper()) for i, b in rows]
+
+
+def _mp4_values() -> str:
+    return ",\n            ".join(
+        f"({i}, '{h}')" for i, h in _mp4_corpus()
+    )
+
+
+def mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal container sniff for VIDEO (the third format family
+    after image_dimensions_sniff and audio_metadata): ISO-BMFF box walk
+    to mvhd with native expressions only — see
+    operators/multimodal.py:with_mp4_video_info (a chained-Project
+    transformer; the one-expression form was a 3^hops Catalyst
+    analysis blow-up). The oracle runs the IDENTICAL unrolled hex
+    arithmetic on the same fixtures."""
+    from codebase_rag_spark.operators.multimodal import with_mp4_video_info
+
+    df = spark.createDataFrame(_mp4_corpus(), ["media_id", "hex"]).select(
+        F.col("media_id").cast("bigint").alias("media_id"), "hex"
+    )
+    return (
+        with_mp4_video_info(df, "hex")
+        .drop("hex")
+        .orderBy("media_id")
+    )
+
+
+QUERIES["mp4_metadata"] = mp4_metadata
+
+
+def _hx32be(p: str) -> str:
+    return f"TRY_CAST(('0x' || substr(h, 2*({p})-1, 8)) AS BIGINT)"
+
+
+ORACLES["mp4_metadata"] = f"""
+        WITH corpus(media_id, h) AS (VALUES
+            {_mp4_values()}),
+        b AS (
+            SELECT media_id, h, {_hx32be('1')} AS size1 FROM corpus
+        ),
+        w0 AS (
+            SELECT media_id, h,
+                   (substr(h, 9, 8) = '66747970' AND length(h) >= 32
+                    AND size1 >= 16) AS is_mp4,
+                   substr(h, 17, 8) AS brand_hex,
+                   CAST(1 AS BIGINT) + size1 AS p0
+            FROM b
+        ),
+        w1 AS (SELECT *, CASE WHEN substr(h, 2*(p0+4)-1, 8) = '6D6F6F76'
+                                   THEN p0
+                              WHEN {_hx32be('p0')} >= 8
+                                   THEN p0 + {_hx32be('p0')}
+                              ELSE 1000000000 END AS p1 FROM w0),
+        w2 AS (SELECT *, CASE WHEN substr(h, 2*(p1+4)-1, 8) = '6D6F6F76'
+                                   THEN p1
+                              WHEN {_hx32be('p1')} >= 8
+                                   THEN p1 + {_hx32be('p1')}
+                              ELSE 1000000000 END AS p2 FROM w1),
+        w3 AS (SELECT *, CASE WHEN substr(h, 2*(p2+4)-1, 8) = '6D6F6F76'
+                                   THEN p2
+                              WHEN {_hx32be('p2')} >= 8
+                                   THEN p2 + {_hx32be('p2')}
+                              ELSE 1000000000 END AS p3 FROM w2),
+        mv AS (
+            SELECT *,
+                   substr(h, 2*(p3+4)-1, 8) = '6D6F6F76' AS moov,
+                   p3 + 8 AS c0
+            FROM w3
+        ),
+        c1 AS (SELECT *, CASE WHEN substr(h, 2*(c0+4)-1, 8) = '6D766864'
+                                   THEN c0
+                              WHEN {_hx32be('c0')} >= 8
+                                   THEN c0 + {_hx32be('c0')}
+                              ELSE 1000000000 END AS cp1 FROM mv),
+        c2 AS (SELECT *, CASE WHEN substr(h, 2*(cp1+4)-1, 8) = '6D766864'
+                                   THEN cp1
+                              WHEN {_hx32be('cp1')} >= 8
+                                   THEN cp1 + {_hx32be('cp1')}
+                              ELSE 1000000000 END AS cp2 FROM c1),
+        fin AS (
+            SELECT media_id, h, is_mp4, brand_hex,
+                   (is_mp4 AND moov
+                    AND substr(h, 2*(cp2+4)-1, 8) = '6D766864'
+                    AND substr(h, 2*(cp2+8)-1, 2) = '00'
+                    AND coalesce({_hx32be('cp2+20')} > 0, FALSE)) AS ok,
+                   {_hx32be('cp2+20')} AS ts,
+                   {_hx32be('cp2+24')} AS dur
+            FROM c2
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id, is_mp4,
+               CASE WHEN NOT is_mp4 THEN NULL
+                    WHEN brand_hex = '69736F6D' THEN 'isom'
+                    WHEN brand_hex = '6D703432' THEN 'mp42'
+                    ELSE 'other' END AS major_brand,
+               CASE WHEN ok THEN ts END AS timescale,
+               CASE WHEN ok
+                    THEN CAST(floor(CAST(dur AS DOUBLE) * 1000
+                                    / CAST(ts AS DOUBLE)) AS BIGINT)
+               END AS duration_ms
+        FROM fin
+        ORDER BY media_id
+"""
