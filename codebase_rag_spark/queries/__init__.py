@@ -161,10 +161,13 @@ _DRIVER_CHECKED = {
 # oracle). New round-6 entries fill the remaining ~44 window slots
 # automatically via the dict rebuild below.
 _PRIORITY = [
-    # _CHANGED_R6 (8)
+    # _CHANGED_R6 (9; bigram_surprise_docs re-shaped late in r6 — in-row
+    # run-length counting — so its r0x driver row predates the current
+    # implementation too)
     "value_quantile_sketch", "value_winsorization", "value_mad_outliers",
     "ship_delay_percentiles", "conversion_latency_quantiles",
     "kmeans_iterations", "profile_lineitem", "duplicated_spans",
+    "bigram_surprise_docs",
 ]
 
 QUERIES = {

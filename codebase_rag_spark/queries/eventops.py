@@ -3765,3 +3765,219 @@ ORACLES["kaplan_meier_survival"] = """
         FROM lnq
         ORDER BY day_t
 """
+
+
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out top-1 next-event prediction accuracy — the EVAL loop for
+    the first-order event chain (event_transitions /
+    event_markov_stationary train the model; this scores it): fit
+    argmax-next transition rules on train USERS (user_id % 10 < 8 — a
+    user-level split, so no within-sequence leakage), predict the next
+    event type for every held-out transition, and report per-state and
+    overall accuracy in integer basis points.
+
+    Determinism: the predicted state is row_number 1 over
+    (count desc, to_state asc) — integer counts, total order; accuracy
+    is exact-int DIV. Scale shape: two user-keyed lag windows over the
+    split scans (the corpus cost), a tiny (|states|^2) count aggregate,
+    the rule table broadcast into the held-out transition stream."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def trans(df):
+        return df.select(
+            "event_type",
+            F.lag("event_type").over(wseq).alias("prev"),
+        ).filter(F.col("prev").isNotNull())
+
+    train = trans(e.filter(F.col("user_id") % 10 < 8))
+    test = trans(e.filter(F.col("user_id") % 10 >= 8))
+    counts = train.groupBy(
+        F.col("prev"), F.col("event_type").alias("nxt")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wbest = Window.partitionBy("prev").orderBy(F.desc("n"), "nxt")
+    rules = (
+        counts.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("prev", F.col("nxt").alias("pred"))
+    )
+    scored = test.join(F.broadcast(rules), "prev")
+    agg = scored.groupBy(F.col("prev").alias("state")).agg(
+        F.count("*").cast("bigint").alias("n_transitions"),
+        F.sum(
+            F.when(F.col("event_type") == F.col("pred"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.max("pred").alias("predicted_next"),
+    )
+    return agg.select(
+        "state",
+        "predicted_next",
+        "n_transitions",
+        "n_correct",
+        F.expr("CAST((n_correct * 10000) DIV n_transitions AS BIGINT)").alias(
+            "accuracy_bp"
+        ),
+    ).orderBy("state")
+
+
+QUERIES["markov_next_event_accuracy"] = markov_next_event_accuracy
+
+ORACLES["markov_next_event_accuracy"] = """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        train AS (
+            SELECT prev, event_type AS nxt FROM seq
+            WHERE prev IS NOT NULL AND user_id % 10 < 8
+        ),
+        test AS (
+            SELECT prev, event_type FROM seq
+            WHERE prev IS NOT NULL AND user_id % 10 >= 8
+        ),
+        counts AS (
+            SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n
+            FROM train GROUP BY prev, nxt
+        ),
+        rules AS (
+            SELECT prev, nxt AS pred
+            FROM (SELECT prev, nxt, row_number() OVER (
+                      PARTITION BY prev ORDER BY n DESC, nxt) AS rn
+                  FROM counts)
+            WHERE rn = 1
+        ),
+        agg AS (
+            SELECT t.prev AS state,
+                   max(r.pred) AS predicted_next,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   CAST(sum(CASE WHEN t.event_type = r.pred
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+            FROM test t JOIN rules r ON r.prev = t.prev
+            GROUP BY t.prev
+        )
+        SELECT state, predicted_next, n_transitions, n_correct,
+               CAST((n_correct * 10000) // n_transitions AS BIGINT)
+                   AS accuracy_bp
+        FROM agg
+        ORDER BY state
+"""
+
+
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup against the SCD Type-2 dimension —
+    the query side of scd2_user_state's build side: reconstruct every
+    user's state at three probe instants (25% / 50% / 75% of the
+    corpus time span), the time-travel join every warehouse needs for
+    'what did the dimension say when the fact happened'. Distinct from
+    purchase_click_asof (nearest-event tolerance join): this is
+    interval membership [valid_from, valid_to) against versioned
+    dimension rows.
+
+    Determinism: probes are exact int64-microsecond arithmetic
+    (mn + (mx-mn)*q DIV 4); interval membership compares int64 micros.
+    Scale shape: the SCD2 build is the two bounded per-user windows;
+    the 3-row probe table is broadcast into the interval set (no
+    corpus-sized shuffle beyond the build)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = flagged.withColumn("seq", F.sum("chg").over(wp).cast("bigint"))
+    groups = isl.groupBy("user_id", "seq").agg(
+        F.min("event_type").alias("state"),
+        F.min(F.unix_micros("ts")).alias("_from_us"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("seq")
+    iv = groups.select(
+        "user_id",
+        "state",
+        "_from_us",
+        F.lead("_from_us").over(ws).alias("_to_us"),
+    )
+    allb = load_table(spark, sf_dir, "events").agg(
+        F.min(F.unix_micros("ts")).alias("_mn"),
+        F.max(F.unix_micros("ts")).alias("_mx"),
+    )
+    quarters = spark.range(1, 4).select(F.col("id").alias("probe_pos"))
+    probes = quarters.crossJoin(F.broadcast(allb)).select(
+        "probe_pos",
+        (
+            F.col("_mn")
+            + F.expr("CAST(((_mx - _mn) * probe_pos) DIV 4 AS BIGINT)")
+        ).alias("_probe_us"),
+    )
+    hit = iv.join(
+        F.broadcast(probes),
+        (F.col("_probe_us") >= F.col("_from_us"))
+        & (F.col("_to_us").isNull() | (F.col("_probe_us") < F.col("_to_us"))),
+    )
+    return hit.select(
+        "probe_pos",
+        F.date_format(
+            F.timestamp_micros(F.col("_probe_us")), _FMT
+        ).alias("probe_ts"),
+        "user_id",
+        "state",
+    ).orderBy("probe_pos", "user_id")
+
+
+QUERIES["scd2_as_of_lookup"] = scd2_as_of_lookup
+
+ORACLES["scd2_as_of_lookup"] = """
+        WITH base AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events WHERE user_id < 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        isl AS (
+            SELECT user_id, event_type,
+                   epoch_us(ts) AS us,
+                   sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS seq
+            FROM base
+        ),
+        groups AS (
+            SELECT user_id, seq,
+                   min(event_type) AS state,
+                   min(us) AS _from_us
+            FROM isl GROUP BY user_id, seq
+        ),
+        iv AS (
+            SELECT user_id, state, _from_us,
+                   lead(_from_us) OVER (PARTITION BY user_id ORDER BY seq)
+                       AS _to_us
+            FROM groups
+        ),
+        b AS (
+            SELECT min(epoch_us(ts)) AS _mn, max(epoch_us(ts)) AS _mx
+            FROM events
+        ),
+        probes AS (
+            SELECT probe_pos,
+                   _mn + ((_mx - _mn) * probe_pos) // 4 AS _probe_us
+            FROM (SELECT unnest([1, 2, 3]) AS probe_pos), b
+        )
+        SELECT CAST(p.probe_pos AS BIGINT) AS probe_pos,
+               strftime(make_timestamp(p._probe_us),
+                        '%Y-%m-%d %H:%M:%S') AS probe_ts,
+               i.user_id, i.state
+        FROM iv i JOIN probes p
+          ON p._probe_us >= i._from_us
+         AND (i._to_us IS NULL OR p._probe_us < i._to_us)
+        ORDER BY probe_pos, user_id
+"""
