@@ -601,3 +601,41 @@ def test_round6_new_operator_plan_contracts(spark, sf_dir):
     ):
         plan = explain_str(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_round6b_new_operator_plan_contracts(spark, sf_dir):
+    """Late-r6 additions: scan-stage / pair-graph-confined shapes hold.
+    quality_classifier_score must be ZERO-exchange scan + TakeOrdered
+    (the in-row rewrite's contract); int8_quant_recall's query side
+    must ride as a broadcast; kaplan_meier's unpartitioned windows are
+    allowed ONLY because they run on the calendar-bounded day table
+    (the vocab_growth_curve exception)."""
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    qc = QUERIES["quality_classifier_score"](spark, sf_dir)
+    p = explain_str(qc)
+    assert count_exchanges(qc) == 0
+    assert "TakeOrderedAndProject" in p
+
+    i8 = QUERIES["int8_quant_recall"](spark, sf_dir)
+    p = explain_str(i8)
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+    km = QUERIES["kaplan_meier_survival"](spark, sf_dir)
+    assert "CartesianProduct" not in explain_str(km)
+
+    for name in (
+        "markov_removal_attribution",
+        "doc_pagerank_centrality",
+        "readability_scores",
+        "cross_source_dup_matrix",
+        "heldout_perplexity",
+        "mp4_metadata",
+        "markov_next_event_accuracy",
+        "scd2_as_of_lookup",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, name
+        assert not has_unpartitioned_window(df), name
