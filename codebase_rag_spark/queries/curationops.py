@@ -1844,3 +1844,183 @@ ORACLES["cross_source_dup_matrix"] = f"""
         FROM cells
         ORDER BY n_pairs DESC, source_a, source_b
 """
+
+
+def fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring (the 1969 probabilistic
+    entity-resolution standard, the Splink/dedupe.io core) over the LSH
+    candidate pairs: per comparison field k, an agreement contributes
+    ln(m_k/u_k) and a disagreement ln((1-m_k)/(1-u_k)); the pair's
+    match score is the sum. m_k are fixed literals (0.95/0.90/0.85 —
+    in production they come from EM or labels); u_k — the probability
+    two RANDOM records agree — is estimated from the corpus itself as
+    sum(c_b^2)/N^2 over each field's value histogram (exact decimal
+    c^2 sums, one double division). Fields: lang, source, and the
+    order-of-magnitude length bucket (digit count of n_chars — an
+    integer-string op, no log10).
+
+    Determinism: all six weights are quantized ONCE in a 1-row
+    broadcast table (round(ln(..),6) -> DECIMAL(16,6), the dsir libm
+    pattern); pair scores are exact decimal sums of three picks, so
+    the top-25 cut (score desc, id tiebreaks) is engine-exact.
+
+    Scale shape: three tiny histogram aggregates + the LSH pair join
+    (the one corpus-sized shuffle) + two column-pruned doc joins;
+    scoring is scan-stage against the broadcast weight row."""
+    d = load_table(spark, sf_dir, "documents")
+    dl = F.length(F.col("n_chars").cast("string"))
+    fields = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        dl.alias("lenb"),
+    )
+
+    def u_of(col):
+        h = fields.groupBy(col).agg(F.count("*").cast("bigint").alias("c"))
+        c19 = F.col("c").cast("decimal(19,0)")
+        return h.agg(
+            F.sum(c19 * c19).cast("decimal(38,0)").alias("_s2"),
+            F.sum("c").cast("bigint").alias("_n"),
+        ).select(
+            (
+                F.col("_s2").cast("double")
+                / (F.col("_n").cast("double") * F.col("_n").cast("double"))
+            ).alias("u")
+        )
+
+    def wpair(u_df, m: float, name: str):
+        m_ = F.lit(m)
+        u = F.col("u")
+        return u_df.select(
+            F.round(F.log(m_ / u), 6)
+            .cast("decimal(16,6)")
+            .alias(f"wa_{name}"),
+            F.when(
+                u < 1.0,
+                F.round(
+                    F.log((F.lit(1.0) - m_) / (F.lit(1.0) - u)), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(16,6)")
+            .alias(f"wd_{name}"),
+        )
+
+    wts = (
+        wpair(u_of("lang"), 0.95, "lang")
+        .crossJoin(wpair(u_of("source"), 0.90, "source"))
+        .crossJoin(wpair(u_of("lenb"), 0.85, "len"))
+    )
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    pairs = (
+        cands.join(
+            fields.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("lang").alias("_la"),
+                F.col("source").alias("_sa"),
+                F.col("lenb").alias("_za"),
+            ),
+            "id_a",
+        )
+        .join(
+            fields.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("lang").alias("_lb"),
+                F.col("source").alias("_sb"),
+                F.col("lenb").alias("_zb"),
+            ),
+            "id_b",
+        )
+        .crossJoin(F.broadcast(wts))
+    )
+    lang_m = F.col("_la") == F.col("_lb")
+    src_m = F.col("_sa") == F.col("_sb")
+    len_m = F.col("_za") == F.col("_zb")
+    score = (
+        F.when(lang_m, F.col("wa_lang")).otherwise(F.col("wd_lang"))
+        + F.when(src_m, F.col("wa_source")).otherwise(F.col("wd_source"))
+        + F.when(len_m, F.col("wa_len")).otherwise(F.col("wd_len"))
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            lang_m.alias("lang_match"),
+            src_m.alias("source_match"),
+            len_m.alias("len_match"),
+            score.alias("_score"),
+        )
+        .orderBy(F.desc("_score"), "id_a", "id_b")
+        .limit(25)
+        .select(
+            "id_a",
+            "id_b",
+            "lang_match",
+            "source_match",
+            "len_match",
+            F.round(F.col("_score").cast("double"), 4).alias("match_score"),
+        )
+    )
+
+
+QUERIES["fellegi_sunter_scores"] = fellegi_sunter_scores
+
+_FS_U = """
+        SELECT CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS _s2,
+               CAST(sum(c) AS BIGINT) AS _n
+        FROM (SELECT {field}, CAST(count(*) AS BIGINT) AS c
+              FROM flds GROUP BY {field})"""
+
+_FS_W = """
+        SELECT CAST(round(ln(CAST({m} AS DOUBLE) / u), 6)
+                    AS DECIMAL(16,6)) AS wa_{name},
+               CAST(CASE WHEN u < 1.0
+                         THEN round(ln((CAST(1 AS DOUBLE)
+                                        - CAST({m} AS DOUBLE))
+                                       / (CAST(1 AS DOUBLE) - u)), 6)
+                         ELSE 0.0 END AS DECIMAL(16,6)) AS wd_{name}
+        FROM (SELECT CAST(_s2 AS DOUBLE)
+                     / (CAST(_n AS DOUBLE) * CAST(_n AS DOUBLE)) AS u
+              FROM ({u}) )"""
+
+ORACLES["fellegi_sunter_scores"] = f"""
+        WITH flds AS MATERIALIZED (
+            SELECT doc_id, lang, source,
+                   length(CAST(n_chars AS VARCHAR)) AS lenb
+            FROM documents
+        ),
+        wl AS ({_FS_W.format(m='0.95', name='lang',
+                             u=_FS_U.format(field='lang'))}),
+        ws AS ({_FS_W.format(m='0.90', name='source',
+                             u=_FS_U.format(field='source'))}),
+        wz AS ({_FS_W.format(m='0.85', name='len',
+                             u=_FS_U.format(field='lenb'))}),
+        cand AS ({_DEDUP_ORACLES["lsh_candidates"]}),
+        pairs AS (
+            SELECT c.id_a, c.id_b,
+                   a.lang = b.lang AS lang_match,
+                   a.source = b.source AS source_match,
+                   a.lenb = b.lenb AS len_match
+            FROM cand c
+            JOIN flds a ON a.doc_id = c.id_a
+            JOIN flds b ON b.doc_id = c.id_b
+        ),
+        scored AS (
+            SELECT p.*,
+                   (CASE WHEN lang_match THEN wl.wa_lang
+                         ELSE wl.wd_lang END
+                    + CASE WHEN source_match THEN ws.wa_source
+                           ELSE ws.wd_source END
+                    + CASE WHEN len_match THEN wz.wa_len
+                           ELSE wz.wd_len END) AS _score
+            FROM pairs p, wl, ws, wz
+        )
+        SELECT id_a, id_b, lang_match, source_match, len_match,
+               round(CAST(_score AS DOUBLE), 4) AS match_score
+        FROM scored
+        ORDER BY _score DESC, id_a, id_b LIMIT 25
+"""

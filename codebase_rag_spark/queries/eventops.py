@@ -3981,3 +3981,201 @@ ORACLES["scd2_as_of_lookup"] = """
          AND (i._to_us IS NULL OR p._probe_us < i._to_us)
         ORDER BY probe_pos, user_id
 """
+
+
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. 2013 — the
+    variance-reduction standard every large experimentation platform
+    runs): pre-period user spend is the covariate, post-period spend
+    the metric, treatment = user_id % 2 (a synthetic assignment; swap
+    for the real flag column in production). theta = cov(X,Y)/var(X)
+    pooled over all users; lift_cuped = dY - theta*dX across arms (the
+    X-mean term cancels in the arm difference).
+
+    Determinism: X/Y are exact int64 cents per user (the benford
+    convention); every sufficient statistic (n, Sx, Sy, Sxx, Sxy, Syy
+    and the per-arm splits) is an exact DECIMAL sum with declared
+    precisions chosen so no product exceeds DECIMAL(38) (n as
+    DECIMAL(8), second moments DECIMAL(29) — bounds documented vs the
+    data's 1e26 worst case); theta is ONE double division quantized to
+    DECIMAL(18,9); the remaining arithmetic is fixed-order double,
+    rounded at output. The pre/post midpoint is exact int64-microsecond
+    arithmetic.
+
+    Scale shape: one user-keyed shuffle (the per-user X/Y aggregate),
+    then a single 1-row aggregate — nothing else moves."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr(
+            "CAST((min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2"
+            " AS BIGINT)"
+        ).alias("_mid")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pu = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("_mid"), cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.unix_micros("ts") >= F.col("_mid"), cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            "x", "y", (F.col("user_id") % 2 == 1).alias("t")
+        )
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    s = pu.agg(
+        F.count("*").cast("decimal(8,0)").alias("n"),
+        F.sum("x").cast("decimal(19,0)").alias("sx"),
+        F.sum("y").cast("decimal(19,0)").alias("sy"),
+        F.sum(d19(F.col("x")) * d19(F.col("x")))
+        .cast("decimal(29,0)")
+        .alias("sxx"),
+        F.sum(d19(F.col("x")) * d19(F.col("y")))
+        .cast("decimal(29,0)")
+        .alias("sxy"),
+        F.sum(d19(F.col("y")) * d19(F.col("y")))
+        .cast("decimal(29,0)")
+        .alias("syy"),
+        F.sum(F.when(F.col("t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum(F.when(F.col("t"), F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sxt"),
+        F.sum(F.when(F.col("t"), F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("syt"),
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    dxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    theta = (
+        F.when(denx > 0, F.round(dxy / denx, 9))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,9)")
+    )
+    w = s.select(
+        F.col("nt").alias("n_treat"),
+        (F.col("n").cast("bigint") - F.col("nt")).alias("n_control"),
+        theta.alias("_th"),
+        F.col("sxt").cast("double").alias("_sxt"),
+        F.col("syt").cast("double").alias("_syt"),
+        (F.col("sx").cast("double") - F.col("sxt")).alias("_sxc"),
+        (F.col("sy").cast("double") - F.col("syt")).alias("_syc"),
+        denx.alias("_denx"),
+        deny.alias("_deny"),
+        dxy.alias("_dxy"),
+    )
+    th = F.col("_th").cast("double")
+    dy = F.col("_syt") / F.col("n_treat") - F.col("_syc") / F.col("n_control")
+    dx = F.col("_sxt") / F.col("n_treat") - F.col("_sxc") / F.col("n_control")
+    var_ratio = F.when(
+        F.col("_deny") > 0,
+        (
+            F.col("_deny")
+            - F.lit(2.0) * th * F.col("_dxy")
+            + th * th * F.col("_denx")
+        )
+        / F.col("_deny"),
+    )
+    return w.select(
+        "n_treat",
+        "n_control",
+        F.round(th, 6).alias("theta"),
+        F.round(dy / F.lit(100.0), 4).alias("lift_raw"),
+        F.round((dy - th * dx) / F.lit(100.0), 4).alias("lift_cuped"),
+        F.round(var_ratio, 6).alias("var_ratio"),
+    )
+
+
+QUERIES["cuped_adjusted_lift"] = cuped_adjusted_lift
+
+ORACLES["cuped_adjusted_lift"] = """
+        WITH b AS (
+            SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                        AS BIGINT) AS _mid
+            FROM events
+        ),
+        pu AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN epoch_us(ts) < (SELECT _mid FROM b)
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT _mid FROM b)
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y,
+                   (user_id % 2 = 1) AS t
+            FROM events GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(count(*) AS DECIMAL(8,0)) AS n,
+                   CAST(sum(x) AS DECIMAL(19,0)) AS sx,
+                   CAST(sum(y) AS DECIMAL(19,0)) AS sy,
+                   CAST(sum(CAST(x AS DECIMAL(19,0))
+                            * CAST(x AS DECIMAL(19,0)))
+                        AS DECIMAL(29,0)) AS sxx,
+                   CAST(sum(CAST(x AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0)))
+                        AS DECIMAL(29,0)) AS sxy,
+                   CAST(sum(CAST(y AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0)))
+                        AS DECIMAL(29,0)) AS syy,
+                   CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                   CAST(sum(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS sxt,
+                   CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS syt
+            FROM pu
+        ),
+        w AS (
+            SELECT nt AS n_treat,
+                   CAST(n AS BIGINT) - nt AS n_control,
+                   CAST(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                             THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                                        / CAST(n * sxx - sx * sx AS DOUBLE),
+                                        9)
+                             ELSE 0.0 END AS DECIMAL(18,9)) AS _th,
+                   CAST(sxt AS DOUBLE) AS _sxt,
+                   CAST(syt AS DOUBLE) AS _syt,
+                   CAST(sx AS DOUBLE) - sxt AS _sxc,
+                   CAST(sy AS DOUBLE) - syt AS _syc,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS _denx,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS _deny,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS _dxy
+            FROM s
+        )
+        SELECT n_treat, n_control,
+               round(CAST(_th AS DOUBLE), 6) AS theta,
+               round((_syt / n_treat - _syc / n_control)
+                     / CAST(100 AS DOUBLE), 4) AS lift_raw,
+               round((_syt / n_treat - _syc / n_control
+                      - CAST(_th AS DOUBLE)
+                        * (_sxt / n_treat - _sxc / n_control))
+                     / CAST(100 AS DOUBLE), 4) AS lift_cuped,
+               round(CASE WHEN _deny > 0
+                          THEN (_deny
+                                - CAST(2 AS DOUBLE) * CAST(_th AS DOUBLE)
+                                  * _dxy
+                                + CAST(_th AS DOUBLE) * CAST(_th AS DOUBLE)
+                                  * _denx)
+                               / _deny
+                     END, 6) AS var_ratio
+        FROM w
+"""
