@@ -4179,3 +4179,88 @@ ORACLES["cuped_adjusted_lift"] = """
                      END, 6) AS var_ratio
         FROM w
 """
+
+
+def oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe categorical
+    feature every tabular-ML pipeline ships (and the one naive
+    implementations get wrong by including a row's own target): the
+    encoding for (event_type, fold) is the mean target over the OTHER
+    four folds, so no row's target leaks into its own feature. Folds
+    are md5(event_id || 'fold') mod 5 (the kfold_assignment_audit
+    convention — content-hashed, layout/engine-independent); the
+    target is exact int64 cents.
+
+    Determinism: per-cell (n, sum) are exact ints; leave-one-fold-out
+    encoding is (total_sum - cell_sum)/(total_n - cell_n) — ONE double
+    division on exact ints, rounded; a fold that holds the category's
+    every row yields NULL (no out-of-fold data), never a 0-division.
+
+    Scale shape: one map-side-combined (type, fold) aggregate is the
+    only corpus shuffle; totals ride back on the ~30-row cell table."""
+    from codebase_rag_spark.operators.sampling import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cells = (
+        e.select(
+            "event_type",
+            hash_bucket(F.col("event_id"), 5, "fold").alias("fold"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_in_fold"),
+            F.sum("_c").cast("bigint").alias("_s"),
+        )
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_in_fold").cast("bigint").alias("_tn"),
+        F.sum("_s").cast("bigint").alias("_ts"),
+    )
+    j = cells.join(F.broadcast(tot), "event_type")
+    enc = F.when(
+        F.col("_tn") > F.col("n_in_fold"),
+        F.round(
+            (F.col("_ts") - F.col("_s")).cast("double")
+            / (F.col("_tn") - F.col("n_in_fold")).cast("double")
+            / F.lit(100.0),
+            4,
+        ),
+    )
+    return j.select(
+        "event_type",
+        "fold",
+        "n_in_fold",
+        enc.alias("oof_mean_value"),
+    ).orderBy("event_type", "fold")
+
+
+QUERIES["oof_target_encoding"] = oof_target_encoding
+
+ORACLES["oof_target_encoding"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                             || 'fold'), 1, 8))::BIGINT % 5
+                        AS INTEGER) AS fold,
+                   CAST(count(*) AS BIGINT) AS n_in_fold,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS _s
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type,
+                   CAST(sum(n_in_fold) AS BIGINT) AS _tn,
+                   CAST(sum(_s) AS BIGINT) AS _ts
+            FROM cells GROUP BY event_type
+        )
+        SELECT c.event_type, c.fold, c.n_in_fold,
+               CASE WHEN t._tn > c.n_in_fold
+                    THEN round(CAST(t._ts - c._s AS DOUBLE)
+                               / CAST(t._tn - c.n_in_fold AS DOUBLE)
+                               / CAST(100 AS DOUBLE), 4)
+               END AS oof_mean_value
+        FROM cells c JOIN tot t USING (event_type)
+        ORDER BY event_type, fold
+"""

@@ -672,3 +672,114 @@ ORACLES["degree_assortativity"] = f"""
                    AS assortativity
         FROM agg
 """
+
+
+def doc_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss peeling over the doc chain graph (the edge-support
+    sibling of doc_k_core's node peeling — k-truss keeps only edges in
+    >= k-2 triangles and is the standard cohesive-subgraph primitive
+    one level up from triangle counting): two unrolled peel rounds,
+    each = recompute every surviving edge's triangle support (one
+    wedge self-join on the canonical edge set) and drop support-0
+    edges. Emits per-round peel accounting.
+
+    Exact by construction (integer supports, integer counts); the
+    oracle unrolls the identical two rounds in SQL. Scale shape: the
+    wedge join is the triangle-count join (edge-set-sized, never
+    corpus-sized); every round's state is localCheckpointed so the
+    plan stays constant-size (the pagerank/CC discipline); the
+    per-round stats are 1-row aggregates combined via broadcast
+    crossJoin — no driver-side .count()."""
+    base = _doc_chain(spark, sf_dir, hops=2)
+    edges = (
+        base.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stats = []
+    for rnd in (1, 2):
+        u = edges.unionAll(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        w = (
+            u.alias("u1")
+            .join(
+                u.alias("u2"),
+                (F.col("u1.b") == F.col("u2.b"))
+                & (F.col("u1.a") < F.col("u2.a")),
+            )
+            .groupBy(
+                F.col("u1.a").alias("a"), F.col("u2.a").alias("b")
+            )
+            .agg(F.count("*").alias("_sup"))
+        )
+        kept = (
+            edges.join(w, ["a", "b"])
+            .filter(F.col("_sup") >= 1)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_in = edges.agg(F.count("*").cast("bigint").alias("edges_in"))
+        n_keep = kept.agg(
+            F.count("*").cast("bigint").alias("edges_remaining")
+        )
+        stats.append(
+            n_in.crossJoin(F.broadcast(n_keep)).select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                "edges_in",
+                (F.col("edges_in") - F.col("edges_remaining")).alias(
+                    "edges_removed"
+                ),
+                "edges_remaining",
+            )
+        )
+        edges = kept
+    return stats[0].unionAll(stats[1]).orderBy("round")
+
+
+QUERIES["doc_k_truss"] = doc_k_truss
+
+ORACLES["doc_k_truss"] = f"""
+        WITH e AS ({_CHAIN_1} UNION {_CHAIN_2}),
+        e0 AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst GROUP BY 1, 2
+        ),
+        u0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        w0 AS (
+            SELECT u1.a AS a, u2.a AS b, count(*) AS sup
+            FROM u0 u1 JOIN u0 u2 ON u2.b = u1.b AND u1.a < u2.a
+            GROUP BY 1, 2
+        ),
+        k0 AS (
+            SELECT e0.a, e0.b FROM e0 JOIN w0 USING (a, b)
+            WHERE w0.sup >= 1
+        ),
+        u1 AS (SELECT a, b FROM k0 UNION ALL SELECT b, a FROM k0),
+        w1 AS (
+            SELECT u1.a AS a, u2.a AS b, count(*) AS sup
+            FROM u1 JOIN u1 u2 ON u2.b = u1.b AND u1.a < u2.a
+            GROUP BY 1, 2
+        ),
+        k1 AS (
+            SELECT k0.a, k0.b FROM k0 JOIN w1 USING (a, b)
+            WHERE w1.sup >= 1
+        )
+        SELECT CAST(1 AS BIGINT) AS round,
+               (SELECT CAST(count(*) AS BIGINT) FROM e0) AS edges_in,
+               (SELECT CAST(count(*) AS BIGINT) FROM e0)
+                   - (SELECT CAST(count(*) AS BIGINT) FROM k0)
+                   AS edges_removed,
+               (SELECT CAST(count(*) AS BIGINT) FROM k0) AS edges_remaining
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               (SELECT CAST(count(*) AS BIGINT) FROM k0),
+               (SELECT CAST(count(*) AS BIGINT) FROM k0)
+                   - (SELECT CAST(count(*) AS BIGINT) FROM k1),
+               (SELECT CAST(count(*) AS BIGINT) FROM k1)
+        ORDER BY round
+"""

@@ -634,6 +634,10 @@ def test_round6b_new_operator_plan_contracts(spark, sf_dir):
         "mp4_metadata",
         "markov_next_event_accuracy",
         "scd2_as_of_lookup",
+        "cuped_adjusted_lift",
+        "fellegi_sunter_scores",
+        "oof_target_encoding",
+        "doc_k_truss",
     ):
         df = QUERIES[name](spark, sf_dir)
         plan = explain_str(df)
