@@ -522,3 +522,71 @@ ORACLES["heldout_perplexity"] = r"""
         FROM agg
         ORDER BY source
 """
+
+
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (Gebru et al.'s datasheet headline block)
+    — the governance artifact a training-data release ships with:
+    corpus size, language/source spread, token volume, and the exact
+    duplicate rate, all engine-exact integers (the one double is the
+    mean-tokens division, rounded).
+
+    Plan shape: ONE map-side-combined scan aggregate for the additive
+    stats (distinct langs/sources ride as exact count_distincts over
+    tiny domains) crossJoined with ONE md5-distinct aggregate (kept in
+    a separate 1-row branch so the multi-distinct Expand never touches
+    the main scan — the profile_columns r6 lesson)."""
+    from codebase_rag_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    dups = d.agg(
+        F.countDistinct(F.md5("text")).cast("bigint").alias("_uniq")
+    )
+    return base.crossJoin(F.broadcast(dups)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        "total_chars",
+        (F.col("n_docs") - F.col("_uniq")).alias("exact_dup_docs"),
+        F.expr(
+            "CAST(((n_docs - _uniq) * 10000) DIV n_docs AS BIGINT)"
+        ).alias("dup_rate_bp"),
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+        ).alias("mean_tokens_per_doc"),
+    )
+
+
+QUERIES["dataset_card_summary"] = dataset_card_summary
+
+ORACLES["dataset_card_summary"] = r"""
+        WITH base AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(sum(len(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> ''))) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+        ),
+        dups AS (
+            SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS _uniq
+            FROM documents
+        )
+        SELECT n_docs, n_langs, n_sources, total_tokens, total_chars,
+               n_docs - _uniq AS exact_dup_docs,
+               CAST(((n_docs - _uniq) * 10000) // n_docs AS BIGINT)
+                   AS dup_rate_bp,
+               round(CAST(total_tokens AS DOUBLE) / n_docs, 4)
+                   AS mean_tokens_per_doc
+        FROM base, dups
+"""

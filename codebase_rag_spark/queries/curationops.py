@@ -2024,3 +2024,146 @@ ORACLES["fellegi_sunter_scores"] = f"""
         FROM scored
         ORDER BY _score DESC, id_a, id_b LIMIT 25
 """
+
+
+def dup_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the dedup partition — the quality score for
+    dedup_clusters' connected-component communities on the LSH pair
+    graph (Q near its maximum says the duplicate neighbourhoods are
+    tight and well-separated; Q collapsing toward 0 as the corpus grows
+    is the early warning that band collisions are gluing unrelated docs
+    into mega-clusters). Q = sum_c [ m_c/m - (d_c/2m)^2 ], computed as
+    the exact-integer rational (4m * sum(m_c) - sum(d_c^2)) / (4m^2):
+    m, m_c, d_c are all integer counts, the squares ride in
+    DECIMAL(38,0), and ONE double division happens at the end —
+    engine-exact.
+
+    Scale shape: the LSH pair join is the only corpus-sized shuffle;
+    CC (3 fixed iterations), degrees, and the per-community aggregates
+    all run on pair-graph-sized data."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    edges = cands.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    ).localCheckpoint(eager=False)
+    labels = connected_components(edges, iterations=3)
+    lab = labels.select("node", "component")
+    ej = (
+        edges.join(
+            lab.select(
+                F.col("node").alias("src"), F.col("component").alias("_ca")
+            ),
+            "src",
+        )
+        .join(
+            lab.select(
+                F.col("node").alias("dst"), F.col("component").alias("_cb")
+            ),
+            "dst",
+        )
+    )
+    intra = (
+        ej.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("component"))
+        .agg(F.count("*").cast("bigint").alias("m_c"))
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("_d"))
+    )
+    dc = (
+        deg.join(lab, "node")
+        .groupBy("component")
+        .agg(F.sum("_d").cast("decimal(19,0)").alias("d_c"))
+    )
+    per_c = dc.join(intra, "component", "left").select(
+        "component",
+        F.coalesce(F.col("m_c"), F.lit(0)).cast("bigint").alias("m_c"),
+        "d_c",
+    )
+    tots = per_c.agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.sum("m_c").cast("decimal(19,0)").alias("_sm"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("decimal(38,0)").alias("_sd2"),
+    )
+    m = edges.agg(F.count("*").cast("decimal(19,0)").alias("_m"))
+    return (
+        tots.crossJoin(F.broadcast(m))
+        .select(
+            "n_communities",
+            F.col("_m").cast("bigint").alias("n_edges"),
+            F.round(
+                (
+                    F.lit(4).cast("decimal(2,0)") * F.col("_m") * F.col("_sm")
+                    - F.col("_sd2")
+                ).cast("double")
+                / (
+                    F.lit(4).cast("decimal(2,0)")
+                    * F.col("_m")
+                    * F.col("_m")
+                ).cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+QUERIES["dup_cluster_modularity"] = dup_cluster_modularity
+
+ORACLES["dup_cluster_modularity"] = f"""
+        WITH cand AS ({_DEDUP_ORACLES["lsh_candidates"]}),
+        e AS (
+            SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+            FROM cand
+        ),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS component FROM u),
+        {_CC_ITER.format(i=1, prev=0)},
+        {_CC_ITER.format(i=2, prev=1)},
+        {_CC_ITER.format(i=3, prev=2)},
+        ej AS (
+            SELECT a.component AS ca, b.component AS cb
+            FROM e
+            JOIN l3 a ON a.node = e.src
+            JOIN l3 b ON b.node = e.dst
+        ),
+        intra AS (
+            SELECT ca AS component, CAST(count(*) AS BIGINT) AS m_c
+            FROM ej WHERE ca = cb GROUP BY ca
+        ),
+        deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS _d
+            FROM u GROUP BY src
+        ),
+        dc AS (
+            SELECT l.component,
+                   CAST(sum(d._d) AS DECIMAL(19,0)) AS d_c
+            FROM deg d JOIN l3 l ON l.node = d.node
+            GROUP BY l.component
+        ),
+        per_c AS (
+            SELECT dc.component,
+                   CAST(coalesce(i.m_c, 0) AS BIGINT) AS m_c,
+                   dc.d_c
+            FROM dc LEFT JOIN intra i USING (component)
+        ),
+        tots AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                   CAST(sum(m_c) AS DECIMAL(19,0)) AS _sm,
+                   CAST(sum(d_c * d_c) AS DECIMAL(38,0)) AS _sd2
+            FROM per_c
+        ),
+        m AS (SELECT CAST(count(*) AS DECIMAL(19,0)) AS _m FROM e)
+        SELECT n_communities,
+               CAST(_m AS BIGINT) AS n_edges,
+               round(CAST(CAST(4 AS DECIMAL(2,0)) * _m * _sm - _sd2
+                          AS DOUBLE)
+                     / CAST(CAST(4 AS DECIMAL(2,0)) * _m * _m AS DOUBLE),
+                     6) AS modularity
+        FROM tots, m
+"""

@@ -4264,3 +4264,243 @@ ORACLES["oof_target_encoding"] = """
         FROM cells c JOIN tot t USING (event_type)
         ORDER BY event_type, fold
 """
+
+
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the first and
+    second half of the event stream (time split at the exact int64-µs
+    midpoint, the cuped convention) — the EXACT nonparametric
+    complement of psi_drift_audit's binned PSI: D = max_v |F1(v) -
+    F2(v)| over observed values, computed as the integer rational
+    max |c1cum*n2 - c2cum*n1| / (n1*n2) — no ECDF floats until the
+    ONE double division at the end, so D and its argmax value are
+    engine-exact (argmax ties break on the smaller value).
+
+    Scale shape: one map-side-combined aggregate to the distinct-cents
+    table; the cumulative window runs over that DOMAIN-BOUNDED table
+    (distinct observed cent values — the day-table/vocab_growth_curve
+    exception to the no-unpartitioned-window rule), then TakeOrdered 1."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr(
+            "CAST((min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2"
+            " AS BIGINT)"
+        ).alias("_mid")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_v = (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            cents.alias("cents"),
+            (F.unix_micros("ts") < F.col("_mid")).alias("_h1"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("_h1"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("_h1"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "cents",
+        F.sum("c1").over(w).cast("decimal(19,0)").alias("f1"),
+        F.sum("c2").over(w).cast("decimal(19,0)").alias("f2"),
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("decimal(19,0)").alias("n1"),
+        F.sum("c2").cast("decimal(19,0)").alias("n2"),
+    )
+    num = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select("cents", "n1", "n2", num.alias("_num"))
+        .orderBy(F.desc("_num"), "cents")
+        .limit(1)
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.round(
+                F.col("_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("ks_d"),
+            F.col("cents").alias("ks_at_cents"),
+        )
+    )
+
+
+QUERIES["ks_value_drift"] = ks_value_drift
+
+ORACLES["ks_value_drift"] = """
+        WITH b AS (
+            SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                        AS BIGINT) AS _mid
+            FROM events
+        ),
+        per_v AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(sum(CASE WHEN epoch_us(ts) < (SELECT _mid FROM b)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN epoch_us(ts) < (SELECT _mid FROM b)
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+            FROM events GROUP BY 1
+        ),
+        cum AS (
+            SELECT cents,
+                   CAST(sum(c1) OVER (ORDER BY cents
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+                        AS DECIMAL(19,0)) AS f1,
+                   CAST(sum(c2) OVER (ORDER BY cents
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+                        AS DECIMAL(19,0)) AS f2
+            FROM per_v
+        ),
+        tot AS (
+            SELECT CAST(sum(c1) AS DECIMAL(19,0)) AS n1,
+                   CAST(sum(c2) AS DECIMAL(19,0)) AS n2
+            FROM per_v
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1,
+               CAST(n2 AS BIGINT) AS n2,
+               round(CAST(abs(f1 * n2 - f2 * n1) AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d,
+               cents AS ks_at_cents
+        FROM cum, tot
+        ORDER BY abs(f1 * n2 - f2 * n1) DESC, cents LIMIT 1
+"""
+
+
+def welch_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment experiment readout — Welch's unequal-variance z per
+    event_type (the per-segment drill-down under cuped_adjusted_lift's
+    corpus-level number): treatment = user_id % 2, metric = exact
+    int64 cents per event, z = (mean_t - mean_c) /
+    sqrt(var_t/n_t + var_c/n_c), flagged at the literal 1.96 / 2.576
+    two-sided thresholds (no p-values — erf is not engine-portable;
+    thresholds are).
+
+    Determinism: per-(type, arm) sufficient statistics (n, sum, sum of
+    squares) are exact ints/DECIMAL(38,0); means/variances are
+    fixed-order double expressions on those exact inputs; sqrt is
+    correctly-rounded IEEE (the degree_assortativity precedent).
+
+    Scale shape: ONE map-side-combined (type, arm) aggregate — six
+    rows per type move, nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c19 = cents.cast("decimal(19,0)")
+    cells = (
+        e.select(
+            "event_type",
+            (F.col("user_id") % 2 == 1).alias("t"),
+            cents.alias("_c"),
+            (c19 * c19).alias("_c2"),
+        )
+        .groupBy("event_type", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_c").cast("bigint").alias("s"),
+            F.sum("_c2").cast("decimal(38,0)").alias("s2"),
+        )
+    )
+    piv = (
+        cells.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("t"), F.col("n"))).alias("nt"),
+            F.max(F.when(F.col("t"), F.col("s"))).alias("st"),
+            F.max(F.when(F.col("t"), F.col("s2"))).alias("s2t"),
+            F.max(F.when(~F.col("t"), F.col("n"))).alias("nc"),
+            F.max(F.when(~F.col("t"), F.col("s"))).alias("sc"),
+            F.max(F.when(~F.col("t"), F.col("s2"))).alias("s2c"),
+        )
+        .filter((F.col("nt") > 1) & (F.col("nc") > 1))
+    )
+
+    def var_over_n(n, s, s2):
+        nn = n.cast("double")
+        return (
+            (nn * s2.cast("double") - s.cast("double") * s.cast("double"))
+            / (nn * (nn - F.lit(1.0)))
+        ) / nn
+
+    mt = F.col("st").cast("double") / F.col("nt").cast("double")
+    mc = F.col("sc").cast("double") / F.col("nc").cast("double")
+    se = F.sqrt(
+        var_over_n(F.col("nt"), F.col("st"), F.col("s2t"))
+        + var_over_n(F.col("nc"), F.col("sc"), F.col("s2c"))
+    )
+    z = F.when(se > 0, (mt - mc) / se)
+    return piv.select(
+        "event_type",
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_control"),
+        F.round((mt - mc) / F.lit(100.0), 4).alias("lift_dollars"),
+        F.round(z, 4).alias("welch_z"),
+        (F.abs(z) >= F.lit(1.96)).alias("sig_05"),
+        (F.abs(z) >= F.lit(2.576)).alias("sig_01"),
+    ).orderBy("event_type")
+
+
+QUERIES["welch_lift_by_type"] = welch_lift_by_type
+
+ORACLES["welch_lift_by_type"] = """
+        WITH cells AS (
+            SELECT event_type, (user_id % 2 = 1) AS t,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS s,
+                   CAST(sum(CAST(round(value * 100) AS DECIMAL(19,0))
+                            * CAST(round(value * 100) AS DECIMAL(19,0)))
+                        AS DECIMAL(38,0)) AS s2
+            FROM events GROUP BY 1, 2
+        ),
+        piv AS (
+            SELECT event_type,
+                   max(CASE WHEN t THEN n END) AS nt,
+                   max(CASE WHEN t THEN s END) AS st,
+                   max(CASE WHEN t THEN s2 END) AS s2t,
+                   max(CASE WHEN NOT t THEN n END) AS nc,
+                   max(CASE WHEN NOT t THEN s END) AS sc,
+                   max(CASE WHEN NOT t THEN s2 END) AS s2c
+            FROM cells GROUP BY event_type
+        ),
+        ok AS (SELECT * FROM piv WHERE nt > 1 AND nc > 1),
+        calc AS (
+            SELECT event_type, nt, nc,
+                   CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mt,
+                   CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mc,
+                   sqrt(
+                       ((CAST(nt AS DOUBLE) * CAST(s2t AS DOUBLE)
+                         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                        / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE)
+                                                 - CAST(1 AS DOUBLE))))
+                       / CAST(nt AS DOUBLE)
+                       + ((CAST(nc AS DOUBLE) * CAST(s2c AS DOUBLE)
+                           - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                          / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE)
+                                                   - CAST(1 AS DOUBLE))))
+                         / CAST(nc AS DOUBLE)
+                   ) AS se
+            FROM ok
+        )
+        SELECT event_type, nt AS n_treat, nc AS n_control,
+               round((mt - mc) / CAST(100 AS DOUBLE), 4) AS lift_dollars,
+               round(CASE WHEN se > 0 THEN (mt - mc) / se END, 4)
+                   AS welch_z,
+               CASE WHEN se > 0
+                    THEN abs((mt - mc) / se) >= CAST(1.96 AS DOUBLE)
+               END AS sig_05,
+               CASE WHEN se > 0
+                    THEN abs((mt - mc) / se) >= CAST(2.576 AS DOUBLE)
+               END AS sig_01
+        FROM calc
+        ORDER BY event_type
+"""

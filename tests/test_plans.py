@@ -625,6 +625,12 @@ def test_round6b_new_operator_plan_contracts(spark, sf_dir):
     km = QUERIES["kaplan_meier_survival"](spark, sf_dir)
     assert "CartesianProduct" not in explain_str(km)
 
+    # ks_value_drift's cumulative window runs over the domain-bounded
+    # distinct-cents table (the day-table exception) — bound only the
+    # join shape
+    ks = QUERIES["ks_value_drift"](spark, sf_dir)
+    assert "CartesianProduct" not in explain_str(ks)
+
     for name in (
         "markov_removal_attribution",
         "doc_pagerank_centrality",
@@ -638,6 +644,9 @@ def test_round6b_new_operator_plan_contracts(spark, sf_dir):
         "fellegi_sunter_scores",
         "oof_target_encoding",
         "doc_k_truss",
+        "dup_cluster_modularity",
+        "dataset_card_summary",
+        "welch_lift_by_type",
     ):
         df = QUERIES[name](spark, sf_dir)
         plan = explain_str(df)
