@@ -1,0 +1,128 @@
+"""Incremental SCD Type-2 dimension maintenance under foreachBatch —
+the STREAMING twin of queries/eventops.py:scd2_user_state (build) and
+scd2_as_of_lookup (query): each micro-batch folds its events into the
+versioned dimension without ever re-reading the event history.
+
+State carried per user is exactly ONE open row (state, valid_from,
+n_events, seq); a batch extends it via the same gaps-and-islands
+derivation the batch operator uses, applied to [open-row pseudo-event ∪
+batch events] for TOUCHED users only. Closed rows are immutable;
+untouched users don't move — per-batch cost is O(touched users' batch
+events), not O(history). Late events older than a user's open-row
+valid_from would rewrite closed history; the stream must bound them
+with a watermark (late_arrival_watermark_audit is the sizing evidence)
+— the merge asserts nothing and simply orders by (ts, event_id), the
+batch operator's total order.
+
+Batch parity is the contract: folding any partition of an event set
+through scd2_merge_batch, in ts order, yields BIT-IDENTICAL rows to the
+batch gaps-and-islands build (tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIM_COLS = ["user_id", "seq", "state", "valid_from", "valid_to", "n_events"]
+
+
+def empty_dim(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "user_id bigint, seq bigint, state string, valid_from timestamp,"
+        " valid_to timestamp, n_events bigint",
+    )
+
+
+def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
+    """Pure merge: (current dimension, micro-batch of events) -> new
+    dimension. Deterministic for a given (dim, batch) pair."""
+    touched = batch.select("user_id").distinct()
+    open_rows = dim.filter(F.col("valid_to").isNull())
+    open_touched = open_rows.join(touched, "user_id")
+    # everything immutable this batch: closed rows, plus open rows of
+    # users the batch doesn't mention
+    keep = dim.filter(F.col("valid_to").isNotNull()).unionByName(
+        open_rows.join(touched, "user_id", "left_anti")
+    )
+    # the open row re-enters the fold as a pseudo-event carrying its
+    # accumulated weight; event_id -1 sorts it before any real event at
+    # the same timestamp (real event_ids are non-negative)
+    pseudo = open_touched.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.col("state").alias("event_type"),
+        F.col("n_events").alias("w"),
+        F.col("seq").alias("base_seq"),
+    )
+    ev = batch.select(
+        "user_id",
+        "ts",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.lit(1).cast("bigint").alias("w"),
+        F.lit(None).cast("bigint").alias("base_seq"),
+    )
+    comb = pseudo.unionByName(ev)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = comb.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = flagged.withColumn("idx", F.sum("chg").over(wp).cast("bigint"))
+    base = isl.groupBy("user_id").agg(
+        F.coalesce(F.max("base_seq"), F.lit(1)).alias("_base")
+    )
+    groups = (
+        isl.groupBy("user_id", "idx")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min("ts").alias("valid_from"),
+            F.sum("w").cast("bigint").alias("n_events"),
+        )
+        .join(base, "user_id")
+        .withColumn("seq", F.col("_base") + F.col("idx") - 1)
+    )
+    ws = Window.partitionBy("user_id").orderBy("idx")
+    rebuilt = groups.select(
+        "user_id",
+        "seq",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(ws).alias("valid_to"),
+        "n_events",
+    )
+    return keep.select(*_DIM_COLS).unionByName(rebuilt.select(*_DIM_COLS))
+
+
+def scd2_foreach_batch_sink(
+    events: DataFrame, dim_path: str, checkpoint_path: str
+):
+    """Streaming entry: readStream events -> per-micro-batch SCD2 merge
+    -> overwrite the dimension snapshot. The merge itself is the pure
+    function above; the sink materializes each new dimension version
+    (at scale: MERGE INTO a transactional table instead of the
+    overwrite-snapshot, identical dataflow)."""
+    import os
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(dim_path):
+            dim = spark.read.parquet(dim_path)
+        else:
+            dim = empty_dim(spark)
+        new_dim = scd2_merge_batch(dim, batch_df).localCheckpoint(eager=True)
+        new_dim.write.mode("overwrite").parquet(dim_path)
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
