@@ -524,3 +524,140 @@ ORACLES["minhash_calibration_audit"] = rf"""
         FROM pairs GROUP BY est_matches
         ORDER BY est_matches
 """
+
+
+# expected banded-LSH collision probability 1-(1-m^2)^2 (r=2 rows/band,
+# b=2 bands) at each Jaccard-decile midpoint — ONE Python computation
+# feeds BOTH engines as integer-bp literals (the mp4-fixture pattern)
+_SCURVE_BP = [
+    (b, round((1.0 - (1.0 - ((b + 0.5) / 10.0) ** 2) ** 2) * 10000))
+    for b in range(10)
+] + [(10, 10000)]
+
+
+def lsh_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theory-vs-practice audit for the banded-LSH parameters: the
+    textbook S-curve says a pair with Jaccard s collides with
+    probability 1-(1-s^r)^b (r=2, b=2 here); this measures the ACTUAL
+    collision rate per exact-Jaccard decile on a bounded all-pairs
+    referee subset (doc_id < 40, the jaccard_pairs precedent) and puts
+    both curves side by side — the evidence a dedup owner reads before
+    trusting the (bands, rows) choice at corpus scale.
+
+    Determinism: the Jaccard decile is the integer rational
+    (10*|A∩B|) DIV |A∪B| (never the rounded double); measured rates
+    are integer-bp DIV; the expected curve is precomputed Python
+    literals shared verbatim by both engines. MinHash signatures are
+    corpus-real (the same minhash_lsh_candidates pipeline), restricted
+    to the subset pairs.
+
+    Scale shape: the all-pairs exact Jaccard exists ONLY on the
+    bounded referee subset; production calibration samples pairs (the
+    minhash_calibration_audit convention)."""
+    from codebase_rag_spark.functions.hashing import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sub = (
+        d.filter((F.col("doc_id") < 40) & (F.size(toks) >= 3))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(toks, 3)).alias("_g"),
+        )
+    )
+    pairs = (
+        sub.select(F.col("doc_id").alias("id_a"), F.col("_g").alias("ga"))
+        .join(
+            sub.select(
+                F.col("doc_id").alias("id_b"), F.col("_g").alias("gb")
+            ),
+            F.col("id_a") < F.col("id_b"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ga", "gb")).alias("_i"),
+            F.size(F.array_union("ga", "gb")).alias("_u"),
+        )
+    )
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    ).filter((F.col("id_a") < 40) & (F.col("id_b") < 40))
+    flagged = pairs.join(
+        cands.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select(
+        F.expr("CAST((10 * _i) DIV _u AS INTEGER)").alias("j_bin"),
+        F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
+    )
+    bins = flagged.groupBy("j_bin").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("hit").cast("bigint").alias("n_caught"),
+    )
+    curve = spark.createDataFrame(_SCURVE_BP, ["j_bin", "expected_bp"])
+    return (
+        bins.join(F.broadcast(curve), "j_bin")
+        .select(
+            "j_bin",
+            "n_pairs",
+            "n_caught",
+            F.expr("CAST((n_caught * 10000) DIV n_pairs AS BIGINT)").alias(
+                "measured_bp"
+            ),
+            F.col("expected_bp").cast("bigint").alias("expected_bp"),
+        )
+        .orderBy("j_bin")
+    )
+
+
+QUERIES["lsh_s_curve_calibration"] = lsh_s_curve_calibration
+
+_SCURVE_VALUES = ",\n            ".join(
+    f"({b}, {bp})" for b, bp in _SCURVE_BP
+)
+
+ORACLES["lsh_s_curve_calibration"] = rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+            WHERE doc_id < 40
+              AND len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) >= 3
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS _g
+            FROM base
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a._g, b._g)) AS _i,
+                   len(list_distinct(list_concat(a._g, b._g))) AS _u
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        ),
+        cand AS (SELECT * FROM ({ORACLES["lsh_candidates"]}) q
+                 WHERE id_a < 40 AND id_b < 40),
+        flagged AS (
+            SELECT CAST((10 * p._i) // p._u AS INTEGER) AS j_bin,
+                   CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+            FROM pairs p
+            LEFT JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
+        ),
+        bins AS (
+            SELECT j_bin,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(hit) AS BIGINT) AS n_caught
+            FROM flagged GROUP BY j_bin
+        ),
+        curve(j_bin, expected_bp) AS (VALUES
+            {_SCURVE_VALUES})
+        SELECT b.j_bin, b.n_pairs, b.n_caught,
+               CAST((b.n_caught * 10000) // b.n_pairs AS BIGINT)
+                   AS measured_bp,
+               CAST(c.expected_bp AS BIGINT) AS expected_bp
+        FROM bins b JOIN curve c USING (j_bin)
+        ORDER BY b.j_bin
+"""

@@ -4504,3 +4504,167 @@ ORACLES["welch_lift_by_type"] = """
         FROM calc
         ORDER BY event_type
 """
+
+
+def funnel_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence intervals on the funnel's step conversion
+    rates (view->click, click->purchase) — the uncertainty layer on
+    funnel_steps' point counts (Wilson beats the naive Wald interval
+    near 0/1 and small n, which is exactly where funnel tails live).
+
+    Determinism: numerator/denominator are exact ints from the same
+    shrinking-broadcast-join funnel derivation as funnel_steps; the
+    Wilson formula is a FIXED-order double expression on those ints
+    with literal z = 1.96 (z*z written out, sqrt is correctly-rounded
+    IEEE — the degree_assortativity precedent), rounded at output.
+
+    Scale shape: identical to funnel_steps (three shrinking
+    aggregates); the CI math rides on three 1-row aggregates."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+        .withColumn("deadline", F.col("v_ts") + F.expr("INTERVAL 7 DAYS"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(views), "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("deadline"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"), F.min("deadline").alias("deadline"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(clicks), "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("deadline"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = views.agg(F.count("*").cast("bigint").alias("n_base"))
+    nc = clicks.agg(F.count("*").cast("bigint").alias("n_conv"))
+    nc2 = clicks.agg(F.count("*").cast("bigint").alias("n_base"))
+    np_ = purchases.agg(F.count("*").cast("bigint").alias("n_conv"))
+
+    def wilson(df, step):
+        n = F.col("n_base").cast("double")
+        k = F.col("n_conv").cast("double")
+        z = F.lit(1.96)
+        ph = k / n
+        z2 = z * z
+        den = F.lit(1.0) + z2 / n
+        center = (ph + z2 / (F.lit(2.0) * n)) / den
+        half = (
+            z
+            * F.sqrt(
+                ph * (F.lit(1.0) - ph) / n
+                + z2 / (F.lit(4.0) * n * n)
+            )
+            / den
+        )
+        return df.select(
+            F.lit(step).alias("step"),
+            "n_base",
+            "n_conv",
+            F.when(F.col("n_base") > 0, F.round(ph, 6)).alias("rate"),
+            F.when(F.col("n_base") > 0, F.round(center - half, 6)).alias(
+                "wilson_lo"
+            ),
+            F.when(F.col("n_base") > 0, F.round(center + half, 6)).alias(
+                "wilson_hi"
+            ),
+        )
+
+    r1 = wilson(nv.crossJoin(F.broadcast(nc)), "1_view_to_click")
+    r2 = wilson(nc2.crossJoin(F.broadcast(np_)), "2_click_to_purchase")
+    return r1.unionAll(r2).orderBy("step")
+
+
+QUERIES["funnel_conversion_ci"] = funnel_conversion_ci
+
+_WILSON_SQL = """
+            SELECT '{step}' AS step, n_base, n_conv,
+                   CASE WHEN n_base > 0 THEN round(
+                       CAST(n_conv AS DOUBLE) / CAST(n_base AS DOUBLE), 6)
+                   END AS rate,
+                   CASE WHEN n_base > 0 THEN round(
+                       ((CAST(n_conv AS DOUBLE) / CAST(n_base AS DOUBLE))
+                        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                          / (CAST(2 AS DOUBLE) * CAST(n_base AS DOUBLE)))
+                       / (CAST(1 AS DOUBLE)
+                          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                            / CAST(n_base AS DOUBLE))
+                       - CAST(1.96 AS DOUBLE) * sqrt(
+                           (CAST(n_conv AS DOUBLE) / CAST(n_base AS DOUBLE))
+                           * (CAST(1 AS DOUBLE)
+                              - CAST(n_conv AS DOUBLE)
+                                / CAST(n_base AS DOUBLE))
+                           / CAST(n_base AS DOUBLE)
+                           + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                             / (CAST(4 AS DOUBLE) * CAST(n_base AS DOUBLE)
+                                * CAST(n_base AS DOUBLE)))
+                         / (CAST(1 AS DOUBLE)
+                            + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                              / CAST(n_base AS DOUBLE)), 6)
+                   END AS wilson_lo,
+                   CASE WHEN n_base > 0 THEN round(
+                       ((CAST(n_conv AS DOUBLE) / CAST(n_base AS DOUBLE))
+                        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                          / (CAST(2 AS DOUBLE) * CAST(n_base AS DOUBLE)))
+                       / (CAST(1 AS DOUBLE)
+                          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                            / CAST(n_base AS DOUBLE))
+                       + CAST(1.96 AS DOUBLE) * sqrt(
+                           (CAST(n_conv AS DOUBLE) / CAST(n_base AS DOUBLE))
+                           * (CAST(1 AS DOUBLE)
+                              - CAST(n_conv AS DOUBLE)
+                                / CAST(n_base AS DOUBLE))
+                           / CAST(n_base AS DOUBLE)
+                           + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                             / (CAST(4 AS DOUBLE) * CAST(n_base AS DOUBLE)
+                                * CAST(n_base AS DOUBLE)))
+                         / (CAST(1 AS DOUBLE)
+                            + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                              / CAST(n_base AS DOUBLE)), 6)
+                   END AS wilson_hi
+            FROM {src}"""
+
+ORACLES["funnel_conversion_ci"] = f"""
+        WITH views AS (
+            SELECT user_id, min(ts) AS v_ts,
+                   min(ts) + INTERVAL 7 DAY AS deadline
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        clicks AS (
+            SELECT e.user_id, min(e.ts) AS c_ts, min(v.deadline) AS deadline
+            FROM events e JOIN views v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > v.v_ts AND e.ts <= v.deadline
+            GROUP BY e.user_id
+        ),
+        purchases AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN clicks c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > c.c_ts AND e.ts <= c.deadline
+            GROUP BY e.user_id
+        ),
+        s1 AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM views) AS n_base,
+                   (SELECT CAST(count(*) AS BIGINT) FROM clicks) AS n_conv
+        ),
+        s2 AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM clicks) AS n_base,
+                   (SELECT CAST(count(*) AS BIGINT) FROM purchases) AS n_conv
+        )
+        {_WILSON_SQL.format(step='1_view_to_click', src='s1')}
+        UNION ALL
+        {_WILSON_SQL.format(step='2_click_to_purchase', src='s2')}
+        ORDER BY step
+"""

@@ -647,6 +647,8 @@ def test_round6b_new_operator_plan_contracts(spark, sf_dir):
         "dup_cluster_modularity",
         "dataset_card_summary",
         "welch_lift_by_type",
+        "lsh_s_curve_calibration",
+        "funnel_conversion_ci",
     ):
         df = QUERIES[name](spark, sf_dir)
         plan = explain_str(df)
