@@ -661,3 +661,110 @@ ORACLES["lsh_s_curve_calibration"] = rf"""
         FROM bins b JOIN curve c USING (j_bin)
         ORDER BY b.j_bin
 """
+
+
+def contamination_ngram_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination sensitivity curve — benchmark_decontamination at a
+    single n tells you THAT eval overlap exists; this sweeps n in
+    {1, 2, 3, 4, 8} and reports the train-doc contamination rate at
+    each, the curve an eval owner reads to pick the n that separates
+    topical overlap (collapses fast as n grows) from true leakage
+    (persists at n=8). Eval set = doc_id % 20 == 0 (the
+    decontamination convention), train = the rest.
+
+    Determinism: integer doc counts, integer-DIV bp. Scale shape: per
+    n, eval n-grams are a DISTINCT broadcast-sized set semi-joined into
+    the exploded train grams (the decontamination shape — zero corpus
+    shuffle beyond the per-n distinct-doc count); the 5 sweep points
+    share one base scan definition and union 5 single-row aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    base = d.select(
+        "doc_id", (F.col("doc_id") % 20 == 0).alias("_ev"), toks.alias("_t")
+    )
+    train_total = base.filter(~F.col("_ev")).agg(
+        F.count("*").cast("bigint").alias("n_train_docs")
+    )
+    from codebase_rag_spark.functions.hashing import shingles
+
+    rows = []
+    for n in (1, 2, 3, 4, 8):
+        g = F.explode(
+            F.array_distinct(shingles(F.col("_t"), n))
+        ).alias("gram")
+        ev = (
+            base.filter(F.col("_ev") & (F.size("_t") >= n))
+            .select(g)
+            .distinct()
+        )
+        hits = (
+            base.filter(~F.col("_ev") & (F.size("_t") >= n))
+            .select("doc_id", g)
+            .join(ev, "gram")
+            .agg(
+                F.countDistinct("doc_id")
+                .cast("bigint")
+                .alias("n_contaminated")
+            )
+        )
+        rows.append(
+            train_total.crossJoin(F.broadcast(hits)).select(
+                F.lit(n).cast("int").alias("ngram_n"),
+                "n_train_docs",
+                "n_contaminated",
+                F.expr(
+                    "CAST((n_contaminated * 10000) DIV n_train_docs"
+                    " AS BIGINT)"
+                ).alias("rate_bp"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("ngram_n")
+
+
+QUERIES["contamination_ngram_curve"] = contamination_ngram_curve
+
+_CNC_POINT = r"""
+            SELECT {n} AS ngram_n,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 20 <> 0) AS n_train_docs,
+                   (SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT)
+                    FROM (
+                        SELECT doc_id,
+                               unnest(list_distinct(list_transform(
+                                   generate_series(1, len(tk) - {nm1}),
+                                   i -> array_to_string(tk[i:i+{nm1}],
+                                                        ' ')))) AS gram
+                        FROM (SELECT doc_id,
+                                     list_filter(regexp_split_to_array(
+                                         lower(text), '\s+'),
+                                         x -> x <> '') AS tk
+                              FROM documents)
+                        WHERE doc_id % 20 <> 0 AND len(tk) >= {n}
+                    ) t
+                    JOIN (
+                        SELECT DISTINCT
+                               unnest(list_distinct(list_transform(
+                                   generate_series(1, len(tk) - {nm1}),
+                                   i -> array_to_string(tk[i:i+{nm1}],
+                                                        ' ')))) AS gram
+                        FROM (SELECT doc_id,
+                                     list_filter(regexp_split_to_array(
+                                         lower(text), '\s+'),
+                                         x -> x <> '') AS tk
+                              FROM documents)
+                        WHERE doc_id % 20 = 0 AND len(tk) >= {n}
+                    ) e USING (gram)) AS n_contaminated
+"""
+
+ORACLES["contamination_ngram_curve"] = (
+    " UNION ALL ".join(
+        "SELECT ngram_n, n_train_docs, n_contaminated,"
+        " CAST((n_contaminated * 10000) // n_train_docs AS BIGINT)"
+        " AS rate_bp FROM (" + _CNC_POINT.format(n=n, nm1=n - 1) + ")"
+        for n in (1, 2, 3, 4, 8)
+    )
+    + " ORDER BY ngram_n"
+)

@@ -649,6 +649,9 @@ def test_round6b_new_operator_plan_contracts(spark, sf_dir):
         "welch_lift_by_type",
         "lsh_s_curve_calibration",
         "funnel_conversion_ci",
+        "secret_scan_audit",
+        "url_domain_histogram",
+        "contamination_ngram_curve",
     ):
         df = QUERIES[name](spark, sf_dir)
         plan = explain_str(df)
