@@ -1,0 +1,133 @@
+"""Streaming PSI drift monitor under foreachBatch — the ONLINE twin of
+queries/eventops.py:psi_drift_audit: a fixed reference histogram is
+computed once (the deployment-time snapshot); each micro-batch then
+folds its per-(event_type, bin) counts into a running current-window
+state (a tiny additive table — the only thing ever persisted), and the
+PSI against the reference is re-emitted per batch.
+
+State is mergeable by construction: bin counts are exact int64 sums, so
+batch order, batch boundaries, and replay-duplicates-with-overwrite all
+yield the same state a single batch pass would (the parity test folds 3
+splits and compares bit-for-bit with the batch histogram). PSI math is
+the audit's exact recipe: Laplace-smoothed proportions, ln of a ratio
+of exact int products quantized once per bin, exact decimal term sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.queries.eventops import PSI_BIN_WIDTH, PSI_N_BINS
+
+
+def bin_counts(events: DataFrame) -> DataFrame:
+    """Per-(event_type, bin) exact counts — the additive state unit."""
+    return (
+        events.select(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / PSI_BIN_WIDTH),
+                F.lit(PSI_N_BINS - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def merge_counts(state: DataFrame, batch_counts: DataFrame) -> DataFrame:
+    """Exact additive merge — order- and split-independent."""
+    return (
+        state.unionByName(batch_counts)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def psi_vs_reference(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """PSI per event_type between two bin-count tables (the audit's
+    exact-decimal recipe; both inputs are tiny aggregates)."""
+    spark = ref.sparkSession
+    types = ref.select("event_type").unionByName(
+        cur.select("event_type")
+    ).distinct()
+    grid = (
+        types.crossJoin(
+            F.broadcast(
+                spark.range(PSI_N_BINS).select(
+                    F.col("id").cast("int").alias("bin")
+                )
+            )
+        )
+        .join(
+            ref.withColumnRenamed("c", "c_ref"), ["event_type", "bin"], "left"
+        )
+        .join(
+            cur.withColumnRenamed("c", "c_cur"), ["event_type", "bin"], "left"
+        )
+        .fillna(0, ["c_ref", "c_cur"])
+    )
+    tr = ref.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("t_ref"))
+    tc = cur.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("t_cur"))
+    g = grid.join(F.broadcast(tr), "event_type").join(
+        F.broadcast(tc), "event_type"
+    )
+    B = F.lit(PSI_N_BINS)
+    p_ref = (F.col("c_ref") + 1).cast("double") / (
+        F.col("t_ref") + B
+    ).cast("double")
+    p_cur = (F.col("c_cur") + 1).cast("double") / (
+        F.col("t_cur") + B
+    ).cast("double")
+    ln_arg = ((F.col("c_cur") + 1) * (F.col("t_ref") + B)).cast("double") / (
+        (F.col("c_ref") + 1) * (F.col("t_cur") + B)
+    ).cast("double")
+    term = F.round((p_cur - p_ref) * F.round(F.log(ln_arg), 6), 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+def psi_foreach_batch_sink(
+    events: DataFrame,
+    ref_counts_path: str,
+    state_path: str,
+    psi_log_path: str,
+    checkpoint_path: str,
+):
+    """Streaming entry: fold each micro-batch into the current-window
+    state and append that batch's PSI readout (batch_id-stamped) to the
+    monitor log."""
+    import os
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = bin_counts(batch_df)
+        if os.path.exists(state_path):
+            state = spark.read.parquet(state_path)
+            new_state = merge_counts(state, bc)
+        else:
+            new_state = bc
+        new_state = new_state.localCheckpoint(eager=True)
+        new_state.write.mode("overwrite").parquet(state_path)
+        ref = spark.read.parquet(ref_counts_path)
+        (
+            psi_vs_reference(ref, new_state)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(psi_log_path)
+        )
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

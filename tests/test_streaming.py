@@ -704,3 +704,107 @@ def test_scd2_foreach_batch_sink_builds_dimension(spark, sf_dir, tmp_path):
     assert (
         dim.agg(F.sum("n_events")).first()[0] == e.count()
     )
+
+
+def test_psi_drift_monitor_fold_matches_batch(spark, sf_dir):
+    """Folding the current window through merge_counts in 3 splits is
+    BIT-IDENTICAL to one batch histogram pass, and the streamed PSI
+    equals the batch psi_drift_audit's per-type values on the same
+    reference/current split."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.queries import QUERIES
+    from codebase_rag_spark.queries.eventops import PSI_SPLIT_DAYS
+    from codebase_rag_spark.streaming.drift_ingest import (
+        bin_counts,
+        merge_counts,
+        psi_vs_reference,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    d0 = e.agg(F.date_trunc("day", F.min("ts")).alias("_d0"))
+    tagged = e.crossJoin(F.broadcast(d0)).withColumn(
+        "_cur", F.datediff(F.col("ts"), F.col("_d0")) >= PSI_SPLIT_DAYS
+    )
+    ref = bin_counts(tagged.filter(~F.col("_cur")))
+    cur_all = tagged.filter(F.col("_cur"))
+    uid = F.col("user_id") % 3
+    state = bin_counts(cur_all.filter(uid == 0))
+    for k in (1, 2):
+        state = merge_counts(
+            state, bin_counts(cur_all.filter(uid == k))
+        ).localCheckpoint(eager=True)
+    # 1) state parity with the single-pass histogram
+    want = {
+        (r.event_type, r.bin): r.c for r in bin_counts(cur_all).collect()
+    }
+    got = {(r.event_type, r.bin): r.c for r in state.collect()}
+    assert got == want
+    # 2) PSI parity with the batch audit
+    streamed = {
+        r.event_type: r.psi
+        for r in psi_vs_reference(ref, state).collect()
+    }
+    audited = {
+        r.event_type: r.psi
+        for r in QUERIES["psi_drift_audit"](spark, sf_dir).collect()
+    }
+    assert streamed == audited
+
+
+def test_psi_foreach_batch_sink_emits_per_batch_psi(spark, sf_dir, tmp_path):
+    """Real availableNow stream (maxFilesPerTrigger=1): the monitor log
+    gains one PSI row-set per micro-batch and the final batch's values
+    equal the pure fold."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.queries.eventops import PSI_SPLIT_DAYS
+    from codebase_rag_spark.streaming.drift_ingest import (
+        bin_counts,
+        psi_foreach_batch_sink,
+        psi_vs_reference,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    d0 = e.agg(F.date_trunc("day", F.min("ts")).alias("_d0"))
+    tagged = e.crossJoin(F.broadcast(d0)).withColumn(
+        "_cur", F.datediff(F.col("ts"), F.col("_d0")) >= PSI_SPLIT_DAYS
+    )
+    ref_path = str(tmp_path / "ref")
+    bin_counts(tagged.filter(~F.col("_cur"))).write.parquet(ref_path)
+    cur = tagged.filter(F.col("_cur")).drop("_cur", "_d0")
+    src = str(tmp_path / "src")
+    for i in range(2):
+        cur.filter(F.col("user_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = psi_foreach_batch_sink(
+        stream,
+        ref_path,
+        str(tmp_path / "state"),
+        str(tmp_path / "psi"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    log = spark.read.parquet(str(tmp_path / "psi"))
+    n_batches = log.select("batch_id").distinct().count()
+    assert n_batches == 2
+    last = log.orderBy(F.desc("batch_id")).first().batch_id
+    final = {
+        r.event_type: r.psi
+        for r in log.filter(F.col("batch_id") == last).collect()
+    }
+    want = {
+        r.event_type: r.psi
+        for r in psi_vs_reference(
+            spark.read.parquet(ref_path), bin_counts(cur)
+        ).collect()
+    }
+    assert final == want
