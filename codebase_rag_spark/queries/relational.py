@@ -963,3 +963,82 @@ ORACLES["referential_integrity_audit"] = f"""
         SELECT * FROM ({_FK_ORACLE_PARTS})
         ORDER BY relation
 """
+
+
+_FANOUT_RELATIONS = [
+    ("orders->lineitem", "lineitem", "l_orderkey"),
+    ("customer->orders", "orders", "o_custkey"),
+    ("part->lineitem", "lineitem", "l_partkey"),
+    ("supplier->lineitem", "lineitem", "l_suppkey"),
+    ("nation->customer", "customer", "c_nationkey"),
+    ("user->events", "events", "user_id"),
+]
+
+
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out audit over the warehouse's FK relations — the
+    planning evidence behind every broadcast/skew decision in this
+    repo: per relation, how many child rows a parent key matches
+    (n_keys, total children, max fan-out, mean, and max/mean skew in
+    integer basis points). A relation whose skew_bp explodes is the
+    one that needs AQE skew-split or salting BEFORE it ships; the flat
+    ones are safe equi-joins at any scale.
+
+    Determinism: counts and max are exact ints; mean is rounded once;
+    skew_bp is the exact integer (max * n_keys * 10000) DIV total.
+    Scale shape: one map-side-combined key aggregate + a 1-row summary
+    per relation — the child tables are scanned key-column-only."""
+    rows = []
+    for name, tbl, key in _FANOUT_RELATIONS:
+        child = load_table(spark, sf_dir, tbl).select(F.col(key).alias("k"))
+        per_key = child.groupBy("k").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        rows.append(
+            per_key.agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum("c").cast("bigint").alias("n_children"),
+                F.max("c").cast("bigint").alias("max_fanout"),
+            ).select(
+                F.lit(name).alias("relation"),
+                "n_keys",
+                "n_children",
+                "max_fanout",
+                F.round(
+                    F.col("n_children").cast("double")
+                    / F.col("n_keys").cast("double"),
+                    4,
+                ).alias("mean_fanout"),
+                F.expr(
+                    "CAST((max_fanout * n_keys * 10000) DIV n_children"
+                    " AS BIGINT)"
+                ).alias("skew_bp"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("relation")
+
+
+QUERIES["join_fanout_audit"] = join_fanout_audit
+
+_FANOUT_POINT = """
+            SELECT '{name}' AS relation,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(c) AS BIGINT) AS n_children,
+                   CAST(max(c) AS BIGINT) AS max_fanout,
+                   round(CAST(sum(c) AS DOUBLE) / count(*), 4)
+                       AS mean_fanout,
+                   CAST((max(c) * count(*) * 10000) // sum(c) AS BIGINT)
+                       AS skew_bp
+            FROM (SELECT {key}, count(*) AS c FROM {tbl} GROUP BY {key})
+"""
+
+ORACLES["join_fanout_audit"] = (
+    " UNION ALL ".join(
+        _FANOUT_POINT.format(name=name, tbl=tbl, key=key)
+        for name, tbl, key in _FANOUT_RELATIONS
+    )
+    + " ORDER BY relation"
+)

@@ -1370,3 +1370,80 @@ ORACLES["int8_quant_recall"] = """
         FROM ranked GROUP BY query_id
         ORDER BY query_id
 """
+
+
+def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature profile of the embedding corpus — the
+    feature-store health check run before any ANN index build (a dead
+    dimension, a scale outlier, or a mean far off 0 each break cosine
+    geometry in its own way): mean / min / max / std per vector
+    position.
+
+    Determinism: components (and their IEEE-squared values) are
+    quantized ONCE per term to DECIMAL(20,10), summed exactly per
+    dimension, then ONE double
+    division each for mean and variance, IEEE sqrt (the
+    degree_assortativity precedent), rounded outputs.
+
+    Scale shape: posexplode fans out corpus x dim rows, but the
+    aggregate keys on the 64 positions, so map-side combine collapses
+    everything to |dims| rows per task before the one tiny shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    pe = emb.select(F.posexplode(v).alias("pos", "x"))
+    q = F.col("x").cast("decimal(20,10)")
+    # square in IEEE double FIRST (identical both engines), then
+    # quantize once — a (20,10)x(20,10) decimal product would exceed
+    # precision 38 and rely on engine-specific scale reduction
+    q2 = (F.col("x") * F.col("x")).cast("decimal(20,10)")
+    agg = pe.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(q).alias("_s"),
+        F.sum(q2).alias("_s2"),
+        F.min("x").alias("_mn"),
+        F.max("x").alias("_mx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = (
+        n * F.col("_s2").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+    ) / (n * n)
+    return agg.select(
+        "pos",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.col("_mn"), 6).alias("min_x"),
+        F.round(F.col("_mx"), 6).alias("max_x"),
+        F.round(F.sqrt(var), 6).alias("std"),
+    ).orderBy("pos")
+
+
+QUERIES["embedding_dimension_profile"] = embedding_dimension_profile
+
+ORACLES["embedding_dimension_profile"] = """
+        WITH pe AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding)::DOUBLE AS x
+            FROM embeddings
+        ),
+        agg AS (
+            SELECT pos,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(20,10))) AS _s,
+                   sum(CAST(x * x AS DECIMAL(20,10))) AS _s2,
+                   min(x) AS _mn,
+                   max(x) AS _mx
+            FROM pe GROUP BY pos
+        )
+        SELECT CAST(pos AS INTEGER) AS pos, n,
+               round(CAST(_s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+               round(_mn, 6) AS min_x,
+               round(_mx, 6) AS max_x,
+               round(sqrt((CAST(n AS DOUBLE) * CAST(_s2 AS DOUBLE)
+                           - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                   AS std
+        FROM agg
+        ORDER BY pos
+"""

@@ -652,6 +652,8 @@ def test_round6b_new_operator_plan_contracts(spark, sf_dir):
         "secret_scan_audit",
         "url_domain_histogram",
         "contamination_ngram_curve",
+        "embedding_dimension_profile",
+        "join_fanout_audit",
     ):
         df = QUERIES[name](spark, sf_dir)
         plan = explain_str(df)
