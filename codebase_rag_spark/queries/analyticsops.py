@@ -1338,3 +1338,260 @@ ORACLES["acf_daily_revenue"] = """
         FROM pairs CROSS JOIN den
         ORDER BY lag
 """
+
+
+def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (Linden et al. 2003, the
+    Amazon recsys core): cosine similarity between parts over the
+    order-basket incidence matrix — cos(i,j) = c_ij / sqrt(c_i * c_j)
+    with c_ij = baskets containing both. The ANGLE complement of
+    part_basket_rules' lift (dependence): lift flags association,
+    cosine ranks neighbors for 'customers also bought'. Top-20 pairs
+    with support >= 5.
+
+    Determinism: all counts exact ints; cosine is ONE IEEE
+    sqrt+division on exact ints (fixed order both engines), ordering
+    breaks ties on (id_a, id_b). Scale shape: the pair fan-out is
+    bounded by the SAME MAX_BASKET_SIZE cap as part_basket_rules (a
+    basket of n contributes n(n-1)/2 <= 2016 pairs); item counts ride
+    back as two key joins on the pair-aggregated table — never a
+    corpus-sized side."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("_bs"))
+    capped = li.join(
+        sizes.filter(F.col("_bs") <= MAX_BASKET_SIZE), "l_orderkey"
+    ).select("l_orderkey", "l_partkey").localCheckpoint(eager=False)
+    item = capped.groupBy(F.col("l_partkey").alias("pid")).agg(
+        F.count("*").cast("bigint").alias("ci")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c_ij"))
+        .filter(F.col("c_ij") >= 5)
+    )
+    scored = (
+        pairs.join(
+            item.select(F.col("pid").alias("id_a"), F.col("ci").alias("_ca")),
+            "id_a",
+        )
+        .join(
+            item.select(F.col("pid").alias("id_b"), F.col("ci").alias("_cb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "c_ij",
+            F.col("_ca").alias("n_a"),
+            F.col("_cb").alias("n_b"),
+            (
+                F.col("c_ij").cast("double")
+                / F.sqrt(
+                    F.col("_ca").cast("double") * F.col("_cb").cast("double")
+                )
+            ).alias("_cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_cos"), "id_a", "id_b")
+        .limit(20)
+        .select(
+            "id_a",
+            "id_b",
+            "c_ij",
+            "n_a",
+            "n_b",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        )
+    )
+
+
+QUERIES["item_cooccurrence_similarity"] = item_cooccurrence_similarity
+
+ORACLES["item_cooccurrence_similarity"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        capped AS (
+            SELECT l_orderkey, l_partkey FROM li
+            WHERE l_orderkey IN (
+                SELECT l_orderkey FROM li
+                GROUP BY l_orderkey HAVING count(*) <= 64)
+        ),
+        item AS (
+            SELECT l_partkey AS pid, CAST(count(*) AS BIGINT) AS ci
+            FROM capped GROUP BY l_partkey
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+                   CAST(count(*) AS BIGINT) AS c_ij
+            FROM capped a
+            JOIN capped b ON b.l_orderkey = a.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
+        ),
+        scored AS (
+            SELECT p.id_a, p.id_b, p.c_ij,
+                   ia.ci AS n_a, ib.ci AS n_b,
+                   CAST(p.c_ij AS DOUBLE)
+                       / sqrt(CAST(ia.ci AS DOUBLE)
+                              * CAST(ib.ci AS DOUBLE)) AS _cos
+            FROM pairs p
+            JOIN item ia ON ia.pid = p.id_a
+            JOIN item ib ON ib.pid = p.id_b
+        )
+        SELECT id_a, id_b, c_ij, n_a, n_b,
+               round(_cos, 6) AS cosine
+        FROM scored
+        ORDER BY _cos DESC, id_a, id_b LIMIT 20
+"""
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over the last
+    14 days of daily revenue, forecasting 1-7 days ahead — the
+    trend-aware upgrade of seasonal_naive_backtest's forecasting
+    family. The recursion is UNROLLED over a FIXED 14-day calendar
+    window (the markov/power-iteration recipe applied to time series):
+    12 smoothing steps, each an exact-decimal update
+    l_t = a*y_t + (1-a)(l+b), b_t = g*(l_t - l) + (1-g)*b with
+    a=0.5, g=0.3 as DECIMAL(10,9) literals — every product is exact
+    (29,18), re-quantized to (18,9) per step, bit-identical
+    cross-engine. Zero-revenue days are real 0 points (full spine).
+
+    Scale shape: ONE corpus aggregate (day x revenue, calendar-
+    bounded); the 12 steps are 1-row x 1-row broadcast joins."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    b = e.agg(F.max(F.to_date("ts")).alias("_dmax"))
+    daily = (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            F.datediff(F.to_date("ts"), F.col("_dmax")).alias("_off"),
+            cents.alias("_c"),
+        )
+        .filter(F.col("_off") > -14)
+        .groupBy("_off")
+        .agg(F.sum("_c").cast("bigint").alias("_cents"))
+    )
+    spine = spark.range(-13, 1).select(F.col("id").cast("int").alias("_off"))
+    days = (
+        spine.join(daily, "_off", "left")
+        .select(
+            (F.col("_off") + 13).alias("idx"),
+            F.coalesce(F.col("_cents"), F.lit(0))
+            .cast("decimal(18,9)")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def day(i):
+        return F.broadcast(
+            days.filter(F.col("idx") == i).select(F.col("y").alias("_y"))
+        )
+
+    a = F.lit("0.500000000").cast("decimal(10,9)")
+    one_a = F.lit("0.500000000").cast("decimal(10,9)")
+    g = F.lit("0.300000000").cast("decimal(10,9)")
+    one_g = F.lit("0.700000000").cast("decimal(10,9)")
+    state = (
+        day(0)
+        .crossJoin(day(1).select(F.col("_y").alias("_y1")))
+        .select(
+            F.col("_y1").alias("l"),
+            (F.col("_y1") - F.col("_y")).cast("decimal(18,9)").alias("bt"),
+        )
+    )
+    for t in range(2, 14):
+        lnew = F.round(
+            a * F.col("_y") + one_a * (F.col("l") + F.col("bt")), 9
+        ).cast("decimal(18,9)")
+        state = state.crossJoin(day(t)).select(
+            lnew.alias("l"),
+            F.round(
+                g * (lnew - F.col("l")) + one_g * F.col("bt"), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("bt"),
+        )
+    h = spark.range(1, 8).select(F.col("id").cast("int").alias("h"))
+    return (
+        h.crossJoin(F.broadcast(state))
+        .select(
+            "h",
+            F.round(
+                (
+                    F.col("l") + F.col("h").cast("decimal(4,0)") * F.col("bt")
+                ).cast("double")
+                / F.lit(100.0),
+                4,
+            ).alias("forecast_dollars"),
+        )
+        .orderBy("h")
+    )
+
+
+QUERIES["holt_linear_forecast"] = holt_linear_forecast
+
+_HOLT_STEP = """
+        s{t} AS (
+            SELECT CAST(round(CAST(0.500000000 AS DECIMAL(10,9)) * d.y
+                              + CAST(0.500000000 AS DECIMAL(10,9))
+                                * (s.l + s.bt), 9) AS DECIMAL(18,9)) AS l,
+                   CAST(round(CAST(0.300000000 AS DECIMAL(10,9))
+                              * (CAST(round(
+                                     CAST(0.500000000 AS DECIMAL(10,9)) * d.y
+                                     + CAST(0.500000000 AS DECIMAL(10,9))
+                                       * (s.l + s.bt), 9) AS DECIMAL(18,9))
+                                 - s.l)
+                              + CAST(0.700000000 AS DECIMAL(10,9)) * s.bt, 9)
+                        AS DECIMAL(18,9)) AS bt
+            FROM s{prev} s, (SELECT y FROM days WHERE idx = {t}) d
+        )"""
+
+ORACLES["holt_linear_forecast"] = f"""
+        WITH b AS (SELECT max(CAST(ts AS DATE)) AS _dmax FROM events),
+        daily AS (
+            SELECT datediff('day', (SELECT _dmax FROM b),
+                            CAST(ts AS DATE)) AS _off,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS _cents
+            FROM events
+            WHERE datediff('day', (SELECT _dmax FROM b),
+                           CAST(ts AS DATE)) > -14
+            GROUP BY 1
+        ),
+        days AS MATERIALIZED (
+            SELECT s._off + 13 AS idx,
+                   CAST(coalesce(d._cents, 0) AS DECIMAL(18,9)) AS y
+            FROM (SELECT unnest(generate_series(-13, 0)) AS _off) s
+            LEFT JOIN daily d USING (_off)
+        ),
+        s1 AS (
+            SELECT d1.y AS l,
+                   CAST(d1.y - d0.y AS DECIMAL(18,9)) AS bt
+            FROM (SELECT y FROM days WHERE idx = 1) d1,
+                 (SELECT y FROM days WHERE idx = 0) d0
+        ),
+        {",".join(_HOLT_STEP.format(t=t, prev=t - 1) for t in range(2, 14))}
+        SELECT CAST(h AS INTEGER) AS h,
+               round(CAST(s.l + CAST(h AS DECIMAL(4,0)) * s.bt AS DOUBLE)
+                     / CAST(100 AS DOUBLE), 4) AS forecast_dollars
+        FROM (SELECT unnest(generate_series(1, 7)) AS h), s13 s
+        ORDER BY h
+"""

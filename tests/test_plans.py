@@ -654,6 +654,8 @@ def test_round6b_new_operator_plan_contracts(spark, sf_dir):
         "contamination_ngram_curve",
         "embedding_dimension_profile",
         "join_fanout_audit",
+        "item_cooccurrence_similarity",
+        "holt_linear_forecast",
     ):
         df = QUERIES[name](spark, sf_dir)
         plan = explain_str(df)
