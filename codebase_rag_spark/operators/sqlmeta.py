@@ -444,9 +444,101 @@ def transpile_sql(sql: str, read: str, write: str) -> str:
 # zero shuffles, zero Python.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# T11 quote masking (VERDICT r6 #6): no rule may fire inside a string
+# literal or a quoted identifier. Regexes cannot carry state, so quoted
+# regions are sentinel-masked with the same bounded-pass technique as
+# mask_nested_parens above (distinct sentinel bytes so the two chains can
+# never interact):
+#   1. swap region delimiters for sentinel bytes ('...' -> \x0e...\x0f,
+#      "..." -> \x10...\x11) — one global pass each, parity-exact because
+#      the whole region is one match;
+#   2. inside masked regions, split every [A-Za-z0-9_] run longer than 2
+#      chars with \x04 (bounded _Q_RUN_PASSES passes, one leftmost split
+#      per region per pass) — every rule keyword is >= 3 chars, so no
+#      keyword rule can match; \b still sees boundaries but the letters
+#      are no longer contiguous;
+#   3. substitute the structural chars rules react to (comma, parens)
+#      with sentinels (bounded _Q_CHAR_PASSES per char class) so argument
+#      captures like [^(),]+ treat a literal as atomic;
+#   4. after the body rules + normalization, strip \x04 and restore the
+#      swapped chars — masking is content-preserving by construction, so
+#      a misjudged region can never corrupt output, only over-protect.
+# Exactness bounds (documented like _MASK_DEPTH): alnum runs <= 18 chars
+# and <= 4 commas/parens per quoted region are fully masked; SQL''-doubled
+# apostrophes survive as two adjacent regions (lossless). Known honest
+# limits: whitespace runs inside literals still collapse under
+# NORMALIZE_RULES (pre-existing), and a backtick pair inside a string
+# literal alongside real backtick identifiers can cross-pair (invalid or
+# pathological SQL only).
+# ---------------------------------------------------------------------------
+
+_Q_WORD = "\x04"  # splits alnum runs inside quoted regions
+_Q_SQL, _Q_SQR = "\x0e", "\x0f"  # masked '...' delimiters
+_Q_DQL, _Q_DQR = "\x10", "\x11"  # masked "..." delimiters
+_Q_COMMA, _Q_LP, _Q_RP = "\x12", "\x13", "\x14"
+_Q_RUN_PASSES = 8  # splits alnum runs up to 18 chars
+_Q_CHAR_PASSES = 4  # masks up to 4 commas / ( / ) per region
+_Q_ALL = _Q_WORD + _Q_SQL + _Q_SQR + _Q_DQL + _Q_DQR + _Q_COMMA + _Q_LP + _Q_RP
+_Q_OPEN = "[" + _Q_SQL + _Q_DQL + "]"
+_Q_CLOSE = "[" + _Q_SQR + _Q_DQR + "]"
+_Q_INNER = "[^" + _Q_SQR + _Q_DQR + "]"  # confined to one region
+
+# string literals first: they are dialect-independent and own any quote
+# chars inside them ("it's" with a lone apostrophe still parses right:
+# an unpaired quote never forms a region)
+_SQUOTE_MASK_RULES: list[tuple[str, str]] = [
+    ("[" + _Q_ALL + "]", ""),  # defensive: sentinel bytes never occur in SQL
+    (r"'([^']*)'", _Q_SQL + "$1" + _Q_SQR),
+]
+
+_CONTENT_MASK_RULES: list[tuple[str, str]] = [
+    (r"\"([^\"]*)\"", _Q_DQL + "$1" + _Q_DQR),
+]
+_CONTENT_MASK_RULES += [
+    (
+        "(" + _Q_OPEN + ")(" + _Q_INNER + "*?)"
+        "([A-Za-z0-9_][A-Za-z0-9_])([A-Za-z0-9_]+)"
+        "(" + _Q_INNER + "*)(" + _Q_CLOSE + ")",
+        "$1$2$3" + _Q_WORD + "$4$5$6",
+    )
+] * _Q_RUN_PASSES
+for _ch, _sent in [(",", _Q_COMMA), (r"\(", _Q_LP), (r"\)", _Q_RP)]:
+    _CONTENT_MASK_RULES += [
+        (
+            "(" + _Q_OPEN + ")(" + _Q_INNER + "*?)" + _ch
+            + "(" + _Q_INNER + "*)(" + _Q_CLOSE + ")",
+            "$1$2" + _sent + "$3$4",
+        )
+    ] * _Q_CHAR_PASSES
+
+# dialect identifier-quoting normalization, applied BEFORE the dquote
+# mask so the converted identifiers are protected like native ones
+QUOTE_PRE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
+    "mysql": [(r"`([^`]*)`", "\"$1\"")],
+    "sqlserver": [(r"\[([^\]]*)\]", "\"$1\"")],
+}
+
+
+def quote_unmask_rules(dquote: str = '"') -> list[tuple[str, str]]:
+    """Restore masked content; `dquote` is the identifier-quote char the
+    target dialect uses (backtick for MySQL in the reverse direction)."""
+    return [
+        (_Q_WORD, ""),
+        (_Q_COMMA, ","),
+        (_Q_LP, "("),
+        (_Q_RP, ")"),
+        (_Q_SQL, "'"),
+        (_Q_SQR, "'"),
+        (_Q_DQL, dquote),
+        (_Q_DQR, dquote),
+    ]
+
+
 # (from_dialect -> rules rewriting into ANSI/postgres-flavored SQL).
 # Replacements use $1/$2 group syntax (Spark/Java); render_duckdb_transpile
-# converts to \1 for DuckDB's RE2 engine.
+# converts to \1 for DuckDB's RE2 engine. Identifier-quoting conversion
+# lives in QUOTE_PRE_TO_ANSI (it must run before the quote mask).
 TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
     "oracle": [
         (r"(?i)\bNVARCHAR2\s*\(\s*(\d+)\s*\)", "VARCHAR($1)"),
@@ -481,7 +573,7 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
         (r"(?i)\bWHERE\s+ROWNUM\s*<=\s*(\d+)\s*$", "LIMIT $1"),
     ],
     "mysql": [
-        (r"`([^`]*)`", "\"$1\""),
+        # (backtick -> dquote identifier conversion is in QUOTE_PRE_TO_ANSI)
         # table options strip BEFORE the bare AUTO_INCREMENT column rule
         # (AUTO_INCREMENT=5 would otherwise become IDENTITY=5)
         (r"(?i)\s*\bAUTO_INCREMENT\s*=\s*\d+", ""),
@@ -492,7 +584,10 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
         # column/table attributes with no ANSI analog: strip BEFORE type
         # mappings so their keywords can't collide with renamed types
         (r"(?i)\s+ON\s+UPDATE\s+CURRENT_TIMESTAMP(?:\s*\(\s*\d*\s*\))?", ""),
-        (r"(?i)\s+COMMENT\s+'[^']*'", ""),
+        # string-literal arguments are sentinel-masked by the time body
+        # rules run, so literal-matching patterns use the masked form
+        # \x0e...\x0f (and \x12 for a masked comma) instead of '...'
+        (r"(?i)\s+COMMENT\s+" + _Q_SQL + "[^" + _Q_SQR + "]*" + _Q_SQR, ""),
         (r"(?i)\s+COLLATE\s*=?\s*\w+", ""),
         (r"(?i)\bENUM\s*\([^)]*\)", "TEXT"),
         (r"(?i)\bTINYINT\s*\(\s*1\s*\)", "BOOLEAN"),
@@ -514,7 +609,8 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
         # STRING_AGG (invalid in both PostgreSQL and DuckDB, ADVICE r5)
         # — it falls through to the last-resort rename instead.
         (r"(?i)\bGROUP_CONCAT\s*\(\s*([^(),]*(?:\([^()]*\)[^(),]*)*?)"
-         r"\s+SEPARATOR\s+('[^']*')\s*\)",
+         r"\s+SEPARATOR\s+(" + _Q_SQL + "[^" + _Q_SQR + "]*" + _Q_SQR
+         + r")\s*\)",
          "STRING_AGG($1, $2)"),
         (r"(?i)\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?"
          r"([^(),]*(?:\([^()]*\)[^(),]*)*)\)",
@@ -577,7 +673,7 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
         (r"(?is)^\s*SELECT\s+((?:DISTINCT|ALL)\s+)?TOP\s*\(?\s*(\d+)\s*\)?\s+"
          r"(.*?)\s*;?\s*$",
          "SELECT $1$3 LIMIT $2"),
-        (r"\[([^\]]*)\]", "\"$1\""),
+        # ([bracket] -> dquote identifier conversion is in QUOTE_PRE_TO_ANSI)
     ],
     # postgres/generic SQL is already the target flavor
     "postgres": [],
@@ -592,7 +688,9 @@ TRANSPILE_TO_ANSI: dict[str, list[tuple[str, str]]] = {
 # mysql -> ansi -> mysql round-trips on the corpus shapes.
 TRANSPILE_FROM_ANSI: dict[str, list[tuple[str, str]]] = {
     "mysql": [
-        (r"\"([^\"]*)\"", "`$1`"),
+        # (dquote -> backtick identifier conversion happens at unmask
+        # time: quote_unmask_rules('`') restores masked "..." regions as
+        # `...`, so the conversion can never touch a string literal)
         (r"(?i)\bBIGSERIAL\b", "BIGINT AUTO_INCREMENT"),
         (r"(?i)\bSERIAL\b", "INT AUTO_INCREMENT"),
         (r"(?i)\s+GENERATED\s+BY\s+DEFAULT\s+AS\s+IDENTITY\b",
@@ -602,10 +700,14 @@ TRANSPILE_FROM_ANSI: dict[str, list[tuple[str, str]]] = {
         (r"(?i)\bDOUBLE\s+PRECISION\b", "DOUBLE"),
         (r"(?i)\bTIMESTAMP\b", "DATETIME"),
         # STRING_AGG(x, 'sep') -> GROUP_CONCAT(x SEPARATOR 'sep'); the
-        # ','-delimiter form collapses to bare GROUP_CONCAT(x)
-        (r"(?i)\bSTRING_AGG\s*\(\s*([^(),]+?)\s*,\s*','\s*\)",
+        # ','-delimiter form collapses to bare GROUP_CONCAT(x). Literal
+        # delimiters arrive masked: ',' is \x0e\x12\x0f ('\x12' being the
+        # masked comma), the general form \x0e...\x0f.
+        (r"(?i)\bSTRING_AGG\s*\(\s*([^(),]+?)\s*,\s*"
+         + _Q_SQL + _Q_COMMA + _Q_SQR + r"\s*\)",
          "GROUP_CONCAT($1)"),
-        (r"(?i)\bSTRING_AGG\s*\(\s*([^(),]+?)\s*,\s*('[^']*')\s*\)",
+        (r"(?i)\bSTRING_AGG\s*\(\s*([^(),]+?)\s*,\s*("
+         + _Q_SQL + "[^" + _Q_SQR + "]*" + _Q_SQR + r")\s*\)",
          "GROUP_CONCAT($1 SEPARATOR $2)"),
         (r"(?i)\bRANDOM\s*\(\s*\)", "RAND()"),
         (r"(?i)\bGEN_RANDOM_UUID\s*\(\s*\)", "UUID()"),
@@ -653,43 +755,83 @@ def statement_type_expr(sql: Column) -> Column:
     return expr
 
 
+def transpile_chain(dialect: str) -> list[tuple[str, str]]:
+    """The FULL quote-safe T11 forward chain for one source dialect:
+    mask string literals -> dialect quoting conversion -> mask quoted
+    identifiers + region content -> body rules -> normalize -> unmask.
+    Same (java-regex, $N-replacement) pair format as the rule tables;
+    Python `re`, Spark (Java regex), and the DuckDB oracle (RE2) all run
+    THIS chain, so the masking bounds are cross-checked everywhere."""
+    return (
+        _SQUOTE_MASK_RULES
+        + QUOTE_PRE_TO_ANSI.get(dialect, [])
+        + _CONTENT_MASK_RULES
+        + TRANSPILE_TO_ANSI.get(dialect, [])
+        + NORMALIZE_RULES
+        + quote_unmask_rules('"')
+    )
+
+
+def reverse_transpile_chain(dialect: str) -> list[tuple[str, str]]:
+    """Quote-safe T11 reverse chain (ANSI -> dialect). Existing target-
+    dialect identifier quoting (backticks on a second application — the
+    idempotence contract) is masked like native dquotes, and unmask
+    emits the target's quote char for identifier regions."""
+    ident_quote = "`" if dialect == "mysql" else '"'
+    pre = (
+        [(r"`([^`]*)`", _Q_DQL + "$1" + _Q_DQR)] if dialect == "mysql" else []
+    )
+    return (
+        _SQUOTE_MASK_RULES
+        + pre
+        + _CONTENT_MASK_RULES
+        + TRANSPILE_FROM_ANSI.get(dialect, [])
+        + NORMALIZE_RULES
+        + quote_unmask_rules(ident_quote)
+    )
+
+
 def transpile_expr(sql: Column, from_dialect: Column) -> Column:
     """T11: rule-based dialect -> ANSI/postgres transpile, dispatched on the
-    (detected or given) source dialect. CASE over per-dialect
-    regexp_replace chains — pure JVM expression."""
-    expr = sql  # unknown dialects pass through
+    (detected or given) source dialect. CASE over per-dialect quote-safe
+    regexp_replace chains — pure JVM expression. Unknown dialects pass
+    through the masked normalize (literals protected there too)."""
+    expr = _apply_rules(sql, transpile_chain("generic"))
     for dialect, rules in TRANSPILE_TO_ANSI.items():
         if rules:
             expr = F.when(
-                from_dialect == dialect, _apply_rules(sql, rules)
+                from_dialect == dialect,
+                _apply_rules(sql, transpile_chain(dialect)),
             ).otherwise(expr)
-    return normalize_sql_expr(expr)
+    return expr
 
 
 def reverse_transpile_expr(sql: Column, to_dialect: Column) -> Column:
     """T11 reverse direction: ANSI/postgres-flavored SQL -> target
     dialect (TRANSPILE_FROM_ANSI), dispatched on the target column.
-    Unknown targets pass through normalized — the same CASE-over-chains
-    JVM expression shape as transpile_expr."""
-    expr = sql
+    Unknown targets pass through masked-normalized — the same
+    CASE-over-chains JVM expression shape as transpile_expr."""
+    expr = _apply_rules(sql, reverse_transpile_chain("generic"))
     for dialect, rules in TRANSPILE_FROM_ANSI.items():
         if rules:
             expr = F.when(
-                to_dialect == dialect, _apply_rules(sql, rules)
+                to_dialect == dialect,
+                _apply_rules(sql, reverse_transpile_chain(dialect)),
             ).otherwise(expr)
-    return normalize_sql_expr(expr)
+    return expr
 
 
 def duckdb_reverse_transpile_sql(col_sql: str, dialect_sql: str) -> str:
     """DuckDB rendering of reverse_transpile_expr for the oracle side."""
-    expr = col_sql
+    expr = _duck_rules(reverse_transpile_chain("generic"), col_sql)
     for dialect, rules in TRANSPILE_FROM_ANSI.items():
         if rules:
             expr = (
                 f"CASE WHEN {dialect_sql} = '{dialect}' "
-                f"THEN {_duck_rules(rules, col_sql)} ELSE {expr} END"
+                f"THEN {_duck_rules(reverse_transpile_chain(dialect), col_sql)} "
+                f"ELSE {expr} END"
             )
-    return _duck_rules(NORMALIZE_RULES, expr)
+    return expr
 
 
 def validate_sql_expr(sql: Column) -> Column:
@@ -730,14 +872,15 @@ def _duck_rules(rules: list[tuple[str, str]], col_sql: str) -> str:
 
 def duckdb_transpile_sql(col_sql: str, dialect_sql: str) -> str:
     """DuckDB rendering of transpile_expr for the oracle side."""
-    expr = col_sql
+    expr = _duck_rules(transpile_chain("generic"), col_sql)
     for dialect, rules in TRANSPILE_TO_ANSI.items():
         if rules:
             expr = (
                 f"CASE WHEN {dialect_sql} = '{dialect}' "
-                f"THEN {_duck_rules(rules, col_sql)} ELSE {expr} END"
+                f"THEN {_duck_rules(transpile_chain(dialect), col_sql)} "
+                f"ELSE {expr} END"
             )
-    return _duck_rules(NORMALIZE_RULES, expr)
+    return expr
 
 
 def duckdb_normalize_sql(col_sql: str) -> str:

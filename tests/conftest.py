@@ -1,8 +1,17 @@
 from __future__ import annotations
 
 import pytest
+from hypothesis import settings as hypothesis_settings
 
 from codebase_rag_spark.session import get_spark
+
+# VERDICT r6 #1: gate runs must be reproducible — builder, driver, and
+# judge see the SAME Hypothesis example set. derandomize=True derives
+# examples deterministically from each test's structure instead of a
+# random seed (test-level @settings override only the fields they name,
+# so max_examples stays per-test).
+hypothesis_settings.register_profile("gate", derandomize=True, deadline=None)
+hypothesis_settings.load_profile("gate")
 
 SF_DIR = "/root/testdata/sf0.001"
 
