@@ -149,25 +149,48 @@ _DRIVER_CHECKED = {
     # conversion_latency_quantiles*, ship_delay_percentiles*,
     # value_mad_outliers*, value_winsorization* — were already listed
     # above or are re-prioritized below as _CHANGED_R6, marked *)
-}
-
-# Round-6 window (VERDICT r5 'Next round' #5 + ADVICE r5): every registry
-# entry now has a driver-green row, so the backlog is exactly the entries
-# whose CURRENT implementation postdates that row — the 5
-# exact_rank_quantile call sites (null-safe key joins + explicit
-# broadcasts changed their plans this round; value_quantile_sketch was
-# additionally flagged by ADVICE r5 as rewritten-but-unscheduled) and
-# kmeans_iterations (lossless decimal(18,9) cast changed query AND
-# oracle). New round-6 entries fill the remaining ~44 window slots
-# automatically via the dict rebuild below.
-_PRIORITY = [
-    # _CHANGED_R6 (9; bigram_surprise_docs re-shaped late in r6 — in-row
-    # run-length counting — so its r0x driver row predates the current
-    # implementation too)
+    # --- r06 (50, all green in CORRECTNESS_r06.json) ---
     "value_quantile_sketch", "value_winsorization", "value_mad_outliers",
     "ship_delay_percentiles", "conversion_latency_quantiles",
     "kmeans_iterations", "profile_lineitem", "duplicated_spans",
-    "bigram_surprise_docs",
+    "bigram_surprise_docs", "referential_integrity_audit",
+    "join_fanout_audit", "weekly_seasonal_decomposition",
+    "acf_daily_revenue", "item_cooccurrence_similarity",
+    "holt_linear_forecast", "minhash_calibration_audit",
+    "lsh_s_curve_calibration", "contamination_ngram_curve",
+    "cluster_representative_pick", "intra_doc_repetition",
+    "dedup_token_savings", "doc_pagerank_centrality", "readability_scores",
+    "cross_source_dup_matrix", "fellegi_sunter_scores",
+    "dup_cluster_modularity", "secret_scan_audit", "url_domain_histogram",
+    "mips_norm_pruned_topk", "retrieval_eval_mrr",
+    "embedding_pca_power_iteration", "int8_quant_recall",
+    "embedding_dimension_profile", "position_attribution",
+    "benford_value_audit", "event_markov_stationary",
+    "late_arrival_watermark_audit", "markov_removal_attribution",
+    "kaplan_meier_survival", "markov_next_event_accuracy",
+    "scd2_as_of_lookup", "cuped_adjusted_lift", "oof_target_encoding",
+    "ks_value_drift", "welch_lift_by_type", "funnel_conversion_ci",
+    "doc_k_truss", "mp4_metadata", "mixture_epochs_plan",
+    "kfold_assignment_audit",
+}
+
+# Round-7 window (VERDICT r6 'Next round' #2, rotation computed from
+# CORRECTNESS_r06.json as instructed, NOT from round notes): the 7
+# registry entries that have NEVER received a driver CORRECTNESS row,
+# plus quality_classifier_score (its r05 row predates the r6 0-exchange
+# literal-weight rewrite), plus the 3 transpile entries rewritten this
+# round (quote-safe masking chain changed query AND oracle). New round-7
+# entries fill the remaining window slots automatically via the dict
+# rebuild below.
+_PRIORITY = [
+    # never driver-checked (VERDICT r6 'What's missing' #3)
+    "ddl_column_info", "column_type_distribution", "ddl_primary_keys",
+    "ddl_foreign_keys", "view_dependency_layers", "heldout_perplexity",
+    "dataset_card_summary",
+    # driver row predates current implementation
+    "quality_classifier_score",
+    # _CHANGED_R7: quote-safe transpile chains (both engines)
+    "sql_transpile", "sql_dml_transpile", "sql_reverse_transpile",
 ]
 
 QUERIES = {
