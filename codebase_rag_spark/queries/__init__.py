@@ -189,8 +189,10 @@ _PRIORITY = [
     "dataset_card_summary",
     # driver row predates current implementation
     "quality_classifier_score",
-    # _CHANGED_R7: quote-safe transpile chains (both engines)
+    # _CHANGED_R7: quote-safe transpile chains (both engines); welch
+    # re-based onto per-user totals (ADVICE r6 #3)
     "sql_transpile", "sql_dml_transpile", "sql_reverse_transpile",
+    "welch_lift_by_type",
 ]
 
 QUERIES = {

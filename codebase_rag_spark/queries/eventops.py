@@ -4381,34 +4381,47 @@ ORACLES["ks_value_drift"] = """
 def welch_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment experiment readout — Welch's unequal-variance z per
     event_type (the per-segment drill-down under cuped_adjusted_lift's
-    corpus-level number): treatment = user_id % 2, metric = exact
-    int64 cents per event, z = (mean_t - mean_c) /
-    sqrt(var_t/n_t + var_c/n_c), flagged at the literal 1.96 / 2.576
-    two-sided thresholds (no p-values — erf is not engine-portable;
-    thresholds are).
+    corpus-level number): treatment = user_id % 2, and because the
+    RANDOMIZATION UNIT is the user, the observation unit is too
+    (ADVICE r6 #3): each user's events within a type collapse to one
+    exact int64 cents total first, so within-user correlation cannot
+    understate the SE the way event-level observations would. z =
+    (mean_t - mean_c) / sqrt(var_t/n_t + var_c/n_c) over user totals,
+    flagged at the literal 1.96 / 2.576 two-sided thresholds (no
+    p-values — erf is not engine-portable; thresholds are).
 
-    Determinism: per-(type, arm) sufficient statistics (n, sum, sum of
-    squares) are exact ints/DECIMAL(38,0); means/variances are
-    fixed-order double expressions on those exact inputs; sqrt is
-    correctly-rounded IEEE (the degree_assortativity precedent).
+    Determinism: per-(type, arm) sufficient statistics (n users, sum,
+    sum of squares of user totals) are exact ints/DECIMAL(38,0);
+    means/variances are fixed-order double expressions on those exact
+    inputs; sqrt is correctly-rounded IEEE (the degree_assortativity
+    precedent).
 
-    Scale shape: ONE map-side-combined (type, arm) aggregate — six
-    rows per type move, nothing else."""
+    Scale shape: one map-side-combined (type, user) aggregate, then a
+    map-side-combined (type, arm) rollup — six rows per type move."""
     e = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
-    c19 = cents.cast("decimal(19,0)")
-    cells = (
+    per_user = (
         e.select(
             "event_type",
-            (F.col("user_id") % 2 == 1).alias("t"),
+            "user_id",
             cents.alias("_c"),
-            (c19 * c19).alias("_c2"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("_c").cast("bigint").alias("u"))
+    )
+    u19 = F.col("u").cast("decimal(19,0)")
+    cells = (
+        per_user.select(
+            "event_type",
+            (F.col("user_id") % 2 == 1).alias("t"),
+            F.col("u"),
+            (u19 * u19).alias("_u2"),
         )
         .groupBy("event_type", "t")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum("_c").cast("bigint").alias("s"),
-            F.sum("_c2").cast("decimal(38,0)").alias("s2"),
+            F.sum("u").cast("bigint").alias("s"),
+            F.sum("_u2").cast("decimal(38,0)").alias("s2"),
         )
     )
     piv = (
@@ -4452,15 +4465,20 @@ def welch_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["welch_lift_by_type"] = welch_lift_by_type
 
 ORACLES["welch_lift_by_type"] = """
-        WITH cells AS (
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS u
+            FROM events GROUP BY 1, 2
+        ),
+        cells AS (
             SELECT event_type, (user_id % 2 = 1) AS t,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                       AS s,
-                   CAST(sum(CAST(round(value * 100) AS DECIMAL(19,0))
-                            * CAST(round(value * 100) AS DECIMAL(19,0)))
+                   CAST(sum(u) AS BIGINT) AS s,
+                   CAST(sum(CAST(u AS DECIMAL(19,0))
+                            * CAST(u AS DECIMAL(19,0)))
                         AS DECIMAL(38,0)) AS s2
-            FROM events GROUP BY 1, 2
+            FROM per_user GROUP BY 1, 2
         ),
         piv AS (
             SELECT event_type,

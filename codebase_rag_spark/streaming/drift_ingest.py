@@ -6,9 +6,13 @@ state (a tiny additive table — the only thing ever persisted), and the
 PSI against the reference is re-emitted per batch.
 
 State is mergeable by construction: bin counts are exact int64 sums, so
-batch order, batch boundaries, and replay-duplicates-with-overwrite all
-yield the same state a single batch pass would (the parity test folds 3
-splits and compares bit-for-bit with the batch histogram). PSI math is
+batch order and batch boundaries don't matter (the parity test folds 3
+splits and compares bit-for-bit with the batch histogram) — and replay
+is handled for real (ADVICE r6 #1): every state snapshot carries the
+applied batch id as a high-water mark written atomically with the data,
+so a redelivered micro-batch (foreachBatch is at-least-once) is a
+no-op instead of a double-add; the per-batch PSI log append is made
+idempotent by a batch_id presence check on the replay path. PSI math is
 the audit's exact recipe: Laplace-smoothed proportions, ln of a ratio
 of exact int products quantized once per bin, exact decimal term sums.
 """
@@ -95,6 +99,55 @@ def psi_vs_reference(ref: DataFrame, cur: DataFrame) -> DataFrame:
     )
 
 
+def psi_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    ref_counts_path: str,
+    state_path: str,
+    psi_log_path: str,
+) -> bool:
+    """One micro-batch application, exactly-once under redelivery:
+
+    * batch_id > high-water mark: fold counts, overwrite the snapshot
+      (mark stamped with the data — no torn window), append the PSI row.
+    * batch_id <= high-water mark (replay): the state already reflects
+      this batch — leave it untouched; only back-fill the PSI log row if
+      the earlier attempt died between the state write and the append.
+
+    Returns whether the batch mutated state (the redelivery tests pin
+    False + bit-identical state on the second delivery)."""
+    from codebase_rag_spark.streaming.reliability import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    spark = batch_df.sparkSession
+    state, hwm = read_snapshot(spark, state_path)
+    if batch_id <= hwm:
+        cur, applied = state, False
+        # the log append follows the state write, so only the replay
+        # path can find it missing
+        log, _ = read_snapshot(spark, psi_log_path)
+        if (
+            log is not None
+            and log.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+        ):
+            return False
+    else:
+        bc = bin_counts(batch_df)
+        new_state = merge_counts(state, bc) if state is not None else bc
+        cur = write_snapshot(new_state, state_path, batch_id)
+        applied = True
+    ref = spark.read.parquet(ref_counts_path)
+    (
+        psi_vs_reference(ref, cur)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(psi_log_path)
+    )
+    return applied
+
+
 def psi_foreach_batch_sink(
     events: DataFrame,
     ref_counts_path: str,
@@ -104,25 +157,11 @@ def psi_foreach_batch_sink(
 ):
     """Streaming entry: fold each micro-batch into the current-window
     state and append that batch's PSI readout (batch_id-stamped) to the
-    monitor log."""
-    import os
+    monitor log. psi_apply_batch carries the exactly-once contract."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        bc = bin_counts(batch_df)
-        if os.path.exists(state_path):
-            state = spark.read.parquet(state_path)
-            new_state = merge_counts(state, bc)
-        else:
-            new_state = bc
-        new_state = new_state.localCheckpoint(eager=True)
-        new_state.write.mode("overwrite").parquet(state_path)
-        ref = spark.read.parquet(ref_counts_path)
-        (
-            psi_vs_reference(ref, new_state)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(psi_log_path)
+        psi_apply_batch(
+            batch_df, batch_id, ref_counts_path, state_path, psi_log_path
         )
 
     return (

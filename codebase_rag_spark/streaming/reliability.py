@@ -1,0 +1,66 @@
+"""Restart-safety plumbing shared by the foreachBatch state sinks
+(ADVICE r6 #1/#2/#4).
+
+foreachBatch is at-least-once: after a failure between the state write
+and the streaming-checkpoint commit, the SAME micro-batch is redelivered.
+A sink that does read-state -> fold-batch -> overwrite while ignoring
+batch_id therefore double-applies the batch. The fix is a high-water
+mark persisted ATOMICALLY with the snapshot itself: every snapshot row
+carries `applied_batch_id` (one overwrite = data + mark together, no
+torn two-file window), and apply becomes a no-op for
+batch_id <= high-water mark. Combined with Structured Streaming's
+monotonically increasing batch ids per checkpoint, fold-state sinks
+become effectively exactly-once.
+
+State detection is filesystem-agnostic (ADVICE r6 #4): a driver-local
+os.path.exists is false on HDFS/S3 and silently restarts from empty
+state. Here the configured filesystem answers via spark.read.parquet;
+ONLY a missing path maps to "no state yet" — any other read failure
+propagates loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+APPLIED_COL = "applied_batch_id"
+
+# error classes DataFrameReader.parquet raises for a missing path on the
+# configured filesystem (local, HDFS, S3A all route through the same
+# Hadoop FileSystem resolution)
+_MISSING_PATH_CLASSES = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+
+
+def read_snapshot(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame | None, int]:
+    """(snapshot without the marker column, high-water batch id); (None,
+    -1) when no snapshot exists yet. Missing path is decided by the
+    CONFIGURED filesystem, not the driver's local one."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if (e.getErrorClass() or "") in _MISSING_PATH_CLASSES:
+            return None, -1
+        raise
+    if APPLIED_COL not in df.columns:  # pre-marker snapshot: treat as hwm -1
+        return df, -1
+    row = df.agg(F.max(APPLIED_COL).alias("m")).collect()[0]
+    hwm = row["m"] if row["m"] is not None else -1
+    return df.drop(APPLIED_COL), int(hwm)
+
+
+def write_snapshot(df: DataFrame, path: str, batch_id: int) -> DataFrame:
+    """Overwrite the snapshot with the high-water mark stamped on every
+    row — one write carries data AND mark, so there is no torn
+    two-file window (localCheckpoint first: the plan reads the files the
+    overwrite replaces). Returns the checkpoint-backed snapshot (marker
+    dropped) so callers can keep computing on it AFTER the overwrite."""
+    stamped = df.withColumn(
+        APPLIED_COL, F.lit(batch_id).cast("bigint")
+    ).localCheckpoint(eager=True)
+    stamped.write.mode("overwrite").parquet(path)
+    return stamped.drop(APPLIED_COL)

@@ -101,24 +101,42 @@ def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
     return keep.select(*_DIM_COLS).unionByName(rebuilt.select(*_DIM_COLS))
 
 
+def scd2_apply_batch(
+    spark, batch_df: DataFrame, batch_id: int, dim_path: str
+) -> bool:
+    """One micro-batch application, exactly-once under redelivery
+    (ADVICE r6 #2): the dimension snapshot carries the applied batch id
+    as a high-water mark stamped atomically with the data, so a
+    redelivered micro-batch (foreachBatch is at-least-once) leaves the
+    dimension untouched instead of re-folding its events (which would
+    double-count n_events and re-extend islands). State detection asks
+    the CONFIGURED filesystem, not the driver's local one (ADVICE r6
+    #4). Returns whether the batch mutated the dimension."""
+    from codebase_rag_spark.streaming.reliability import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    dim, hwm = read_snapshot(spark, dim_path)
+    if batch_id <= hwm:
+        return False
+    if dim is None:
+        dim = empty_dim(spark)
+    write_snapshot(scd2_merge_batch(dim, batch_df), dim_path, batch_id)
+    return True
+
+
 def scd2_foreach_batch_sink(
     events: DataFrame, dim_path: str, checkpoint_path: str
 ):
     """Streaming entry: readStream events -> per-micro-batch SCD2 merge
     -> overwrite the dimension snapshot. The merge itself is the pure
-    function above; the sink materializes each new dimension version
+    function above; scd2_apply_batch carries the exactly-once contract
     (at scale: MERGE INTO a transactional table instead of the
     overwrite-snapshot, identical dataflow)."""
-    import os
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if os.path.exists(dim_path):
-            dim = spark.read.parquet(dim_path)
-        else:
-            dim = empty_dim(spark)
-        new_dim = scd2_merge_batch(dim, batch_df).localCheckpoint(eager=True)
-        new_dim.write.mode("overwrite").parquet(dim_path)
+        scd2_apply_batch(batch_df.sparkSession, batch_df, batch_id, dim_path)
 
     return (
         events.writeStream.foreachBatch(_sink)

@@ -19,6 +19,7 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "operators/bpe.py": (1, "top-K vocab head: the tokenizer-training set"),
     "operators/similarity.py": (2, "dim probe + nprobe centroid routing"),
     "sources/layout.py": (1, "partition-layout stats: 1-row agg"),
+    "streaming/reliability.py": (1, "high-water-mark read: 1-row max agg"),
 }
 
 # empty parens only: F.first("col") is the aggregate expression, not a fetch

@@ -808,3 +808,97 @@ def test_psi_foreach_batch_sink_emits_per_batch_psi(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert final == want
+
+
+def test_scd2_redelivered_batch_is_a_noop(spark, sf_dir, tmp_path):
+    """ADVICE r6 #2: foreachBatch is at-least-once — re-applying the
+    SAME batch_id must leave the dimension bit-identical (no n_events
+    double-count, no island re-extension), and state detection must not
+    depend on the driver-local filesystem."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.streaming.scd2_sink import scd2_apply_batch
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    lo, hi = e.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo // 2 + hi // 2
+    b0 = e.filter(F.unix_micros("ts") <= mid)
+    b1 = e.filter(F.unix_micros("ts") > mid)
+    dim_path = str(tmp_path / "dim")
+    assert scd2_apply_batch(spark, b0, 0, dim_path) is True
+    assert scd2_apply_batch(spark, b1, 1, dim_path) is True
+    before = sorted(map(tuple, spark.read.parquet(dim_path).collect()))
+    # redeliver batch 1 (crash-before-checkpoint-commit scenario)
+    assert scd2_apply_batch(spark, b1, 1, dim_path) is False
+    after = sorted(map(tuple, spark.read.parquet(dim_path).collect()))
+    assert after == before
+    # the conserved-mass invariant still holds (no double count)
+    got = (
+        spark.read.parquet(dim_path).agg(F.sum("n_events")).first()[0]
+    )
+    assert got == e.count()
+
+
+def test_psi_redelivered_batch_keeps_state_and_log_exact(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r6 #1: a redelivered micro-batch must not double-add its
+    bin counts, and the PSI log must not gain duplicate rows; a replay
+    that died between state write and log append back-fills the log."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.queries.eventops import PSI_SPLIT_DAYS
+    from codebase_rag_spark.streaming.drift_ingest import (
+        bin_counts,
+        psi_apply_batch,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    d0 = e.agg(F.date_trunc("day", F.min("ts")).alias("_d0"))
+    tagged = e.crossJoin(F.broadcast(d0)).withColumn(
+        "_cur", F.datediff(F.col("ts"), F.col("_d0")) >= PSI_SPLIT_DAYS
+    )
+    ref_path = str(tmp_path / "ref")
+    bin_counts(tagged.filter(~F.col("_cur"))).write.parquet(ref_path)
+    cur = tagged.filter(F.col("_cur")).drop("_cur", "_d0")
+    state_path, log_path = str(tmp_path / "state"), str(tmp_path / "psi")
+    b0 = cur.filter(F.col("user_id") % 2 == 0)
+    b1 = cur.filter(F.col("user_id") % 2 == 1)
+    assert psi_apply_batch(b0, 0, ref_path, state_path, log_path) is True
+    assert psi_apply_batch(b1, 1, ref_path, state_path, log_path) is True
+    state_before = sorted(
+        map(tuple, spark.read.parquet(state_path).collect())
+    )
+    log_before = sorted(map(tuple, spark.read.parquet(log_path).collect()))
+    # redeliver batch 1: state untouched, log unchanged (row present)
+    assert psi_apply_batch(b1, 1, ref_path, state_path, log_path) is False
+    assert (
+        sorted(map(tuple, spark.read.parquet(state_path).collect()))
+        == state_before
+    )
+    assert (
+        sorted(map(tuple, spark.read.parquet(log_path).collect()))
+        == log_before
+    )
+    # crash-between-state-and-log scenario: drop batch 1's log rows,
+    # replay back-fills them bit-identically without touching state
+    import shutil
+
+    kept = spark.read.parquet(log_path).filter(
+        F.col("batch_id") != 1
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(log_path)
+    kept.write.parquet(log_path)
+    assert psi_apply_batch(b1, 1, ref_path, state_path, log_path) is False
+    assert (
+        sorted(map(tuple, spark.read.parquet(log_path).collect()))
+        == log_before
+    )
+    assert (
+        sorted(map(tuple, spark.read.parquet(state_path).collect()))
+        == state_before
+    )
