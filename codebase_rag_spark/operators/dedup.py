@@ -75,9 +75,15 @@ def minhash_lsh_candidates(
     """
     from codebase_rag_spark.functions.hashing import minhash_word_expr
 
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
     rows = num_hashes // bands
     toks = tokens(F.col(text_col))
-    base = df.filter(F.size(toks) >= shingle_size)
+    # Fan the doc rows out across the cluster BEFORE the shingle explode +
+    # per-shingle digests: a narrow scan (one small row group -> one task)
+    # would otherwise run the whole corpus's MinHash CPU work on one core.
+    # No-op when the scan is already as wide as the cluster (100 TB case).
+    base = spread_for_compute(df.filter(F.size(toks) >= shingle_size))
     grams = shingles(toks, shingle_size) if shingle_size > 1 else toks
     exploded = base.select(
         F.col(id_col).alias("_id"), F.explode(grams).alias("tok")

@@ -1,0 +1,41 @@
+"""Conditional map-side fan-out for compute-heavy stages over narrow scans.
+
+Spark sizes file-scan partitions by BYTES (maxPartitionBytes, floored by
+openCostInBytes and row-group boundaries), which is right when the cost of
+a stage is dominated by I/O. It is wrong when a cheap-to-read input feeds
+an expensive map stage: a single small parquet row group (one scan task)
+followed by shingling + an 8-hash MinHash digest runs the whole corpus's
+CPU work on ONE core while the other 31 idle — measured r7 at sf0.1:
+the LSH signature aggregate took 1.3 s single-task vs ~0.2 s spread.
+
+`spread_for_compute` repartitions ONLY when the plan's current
+partitioning is narrower than the session's parallelism, so it is:
+
+* a no-op at 100 TB — a real corpus scan already has thousands of splits,
+  and the check avoids ever COALESCING a wide plan or adding a shuffle
+  to one (`getNumPartitions` inspects the physical plan; no job runs);
+* a tiny round-robin shuffle (the narrow input, by definition small —
+  bytes-sized partitioning means a narrow scan is a small scan) when the
+  input is narrow, buying full-cluster parallelism for the map stage
+  that follows.
+
+Round-robin repartitioning is row-preserving and feeds only
+order-insensitive consumers here (explode -> groupBy), so results are
+bit-identical with or without the spread.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Repartition `df` to the session's default parallelism iff its
+    current plan has fewer partitions than that (`min_factor` scales the
+    threshold/target for stages whose per-row cost warrants overdecomposition).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

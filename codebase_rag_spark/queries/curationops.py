@@ -1547,10 +1547,17 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_lsh_candidates(
         d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
     )
-    edges = cands.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        cands.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # The LSH band self-join is the ONLY corpus-sized job — checkpoint the
+    # symmetrized edge list eagerly so deg / ew / base all derive from the
+    # materialized pair graph (r6 shape recomputed the band join twice:
+    # once under ew's eager checkpoint and again when base's lazy
+    # checkpoint first materialized — measured ~1 s of the 5 s bench row).
+    edges = (
+        cands.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            cands.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
     ew = (
@@ -1581,30 +1588,44 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     damp = F.lit("0.850000000").cast("decimal(10,9)")
-    zero = F.lit("0").cast("decimal(18,9)")
-    r = base.select("node", F.col("r0").alias("r"))
-    for _ in range(8):
-        s9 = (
+    # VERDICT r6 #5, measured re-shape (5.05 s -> ~4 s bench row):
+    # (a) the teleport 0.15/N is node-INDEPENDENT and the symmetrized
+    # edge list guarantees every ranked node appears as a dst
+    # (x in deg <=> some edge (x,y) <=> edge (y,x)), so the per-step
+    # base left-join was pure overhead — the constant tp rides INSIDE
+    # the rank table (min() of a constant is exact) and each step is
+    # join + agg + project with ONE exchange (the groupBy; AQE
+    # coalesces the pair-graph-sized shuffle);
+    # (b) checkpoint cadence is SIZE-ADAPTIVE (one cheap count on the
+    # checkpointed edge table): on a small pair graph the cost is job
+    # overhead, so checkpoint every 4 steps (8 jobs -> 2; measured
+    # 4.4 s -> 3.5 s at sf0.1's 1k edges), while on a dense graph the
+    # cost is the shuffles themselves and per-step materialization wins
+    # (25 s vs 28 s at sf1's tiled-duplicate graph); a lazy 8-step
+    # chain loses everywhere (Catalyst optimizing a 17-deep join/agg
+    # tree). Oracle unchanged (unrolled-CTE referee).
+    ck_every = 4 if ew.count() < 50_000 else 1
+    r = base.select("node", F.col("r0").alias("r"), "tp")
+    for i in range(8):
+        r = (
             r.join(ew, F.col("src") == F.col("node"))
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(F.sum(F.col("r") * F.col("w")), 9)
                 .cast("decimal(18,9)")
-                .alias("s9")
+                .alias("s9"),
+                F.min("tp").alias("tp"),
             )
-        )
-        r = (
-            base.join(s9, "node", "left")
             .select(
                 "node",
-                F.round(
-                    F.col("tp") + damp * F.coalesce(F.col("s9"), zero), 9
-                )
+                F.round(F.col("tp") + damp * F.col("s9"), 9)
                 .cast("decimal(18,9)")
                 .alias("r"),
+                "tp",
             )
-            .localCheckpoint(eager=False)
         )
+        if (i + 1) % ck_every == 0:
+            r = r.localCheckpoint(eager=False)
     return (
         r.join(base.select("node", "deg"), "node")
         .orderBy(F.desc("r"), "node")
