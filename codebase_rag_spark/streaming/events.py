@@ -225,16 +225,21 @@ def stream_stream_full_outer_clicks(
 def streaming_session_counts(
     events: DataFrame,
     gap: str = "30 minutes",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Native session windows on a stream: F.session_window merges events
     closer than `gap` into one growing window per user; a session closes
     (and emits, in append mode) only when the watermark passes its end.
     State is one open window per active user, watermark-bounded — the
     streaming twin of the batch lag/cumsum sessionize
-    (operators/windows.py:sessionize), which the parity test pins it to."""
+    (operators/windows.py:sessionize), which the parity test pins it to.
+
+    Pass watermark=None when the input already carries a watermark (e.g.
+    downstream of a dropDuplicatesWithinWatermark stage — Spark forbids
+    redefining the watermark inside one query; chained stateful
+    operators share the upstream one)."""
     return (
-        events.withWatermark("ts", watermark)
+        (events if watermark is None else events.withWatermark("ts", watermark))
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(
             F.count("*").alias("n_events"),

@@ -902,3 +902,154 @@ def test_psi_redelivered_batch_keeps_state_and_log_exact(
         sorted(map(tuple, spark.read.parquet(state_path).collect()))
         == state_before
     )
+
+
+def test_scd2_dedup_stream_parity_with_injected_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r6 #7 parity contract: [watermarked declarative dedup ->
+    exactly-once SCD2 merge] over an at-least-once source (exact
+    duplicate events injected into the SAME and into LATER micro-
+    batches, all inside the watermark) yields a dimension BIT-IDENTICAL
+    to the batch gaps-and-islands build over the clean event set."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.queries.eventops import scd2_user_state
+    from codebase_rag_spark.streaming.scd2_sink import (
+        scd2_dedup_foreach_batch_sink,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    lo, hi = e.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    thirds = [
+        e.filter(F.unix_micros("ts") <= c1),
+        e.filter((F.unix_micros("ts") > c1) & (F.unix_micros("ts") <= c2)),
+        e.filter(F.unix_micros("ts") > c2),
+    ]
+    src = str(tmp_path / "src")
+    # file i carries its clean third PLUS exact duplicates: a slice of
+    # itself (same-batch dup) and a slice of the PREVIOUS third
+    # (cross-batch dup, older event time -- the dedup state must still
+    # hold it, and the merge must never see it)
+    for i, b in enumerate(thirds):
+        dups = [b.filter(F.col("event_id") % 5 == 0)]
+        if i > 0:
+            dups.append(thirds[i - 1].filter(F.col("event_id") % 7 == 0))
+        out = b
+        for d in dups:
+            out = out.unionByName(d)
+        out.coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dim_path = str(tmp_path / "dim")
+    q = scd2_dedup_foreach_batch_sink(
+        stream, dim_path, str(tmp_path / "ckpt"), watermark="3650 days"
+    )
+    q.awaitTermination(120)
+    dim = spark.read.parquet(dim_path)
+    got = dim.select(
+        "user_id",
+        "seq",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+        "n_events",
+    )
+    want = scd2_user_state(spark, sf_dir)
+    key = ["user_id", "seq", "state", "valid_from", "valid_to",
+           "is_current", "n_events"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_scd2_dedup_then_session_window_chained_stateful(spark, tmp_path):
+    """The same declarative dedup stage composes with a downstream
+    session_window aggregation in ONE streaming query (chained stateful
+    operators): duplicates injected within the watermark change neither
+    session boundaries nor per-session counts vs the batch sessionize
+    on clean events."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.streaming.events import (
+        stream_events,
+        streaming_session_counts,
+    )
+    from codebase_rag_spark.streaming.scd2_sink import scd2_deduped_stream
+
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 1, "click", 2.0, "{}"),
+        (3, base + dt.timedelta(minutes=50), 1, "click", 3.0, "{}"),
+        (4, base, 2, "view", 1.0, "{}"),
+        (5, base + dt.timedelta(minutes=29), 2, "view", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # second file: duplicates of events 2 and 4 (cross-batch redelivery)
+    # plus a sentinel far in the future to close all sessions
+    redelivered = [rows[1], rows[3]]
+    sentinel = [(99, base + dt.timedelta(hours=6), 9, "view", 0.0, "{}")]
+    spark.createDataFrame(redelivered + sentinel, cols).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    q = (
+        streaming_session_counts(
+            scd2_deduped_stream(
+                stream_events(spark, src, max_files_per_trigger=1),
+                watermark="2 hours",
+            ),
+            watermark=None,
+        )
+        .writeStream.format("memory")
+        .queryName("dedup_sess_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT * FROM dedup_sess_counts WHERE user_id <> 9"
+        ).collect()
+    }
+
+    from codebase_rag_spark.operators.windows import sessionize
+
+    clean = spark.createDataFrame(rows, cols)
+    batch = sessionize(clean, "ts", "user_id", 30)
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in batch.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
