@@ -1595,3 +1595,86 @@ ORACLES["holt_linear_forecast"] = f"""
         FROM (SELECT unnest(generate_series(1, 7)) AS h), s13 s
         ORDER BY h
 """
+
+
+# --- functional dependency discovery (data profiling; beyond-reference) ---
+
+_FD_CANDIDATES = [
+    # (table, determinant cols, dependent col) — mixes holding FDs
+    # (primary keys, composite line keys) with violated ones, so the
+    # audit demonstrably discriminates.
+    ("orders", ("o_orderkey",), "o_orderstatus"),
+    ("orders", ("o_custkey",), "o_orderpriority"),
+    ("customer", ("c_custkey",), "c_nationkey"),
+    ("customer", ("c_mktsegment",), "c_nationkey"),
+    ("lineitem", ("l_orderkey", "l_linenumber"), "l_partkey"),
+    ("lineitem", ("l_orderkey",), "l_returnflag"),
+    ("documents", ("doc_id",), "lang"),
+    ("events", ("user_id",), "event_type"),
+]
+
+
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over a declared candidate set
+    (TANE-style single-pass verification, not lattice search): for each
+    (determinant -> dependent) candidate, count determinant keys whose
+    group carries more than one distinct dependent value. Classic data-
+    profiling primitive for schema inference / constraint mining.
+
+    Scale shape: each candidate is groupBy(det) -> exact countDistinct ->
+    one tiny rollup; the per-key aggregate has map-side partial
+    aggregation, so the shuffle carries ~one row per distinct key. Eight
+    independent small aggs union into an 8-row result — no joins, no
+    windows, nothing corpus-sized after the scans."""
+    parts = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        per_key = t.groupBy(*[F.col(c) for c in det]).agg(
+            F.countDistinct(dep).alias("nd")
+        )
+        summary = per_key.agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+            F.max("nd").cast("bigint").alias("max_deps_per_key"),
+        ).select(
+            F.lit(tbl).alias("table_name"),
+            F.lit("+".join(det)).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            "n_keys",
+            "n_violating_keys",
+            "max_deps_per_key",
+            (F.col("n_violating_keys") == 0).alias("fd_holds"),
+        )
+        parts.append(summary)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["functional_dependency_audit"] = functional_dependency_audit
+
+
+def _fd_candidate_sql(tbl: str, det: tuple, dep: str) -> str:
+    det_list = ", ".join(det)
+    det_label = "+".join(det)
+    return f"""
+        SELECT '{tbl}' AS table_name,
+               '{det_label}' AS determinant,
+               '{dep}' AS dependent,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_keys,
+               CAST(max(nd) AS BIGINT) AS max_deps_per_key,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+        FROM (
+            SELECT {det_list}, count(DISTINCT {dep}) AS nd
+            FROM {tbl} GROUP BY {det_list}
+        )"""
+
+
+ORACLES["functional_dependency_audit"] = "\n        UNION ALL\n".join(
+    _fd_candidate_sql(t, d, p) for t, d, p in _FD_CANDIDATES
+)

@@ -590,3 +590,301 @@ ORACLES["dataset_card_summary"] = r"""
                    AS mean_tokens_per_doc
         FROM base, dups
 """
+
+
+# --- TextRank keyword extraction (word-graph PageRank) ---
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) keyword extraction: undirected
+    word co-occurrence graph (adjacent lowercase alphabetic words of 4+
+    chars), strength-normalized edge weights, 6 damped power-iteration
+    steps, top-20 words. Corpus-level complement to tfidf_documents /
+    collocation_lift_top: ranks words by graph centrality rather than
+    frequency alone.
+
+    Exact-decimal recipe (markov/pagerank family): edge weight
+    cnt/strength and teleport 0.15/N are exact-int IEEE divisions
+    quantized ONCE to DECIMAL(18,9); each step sums exact decimal
+    products, re-quantizes, applies one exact (10,9)x(18,9) damping
+    product — bit-identical cross-engine, so the top-20 cut (rank desc,
+    word tiebreak) is deterministic. The symmetrized edge list
+    guarantees every node has an incoming edge, so no per-step
+    left-join is needed (same argument as doc_pagerank_centrality).
+
+    Scale shape: the pair explode is scan-stage (fanned out via
+    spread_for_compute when the scan is narrower than the cluster); the
+    graph itself is VOCABULARY-sized (Zipf-bounded), not corpus-sized —
+    every iteration join/agg runs on the word graph. Checkpoint cadence
+    is size-adaptive exactly like doc_pagerank_centrality."""
+    from codebase_rag_spark.functions.text import tokens
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.transform(tokens(F.col("text")), lambda x: F.lower(x))
+    docs = spread_for_compute(
+        d.select(t.alias("t")).filter(F.size("t") >= 2)
+    )
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS a,"
+                " element_at(t, i + 1) AS b))"
+            )
+        ).alias("p")
+    )
+    word_re = "^[a-z]{4,}$"
+    pr = pairs.filter(
+        F.col("p.a").rlike(word_re)
+        & F.col("p.b").rlike(word_re)
+        & (F.col("p.a") != F.col("p.b"))
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    edges = pr.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pr.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ec = (
+        edges.groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    st = ec.groupBy("src").agg(F.sum("cnt").cast("bigint").alias("s"))
+    ew = (
+        ec.join(st, "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("cnt") / F.col("s"), 9)
+            .cast("decimal(18,9)")
+            .alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nn = st.agg(F.count("*").cast("bigint").alias("_n"))
+    base = (
+        st.select(F.col("src").alias("node"), F.col("s").alias("strength"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            "strength",
+            F.round(F.lit(0.15) / F.col("_n"), 9)
+            .cast("decimal(18,9)")
+            .alias("tp"),
+            F.round(F.lit(1.0) / F.col("_n"), 9)
+            .cast("decimal(18,9)")
+            .alias("r0"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    damp = F.lit("0.850000000").cast("decimal(10,9)")
+    ck_every = 4 if ec.count() < 50_000 else 1
+    r = base.select("node", F.col("r0").alias("r"), "tp")
+    for i in range(6):
+        r = (
+            r.join(ew, F.col("src") == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(F.sum(F.col("r") * F.col("w")), 9)
+                .cast("decimal(18,9)")
+                .alias("s9"),
+                F.min("tp").alias("tp"),
+            )
+            .select(
+                "node",
+                F.round(F.col("tp") + damp * F.col("s9"), 9)
+                .cast("decimal(18,9)")
+                .alias("r"),
+                "tp",
+            )
+        )
+        if (i + 1) % ck_every == 0:
+            r = r.localCheckpoint(eager=False)
+    return (
+        r.join(base.select("node", "strength"), "node")
+        .orderBy(F.desc("r"), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("word"),
+            "strength",
+            F.round(F.col("r").cast("double"), 6).alias("textrank"),
+        )
+    )
+
+
+QUERIES["textrank_keywords"] = textrank_keywords
+
+_TR_STEP = """
+        r{i} AS (
+            SELECT b.node,
+                   CAST(round(b.tp + CAST(0.850000000 AS DECIMAL(10,9))
+                              * coalesce(s.s9, CAST(0 AS DECIMAL(18,9))), 9)
+                        AS DECIMAL(18,9)) AS r
+            FROM base b
+            LEFT JOIN (
+                SELECT ew.dst AS node,
+                       CAST(round(sum(r.r * ew.w), 9) AS DECIMAL(18,9)) AS s9
+                FROM r{prev} r JOIN ew ON ew.src = r.node
+                GROUP BY ew.dst
+            ) s USING (node)
+        )"""
+
+ORACLES["textrank_keywords"] = rf"""
+        WITH toks AS (
+            SELECT list_transform(
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> ''),
+                       x -> lower(x)) AS t
+            FROM documents
+        ),
+        pairs0 AS (
+            SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+            FROM toks WHERE len(t) >= 2
+        ),
+        pr AS (
+            SELECT p.a AS a, p.b AS b FROM pairs0
+            WHERE regexp_full_match(p.a, '[a-z]{{4,}}')
+              AND regexp_full_match(p.b, '[a-z]{{4,}}')
+              AND p.a <> p.b
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pr
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pr
+        ),
+        ec AS MATERIALIZED (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+            FROM edges GROUP BY src, dst
+        ),
+        st AS (
+            SELECT src, CAST(sum(cnt) AS BIGINT) AS s FROM ec GROUP BY src
+        ),
+        ew AS MATERIALIZED (
+            SELECT ec.src, ec.dst,
+                   CAST(round(CAST(cnt AS DOUBLE) / s, 9) AS DECIMAL(18,9))
+                       AS w
+            FROM ec JOIN st USING (src)
+        ),
+        base AS MATERIALIZED (
+            SELECT src AS node, s AS strength,
+                   CAST(round(CAST(0.15 AS DOUBLE)
+                              / (SELECT count(*) FROM st), 9)
+                        AS DECIMAL(18,9)) AS tp,
+                   CAST(round(CAST(1 AS DOUBLE)
+                              / (SELECT count(*) FROM st), 9)
+                        AS DECIMAL(18,9)) AS r0
+            FROM st
+        ),
+        r0 AS (SELECT node, r0 AS r FROM base),
+        {",".join(_TR_STEP.format(i=i, prev=i - 1) for i in range(1, 7))}
+        SELECT b.node AS word, b.strength AS strength,
+               round(CAST(r.r AS DOUBLE), 6) AS textrank
+        FROM r6 r JOIN base b USING (node)
+        ORDER BY r.r DESC, b.node LIMIT 20
+"""
+
+
+# --- corpus n-gram novelty curve (redundancy over ingestion order) ---
+
+
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus redundancy measured as 3-gram NOVELTY over ingestion order
+    (doc_id as arrival proxy, bucketed into 10 equal-width deciles): a
+    gram is novel for the doc with the smallest doc_id containing it;
+    per decile, the share of (distinct-per-doc) grams that are novel.
+    The curve is the dedup-ROI instrument — a corpus whose late deciles
+    still carry high novelty keeps paying for ingestion; one that decays
+    fast is dominated by repeats (complements vocab_growth_curve, which
+    tracks the unigram vocabulary only).
+
+    Scale shape: distinct 3-grams per doc explode in the scan stage
+    (spread when the scan is narrow); first-occurrence is ONE
+    gram-keyed aggregate (map-side combined, the irreducible shuffle of
+    any global-novelty statistic); novelty flags ride back on the SAME
+    gram-keyed partitioning (join on the agg's key — AQE reuses the
+    exchange); deciles are integer arithmetic off a broadcast 1-row max
+    (no global window, no single-partition stage). Ratios are exact-int
+    counts with one IEEE division, display-rounded."""
+    from codebase_rag_spark.functions.hashing import shingles
+    from codebase_rag_spark.functions.text import tokens
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = (
+        spread_for_compute(
+            d.filter(F.size(toks) >= 3).select(
+                "doc_id", F.array_distinct(shingles(toks, 3)).alias("_g")
+            )
+        )
+        .select("doc_id", F.explode("_g").alias("gram"))
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("_first"))
+    flagged = grams.join(first, "gram").select(
+        "doc_id", (F.col("doc_id") == F.col("_first")).alias("_novel")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum(F.when(F.col("_novel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_nov"),
+    )
+    mx = d.agg(F.max("doc_id").alias("_mx"))
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST(least(doc_id * 10 DIV (_mx + 1), 9) AS BIGINT)")
+            .alias("decile"),
+            "_n",
+            "_nov",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("n_grams"),
+            F.sum("_nov").cast("bigint").alias("n_novel"),
+            F.round(F.sum("_nov") / F.sum("_n"), 4).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["ngram_novelty_curve"] = ngram_novelty_curve
+
+ORACLES["ngram_novelty_curve"] = r"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       list_transform(generate_series(1, len(t) - 2),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                   )) AS gram
+            FROM base WHERE len(t) >= 3
+        ),
+        first AS (
+            SELECT gram, min(doc_id) AS _first FROM grams GROUP BY gram
+        ),
+        per_doc AS (
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS _n,
+                   CAST(sum(CASE WHEN g.doc_id = f._first THEN 1 ELSE 0 END)
+                        AS BIGINT) AS _nov
+            FROM grams g JOIN first f USING (gram)
+            GROUP BY g.doc_id
+        ),
+        mx AS (SELECT max(doc_id) AS _mx FROM documents)
+        SELECT CAST(least(per_doc.doc_id * 10 // (_mx + 1), 9) AS BIGINT)
+                   AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(_n) AS BIGINT) AS n_grams,
+               CAST(sum(_nov) AS BIGINT) AS n_novel,
+               round(CAST(sum(_nov) AS DOUBLE) / sum(_n), 4) AS novelty_rate
+        FROM per_doc, mx
+        GROUP BY decile
+        ORDER BY decile
+"""

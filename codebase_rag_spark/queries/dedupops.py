@@ -179,8 +179,116 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: LSH-colliding pairs that are
+    NOT near-duplicates (raw token-set Jaccard in [0.05, 0.5)) — similar
+    enough to share a band bucket, different enough to be a informative
+    negative for embedding training. Top-3 negatives per anchor by
+    similarity. Beyond-reference training-data op.
+
+    Scale shape: candidates only (the LSH join is the one corpus-sized
+    shuffle); the verify join broadcasts the pair list onto the token-set
+    scan; the per-anchor top-3 window partitions on the pair graph.
+    Determinism: the filter and ordering use the RAW Jaccard ratio (exact
+    int intersection/union + one IEEE division — bit-identical
+    cross-engine); rounding is display-only."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    sym = cands.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("negative")
+    ).unionAll(
+        cands.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("negative")
+        )
+    )
+    toks = F.array_distinct(tokens(F.col("text")))
+    ta = d.select(F.col("doc_id").alias("anchor"), toks.alias("_sa"))
+    tb = d.select(F.col("doc_id").alias("negative"), toks.alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    raw = inter / (F.size("_sa") + F.size("_sb") - inter)
+    pairs = (
+        F.broadcast(sym)
+        .join(ta, "anchor")
+        .join(tb, "negative")
+        .select("anchor", "negative", raw.alias("_j"))
+        .filter((F.col("_j") >= 0.05) & (F.col("_j") < 0.5))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor").orderBy(F.desc("_j"), "negative")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "anchor", "negative", F.round("_j", 4).alias("jaccard"), "rank"
+        )
+    )
+
+
+def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage blocking quality (Christen's reduction ratio /
+    pairs completeness) for the banded-LSH blocker, measured on a bounded
+    labeled slice (doc_id < 200): truth = brute-force pairs with raw
+    token Jaccard >= 0.6 inside the slice. One summary row.
+
+    At 100 TB the brute-force truth stays confined to the audit slice (a
+    labeled sample, O(sample^2) pairs) while the blocker under test runs
+    its normal banded plan — the audit never touches corpus-scale
+    all-pairs. Ratios use exact integer counts and one IEEE division."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    toks = F.array_distinct(tokens(F.col("text")))
+    t = d.select("doc_id", toks.alias("_s"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("_s").alias("_sa"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("_s").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    raw = inter / (F.size("_sa") + F.size("_sb") - inter)
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(raw >= 0.6)
+        .select("id_a", "id_b")
+    )
+    # all counts stay DataFrame-side: four 1-row aggregates crossJoined
+    # (broadcast 1-row builds — the repo's accepted no-eager-fetch shape)
+    nd = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    nc = cands.agg(F.count("*").cast("bigint").alias("n_candidate_pairs"))
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
+    ncg = truth.join(cands, ["id_a", "id_b"]).agg(
+        F.count("*").cast("bigint").alias("n_caught_pairs")
+    )
+    return (
+        nd.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ncg))
+        .select(
+            "n_docs",
+            F.expr("n_docs * (n_docs - 1) DIV 2").alias("total_pairs"),
+            "n_candidate_pairs",
+            "n_true_pairs",
+            "n_caught_pairs",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidate_pairs")
+                / F.expr("n_docs * (n_docs - 1) DIV 2"),
+                4,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_caught_pairs")
+                / F.nullif(F.col("n_true_pairs"), F.lit(0)),
+                4,
+            ).alias("pairs_completeness"),
+        )
+    )
+
+
 QUERIES = {
     "containment_pairs": containment_pairs,
+    "hard_negative_mining": hard_negative_mining,
+    "blocking_quality_audit": blocking_quality_audit,
     "benchmark_decontamination": benchmark_decontamination,
     "minhash_signatures": minhash_signatures,
     "lsh_candidates": lsh_candidates,
@@ -213,21 +321,15 @@ _SIMHASH_BITS = " || ".join(
     f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
 )
 
-ORACLES = {
-    "minhash_signatures": rf"""
-        WITH toks AS (
-            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
-            FROM documents
-        )
-        SELECT doc_id,
-               {_minhash_sql_cols()}
-        FROM toks GROUP BY doc_id
-    """,
-    "lsh_candidates": rf"""
+def _lsh_cand_sql(pred: str = "TRUE") -> str:
+    """The banded-LSH candidate SQL, parametrized by a doc predicate so
+    sliced audits (blocking_quality_audit) run the IDENTICAL blocker on a
+    subset. _lsh_cand_sql() == the registered lsh_candidates oracle."""
+    return rf"""
         WITH base AS (
             SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
             FROM documents
-            WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
+            WHERE ({pred}) AND len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
         ),
         toks AS (
             SELECT doc_id,
@@ -248,7 +350,20 @@ ORACLES = {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band_key = b.band_key
         WHERE a.doc_id < b.doc_id
+    """
+
+
+ORACLES = {
+    "minhash_signatures": rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+            FROM documents
+        )
+        SELECT doc_id,
+               {_minhash_sql_cols()}
+        FROM toks GROUP BY doc_id
     """,
+
     "simhash_groups": rf"""
         WITH toks AS (
             SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
@@ -280,6 +395,78 @@ ORACLES = {
         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
     """,
 }
+
+ORACLES["lsh_candidates"] = _lsh_cand_sql()
+
+_TOKSET = (
+    "list_filter(list_distinct(regexp_split_to_array(text, '\\s+')),"
+    " x -> x <> '')"
+)
+
+ORACLES["hard_negative_mining"] = rf"""
+        WITH cand AS ({_lsh_cand_sql()}),
+        t AS (
+            SELECT doc_id, {_TOKSET} AS toks FROM documents
+        ),
+        sym AS (
+            SELECT id_a AS anchor, id_b AS negative FROM cand
+            UNION ALL
+            SELECT id_b AS anchor, id_a AS negative FROM cand
+        ),
+        j AS (
+            SELECT anchor, negative,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))) AS rawj
+            FROM sym
+            JOIN t a ON a.doc_id = sym.anchor
+            JOIN t b ON b.doc_id = sym.negative
+        ),
+        f AS (
+            SELECT anchor, negative, rawj,
+                   row_number() OVER (
+                       PARTITION BY anchor ORDER BY rawj DESC, negative
+                   ) AS rank
+            FROM j WHERE rawj >= 0.05 AND rawj < 0.5
+        )
+        SELECT anchor, negative, round(rawj, 4) AS jaccard,
+               CAST(rank AS BIGINT) AS rank
+        FROM f WHERE rank <= 3
+"""
+
+ORACLES["blocking_quality_audit"] = rf"""
+        WITH cand AS ({_lsh_cand_sql('doc_id < 200')}),
+        t AS (
+            SELECT doc_id, {_TOKSET} AS toks
+            FROM documents WHERE doc_id < 200
+        ),
+        truth AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks))) >= 0.6
+        ),
+        nd AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents WHERE doc_id < 200
+        ),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM cand),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth),
+        ncg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_caught_pairs
+            FROM truth JOIN cand USING (id_a, id_b)
+        )
+        SELECT n_docs,
+               CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS total_pairs,
+               n_candidate_pairs, n_true_pairs, n_caught_pairs,
+               round(CAST(1.0 AS DOUBLE)
+                     - CAST(n_candidate_pairs AS DOUBLE)
+                       / (n_docs * (n_docs - 1) // 2), 4) AS reduction_ratio,
+               round(CAST(n_caught_pairs AS DOUBLE)
+                     / nullif(n_true_pairs, 0), 4) AS pairs_completeness
+        FROM nd, nc, nt, ncg
+"""
 
 ORACLES["benchmark_decontamination"] = r"""
         WITH w AS (

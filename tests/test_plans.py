@@ -661,3 +661,30 @@ def test_round6b_new_operator_plan_contracts(spark, sf_dir):
         plan = explain_str(df)
         assert "CartesianProduct" not in plan, name
         assert not has_unpartitioned_window(df), name
+
+
+def test_round7_new_operator_plan_contracts(spark, sf_dir):
+    """r7 additions hold their declared shapes: no CartesianProduct
+    anywhere; hard_negative_mining's verify join broadcasts the pair
+    list; blocking_quality_audit's only non-broadcast joins run on the
+    bounded audit slice; textrank iterations run on the vocabulary
+    graph with no unpartitioned windows; ngram_novelty_curve's decile
+    bucketing is integer math off a broadcast 1-row max (no global
+    window)."""
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    hn = QUERIES["hard_negative_mining"](spark, sf_dir)
+    p = explain_str(hn)
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # candidate pairs broadcast onto tokens
+
+    for name in (
+        "blocking_quality_audit",
+        "functional_dependency_audit",
+        "textrank_keywords",
+        "ngram_novelty_curve",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, name
+        assert not has_unpartitioned_window(df), name
