@@ -2363,3 +2363,285 @@ ORACLES["url_domain_histogram"] = f"""
         FROM dom GROUP BY domain
         ORDER BY n_links DESC, domain LIMIT 20
 """
+
+
+# --- r7: survivorship golden-record fusion over duplicate clusters ---
+
+
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage SURVIVORSHIP (golden-record fusion): where
+    cluster_representative_pick keeps one whole row per duplicate
+    cluster, survivorship fuses the best value PER FIELD across the
+    members — the classic MDM step after matching. Rules here: earliest
+    member (min doc_id) as provenance anchor, fullest text (max
+    n_chars), source spread (exact distinct count), modal language
+    (most members; alphabetical tiebreak).
+
+    Plan: the LSH pair join is the only corpus-sized shuffle; CC and
+    both fusion aggregates run on CLUSTER MEMBERS (pair-graph-sized);
+    the modal-lang pick is a row_number window partitioned by cluster —
+    never a global window."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    edges = cands.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    labels = connected_components(edges, iterations=3)
+    members = labels.join(
+        d.select(
+            F.col("doc_id").cast("string").alias("node"),
+            "doc_id",
+            "n_chars",
+            "lang",
+            "source",
+        ),
+        "node",
+    )
+    fused = members.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    from pyspark.sql import Window
+
+    lang_counts = members.groupBy(
+        F.col("component").alias("canonical_id"), "lang"
+    ).agg(F.count("*").alias("_ln"))
+    w = Window.partitionBy("canonical_id").orderBy(F.desc("_ln"), "lang")
+    modal = (
+        lang_counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("canonical_id", F.col("lang").alias("primary_lang"))
+    )
+    return (
+        fused.join(modal, "canonical_id")
+        .orderBy(F.desc("cluster_size"), "canonical_id")
+        .select(
+            "canonical_id",
+            "cluster_size",
+            "first_doc_id",
+            "max_chars",
+            "n_sources",
+            "primary_lang",
+        )
+    )
+
+
+QUERIES["golden_record_survivorship"] = golden_record_survivorship
+
+ORACLES["golden_record_survivorship"] = f"""
+        WITH cand AS ({_DEDUP_ORACLES["lsh_candidates"]}),
+        e AS (
+            SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+            FROM cand
+        ),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS component FROM u),
+        {_CC_ITER.format(i=1, prev=0)},
+        {_CC_ITER.format(i=2, prev=1)},
+        {_CC_ITER.format(i=3, prev=2)},
+        members AS (
+            SELECT l3.component, d.doc_id, d.n_chars, d.lang, d.source
+            FROM l3 JOIN documents d ON CAST(d.doc_id AS VARCHAR) = l3.node
+        ),
+        fused AS (
+            SELECT component AS canonical_id,
+                   CAST(count(*) AS BIGINT) AS cluster_size,
+                   min(doc_id) AS first_doc_id,
+                   max(n_chars) AS max_chars,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM members GROUP BY component
+        ),
+        lc AS (
+            SELECT component AS canonical_id, lang, count(*) AS _ln
+            FROM members GROUP BY component, lang
+        ),
+        modal AS (
+            SELECT canonical_id, lang AS primary_lang,
+                   row_number() OVER (PARTITION BY canonical_id
+                                      ORDER BY _ln DESC, lang) AS _rn
+            FROM lc
+        )
+        SELECT f.canonical_id, f.cluster_size, f.first_doc_id, f.max_chars,
+               f.n_sources, m.primary_lang
+        FROM fused f JOIN modal m USING (canonical_id)
+        WHERE m._rn = 1
+        ORDER BY f.cluster_size DESC, f.canonical_id
+"""
+
+
+# --- r7: pairwise Pearson correlation of quality signals ---
+
+
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal redundancy audit: pairwise Pearson correlation of
+    four per-doc quality signals (token count, type-token ratio, avg
+    chars per token, Flesch reading ease). High |r| between two gates
+    means one is nearly free given the other; near-zero means both
+    carry signal — the standard feature-selection readout before
+    stacking curation filters into a classifier.
+
+    Determinism (the cuped sufficient-statistics recipe): each signal
+    is quantized ONCE to a 1e4-scaled BIGINT (correlation is invariant
+    to per-variable affine scaling, so the integer scaling drops out);
+    n / Σx / Σxy moments are exact DECIMAL sums within the documented
+    38-digit budget (per-term products <= 1e16 -> DECIMAL(19,0)^2,
+    sums DECIMAL(29,0), n DECIMAL(8,0) so n*Σxy stays at precision 38);
+    each r is fixed-order double arithmetic off the exact moments,
+    rounded at output.
+
+    Scale shape: signals are scan-stage expressions; ONE 1-row
+    aggregate carries all 15 moments; the 6-pair output explodes from
+    that single row. Nothing corpus-sized moves."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    w = F.size(toks)
+    dist = F.size(F.array_distinct(toks))
+    s = F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    y = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w.cast("double") / F.greatest(s, F.lit(1)).cast("double"))
+        - F.lit(84.6) * (y.cast("double") / F.greatest(w, F.lit(1)).cast("double"))
+    )
+    sigs = d.filter(w >= 1).select(
+        w.cast("bigint").alias("v1"),
+        F.round(F.lit(10000.0) * (dist.cast("double") / w.cast("double")))
+        .cast("bigint")
+        .alias("v2"),
+        F.round(
+            F.lit(10000.0) * (F.col("n_chars").cast("double") / w.cast("double"))
+        )
+        .cast("bigint")
+        .alias("v3"),
+        F.round(F.lit(10000.0) * fre).cast("bigint").alias("v4"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    aggs = [F.count("*").cast("decimal(8,0)").alias("n")]
+    for i in range(1, 5):
+        aggs.append(F.sum(f"v{i}").cast("decimal(19,0)").alias(f"s{i}"))
+    for i in range(1, 5):
+        for j in range(i, 5):
+            aggs.append(
+                F.sum(d19(f"v{i}") * d19(f"v{j}"))
+                .cast("decimal(29,0)")
+                .alias(f"ss{i}{j}")
+            )
+    stats = sigs.agg(*aggs)
+
+    def _den(i: int):
+        return (
+            F.col("n") * F.col(f"ss{i}{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        ).cast("double")
+
+    def _r(i: int, j: int):
+        dxy = (
+            F.col("n") * F.col(f"ss{i}{j}") - F.col(f"s{i}") * F.col(f"s{j}")
+        ).cast("double")
+        return F.when(
+            (_den(i) > 0) & (_den(j) > 0),
+            F.round(dxy / F.sqrt(_den(i) * _den(j)), 4),
+        )
+
+    names = {1: "n_tokens", 2: "ttr", 3: "avg_chars_per_token", 4: "flesch"}
+    pairs = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    wide = stats.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        *[_r(i, j).alias(f"r{i}{j}") for i, j in pairs],
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(names[i]).alias("signal_x"),
+                F.lit(names[j]).alias("signal_y"),
+                F.col(f"r{i}{j}").alias("r"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return (
+        wide.select("n_docs", F.explode(structs).alias("p"))
+        .select("p.signal_x", "p.signal_y", "n_docs", "p.r")
+        .orderBy("signal_x", "signal_y")
+    )
+
+
+QUERIES["quality_signal_correlation"] = quality_signal_correlation
+
+
+def _qsc_pair_sql(i: int, j: int, name_i: str, name_j: str) -> str:
+    return f"""
+        SELECT '{name_i}' AS signal_x, '{name_j}' AS signal_y,
+               CAST(n AS BIGINT) AS n_docs,
+               CASE WHEN CAST(n * ss{i}{i} - s{i} * s{i} AS DOUBLE) > 0
+                     AND CAST(n * ss{j}{j} - s{j} * s{j} AS DOUBLE) > 0
+                    THEN round(CAST(n * ss{i}{j} - s{i} * s{j} AS DOUBLE)
+                               / sqrt(CAST(n * ss{i}{i} - s{i} * s{i}
+                                           AS DOUBLE)
+                                      * CAST(n * ss{j}{j} - s{j} * s{j}
+                                             AS DOUBLE)), 4)
+               END AS r
+        FROM stats"""
+
+
+_QSC_NAMES = {1: "n_tokens", 2: "ttr", 3: "avg_chars_per_token", 4: "flesch"}
+
+ORACLES["quality_signal_correlation"] = (
+    r"""
+        WITH per_doc AS (
+            SELECT n_chars,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS w,
+                   len(list_distinct(
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> ''))) AS dist,
+                   len(regexp_extract_all(text, '[.!?]+')) AS s,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+            FROM documents
+        ),
+        sigs AS (
+            SELECT CAST(w AS BIGINT) AS v1,
+                   CAST(round(CAST(10000 AS DOUBLE)
+                              * (CAST(dist AS DOUBLE) / CAST(w AS DOUBLE)))
+                        AS BIGINT) AS v2,
+                   CAST(round(CAST(10000 AS DOUBLE)
+                              * (CAST(n_chars AS DOUBLE)
+                                 / CAST(w AS DOUBLE))) AS BIGINT) AS v3,
+                   CAST(round(CAST(10000 AS DOUBLE)
+                              * (CAST(206.835 AS DOUBLE)
+                                 - CAST(1.015 AS DOUBLE)
+                                   * (CAST(w AS DOUBLE)
+                                      / CAST(greatest(s, 1) AS DOUBLE))
+                                 - CAST(84.6 AS DOUBLE)
+                                   * (CAST(y AS DOUBLE)
+                                      / CAST(greatest(w, 1) AS DOUBLE))))
+                        AS BIGINT) AS v4
+            FROM per_doc WHERE w >= 1
+        ),
+        stats AS (
+            SELECT count(*) AS n,
+"""
+    + ",\n".join(
+        f"                   sum(v{i}) AS s{i}" for i in range(1, 5)
+    )
+    + ",\n"
+    + ",\n".join(
+        f"                   sum(v{i} * v{j}) AS ss{i}{j}"
+        for i in range(1, 5)
+        for j in range(i, 5)
+    )
+    + """
+            FROM sigs
+        )
+"""
+    + "\n        UNION ALL\n".join(
+        _qsc_pair_sql(i, j, _QSC_NAMES[i], _QSC_NAMES[j])
+        for i in range(1, 5)
+        for j in range(i + 1, 5)
+    )
+    + "\n        ORDER BY signal_x, signal_y\n"
+)

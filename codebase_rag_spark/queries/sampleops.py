@@ -855,3 +855,112 @@ ORACLES["kfold_assignment_audit"] = f"""
         FROM cells c JOIN tot t USING (lang)
         ORDER BY c.fold, c.lang
 """
+
+
+# --- r7: T5-style span-corruption masking audit ---
+
+
+def span_corruption_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption masking plan audit (T5 / UL2 denoising prep):
+    each token position draws an i.i.d. deterministic Bernoulli(15%)
+    mask (first 4 md5 hex chars of doc_id:position < 0.15*65536 = 9830
+    — reproducible anywhere, no RNG state), and contiguous masked runs
+    form corruption SPANS (one sentinel each). Per-language summary:
+    realized masking rate in basis points (integer DIV — exact), span
+    count, and mean span length (the knob T5 sets to ~3).
+
+    Scale shape: the mask array, masked count, and span-start count are
+    all per-row array expressions in the scan stage (fanned out when
+    the scan is narrow); the per-lang rollup is the only exchange,
+    map-side combined onto a handful of keys."""
+    from codebase_rag_spark.functions.text import tokens
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    per_doc = spread_for_compute(
+        d.select("lang", "doc_id", toks.alias("t")).filter(F.size("t") >= 1)
+    ).select(
+        "lang",
+        F.size("t").cast("bigint").alias("_n"),
+        F.expr(
+            "transform(sequence(1, size(t)), i ->"
+            " conv(substring(md5(concat(cast(doc_id AS string), ':',"
+            " cast(i AS string))), 1, 4), 16, 10) < 9830)"
+        ).alias("_m"),
+    ).select(
+        "lang",
+        "_n",
+        F.expr(
+            "cast(size(filter(sequence(1, size(_m)),"
+            " i -> element_at(_m, i))) AS bigint)"
+        ).alias("_masked"),
+        F.expr(
+            "cast(size(filter(sequence(1, size(_m)),"
+            " i -> element_at(_m, i) AND"
+            " (i = 1 OR NOT element_at(_m, i - 1)))) AS bigint)"
+        ).alias("_spans"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("n_tokens"),
+            F.sum("_masked").cast("bigint").alias("n_masked"),
+            F.sum("_spans").cast("bigint").alias("n_spans"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_masked",
+            "n_spans",
+            F.expr("n_masked * 10000 DIV n_tokens").alias("mask_rate_bp"),
+            F.round(
+                F.col("n_masked") / F.nullif(F.col("n_spans"), F.lit(0)), 4
+            ).alias("avg_span_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["span_corruption_masking"] = span_corruption_masking
+
+ORACLES["span_corruption_masking"] = r"""
+        WITH base AS (
+            SELECT lang, doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        m AS (
+            SELECT lang,
+                   CAST(len(t) AS BIGINT) AS _n,
+                   list_transform(generate_series(1, len(t)), i ->
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                       || CAST(i AS VARCHAR)), 1, 4))::BIGINT
+                       < 9830) AS _m
+            FROM base WHERE len(t) >= 1
+        ),
+        per_doc AS (
+            SELECT lang, _n,
+                   CAST(len(list_filter(generate_series(1, len(_m)),
+                                        i -> _m[i])) AS BIGINT) AS _masked,
+                   CAST(len(list_filter(generate_series(1, len(_m)),
+                                        i -> _m[i] AND
+                                             (i = 1 OR NOT _m[i - 1])))
+                        AS BIGINT) AS _spans
+            FROM m
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(_n) AS BIGINT) AS n_tokens,
+               CAST(sum(_masked) AS BIGINT) AS n_masked,
+               CAST(sum(_spans) AS BIGINT) AS n_spans,
+               CAST(sum(_masked) * 10000 // sum(_n) AS BIGINT)
+                   AS mask_rate_bp,
+               round(CAST(sum(_masked) AS DOUBLE)
+                     / nullif(sum(_spans), 0), 4) AS avg_span_len
+        FROM per_doc GROUP BY lang
+        ORDER BY lang
+"""

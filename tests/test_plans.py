@@ -688,3 +688,21 @@ def test_round7_new_operator_plan_contracts(spark, sf_dir):
         plan = explain_str(df)
         assert "CartesianProduct" not in plan, name
         assert not has_unpartitioned_window(df), name
+
+
+def test_round7b_new_operator_plan_contracts(spark, sf_dir):
+    """r7 batch 2: survivorship's windows partition on the cluster
+    (pair-graph), never globally; span masking is scan-stage + one
+    per-lang rollup; the correlation audit is ONE 1-row moment
+    aggregate (no joins, no windows, no cartesian anywhere)."""
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    for name in (
+        "golden_record_survivorship",
+        "span_corruption_masking",
+        "quality_signal_correlation",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, name
+        assert not has_unpartitioned_window(df), name
