@@ -1153,3 +1153,85 @@ ORACLES["mp4_metadata"] = f"""
         FROM fin
         ORDER BY media_id
 """
+
+
+# --- r7: perceptual-hash (average-hash) image dedup plumbing ---
+
+
+def media_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash (aHash) image dedup PLUMBING over the synthesized
+    media table: the 16 payload bytes play a 4x4 grayscale thumbnail,
+    each bit = (pixel > image mean), identical hashes group into
+    duplicate-image clusters, reported as a group-size histogram. With
+    a real decoder the thumbnail comes from PIL's resize (decode_media's
+    gated path) — the hash/threshold/group dataflow, which is the part
+    that must scale, is REAL and exact: byte extraction is hex
+    arithmetic in the scan stage (16 conv() expressions, JVM-side), the
+    mean threshold is the integer compare 16*b_i > sum(b) (no division,
+    no floats), and the only shuffles are the two keyed aggregates
+    (hash -> groups, size -> histogram), both map-side combined."""
+    d = load_table(spark, sf_dir, "documents")
+    media = fake_media_from_text(d, "doc_id", "text").filter(
+        F.col("media_type") == "image"
+    )
+    hx = F.lower(F.hex(F.col("data")))
+    bytes_ = [
+        F.conv(F.substring(hx, 2 * i - 1, 2), 16, 10).cast("int").alias(f"b{i}")
+        for i in range(1, 17)
+    ]
+    wb = media.select("media_id", *bytes_)
+    total = sum((F.col(f"b{i}") for i in range(2, 17)), F.col("b1"))
+    bits = F.concat(
+        *[
+            F.when(F.col(f"b{i}") * 16 > total, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(1, 17)
+        ]
+    )
+    groups = (
+        wb.select(bits.alias("ahash"))
+        .groupBy("ahash")
+        .agg(F.count("*").cast("bigint").alias("group_size"))
+    )
+    return (
+        groups.groupBy("group_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            (F.count("*") * F.col("group_size")).cast("bigint").alias(
+                "n_images"
+            ),
+        )
+        .orderBy("group_size")
+    )
+
+
+QUERIES["media_ahash_groups"] = media_ahash_groups
+
+_AHASH_BYTES = ",\n                   ".join(
+    f"('0x' || substr(md5(text), {2 * i - 1}, 2))::INT AS b{i}"
+    for i in range(1, 17)
+)
+_AHASH_TOTAL = " + ".join(f"b{i}" for i in range(1, 17))
+_AHASH_BITS = " || ".join(
+    f"(CASE WHEN b{i} * 16 > {_AHASH_TOTAL} THEN '1' ELSE '0' END)"
+    for i in range(1, 17)
+)
+
+ORACLES["media_ahash_groups"] = f"""
+        WITH wb AS (
+            SELECT doc_id,
+                   {_AHASH_BYTES}
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        groups AS (
+            SELECT {_AHASH_BITS} AS ahash,
+                   CAST(count(*) AS BIGINT) AS group_size
+            FROM wb GROUP BY ahash
+        )
+        SELECT group_size,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(count(*) * group_size AS BIGINT) AS n_images
+        FROM groups GROUP BY group_size
+        ORDER BY group_size
+"""

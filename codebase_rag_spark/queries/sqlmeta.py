@@ -1125,3 +1125,90 @@ ORACLES["view_dependency_layers"] = rf"""
         FROM d JOIN lay USING (view_name)
         ORDER BY d.view_name
 """
+
+
+# --- r7: SQL antipattern lint (static query-quality analysis) ---
+
+LINT_CORPUS: list[tuple[str, str]] = SQL_CORPUS + [
+    # planted antipatterns so every rule has positive AND negative rows
+    ("a1", "SELECT * FROM big_t, other_t WHERE big_t.id = other_t.id"),
+    (
+        "a2",
+        "SELECT id FROM accounts WHERE upper(email) = 'X@Y.COM' "
+        "AND year(created_at) = 2024",
+    ),
+    ("a3", "SELECT name FROM users WHERE name LIKE '%smith'"),
+    (
+        "a4",
+        "SELECT id FROM orders WHERE cust_id NOT IN "
+        "(SELECT id FROM banned_customers)",
+    ),
+    (
+        "a5",
+        "SELECT o.id, c.name FROM orders o JOIN customers c "
+        "ON o.cust_id = c.id WHERE o.created >= '2024-01-01'",
+    ),
+]
+
+# One regex per rule, (?i) case-insensitive — the IDENTICAL pattern runs
+# in Java regex (Spark) and RE2 (DuckDB): literal-word alternations and
+# basic classes only, no lookaround (RE2 has none).
+LINT_RULES: list[tuple[str, str]] = [
+    ("select_star", r"(?i)SELECT\s+\*|\.\*"),
+    ("comma_join", r"(?i)FROM\s+[A-Za-z_][\w.]*(\s+[A-Za-z_]\w*)?\s*,"),
+    (
+        "nonsargable_pred",
+        r"(?i)WHERE[^()]*\b(year|month|day|upper|lower|substr|trunc)\s*\(",
+    ),
+    ("leading_wildcard", r"(?i)LIKE\s+'%"),
+    ("not_in_subquery", r"(?i)NOT\s+IN\s*\(\s*SELECT"),
+]
+
+
+def sql_antipattern_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static SQL antipattern lint over the query corpus — the
+    query-quality half of the reference's SQL analysis surface
+    (complements sql_query_analysis' structural extraction with the
+    performance-review rules a DBA runs): SELECT *, implicit comma
+    joins, non-sargable WHERE predicates (function-wrapped columns),
+    leading-wildcard LIKE, NOT IN (SELECT ...). One boolean per rule
+    per query plus the total, every rule a single scan-stage rlike —
+    at corpus scale this lints millions of logged queries in one pass
+    with zero shuffles before the tiny ordered output."""
+    df = spark.createDataFrame(LINT_CORPUS, ["query_id", "sql"])
+    flags = [
+        F.col("sql").rlike(pat).alias(name) for name, pat in LINT_RULES
+    ]
+    out = df.select("query_id", *flags)
+    total = sum(
+        (F.when(F.col(name), 1).otherwise(0) for name, _ in LINT_RULES),
+        F.lit(0),
+    )
+    return out.select(
+        "query_id",
+        *[name for name, _ in LINT_RULES],
+        total.cast("bigint").alias("n_antipatterns"),
+    ).orderBy("query_id")
+
+
+QUERIES["sql_antipattern_lint"] = sql_antipattern_lint
+
+# DuckDB single-quoted strings keep backslashes literal, so the Java/RE2
+# shared pattern embeds verbatim — only single quotes need escaping.
+_LINT_FLAG_SQL = ",\n               ".join(
+    f"regexp_matches(sql, '{pat.replace(chr(39), chr(39) * 2)}') AS {name}"
+    for name, pat in LINT_RULES
+)
+_LINT_TOTAL_SQL = " + ".join(
+    f"CASE WHEN regexp_matches(sql, '{pat.replace(chr(39), chr(39) * 2)}')"
+    " THEN 1 ELSE 0 END"
+    for _, pat in LINT_RULES
+)
+
+ORACLES["sql_antipattern_lint"] = f"""
+        SELECT query_id,
+               {_LINT_FLAG_SQL},
+               CAST({_LINT_TOTAL_SQL} AS BIGINT) AS n_antipatterns
+        FROM {_corpus_values(LINT_CORPUS, "query_id, sql")}
+        ORDER BY query_id
+"""

@@ -706,3 +706,26 @@ def test_round7b_new_operator_plan_contracts(spark, sf_dir):
         plan = explain_str(df)
         assert "CartesianProduct" not in plan, name
         assert not has_unpartitioned_window(df), name
+
+
+def test_round7c_new_operator_plan_contracts(spark, sf_dir):
+    """r7 batch 3: the SQL lint is scan-stage rlike flags over the
+    literal corpus (no joins at all); the aHash pipeline's only
+    exchanges are its two keyed aggregates — no cartesian, no windows,
+    no Python in either."""
+    from codebase_rag_spark.plans import (
+        count_exchanges,
+        explain_str,
+        has_unpartitioned_window,
+    )
+
+    lint = QUERIES["sql_antipattern_lint"](spark, sf_dir)
+    p = explain_str(lint)
+    assert "CartesianProduct" not in p
+    assert "Join" not in p  # pure per-row lint
+
+    ah = QUERIES["media_ahash_groups"](spark, sf_dir)
+    p = explain_str(ah)
+    assert "CartesianProduct" not in p
+    assert not has_unpartitioned_window(ah)
+    assert count_exchanges(ah) <= 3  # two keyed aggs (+AQE reads)
