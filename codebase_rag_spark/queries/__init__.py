@@ -193,6 +193,13 @@ _PRIORITY = [
     # re-based onto per-user totals (ADVICE r6 #3)
     "sql_transpile", "sql_dml_transpile", "sql_reverse_transpile",
     "welch_lift_by_type",
+    # _CHANGED_R7 perf re-shapes (same oracle, new plan): pagerank's
+    # single materialized edge list; LSH consumers gained the
+    # spread_for_compute fan-out (results identical — round-robin
+    # repartition feeds order-insensitive aggregates — but the driver
+    # row should postdate the plan)
+    "doc_pagerank_centrality", "dedup_clusters", "mmr_diverse_topk",
+    "lsh_candidates", "cluster_representative_pick",
 ]
 
 QUERIES = {
