@@ -199,6 +199,16 @@ def main() -> None:
         F.initcap(F.lit("x")),
     ).collect()
 
+    # Python-worker warm: the first Arrow-batched Python stage in a
+    # session pays worker-pool spawn + Arrow serializer init (~2-3 s),
+    # otherwise charged to whichever mapInPandas query runs first
+    # (code_entity_extract's r7 bench row regressed 1.0 -> 3.8 s purely
+    # from window-rotation order). One 1-row identity mapInPandas.
+    def _ident(it):
+        yield from it
+
+    spark.range(1).mapInPandas(_ident, "id long").collect()
+
     # table warm (VERDICT r6 #4): one full-column noop materialization per
     # input table, shared by ALL queries — absorbs first-read parquet
     # footer/page costs so per-query rows measure the query, not whichever

@@ -200,6 +200,8 @@ _PRIORITY = [
     # row should postdate the plan)
     "doc_pagerank_centrality", "dedup_clusters", "mmr_diverse_topk",
     "lsh_candidates", "cluster_representative_pick",
+    # single-signature-pass re-shape (was digesting the corpus twice)
+    "minhash_calibration_audit",
 ]
 
 QUERIES = {

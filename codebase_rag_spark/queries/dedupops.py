@@ -599,26 +599,55 @@ def minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate-confined throughout — signatures join onto the LSH pair
     list, never all-pairs; the exact Jaccard reuses
     ngram_jaccard_pairs' array-intersect form on the same pairs."""
-    from codebase_rag_spark.functions.hashing import minhash_word_expr
-    from codebase_rag_spark.functions.hashing import shingles
+    from codebase_rag_spark.functions.hashing import (
+        band_keys,
+        minhash_word_expr,
+        shingles,
+    )
+    from codebase_rag_spark.operators.fanout import spread_for_compute
 
+    # r7 re-shape: the r6 form called minhash_lsh_candidates AND built its
+    # own signature table, digesting the whole corpus TWICE. Compute the
+    # signatures once (fanned out, checkpointed) and derive BOTH the band
+    # candidates and the per-pair component comparison from that one
+    # table — identical semantics (same hash family, same banding), half
+    # the corpus work. Oracle unchanged.
     d = load_table(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    toks = tokens(F.col("text"))
+    exploded = spread_for_compute(d.filter(F.size(toks) >= 3)).select(
+        F.col("doc_id"), F.explode(shingles(toks, 3)).alias("tok")
+    )
+    sigs = (
+        exploded.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(minhash_word_expr(F.col("tok"), i)).alias(f"mh{i}")
+                for i in range(NUM_HASHES)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = NUM_HASHES // BANDS
+    keyed = sigs.select(
+        "doc_id",
+        F.explode(
+            band_keys(
+                F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]),
+                BANDS,
+                rows,
+            )
+        ).alias("band_key"),
+    )
+    a = keyed.select(F.col("doc_id").alias("id_a"), "band_key")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "band_key")
+    cands = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     exact = ngram_jaccard_pairs(
         d, "doc_id", "text", candidates=cands, threshold=0.0, n=3
-    )
-    toks = tokens(F.col("text"))
-    exploded = (
-        d.filter(F.size(toks) >= 3)
-        .select(F.col("doc_id"), F.explode(shingles(toks, 3)).alias("tok"))
-    )
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_word_expr(F.col("tok"), i)).alias(f"mh{i}")
-            for i in range(NUM_HASHES)
-        ]
     )
     siga = sigs.select(
         F.col("doc_id").alias("id_a"),

@@ -75,8 +75,16 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json PATH: append one JSON object per (sf, query) row to PATH —
+    # the committed full-registry evidence artifact (VERDICT r6 #3).
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -123,6 +131,25 @@ def main() -> int:
         f"\n{n_checked - len(failed)}/{n_checked} OK"
         + (f", {len(failed)} FAILED: {failed}" if failed else "")
     )
+    if json_path is not None:
+        import json
+
+        with open(json_path, "a") as fh:
+            for name in queries:
+                if only and name not in only:
+                    continue
+                row = {
+                    "sf_dir": sf_dir,
+                    "query": name,
+                    "status": (
+                        "fail"
+                        if name in failed
+                        else ("rows_only" if name not in oracles else "ok")
+                    ),
+                }
+                if name in warned:
+                    row["warn"] = True
+                fh.write(json.dumps(row) + "\n")
     return 1 if failed else 0
 
 

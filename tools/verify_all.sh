@@ -8,11 +8,11 @@ cd "$(dirname "$0")/.."
 echo "== pytest =="
 python -m pytest tests/ -q 2>&1 | tail -1
 echo "== oracle sf0.001 =="
-python tools/check_oracle.py /root/testdata/sf0.001 2>&1 | tail -1
+python tools/check_oracle.py --json "${ORACLE_JSON:-/dev/null}" /root/testdata/sf0.001 2>&1 | tail -1
 echo "== oracle sf0.01 (driver gate) =="
-python tools/check_oracle.py 2>&1 | tail -1
+python tools/check_oracle.py --json "${ORACLE_JSON:-/dev/null}" 2>&1 | tail -1
 echo "== oracle sf0.1 =="
-python tools/check_oracle.py /root/testdata/sf0.1 2>&1 | tail -1
+python tools/check_oracle.py --json "${ORACLE_JSON:-/dev/null}" /root/testdata/sf0.1 2>&1 | tail -1
 echo "== bench sf0.1 =="
 python bench.py 2>/dev/null | tail -1
 echo "== plan dump =="
