@@ -4686,3 +4686,163 @@ ORACLES["funnel_conversion_ci"] = f"""
         {_WILSON_SQL.format(step='2_click_to_purchase', src='s2')}
         ORDER BY step
 """
+
+
+# --- r7: Qini / uplift-by-decile experiment readout ---
+
+
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-modeling readout (Radcliffe's Qini curve): users ranked by
+    a targeting score (activity = event count; swap for a real uplift
+    model score in production), split into 10 deciles, and per decile
+    the treatment-vs-control spend gap plus the CUMULATIVE Qini value
+    Q(k) = cumT_k - cumC_k * (NT_k / NC_k) — the curve a growth team
+    reads to decide how deep to target. Treatment = user_id % 2 (the
+    cuped_adjusted_lift convention).
+
+    Determinism: per-user cents are exact int64; the global score rank
+    comes from operators/scalewin.global_order_stats (sharded windows +
+    broadcast offsets — bit-identical to a naive global window, no
+    single-partition stage); decile = (rn-1)*10 DIV n exact ints;
+    cumulative sums run on the 10-row decile table (the day-table
+    exception); divisions are display-only doubles rounded at output.
+
+    Scale shape: one user-keyed aggregate, the sharded rank, one
+    10-key aggregate — nothing else corpus-sized."""
+    from codebase_rag_spark.operators.scalewin import global_order_stats
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pu = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(cents).cast("bigint").alias("cents"),
+    )
+    ranked = global_order_stats(
+        pu, [F.desc("n_events"), F.col("user_id")], rn_col="rn"
+    )
+    n1 = pu.agg(F.count("*").cast("bigint").alias("_n"))
+    dec = (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            F.expr("CAST((rn - 1) * 10 DIV _n AS BIGINT)").alias("decile"),
+            (F.col("user_id") % 2 == 1).alias("t"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_treat"),
+            F.sum(F.when(~F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_control"),
+            F.sum(F.when(F.col("t"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("cents_treat"),
+            F.sum(F.when(~F.col("t"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("cents_control"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dec.select(
+        "decile",
+        "n_treat",
+        "n_control",
+        "cents_treat",
+        "cents_control",
+        F.sum("n_treat").over(wc).cast("bigint").alias("_cnt"),
+        F.sum("n_control").over(wc).cast("bigint").alias("_cnc"),
+        F.sum("cents_treat").over(wc).cast("bigint").alias("_cct"),
+        F.sum("cents_control").over(wc).cast("bigint").alias("_ccc"),
+    )
+    # Cross-engine rounding rule (caught at sf0.001: -278.34 vs -278.33):
+    # round(double, n) is NOT portable — DuckDB rescales by 10^n before
+    # rounding, and that multiply can re-create an exact .5 midpoint the
+    # unscaled double doesn't have, while Spark rounds the double's exact
+    # decimal expansion. Portable form: exact integer numerators (DECIMAL
+    # products), ONE IEEE division, round() at INTEGER granularity (no
+    # rescale on either side), then an exact final scale-down.
+    d20 = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    # uplift in 1/100 cent units = 4dp dollars
+    up_num = (
+        d20("cents_treat") * d20("n_control")
+        - d20("cents_control") * d20("n_treat")
+    ).cast("decimal(38,0)") * F.lit(100).cast("decimal(3,0)")
+    up_den = (d20("n_treat") * d20("n_control")).cast("double")
+    uplift_u = F.round(up_num.cast("double") / F.nullif(up_den, F.lit(0.0)))
+    # qini in cents
+    qini_num = (d20("_cct") * d20("_cnc") - d20("_ccc") * d20("_cnt")).cast(
+        "double"
+    )
+    qini_c = F.round(
+        qini_num / F.nullif(F.col("_cnc").cast("double"), F.lit(0.0))
+    )
+    return cum.select(
+        "decile",
+        "n_treat",
+        "n_control",
+        (uplift_u / F.lit(10000.0)).alias("uplift_dollars"),
+        (qini_c / F.lit(100.0)).alias("qini_dollars"),
+    ).orderBy("decile")
+
+
+QUERIES["qini_uplift_deciles"] = qini_uplift_deciles
+
+ORACLES["qini_uplift_deciles"] = """
+        WITH pu AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT user_id, cents,
+                   row_number() OVER (
+                       ORDER BY n_events DESC, user_id) AS rn,
+                   (SELECT count(*) FROM pu) AS _n
+            FROM pu
+        ),
+        dec AS (
+            SELECT CAST((rn - 1) * 10 // _n AS BIGINT) AS decile,
+                   user_id % 2 = 1 AS t, cents
+            FROM ranked
+        ),
+        agg AS (
+            SELECT decile,
+                   CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_treat,
+                   CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_control,
+                   CAST(sum(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT)
+                       AS cents_treat,
+                   CAST(sum(CASE WHEN NOT t THEN cents ELSE 0 END) AS BIGINT)
+                       AS cents_control
+            FROM dec GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n_treat, n_control, cents_treat, cents_control,
+                   CAST(sum(n_treat) OVER w AS BIGINT) AS _cnt,
+                   CAST(sum(n_control) OVER w AS BIGINT) AS _cnc,
+                   CAST(sum(cents_treat) OVER w AS BIGINT) AS _cct,
+                   CAST(sum(cents_control) OVER w AS BIGINT) AS _ccc
+            FROM agg
+            WINDOW w AS (ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT decile, n_treat, n_control,
+               round(CAST((CAST(cents_treat AS HUGEINT) * n_control
+                           - CAST(cents_control AS HUGEINT) * n_treat) * 100
+                          AS DOUBLE)
+                     / nullif(CAST(n_treat AS DOUBLE)
+                              * CAST(n_control AS DOUBLE), 0))
+                   / CAST(10000 AS DOUBLE) AS uplift_dollars,
+               round(CAST(CAST(_cct AS HUGEINT) * _cnc
+                          - CAST(_ccc AS HUGEINT) * _cnt AS DOUBLE)
+                     / nullif(CAST(_cnc AS DOUBLE), 0))
+                   / CAST(100 AS DOUBLE) AS qini_dollars
+        FROM cum ORDER BY decile
+"""

@@ -1447,3 +1447,240 @@ ORACLES["embedding_dimension_profile"] = """
         FROM agg
         ORDER BY pos
 """
+
+
+# --- r7: IVF recall-vs-nprobe tuning curve ---
+
+
+def ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard IVF tuning instrument: recall@10 as a function of
+    nprobe (1 / 2 / 4 probed buckets) against brute-force truth, over a
+    deterministic FIXED-SIZE query sample (vec_id % 37 == 0, capped at
+    vec_id < 7400 — i.e. <= 200 queries regardless of corpus size; a
+    fixed FRACTION would make the sample x corpus pair table grow
+    quadratically with scale — measured exponent 1.69 before the cap,
+    ~1.0 after). This is the curve an
+    ANN operator reads to pick the latency/recall trade before shipping
+    an index config (complements int8_quant_recall, which audits the
+    compression axis).
+
+    Determinism: all rankings (truth top-10, probe routing, retrieved
+    top-10) order by round(cosine, 4) with id tiebreaks — the
+    cosine_topk convention, green across engines. Recall is exact-int:
+    caught*10000 DIV truth-size basis points.
+
+    Scale shape: brute-force truth stays confined to the SAMPLED query
+    set (the standard recall-eval protocol — sample x corpus, one
+    broadcast of the sample, never corpus x corpus); the scored pair
+    table streams straight into ONE window pass that computes the truth
+    rank and every probe-prefix rank together (never materialized); per-bucket centroids come from ONE posexplode aggregate.
+    At 100 TB the probed-retrieval side becomes partition pruning on
+    the bucket column (embeddings written partitioned by label)."""
+    from codebase_rag_spark.functions.vector import cosine_similarity
+    from codebase_rag_spark.operators.similarity import build_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 7400)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    corpus = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("v"), F.col("qv")), 4).alias(
+                "cos"
+            ),
+        )
+    )
+    # no checkpoint: with the one-pass window below, the pair table is
+    # consumed exactly once — materializing it (RDD serialization of
+    # sample x corpus rows) measured 62 s of the 63 s sf1 wall
+    cents = build_centroids(emb, "label")
+    crank = (
+        q.crossJoin(F.broadcast(cents.withColumnRenamed("label", "clabel")))
+        .select(
+            "qid",
+            "clabel",
+            F.round(
+                cosine_similarity(F.col("centroid"), F.col("qv")), 4
+            ).alias("ccos"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("ccos"), F.col("clabel")
+                )
+            ),
+        )
+        .select("qid", F.col("clabel").alias("label"), "crank")
+    )
+    ranked = pairs.join(crank, ["qid", "label"])
+    # ONE window pass computes the truth rank AND the rank-within-probed-
+    # prefix for every nprobe simultaneously (conditional cumulative
+    # counts over the same (cos desc, vec_id) order) — the naive form ran
+    # four separate sort-shuffles of the pair table (measured 72 s at
+    # sf1; this shape ~1 shuffle).
+    wq = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("cos"), F.col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ranked.select(
+        "qid",
+        "vec_id",
+        "crank",
+        F.count(F.lit(1)).over(wq).alias("rn_truth"),
+        *[
+            F.sum(F.when(F.col("crank") <= np, 1).otherwise(0))
+            .over(wq)
+            .alias(f"rn_p{np}")
+            for np in (1, 2, 4)
+        ],
+    )
+    stats = flagged.agg(
+        F.countDistinct("qid").cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("rn_truth") <= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_truth"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("rn_truth") <= 10)
+                    & (F.col("crank") <= np)
+                    & (F.col(f"rn_p{np}") <= 10),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"caught_{np}")
+            for np in (1, 2, 4)
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(np).cast("bigint").alias("nprobe"),
+                    F.col(f"caught_{np}").alias("n_caught"),
+                )
+                for np in (1, 2, 4)
+            ]
+        )
+    )
+    return (
+        stats.select("n_queries", "n_truth", rows.alias("p"))
+        .select(
+            F.col("p.nprobe").alias("nprobe"),
+            "n_queries",
+            "n_truth",
+            F.col("p.n_caught").alias("n_caught"),
+            F.expr("p.n_caught * 10000 DIV n_truth").alias("recall_bp"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+QUERIES["ann_recall_vs_nprobe"] = ann_recall_vs_nprobe
+
+
+ORACLES["ann_recall_vs_nprobe"] = (
+    """
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe
+            FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 7400
+        ),
+        px AS (
+            SELECT e.vec_id, e.label, q.qid,
+                   unnest(e.embedding)::DOUBLE AS x,
+                   unnest(q.qe)::DOUBLE AS y
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.qid
+        ),
+        pairs AS MATERIALIZED (
+            SELECT qid, vec_id, label,
+                   round(sum(x * y)
+                         / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+            FROM px GROUP BY qid, vec_id, label
+        ),
+        ev AS (
+            SELECT label, unnest(embedding)::DOUBLE AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        c AS (SELECT label, pos, avg(v) AS cv FROM ev GROUP BY label, pos),
+        cq AS (
+            SELECT q.qid, c.label, c.pos, c.cv,
+                   q.qe[c.pos]::DOUBLE AS qv
+            FROM q, c
+        ),
+        cc AS (
+            SELECT qid, label,
+                   round(sum(cv * qv)
+                         / (sqrt(sum(cv * cv)) * sqrt(sum(qv * qv))), 4)
+                       AS ccos
+            FROM cq GROUP BY qid, label
+        ),
+        crank AS (
+            SELECT qid, label,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY ccos DESC, label
+                   ) AS crank
+            FROM cc
+        ),
+        ranked AS MATERIALIZED (
+            SELECT p.qid, p.vec_id, p.label, p.cos, r.crank
+            FROM pairs p JOIN crank r USING (qid, label)
+        ),
+        flagged AS (
+            SELECT qid, vec_id, crank,
+                   row_number() OVER w AS rn_truth,
+                   sum(CASE WHEN crank <= 1 THEN 1 ELSE 0 END)
+                       OVER w AS rn_p1,
+                   sum(CASE WHEN crank <= 2 THEN 1 ELSE 0 END)
+                       OVER w AS rn_p2,
+                   sum(CASE WHEN crank <= 4 THEN 1 ELSE 0 END)
+                       OVER w AS rn_p4
+            FROM ranked
+            WINDOW w AS (PARTITION BY qid ORDER BY cos DESC, vec_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        stats AS (
+            SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+                   CAST(sum(CASE WHEN rn_truth <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_truth,
+                   CAST(sum(CASE WHEN rn_truth <= 10 AND crank <= 1
+                                  AND rn_p1 <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS caught_1,
+                   CAST(sum(CASE WHEN rn_truth <= 10 AND crank <= 2
+                                  AND rn_p2 <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS caught_2,
+                   CAST(sum(CASE WHEN rn_truth <= 10 AND crank <= 4
+                                  AND rn_p4 <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS caught_4
+            FROM flagged
+        )
+        SELECT nprobe, n_queries, n_truth, n_caught,
+               CAST(n_caught * 10000 // n_truth AS BIGINT) AS recall_bp
+        FROM (
+            SELECT CAST(1 AS BIGINT) AS nprobe, n_queries, n_truth,
+                   caught_1 AS n_caught FROM stats
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), n_queries, n_truth, caught_2
+            FROM stats
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), n_queries, n_truth, caught_4
+            FROM stats
+        )
+        ORDER BY nprobe
+"""
+)

@@ -729,3 +729,21 @@ def test_round7c_new_operator_plan_contracts(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert not has_unpartitioned_window(ah)
     assert count_exchanges(ah) <= 3  # two keyed aggs (+AQE reads)
+
+
+def test_round7d_new_operator_plan_contracts(spark, sf_dir):
+    """r7 batch 4: the ANN recall curve's brute-force side is confined
+    to the broadcast query sample (sample x corpus, never corpus x
+    corpus — the one BroadcastNestedLoopJoin is that broadcast);
+    qini's only unpartitioned window runs on the 10-row decile table
+    (the day-table exception) — its corpus-order rank is the sharded
+    scalewin form."""
+    from codebase_rag_spark.plans import explain_str
+
+    ann = QUERIES["ann_recall_vs_nprobe"](spark, sf_dir)
+    p = explain_str(ann)
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+    qn = QUERIES["qini_uplift_deciles"](spark, sf_dir)
+    assert "CartesianProduct" not in explain_str(qn)
