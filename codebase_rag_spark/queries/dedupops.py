@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from codebase_rag_spark.catalog import load_table
 from codebase_rag_spark.functions.hashing import minhash_signature
-from codebase_rag_spark.functions.text import tokens
+from codebase_rag_spark.functions.text import token_count, tokens
 from codebase_rag_spark.operators.dedup import (
     embedding_near_dups,
     minhash_lsh_candidates,
@@ -983,4 +983,132 @@ ORACLES["contamination_ngram_curve"] = (
         for n in (1, 2, 3, 4, 8)
     )
     + " ORDER BY ngram_n"
+)
+
+
+# --- r7: dedup threshold sweep (the knob instrument) ---
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-threshold decision table: for Jaccard cutoffs 0.5-0.9,
+    how many LSH candidate pairs would be merged and how many tokens the
+    merge saves (dropping the smaller member of each merged pair — the
+    keep-longest rule's pairwise bound). Complements
+    lsh_s_curve_calibration (which audits the BLOCKER's collision curve)
+    by auditing the VERIFIER's cutoff: the table a pipeline owner reads
+    before committing a threshold that deletes data.
+
+    One pass: per-candidate raw Jaccard (exact ints + one IEEE
+    division), then a single aggregate with one conditional sum per
+    cutoff; the 5-row output explodes from that 1-row aggregate.
+    Candidate-confined; thresholds compare the RAW ratio (no rounding
+    in the predicate)."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    toks = F.array_distinct(tokens(F.col("text")))
+    nt = token_count(F.col("text"))
+    ta = d.select(
+        F.col("doc_id").alias("id_a"), toks.alias("_sa"),
+        nt.cast("bigint").alias("_na"),
+    )
+    tb = d.select(
+        F.col("doc_id").alias("id_b"), toks.alias("_sb"),
+        nt.cast("bigint").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    raw = inter / (F.size("_sa") + F.size("_sb") - inter)
+    scored = (
+        F.broadcast(cands)
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            raw.alias("_j"),
+            F.least(F.col("_na"), F.col("_nb")).alias("_min_toks"),
+        )
+    )
+    cuts = [0.5, 0.6, 0.7, 0.8, 0.9]
+    agg = scored.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        *[
+            F.sum(F.when(F.col("_j") >= c, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"m{i}")
+            for i, c in enumerate(cuts)
+        ],
+        *[
+            F.sum(F.when(F.col("_j") >= c, F.col("_min_toks")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s{i}")
+            for i, c in enumerate(cuts)
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(c * 100)).cast("bigint").alias("threshold_pct"),
+                    F.col(f"m{i}").alias("n_merged_pairs"),
+                    F.col(f"s{i}").alias("tokens_saved_bound"),
+                )
+                for i, c in enumerate(cuts)
+            ]
+        )
+    )
+    return (
+        agg.select("n_candidates", rows.alias("p"))
+        .select(
+            F.col("p.threshold_pct").alias("threshold_pct"),
+            "n_candidates",
+            F.col("p.n_merged_pairs").alias("n_merged_pairs"),
+            F.col("p.tokens_saved_bound").alias("tokens_saved_bound"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+
+_SWEEP_CUTS = [(50, "0.5"), (60, "0.6"), (70, "0.7"), (80, "0.8"), (90, "0.9")]
+
+ORACLES["dedup_threshold_sweep"] = (
+    rf"""
+        WITH cand AS ({_lsh_cand_sql()}),
+        t AS (
+            SELECT doc_id, {_TOKSET} AS toks,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS ntoks
+            FROM documents
+        ),
+        scored AS (
+            SELECT CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))) AS _j,
+                   least(a.ntoks, b.ntoks) AS _min_toks
+            FROM cand c
+            JOIN t a ON a.doc_id = c.id_a
+            JOIN t b ON b.doc_id = c.id_b
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+"""
+    + ",\n".join(
+        f"                   CAST(sum(CASE WHEN _j >= {lit} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS m{pct},\n"
+        f"                   CAST(sum(CASE WHEN _j >= {lit} THEN _min_toks"
+        f" ELSE 0 END) AS BIGINT) AS s{pct}"
+        for pct, lit in _SWEEP_CUTS
+    )
+    + """
+            FROM scored
+        )
+"""
+    + "\n        UNION ALL\n".join(
+        f"        SELECT CAST({pct} AS BIGINT) AS threshold_pct,"
+        f" n_candidates, m{pct} AS n_merged_pairs,"
+        f" s{pct} AS tokens_saved_bound FROM agg"
+        for pct, _ in _SWEEP_CUTS
+    )
+    + "\n        ORDER BY threshold_pct\n"
 )

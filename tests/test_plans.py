@@ -747,3 +747,15 @@ def test_round7d_new_operator_plan_contracts(spark, sf_dir):
 
     qn = QUERIES["qini_uplift_deciles"](spark, sf_dir)
     assert "CartesianProduct" not in explain_str(qn)
+
+
+def test_round7e_dedup_threshold_sweep_plan(spark, sf_dir):
+    """The threshold sweep is candidate-confined (broadcast pair list)
+    and all 5 cutoffs ride ONE aggregate — no cartesian, no windows."""
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    df = QUERIES["dedup_threshold_sweep"](spark, sf_dir)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    assert not has_unpartitioned_window(df)
