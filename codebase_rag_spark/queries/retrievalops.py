@@ -506,3 +506,75 @@ ORACLES["tfidf_documents"] = r"""
         ORDER BY tfidf DESC, doc_id
         LIMIT 15
 """
+
+
+# --- r7: KWIC search snippets (result-preview extraction) ---
+
+
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippet extraction — the result-PREVIEW half
+    of the search surface (the reference renders matched-file previews
+    around hits; fulltext_search/bm25_documents rank, THIS extracts
+    what the user actually reads): for documents containing 'vector',
+    up to 2 context windows of +-24 chars around each hit, with the
+    per-doc hit count. Top-12 docs by hit count (doc_id tiebreak),
+    snippets exploded in hit order.
+
+    One scan does everything: regexp_extract_all pulls the windows
+    (the IDENTICAL bounded-quantifier pattern runs in Java regex and
+    RE2 — greedy .{0,24} has the same semantics in both), the hit
+    count is the array length, and TakeOrderedAndProject keeps the
+    doc cut before the tiny explode. No joins, no index build — the
+    zero-infrastructure preview path; at scale it composes with the
+    ranked doc list as a broadcast semi-join instead of the filter."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"(?i).{0,24}vector.{0,24}"
+    hits = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)).alias(
+            "_w"
+        ),
+    ).filter(F.size("_w") >= 1)
+    top = (
+        hits.select(
+            "doc_id",
+            F.size("_w").cast("bigint").alias("n_hits"),
+            F.slice("_w", 1, 2).alias("_s"),
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+        .limit(12)
+    )
+    return top.select(
+        "doc_id",
+        "n_hits",
+        F.posexplode("_s").alias("snippet_idx", "snippet"),
+    ).select(
+        "doc_id",
+        "n_hits",
+        (F.col("snippet_idx") + 1).cast("bigint").alias("snippet_idx"),
+        "snippet",
+    ).orderBy(F.desc("n_hits"), "doc_id", "snippet_idx")
+
+
+QUERIES["search_snippets"] = search_snippets
+
+ORACLES["search_snippets"] = r"""
+        WITH hits AS (
+            SELECT doc_id,
+                   regexp_extract_all(text,
+                       '(?i).{0,24}vector.{0,24}') AS _w
+            FROM documents
+        ),
+        top AS (
+            SELECT doc_id,
+                   CAST(len(_w) AS BIGINT) AS n_hits,
+                   _w[1:2] AS _s
+            FROM hits WHERE len(_w) >= 1
+            ORDER BY n_hits DESC, doc_id LIMIT 12
+        )
+        SELECT doc_id, n_hits,
+               CAST(i AS BIGINT) AS snippet_idx,
+               _s[i] AS snippet
+        FROM top, unnest(generate_series(1, len(_s))) AS t(i)
+        ORDER BY n_hits DESC, doc_id, snippet_idx
+"""

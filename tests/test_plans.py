@@ -759,3 +759,16 @@ def test_round7e_dedup_threshold_sweep_plan(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p
     assert not has_unpartitioned_window(df)
+
+
+def test_round7f_search_snippets_plan(spark, sf_dir):
+    """Snippet extraction is a single scan + TakeOrderedAndProject + a
+    12-row explode: no joins, no windows, no index infrastructure."""
+    from codebase_rag_spark.plans import explain_str, has_unpartitioned_window
+
+    df = QUERIES["search_snippets"](spark, sf_dir)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+    assert not has_unpartitioned_window(df)
