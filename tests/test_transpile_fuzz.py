@@ -84,6 +84,12 @@ _STRESS_CONTENT = st.sampled_from([
     "is", "select", "from", "now()", "nvl(a, b)", "group concat",
     "double precision", "from dual", "len(x)", "top 5", "where 1=1",
     "getdate() is not a date", "limit 3, 4", "sysdate",
+    # ADVICE r7: long regions — the run-split budget is consumed per
+    # REGION, so keywords must stay dead even after 18+ word chars of
+    # filler (the old _Q_RUN_PASSES=8 budget corrupted exactly these)
+    "abcdefghijklmnopqrstuvwxyz timestamp",
+    "the quick brown fox jumps over the lazy sysdate getdate now",
+    "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz auto_increment=5",
 ])
 
 
@@ -269,6 +275,21 @@ def test_serial_autoincrement_round_trip():
     assert "SERIAL" in ansi and '"user name"' in ansi and "TIMESTAMP" in ansi
     back = _reverse_py(ansi, "mysql")
     assert back == src
+
+
+def test_long_literals_survive_transpile():
+    """ADVICE r7 (medium): the run-split budget is per REGION, not per
+    run — with _Q_RUN_PASSES=8 a literal with ~18+ total word chars
+    before a keyword left that keyword live and the chain corrupted the
+    literal. Both named repros, pinned at the raised budget."""
+    s1 = "SELECT 'abcdefghijklmnopqrstuvwxyz timestamp' FROM t"
+    assert _reverse_py(s1, "mysql") == s1  # was: ... DATETIME' inside literal
+    s2 = "SELECT 'aaaaaaaaaaaaaaaa auto_increment=5 x' FROM t"
+    assert _transpile_py(s2, "mysql") == s2
+    # single-run worst case: one 80-char run then a keyword, both chains
+    s3 = "SELECT '" + "z" * 80 + " timestamp sysdate' FROM t"
+    assert _transpile_py(s3, "oracle") == s3
+    assert _reverse_py(s3, "mysql") == s3
 
 
 def test_rules_never_fire_inside_quotes():
