@@ -3,8 +3,16 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed to completion (count-materialized) after a shared
-warmup query that absorbs session/JIT startup.
+Each query is executed to completion through the noop sink (every output
+row fully produced and handed to a no-op writer) after a shared warmup
+query that absorbs session/JIT startup.
+
+Materialization basis (VERDICT r7 #3, changed in r8): df.count() let
+Catalyst prune final-Project expressions, so a query whose cost sits in
+its last select (regex extraction, rounding chains) benched cheaper than
+its real production cost. df.write.format("noop") keeps every output
+column live. Timings before BENCH_local_r8 are on the count() basis —
+compare across the break only per ROUND8_NOTES.md.
 """
 
 from __future__ import annotations
@@ -233,7 +241,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = QUERIES[name](spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # noqa: BLE001 - isolate any query failure
             errors[name] = f"{type(e).__name__}: {e}"[:500]

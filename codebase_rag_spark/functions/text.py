@@ -109,10 +109,14 @@ def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
         F.sequence(F.lit(1), n_toks - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+    # size(grams) == n_toks - n + 1 by construction: using the arithmetic
+    # form keeps the gram array from being built TWICE (r8: the noop-sink
+    # bench exposed the double evaluation once count() stopped pruning it)
     return F.when(
         n_toks >= n,
         F.lit(1.0)
-        - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+        - F.size(F.array_distinct(grams)).cast("double")
+        / (n_toks - (n - 1)).cast("double"),
     )
 
 

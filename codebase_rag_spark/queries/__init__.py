@@ -172,36 +172,34 @@ _DRIVER_CHECKED = {
     "ks_value_drift", "welch_lift_by_type", "funnel_conversion_ci",
     "doc_k_truss", "mp4_metadata", "mixture_epochs_plan",
     "kfold_assignment_audit",
-}
-
-# Round-7 window (VERDICT r6 'Next round' #2, rotation computed from
-# CORRECTNESS_r06.json as instructed, NOT from round notes): the 7
-# registry entries that have NEVER received a driver CORRECTNESS row,
-# plus quality_classifier_score (its r05 row predates the r6 0-exchange
-# literal-weight rewrite), plus the 3 transpile entries rewritten this
-# round (quote-safe masking chain changed query AND oracle). New round-7
-# entries fill the remaining window slots automatically via the dict
-# rebuild below.
-_PRIORITY = [
-    # never driver-checked (VERDICT r6 'What's missing' #3)
+    # --- r07 (50, all green in CORRECTNESS_r07.json; only the names not
+    # already listed above) ---
     "ddl_column_info", "column_type_distribution", "ddl_primary_keys",
     "ddl_foreign_keys", "view_dependency_layers", "heldout_perplexity",
-    "dataset_card_summary",
-    # driver row predates current implementation
-    "quality_classifier_score",
-    # _CHANGED_R7: quote-safe transpile chains (both engines); welch
-    # re-based onto per-user totals (ADVICE r6 #3)
+    "dataset_card_summary", "functional_dependency_audit",
+    "hard_negative_mining", "blocking_quality_audit",
+    "dedup_threshold_sweep", "golden_record_survivorship",
+    "quality_signal_correlation", "ann_recall_vs_nprobe",
+    "qini_uplift_deciles", "search_snippets", "media_ahash_groups",
+    "span_corruption_masking", "sql_antipattern_lint",
+    "textrank_keywords", "ngram_novelty_curve",
+}
+
+# Round-8 window (VERDICT r7 'Next round' #2, rotation computed from
+# CORRECTNESS_r07.json: all 50 rows green, union now covers all 286
+# entries). _PRIORITY = everything REWRITTEN in r8, so its driver row
+# postdates the current implementation:
+#   * the five LSH pair-graph verify consumers whose static F.broadcast
+#     hints were dropped (VERDICT r7 #1 — AQE now sizes the join);
+#   * the three transpile entries whose masking chain changed
+#     (_Q_RUN_PASSES 8->64 + list_reduce oracle rendering — query AND
+#     oracle both changed).
+# New round-8 entries fill the remaining window slots automatically via
+# the dict rebuild below (never-checked entries sort before checked).
+_PRIORITY = [
+    "near_dup_verify", "edit_distance_verify", "containment_pairs",
+    "hard_negative_mining", "dedup_threshold_sweep",
     "sql_transpile", "sql_dml_transpile", "sql_reverse_transpile",
-    "welch_lift_by_type",
-    # _CHANGED_R7 perf re-shapes (same oracle, new plan): pagerank's
-    # single materialized edge list; LSH consumers gained the
-    # spread_for_compute fan-out (results identical — round-robin
-    # repartition feeds order-insensitive aggregates — but the driver
-    # row should postdate the plan)
-    "doc_pagerank_centrality", "dedup_clusters", "mmr_diverse_topk",
-    "lsh_candidates", "cluster_representative_pick",
-    # single-signature-pass re-shape (was digesting the corpus twice)
-    "minhash_calibration_audit",
 ]
 
 QUERIES = {

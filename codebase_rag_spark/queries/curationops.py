@@ -167,10 +167,14 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from a text-free column-pruned (doc_id, lang) scan. Shuffle
     bytes on the big stage drop ~4x (16-byte rows vs ~65-byte
     gram-string rows) and the string shuffle shrinks to the duplicated
-    fraction of the corpus (9.5% of docs at sf0.1)."""
+    fraction of the corpus (9.5% of docs at sf0.1). r8 measured (noop
+    basis, sf0.1): 3.1 -> 1.9 s via spread_for_compute on the
+    single-row-group scan."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     det = d.filter(F.size(toks) >= 8).select(
         "doc_id",
@@ -286,8 +290,11 @@ def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping an int8 ANN index (4x memory cut vs float32).
 
     Pure scan-stage array math (transform + fold) — zero shuffles before
-    the per-label summary."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    the per-label summary. r8 measured (noop basis, sf0.1): 2.8 -> 0.65 s
+    via spread_for_compute on the single-row-group scan."""
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
@@ -803,8 +810,11 @@ def intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entirely scan-stage array math (shingles + array_distinct + size);
     the only shuffle is the per-lang rollup — at 100 TB this is a
-    map-side-combined aggregate over one row per doc."""
-    d = load_table(spark, sf_dir, "documents")
+    map-side-combined aggregate over one row per doc. r8 measured
+    (noop basis, sf0.1): 1.25 -> 0.58 s via spread_for_compute."""
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
 
     def rep(n: int) -> Column:

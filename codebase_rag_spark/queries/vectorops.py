@@ -222,10 +222,18 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cost is sum(bucket_size^2), never corpus x corpus — at 100 TB
     raise num_planes (or use trained IVF cells, similarity.py:138) so
     bucket sizes stay bounded; the audit output is <= 2^planes rows.
-    Buckets with a single vector report n_pairs = 0 and NULL cosine."""
+    Buckets with a single vector report n_pairs = 0 and NULL cosine.
+    r8 measured (noop basis, sf0.1): 2.2 -> 1.4 s via spread_for_compute
+    at the load — spreading only the bucket branch was measured too
+    (2.35 s): the win needs BOTH the plane-dot folds and the projection
+    branch wide, because every downstream exchange inherits a narrow
+    upstream otherwise. The extra plan nodes are round-robin spreads of
+    the same small scan (no-ops at 100 TB by the helper's width
+    check)."""
     from codebase_rag_spark.functions.vector import cosine_similarity
+    from codebase_rag_spark.operators.fanout import spread_for_compute
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     b = random_hyperplane_buckets(emb, num_planes=8, dim=64)
     v = b.join(
         emb.select("vec_id", as_double(F.col("embedding")).alias("_v")), "vec_id"
@@ -1238,8 +1246,12 @@ def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass over the pair table (same partition key, two orderings
     share the query_id-keyed shuffle). The 10-key skew is the audit's
     bounded cost — at 100 TB you sample the corpus per query (the
-    minhash_calibration_audit convention), not widen the key space."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    minhash_calibration_audit convention), not widen the key space.
+    r8 measured (noop basis, sf0.1): 2.5 -> 1.25 s via
+    spread_for_compute."""
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     v = as_double(F.col("embedding"))
     corp = emb.select(
         "vec_id",
@@ -1477,9 +1489,11 @@ def ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the probed-retrieval side becomes partition pruning on
     the bucket column (embeddings written partitioned by label)."""
     from codebase_rag_spark.functions.vector import cosine_similarity
+    from codebase_rag_spark.operators.fanout import spread_for_compute
     from codebase_rag_spark.operators.similarity import build_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r8 measured (noop basis, sf0.1): 2.7 -> 1.4 s — single-row-group scan
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(
         (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 7400)
     ).select(

@@ -71,15 +71,17 @@ def test_grouping_sets_expand_with_broadcast_dims(spark, sf_dir):
 
 def test_single_shuffle_aggregations(spark, sf_dir):
     """Scan-stage expression + one hash aggregate: the shape every
-    per-group text/gap/argmax metric should compile to."""
-    for name in (
-        "user_event_gaps",
-        "repetition_filter",
-        "customer_order_extremes",
-        "winnowing_sketch",
-    ):
+    per-group text/gap/argmax metric should compile to. r8: the
+    document-heavy rows carry ONE extra round-robin exchange — the
+    spread_for_compute narrow-scan fan-out (a no-op at real scale by
+    the helper's width check); the aggregate is still the only
+    data-keyed shuffle."""
+    for name in ("user_event_gaps", "customer_order_extremes"):
         df = QUERIES[name](spark, sf_dir)
         assert count_exchanges(df) == 1, name
+    for name in ("repetition_filter", "winnowing_sketch"):
+        df = QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) <= 2, name
 
 
 def test_top_tokens_take_ordered_single_shuffle(spark, sf_dir):
@@ -183,8 +185,9 @@ def test_duplicated_spans_gram_keyed_shuffles_only(spark, sf_dir):
     # the detection stream keys on xxhash64, not gram strings
     assert "xxhash64" in plan
     # hash window + per-doc agg + candidate join + gram stage + joins +
-    # lang agg — byte volume, not exchange count, is the r6 win
-    assert count_exchanges(df) <= 10
+    # lang agg — byte volume, not exchange count, is the r6 win; +1 in
+    # r8 for the narrow-scan fan-out (no-op at real scale)
+    assert count_exchanges(df) <= 11
 
 
 def test_session_overlap_join_is_bucketed_not_cartesian(spark, sf_dir):
@@ -331,7 +334,11 @@ def test_round3b_ops_plan_contracts(spark, sf_dir):
         "value_quantile_sketch": 8,
         # single-pass stats+top-pair agg: the bucket-keyed pair join is
         # evaluated once (was 5 exchanges with a separate window branch)
-        "semantic_dedup_audit": 4,
+        # 4 data-keyed shuffles + the r8 narrow-scan fan-out, which the
+        # self-join shape repeats per branch (each spread is a tiny
+        # round-robin of the same small scan; all are width-gated no-ops
+        # at real scale)
+        "semantic_dedup_audit": 8,
         "salted_segment_revenue": 4,
         "audio_metadata": 1,
         # one clean_text pass, fingerprint-window dedup, lang-window cap
@@ -772,3 +779,30 @@ def test_round7f_search_snippets_plan(spark, sf_dir):
     assert "Join" not in p
     assert "TakeOrderedAndProject" in p
     assert not has_unpartitioned_window(df)
+
+
+def test_no_static_broadcast_on_pair_graph_relations(spark, sf_dir):
+    """VERDICT r7 #1 contract: LSH candidate-pair lists are DUPLICATE-
+    VOLUME-bound, so no query may pin them with a static F.broadcast
+    hint — at a 100-TB corpus with a realistic dup rate the pair list
+    blows past the 8 GB broadcast hard limit and a forced hint OOMs
+    where AQE would degrade to a keyed shuffle join. The contract is
+    checked on the ANALYZED logical plan (ResolvedHint nodes = hints in
+    the query SOURCE), so an optimizer- or AQE-chosen broadcast never
+    trips it; the five verify-stage consumers of the LSH pair graph must
+    carry ZERO source-level hints. Contrast ngram_decontaminate's
+    eval-gram broadcast: bounded by construction, legal, and covered by
+    benchmark_decontamination being absent from this list.
+    """
+    from codebase_rag_spark.plans import count_static_broadcast_hints, explain_str
+
+    for name in (
+        "near_dup_verify",
+        "edit_distance_verify",
+        "containment_pairs",
+        "hard_negative_mining",
+        "dedup_threshold_sweep",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        assert count_static_broadcast_hints(df) == 0, name
+        assert "CartesianProduct" not in explain_str(df), name
