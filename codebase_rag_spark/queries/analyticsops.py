@@ -1683,3 +1683,135 @@ def _fd_candidate_sql(tbl: str, det: tuple, dep: str) -> str:
 ORACLES["functional_dependency_audit"] = "\n        UNION ALL\n".join(
     _fd_candidate_sql(t, d, p) for t, d, p in _FD_CANDIDATES
 )
+
+
+# --- r8: bipartite one-mode projection (VERDICT r7 #6 candidate) ---
+
+HUB_CAP = 32  # parts bought by more customers than this are hubs
+
+
+def bipartite_customer_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-mode projection of the customer-part bipartite graph onto
+    CUSTOMERS (Newman 2001's collaboration-network construction; the
+    customer-side complement of item_cooccurrence_similarity's item
+    projection): two customers are linked when they bought the same
+    part, weighted by how many distinct parts they share, with overlap
+    and Jaccard coefficients on the capped degrees. Top-20 pairs.
+
+    Hub removal is the standard projection-scale guard: a part bought
+    by b customers contributes b(b-1)/2 pairs, so the projection is
+    quadratic in hub degree — parts with more than HUB_CAP distinct
+    buyers are dropped BEFORE the pair explode (per part <= 496 pairs),
+    exactly how one-mode projections stay tractable at 100 TB (raise
+    the cap or sample hub memberships; the capped edge set also defines
+    the degrees so the coefficients are self-consistent).
+
+    Determinism: all counts exact ints; overlap/Jaccard as basis points
+    via integer DIV (never double-div-then-cast); ordering ties break
+    on (id_a, id_b). Shuffles: one distinct edge list, one buyer-count
+    agg, the capped pair agg, two keyed degree join-backs."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    buyers = edges.groupBy("part").agg(F.count("*").alias("_nb"))
+    capped = (
+        edges.join(buyers.filter(F.col("_nb") <= HUB_CAP), "part")
+        .select("cust", "part")
+        .localCheckpoint(eager=False)  # consumed by degrees AND the pair join
+    )
+    deg = capped.groupBy(F.col("cust").alias("cid")).agg(
+        F.count("*").cast("bigint").alias("dc")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("id_a"), F.col("b.cust").alias("id_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_parts"))
+    )
+    scored = (
+        pairs.join(
+            deg.select(F.col("cid").alias("id_a"), F.col("dc").alias("deg_a")),
+            "id_a",
+        )
+        .join(
+            deg.select(F.col("cid").alias("id_b"), F.col("dc").alias("deg_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared_parts",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(shared_parts * 10000 DIV least(deg_a, deg_b)"
+                " AS BIGINT)"
+            ).alias("overlap_bp"),
+            F.expr(
+                "CAST(shared_parts * 10000 DIV"
+                " (deg_a + deg_b - shared_parts) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("shared_parts"), F.desc("jaccard_bp"), "id_a", "id_b"
+        )
+        .limit(20)
+        .select(
+            "id_a", "id_b", "shared_parts", "deg_a", "deg_b",
+            "overlap_bp", "jaccard_bp",
+        )
+    )
+
+
+QUERIES["bipartite_customer_projection"] = bipartite_customer_projection
+
+ORACLES["bipartite_customer_projection"] = """
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        capped AS (
+            SELECT cust, part FROM edges
+            WHERE part IN (
+                SELECT part FROM edges GROUP BY part HAVING count(*) <= 32)
+        ),
+        deg AS (
+            SELECT cust AS cid, CAST(count(*) AS BIGINT) AS dc
+            FROM capped GROUP BY cust
+        ),
+        pairs AS (
+            SELECT a.cust AS id_a, b.cust AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_parts
+            FROM capped a JOIN capped b
+              ON a.part = b.part AND a.cust < b.cust
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, shared_parts,
+               da.dc AS deg_a, db.dc AS deg_b,
+               CAST(shared_parts * 10000 // least(da.dc, db.dc) AS BIGINT)
+                   AS overlap_bp,
+               CAST(shared_parts * 10000
+                    // (da.dc + db.dc - shared_parts) AS BIGINT)
+                   AS jaccard_bp
+        FROM pairs
+        JOIN deg da ON da.cid = id_a
+        JOIN deg db ON db.cid = id_b
+        ORDER BY shared_parts DESC, jaccard_bp DESC, id_a, id_b
+        LIMIT 20
+"""

@@ -888,3 +888,90 @@ ORACLES["ngram_novelty_curve"] = r"""
         GROUP BY decile
         ORDER BY decile
 """
+
+
+# --- r8: tokenizer fertility audit (VERDICT r7 #6 candidate) ---
+
+
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (subword tokens per whitespace word — the
+    standard multilingual-tokenizer quality metric, e.g. Rust et al.
+    2021) per language, using the BPE-ish segmenter
+    (functions/text.py:BPE_ISH_PATTERN: letter runs / digit runs /
+    punctuation) as the token model. High fertility marks languages the
+    tokenizer fragments — the signal that drives vocab rebalancing
+    before a training run. Per lang: docs, exact word and token totals,
+    fertility and compression (chars per token) in basis points.
+
+    Determinism: exact int64 sums; ratios via integer DIV on the
+    aggregated totals (never per-row doubles). Scale: both counters are
+    scan-stage regex/size expressions (spread against the
+    single-row-group test scan); the rollup is one map-side-combined
+    keyed aggregate."""
+    from codebase_rag_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("_w"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("_t"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        .cast("bigint")
+        .alias("_c"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_t").alias("n_tokens"),
+            F.sum("_c").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.expr("CAST(n_tokens * 10000 DIV n_words AS BIGINT)").alias(
+                "fertility_bp"
+            ),
+            F.expr("CAST(n_chars * 10000 DIV n_tokens AS BIGINT)").alias(
+                "chars_per_token_bp"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["tokenizer_fertility_audit"] = tokenizer_fertility_audit
+
+ORACLES["tokenizer_fertility_audit"] = """
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       w -> w <> '')) AS BIGINT) AS _w,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS _t,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                       AS BIGINT) AS _c
+            FROM documents
+        ),
+        agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(_w) AS BIGINT) AS n_words,
+                   CAST(sum(_t) AS BIGINT) AS n_tokens,
+                   CAST(sum(_c) AS BIGINT) AS n_chars
+            FROM per_doc GROUP BY lang
+        )
+        SELECT lang, n_docs, n_words, n_tokens,
+               CAST(n_tokens * 10000 // n_words AS BIGINT) AS fertility_bp,
+               CAST(n_chars * 10000 // n_tokens AS BIGINT)
+                   AS chars_per_token_bp
+        FROM agg ORDER BY lang
+"""

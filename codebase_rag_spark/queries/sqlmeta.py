@@ -1212,3 +1212,134 @@ ORACLES["sql_antipattern_lint"] = f"""
         FROM {_corpus_values(LINT_CORPUS, "query_id, sql")}
         ORDER BY query_id
 """
+
+
+# --- r8: lint severity scoring + per-table rollup (VERDICT r7 #6) ---
+
+# Unique weights so the table-level "worst rule" is a pure weight->name
+# decode (no tie policy needed); ordered by how expensive the fix is in
+# review practice: NOT IN (SELECT) is a correctness trap (NULL
+# semantics) AND a performance one, non-sargable predicates kill index
+# use, comma joins risk accidental cartesians, leading wildcards force
+# full scans, SELECT * is a bandwidth/stability smell.
+LINT_SEVERITY: dict[str, int] = {
+    "select_star": 2,
+    "leading_wildcard": 3,
+    "comma_join": 4,
+    "nonsargable_pred": 5,
+    "not_in_subquery": 6,
+}
+
+# the table grab is intentionally the statement's FROM/JOIN identifiers
+# (comma-join second tables are the lint's own finding, not a rollup
+# key); identical regex both engines, group 1, lowercased
+_TABLE_REF_PATTERN = r"(?i)\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)"
+
+
+def sql_lint_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity-weighted lint rollup per REFERENCED TABLE — the view a
+    DBA triages by ('which tables attract the worst queries'), extending
+    sql_antipattern_lint's per-query booleans with LINT_SEVERITY weights
+    (reference-adjacent to universal_sql_schema_parser's domain scoring:
+    keyword hits -> weighted label). Per table: queries touching it,
+    queries with >= 1 finding, total severity, and the single worst rule
+    seen (decoded from the max weight — weights are unique by design).
+
+    Scale shape: per-query flags and severity are scan-stage rlike
+    expressions; table refs explode from ONE regexp_extract_all (distinct
+    per query); the rollup is a keyed aggregate on table name. Zero
+    joins; at 100 TB this scores a full query-log shard per scan task."""
+    df = spark.createDataFrame(LINT_CORPUS, ["query_id", "sql"])
+    sev = sum(
+        (
+            F.when(F.col("sql").rlike(pat), LINT_SEVERITY[name]).otherwise(0)
+            for name, pat in LINT_RULES
+        ),
+        F.lit(0),
+    )
+    worst = F.greatest(
+        *[
+            F.when(F.col("sql").rlike(pat), LINT_SEVERITY[name]).otherwise(0)
+            for name, pat in LINT_RULES
+        ]
+    )
+    refs = F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(F.col("sql"), F.lit(_TABLE_REF_PATTERN), 1),
+            F.lower,
+        )
+    )
+    per_q = df.select(
+        F.explode(refs).alias("table_name"),
+        sev.cast("bigint").alias("_sev"),
+        worst.cast("bigint").alias("_worst"),
+    )
+    decode = F.lit("none")
+    for name, w in sorted(LINT_SEVERITY.items(), key=lambda kv: kv[1]):
+        decode = F.when(F.col("_mw") == w, F.lit(name)).otherwise(decode)
+    return (
+        per_q.groupBy("table_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("_sev") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("_sev").cast("bigint").alias("total_severity"),
+            F.max("_worst").alias("_mw"),
+        )
+        .select(
+            "table_name",
+            "n_queries",
+            "n_flagged",
+            "total_severity",
+            decode.alias("worst_rule"),
+        )
+        .orderBy("table_name")
+    )
+
+
+QUERIES["sql_lint_severity"] = sql_lint_severity
+
+_SEV_SQL = " + ".join(
+    f"CASE WHEN regexp_matches(sql, '{pat.replace(chr(39), chr(39) * 2)}')"
+    f" THEN {LINT_SEVERITY[name]} ELSE 0 END"
+    for name, pat in LINT_RULES
+)
+_WORST_SQL = "greatest(" + ", ".join(
+    f"CASE WHEN regexp_matches(sql, '{pat.replace(chr(39), chr(39) * 2)}')"
+    f" THEN {LINT_SEVERITY[name]} ELSE 0 END"
+    for name, pat in LINT_RULES
+) + ")"
+_WORST_DECODE_SQL = "CASE _mw " + " ".join(
+    f"WHEN {w} THEN '{name}'"
+    for name, w in sorted(LINT_SEVERITY.items(), key=lambda kv: kv[1])
+) + " ELSE 'none' END"
+
+ORACLES["sql_lint_severity"] = f"""
+        WITH q AS (
+            SELECT query_id, sql,
+                   CAST({_SEV_SQL} AS BIGINT) AS _sev,
+                   CAST({_WORST_SQL} AS BIGINT) AS _worst,
+                   list_distinct(list_transform(
+                       regexp_extract_all(sql,
+                           '(?i)\\b(?:FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)',
+                           1),
+                       t -> lower(t))) AS _refs
+            FROM {_corpus_values(LINT_CORPUS, "query_id, sql")}
+        ),
+        per_q AS (
+            SELECT unnest(_refs) AS table_name, _sev, _worst FROM q
+        ),
+        agg AS (
+            SELECT table_name,
+                   CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(CASE WHEN _sev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_flagged,
+                   CAST(sum(_sev) AS BIGINT) AS total_severity,
+                   max(_worst) AS _mw
+            FROM per_q GROUP BY table_name
+        )
+        SELECT table_name, n_queries, n_flagged, total_severity,
+               {_WORST_DECODE_SQL} AS worst_rule
+        FROM agg ORDER BY table_name
+"""
