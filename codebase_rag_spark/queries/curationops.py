@@ -2655,3 +2655,121 @@ ORACLES["quality_signal_correlation"] = (
     )
     + "\n        ORDER BY signal_x, signal_y\n"
 )
+
+
+# --- r8: inter-gate agreement (Cohen's kappa) ---
+
+
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent quality gates — the
+    label-noise diagnostic run before trusting any single heuristic
+    filter (two gates that agree only at chance level are not measuring
+    the same 'quality'): gate A = length in [200, 5000] (the cheap
+    size gate), gate B = duplicate-2-gram fraction <= 0.2 (the Gopher
+    repetition gate; docs too short for a 2-gram fail it). Per lang:
+    the 2x2 confusion counts, each gate's pass rate and raw agreement
+    in basis points, and kappa = (n*(a+d) - pe) / (n^2 - pe) with
+    pe = (a+b)(a+c) + (c+d)(b+d).
+
+    Determinism: the gates are an int comparison and an IEEE-double
+    comparison of identical expressions (both engines compute 1 -
+    distinct/total with the same operands); kappa's numerator and
+    denominator are EXACT DECIMAL(38,0) products of int64 counts
+    (overflow-safe past 1e12 docs per lang), finished by ONE IEEE
+    division. Scan-stage gates + one keyed aggregate."""
+    from codebase_rag_spark.functions.text import dup_ngram_fraction
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    gate_a = F.length("text").between(200, 5000)
+    gate_b = F.coalesce(dup_ngram_fraction(F.col("text"), n=2) <= 0.2,
+                        F.lit(False))
+    flags = d.select("lang", gate_a.alias("_ga"), gate_b.alias("_gb"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = flags.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt(F.col("_ga") & F.col("_gb")).alias("both_pass"),
+        cnt(F.col("_ga") & ~F.col("_gb")).alias("a_only"),
+        cnt(~F.col("_ga") & F.col("_gb")).alias("b_only"),
+        cnt(~F.col("_ga") & ~F.col("_gb")).alias("both_fail"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pe = (dec("both_pass") + dec("a_only")) * (dec("both_pass") + dec("b_only")) + (
+        dec("b_only") + dec("both_fail")
+    ) * (dec("a_only") + dec("both_fail"))
+    num = dec("n_docs") * (dec("both_pass") + dec("both_fail")) - pe
+    den = dec("n_docs") * dec("n_docs") - pe
+    return agg.select(
+        "lang",
+        "n_docs",
+        "both_pass",
+        "a_only",
+        "b_only",
+        "both_fail",
+        F.expr("CAST((both_pass + a_only) * 10000 DIV n_docs AS BIGINT)")
+        .alias("rate_a_bp"),
+        F.expr("CAST((both_pass + b_only) * 10000 DIV n_docs AS BIGINT)")
+        .alias("rate_b_bp"),
+        F.expr("CAST((both_pass + both_fail) * 10000 DIV n_docs AS BIGINT)")
+        .alias("agree_bp"),
+        (num.cast("double") / den.cast("double")).alias("kappa"),
+    ).orderBy("lang")
+
+
+QUERIES["classifier_agreement_kappa"] = classifier_agreement_kappa
+
+ORACLES["classifier_agreement_kappa"] = r"""
+        WITH t AS (
+            SELECT lang, text,
+                   regexp_split_to_array(text, '\s+') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT lang,
+                   length(text) BETWEEN 200 AND 5000 AS _ga,
+                   coalesce(
+                       CASE WHEN len(toks) - 1 > 0
+                            THEN 1.0::DOUBLE
+                                 - CAST(len(list_distinct(
+                                       list_transform(
+                                           generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i + 1])
+                                   )) AS DOUBLE) / (len(toks) - 1)
+                       END <= 0.2, false) AS _gb
+            FROM t
+        ),
+        agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN _ga AND _gb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS both_pass,
+                   CAST(sum(CASE WHEN _ga AND NOT _gb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a_only,
+                   CAST(sum(CASE WHEN NOT _ga AND _gb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b_only,
+                   CAST(sum(CASE WHEN NOT _ga AND NOT _gb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS both_fail
+            FROM g GROUP BY lang
+        ),
+        k AS (
+            SELECT *,
+                   (CAST(both_pass AS DECIMAL(38,0)) + a_only)
+                   * (CAST(both_pass AS DECIMAL(38,0)) + b_only)
+                   + (CAST(b_only AS DECIMAL(38,0)) + both_fail)
+                   * (CAST(a_only AS DECIMAL(38,0)) + both_fail) AS pe
+            FROM agg
+        )
+        SELECT lang, n_docs, both_pass, a_only, b_only, both_fail,
+               CAST((both_pass + a_only) * 10000 // n_docs AS BIGINT)
+                   AS rate_a_bp,
+               CAST((both_pass + b_only) * 10000 // n_docs AS BIGINT)
+                   AS rate_b_bp,
+               CAST((both_pass + both_fail) * 10000 // n_docs AS BIGINT)
+                   AS agree_bp,
+               CAST(CAST(n_docs AS DECIMAL(38,0))
+                    * (CAST(both_pass AS DECIMAL(38,0)) + both_fail)
+                    - pe AS DOUBLE)
+               / CAST(CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe AS DOUBLE)
+                   AS kappa
+        FROM k ORDER BY lang
+"""

@@ -1133,3 +1133,144 @@ ORACLES["dedup_threshold_sweep"] = (
     )
     + "\n        ORDER BY threshold_pct\n"
 )
+
+
+# --- r8: LSH parameter planner (the DESIGN-side complement of
+# lsh_s_curve_calibration's empirical audit) ---
+
+# (bands, rows) candidates with b*r <= 16 hashes; j grid at 0.1 steps so
+# every power below is EXACT decimal arithmetic (j has 1 decimal digit,
+# j^r <= 4 digits, (1-j^r)^b <= 16 digits — no libm anywhere)
+_LSH_CONFIGS = [(1, 1), (1, 2), (1, 4), (2, 2), (2, 4), (3, 2), (4, 2), (4, 4)]
+_LSH_J_GRID = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash design table: for each (bands, rows) config, the
+    exact collision probability p = 1-(1-j^r)^b on a Jaccard grid —
+    the closed-form s-curve (Leskovec/Rajaraman/Ullman ch.3) a pipeline
+    owner reads to pick a config BEFORE spending a corpus pass
+    (lsh_s_curve_calibration then audits the choice empirically).
+    Emits per config: p at j=0.3/0.5/0.7 (basis points), the first grid
+    j where p >= 1/2 (the curve midpoint), and steepness p(0.7)-p(0.3).
+
+    Everything is EXACT decimal arithmetic by construction: the j grid
+    has one decimal digit, r <= 4 and b <= 4 keep every power inside
+    DECIMAL(38,16) — no pow()/exp()/ln(), so the oracle reproduces the
+    table bit-for-bit with the same multiplications. The grid is a
+    literal crossJoin spine (a few dozen rows at any corpus size)."""
+    cfg = spark.createDataFrame(_LSH_CONFIGS, ["bands", "rows"])
+    js = spark.createDataFrame(
+        [(str(j),) for j in _LSH_J_GRID], ["j_str"]
+    ).select(F.col("j_str").cast("decimal(2,1)").alias("j"))
+    g = cfg.crossJoin(F.broadcast(js))
+    j4 = F.col("j").cast("decimal(6,4)")
+    jr = (
+        F.when(F.col("rows") == 1, j4)
+        .when(F.col("rows") == 2, (F.col("j") * F.col("j")).cast("decimal(6,4)"))
+        .otherwise(
+            (F.col("j") * F.col("j") * F.col("j") * F.col("j")).cast(
+                "decimal(6,4)"
+            )
+        )
+    )
+    # q has <= 4 decimal digits (j^r does), so stepwise products stay
+    # exact and in range: q^2 -> 8 digits, q^3 -> 12, q^4 -> 16 (a
+    # single q*q*q*q at scale 16 would demand scale 48+ and silently
+    # truncate in Spark / error in DuckDB)
+    q = (F.lit(1).cast("decimal(6,4)") - jr).cast("decimal(6,4)")
+    q2 = (q * q).cast("decimal(10,8)")
+    qb = (
+        F.when(F.col("bands") == 1, q.cast("decimal(20,16)"))
+        .when(F.col("bands") == 2, q2.cast("decimal(20,16)"))
+        .when(F.col("bands") == 3, (q2 * q).cast("decimal(20,16)"))
+        .otherwise((q2 * q2).cast("decimal(20,16)"))
+    )
+    p = (F.lit(1).cast("decimal(20,16)") - qb).cast("decimal(20,16)")
+    pts = g.select(
+        "bands", "rows", "j",
+        F.floor(p * 10000).cast("bigint").alias("p_bp"),
+    )
+    half = F.lit(5000)
+    return (
+        pts.groupBy("bands", "rows")
+        .agg(
+            F.max(F.when(F.col("j") == F.lit("0.3").cast("decimal(2,1)"),
+                         F.col("p_bp"))).alias("p30_bp"),
+            F.max(F.when(F.col("j") == F.lit("0.5").cast("decimal(2,1)"),
+                         F.col("p_bp"))).alias("p50_bp"),
+            F.max(F.when(F.col("j") == F.lit("0.7").cast("decimal(2,1)"),
+                         F.col("p_bp"))).alias("p70_bp"),
+            F.min(F.when(F.col("p_bp") >= half, F.col("j"))).alias("_jmid"),
+        )
+        .select(
+            F.col("bands").cast("int").alias("bands"),
+            F.col("rows").cast("int").alias("rows"),
+            "p30_bp", "p50_bp", "p70_bp",
+            (F.col("p70_bp") - F.col("p30_bp")).alias("steepness_bp"),
+            F.col("_jmid").cast("double").alias("j_midpoint"),
+        )
+        .orderBy("bands", "rows")
+    )
+
+
+QUERIES["lsh_parameter_planner"] = lsh_parameter_planner
+
+_LSH_CFG_VALUES = ", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)
+_LSH_J_VALUES = ", ".join(f"('{j}')" for j in _LSH_J_GRID)
+
+ORACLES["lsh_parameter_planner"] = f"""
+        WITH cfg(bands, rows) AS (VALUES {_LSH_CFG_VALUES}),
+        js AS (
+            SELECT CAST(j_str AS DECIMAL(2,1)) AS j
+            FROM (VALUES {_LSH_J_VALUES}) v(j_str)
+        ),
+        g AS (SELECT * FROM cfg CROSS JOIN js),
+        pw AS (
+            SELECT bands, rows, j,
+                   CASE rows
+                        WHEN 1 THEN CAST(j AS DECIMAL(6,4))
+                        WHEN 2 THEN CAST(j * j AS DECIMAL(6,4))
+                        ELSE CAST(j * j * j * j AS DECIMAL(6,4))
+                   END AS jr
+            FROM g
+        ),
+        qq AS (
+            SELECT bands, rows, j,
+                   CAST(CAST(1 AS DECIMAL(6,4)) - jr AS DECIMAL(6,4)) AS q,
+                   CAST(CAST(CAST(1 AS DECIMAL(6,4)) - jr AS DECIMAL(6,4))
+                        * CAST(CAST(1 AS DECIMAL(6,4)) - jr AS DECIMAL(6,4))
+                        AS DECIMAL(10,8)) AS q2
+            FROM pw
+        ),
+        pp AS (
+            SELECT bands, rows, j,
+                   CAST(CAST(1 AS DECIMAL(20,16)) - CASE bands
+                        WHEN 1 THEN CAST(q AS DECIMAL(20,16))
+                        WHEN 2 THEN CAST(q2 AS DECIMAL(20,16))
+                        WHEN 3 THEN CAST(q2 * q AS DECIMAL(20,16))
+                        ELSE CAST(q2 * q2 AS DECIMAL(20,16))
+                   END AS DECIMAL(20,16)) AS p
+            FROM qq
+        ),
+        pts AS (
+            SELECT bands, rows, j,
+                   CAST(floor(p * 10000) AS BIGINT) AS p_bp
+            FROM pp
+        )
+        SELECT CAST(bands AS INTEGER) AS bands,
+               CAST(rows AS INTEGER) AS rows,
+               max(CASE WHEN j = CAST('0.3' AS DECIMAL(2,1)) THEN p_bp END)
+                   AS p30_bp,
+               max(CASE WHEN j = CAST('0.5' AS DECIMAL(2,1)) THEN p_bp END)
+                   AS p50_bp,
+               max(CASE WHEN j = CAST('0.7' AS DECIMAL(2,1)) THEN p_bp END)
+                   AS p70_bp,
+               max(CASE WHEN j = CAST('0.7' AS DECIMAL(2,1)) THEN p_bp END)
+               - max(CASE WHEN j = CAST('0.3' AS DECIMAL(2,1)) THEN p_bp END)
+                   AS steepness_bp,
+               CAST(min(CASE WHEN p_bp >= 5000 THEN j END) AS DOUBLE)
+                   AS j_midpoint
+        FROM pts GROUP BY bands, rows
+        ORDER BY bands, rows
+"""

@@ -5006,3 +5006,108 @@ ORACLES["psi_snapshot_readout"] = """
                CAST(round(sum(term), 6) AS DOUBLE) AS psi
         FROM terms GROUP BY event_type
 """
+
+
+# --- r8: Mann-Whitney U drift test (rank-based, distribution-free) ---
+
+
+def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney/Wilcoxon rank-sum drift test per event type between
+    the reference window (first 15 days, matching psi_drift_audit's
+    split) and the current window — the DISTRIBUTION-FREE member of the
+    drift suite (PSI needs bins, KS needs the full CDF; U only needs
+    ranks, so it is robust to outliers and scale changes). Emits the
+    doubled U statistic (exact integer — midranks are half-integers, so
+    everything is carried x2) and the common-language effect size
+    U/(n_ref*n_cur) (= P(ref value > cur value) + P(tie)/2; 0.5 = no
+    shift).
+
+    Scale shape: ranks are NEVER computed per row — values collapse to
+    a (type, value) count table first (one map-side-combined shuffle);
+    the midrank prefix sum runs on DISTINCT values per type (bounded),
+    and the rank-sum is a weighted aggregate of that compact table.
+    Determinism: doubled midranks are exact int64; the effect size is
+    ONE IEEE division of exact ints."""
+    e = load_table(spark, sf_dir, "events")
+    d0 = e.agg(F.date_trunc("day", F.min("ts")).alias("_d0"))
+    marked = e.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        "value",
+        (F.datediff(F.col("ts"), F.col("_d0")) < PSI_SPLIT_DAYS).alias("_ref"),
+    )
+    vc = marked.groupBy("event_type", "value").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ref_cnt"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # doubled midrank of a tied group = 2*(count of smaller values) +
+    # (group size + 1); exact int64
+    ranked = vc.withColumn(
+        "midrank2",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) * 2 + F.col("cnt") + 1)
+        .cast("bigint"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("ref_cnt").cast("bigint").alias("n_ref"),
+        (F.sum("cnt") - F.sum("ref_cnt")).cast("bigint").alias("n_cur"),
+        F.sum(F.col("ref_cnt") * F.col("midrank2"))
+        .cast("bigint")
+        .alias("_r1x2"),
+    )
+    u1x2 = F.col("_r1x2") - F.col("n_ref") * (F.col("n_ref") + 1)
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        u1x2.cast("bigint").alias("u_ref_x2"),
+        (
+            u1x2.cast("double")
+            / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
+        ).alias("effect_size"),
+    ).orderBy("event_type")
+
+
+QUERIES["mann_whitney_value_shift"] = mann_whitney_value_shift
+
+ORACLES["mann_whitney_value_shift"] = """
+        WITH d0 AS (SELECT date_trunc('day', min(ts)) AS _d0 FROM events),
+        marked AS (
+            SELECT event_type, value,
+                   date_diff('day', (SELECT _d0 FROM d0), ts) < 15 AS _ref
+            FROM events
+        ),
+        vc AS (
+            SELECT event_type, value,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CASE WHEN _ref THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ref_cnt
+            FROM marked GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT event_type, cnt, ref_cnt,
+                   CAST(coalesce(sum(cnt) OVER (
+                           PARTITION BY event_type ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) * 2
+                        + cnt + 1 AS BIGINT) AS midrank2
+            FROM vc
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+                   CAST(sum(cnt) - sum(ref_cnt) AS BIGINT) AS n_cur,
+                   CAST(sum(ref_cnt * midrank2) AS BIGINT) AS _r1x2
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n_ref, n_cur,
+               CAST(_r1x2 - n_ref * (n_ref + 1) AS BIGINT) AS u_ref_x2,
+               CAST(_r1x2 - n_ref * (n_ref + 1) AS DOUBLE)
+               / (2.0 * n_ref * n_cur) AS effect_size
+        FROM agg ORDER BY event_type
+"""
