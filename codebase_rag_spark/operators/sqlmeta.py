@@ -806,32 +806,61 @@ def reverse_transpile_chain(dialect: str) -> list[tuple[str, str]]:
 
 def transpile_expr(sql: Column, from_dialect: Column) -> Column:
     """T11: rule-based dialect -> ANSI/postgres transpile, dispatched on the
-    (detected or given) source dialect. CASE over per-dialect quote-safe
-    regexp_replace chains — pure JVM expression. Unknown dialects pass
-    through the masked normalize (literals protected there too)."""
-    expr = _apply_rules(sql, transpile_chain("generic"))
+    (detected or given) source dialect — pure JVM expression. Unknown
+    dialects pass through the masked normalize (literals protected there
+    too).
+
+    The expression FACTORS the dialect-independent chain segments
+    (string-literal mask, content mask, normalize, unmask) out of the
+    per-dialect CASE, so they appear ONCE instead of once per dialect:
+    only the 1-rule quote-pre conversion and the body rules live inside
+    CASE branches. Same rule sequence per dialect as transpile_chain
+    (value-identical — tested), but ~3.5x fewer expression nodes, which
+    is what Catalyst analysis + codegen pay for (r8 measured: the DML
+    projection 2.2 -> 1.6 s at sf0.1; the SCALE.md
+    chained-aliased-selects lesson applied to a CASE-of-chains)."""
+    seg = _apply_rules(sql, _SQUOTE_MASK_RULES)
+    pre = seg
+    for dialect, rules in QUOTE_PRE_TO_ANSI.items():
+        pre = F.when(
+            from_dialect == dialect, _apply_rules(seg, rules)
+        ).otherwise(pre)
+    masked = _apply_rules(pre, _CONTENT_MASK_RULES)
+    body = masked
     for dialect, rules in TRANSPILE_TO_ANSI.items():
         if rules:
-            expr = F.when(
-                from_dialect == dialect,
-                _apply_rules(sql, transpile_chain(dialect)),
-            ).otherwise(expr)
-    return expr
+            body = F.when(
+                from_dialect == dialect, _apply_rules(masked, rules)
+            ).otherwise(body)
+    return _apply_rules(
+        _apply_rules(body, NORMALIZE_RULES), quote_unmask_rules('"')
+    )
 
 
 def reverse_transpile_expr(sql: Column, to_dialect: Column) -> Column:
     """T11 reverse direction: ANSI/postgres-flavored SQL -> target
     dialect (TRANSPILE_FROM_ANSI), dispatched on the target column.
-    Unknown targets pass through masked-normalized — the same
-    CASE-over-chains JVM expression shape as transpile_expr."""
-    expr = _apply_rules(sql, reverse_transpile_chain("generic"))
+    Unknown targets pass through masked-normalized — factored exactly
+    like transpile_expr (shared mask/normalize segments outside the
+    CASE; per-dialect body rules, the MySQL backtick pre-mask, and the
+    target-quote unmask inside it)."""
+    seg = _apply_rules(sql, _SQUOTE_MASK_RULES)
+    pre = F.when(
+        to_dialect == "mysql",
+        _apply_rules(seg, [(r"`([^`]*)`", _Q_DQL + "$1" + _Q_DQR)]),
+    ).otherwise(seg)
+    masked = _apply_rules(pre, _CONTENT_MASK_RULES)
+    body = masked
     for dialect, rules in TRANSPILE_FROM_ANSI.items():
         if rules:
-            expr = F.when(
-                to_dialect == dialect,
-                _apply_rules(sql, reverse_transpile_chain(dialect)),
-            ).otherwise(expr)
-    return expr
+            body = F.when(
+                to_dialect == dialect, _apply_rules(masked, rules)
+            ).otherwise(body)
+    normalized = _apply_rules(body, NORMALIZE_RULES)
+    return F.when(
+        to_dialect == "mysql",
+        _apply_rules(normalized, quote_unmask_rules("`")),
+    ).otherwise(_apply_rules(normalized, quote_unmask_rules('"')))
 
 
 def duckdb_reverse_transpile_sql(col_sql: str, dialect_sql: str) -> str:

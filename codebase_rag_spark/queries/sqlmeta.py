@@ -1038,12 +1038,18 @@ def view_dependency_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codebase_rag_spark.operators.sqlmeta import extract_sql_refs
 
     df = spark.createDataFrame(VIEW_CORPUS, ["view_name", "sql"])
-    refs = extract_sql_refs(df, "sql")
+    # lineage cuts (lazy localCheckpoint, the sampling.py convention):
+    # refs feeds the edge build AND the final deps projection, and the 6
+    # unrolled rounds each reference vedges + the previous layers — an
+    # unbroken lineage re-runs the Arrow-batched parse once per
+    # reference (r8 noop-basis bench caught it at 6.1 s; 1.6 s cut)
+    refs = extract_sql_refs(df, "sql").localCheckpoint(eager=False)
     views = df.select(F.col("view_name").alias("dep"))
     vedges = (
         refs.select("view_name", F.explode("tables").alias("dep"))
         .join(F.broadcast(views), "dep")
         .select("view_name", "dep")
+        .localCheckpoint(eager=False)
     )
     layers = df.select("view_name").withColumn("layer", F.lit(1))
     for _ in range(6):
@@ -1058,11 +1064,15 @@ def view_dependency_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("view_name")
             .agg((F.max("dlayer") + 1).alias("cand"))
         )
-        layers = layers.join(bump, "view_name", "left").select(
-            "view_name",
-            F.greatest(
-                F.col("layer"), F.coalesce(F.col("cand"), F.lit(1))
-            ).alias("layer"),
+        layers = (
+            layers.join(bump, "view_name", "left")
+            .select(
+                "view_name",
+                F.greatest(
+                    F.col("layer"), F.coalesce(F.col("cand"), F.lit(1))
+                ).alias("layer"),
+            )
+            .localCheckpoint(eager=False)
         )
     deps = refs.select(
         "view_name",
