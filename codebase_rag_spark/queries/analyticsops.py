@@ -1815,3 +1815,100 @@ ORACLES["bipartite_customer_projection"] = """
         ORDER BY shared_parts DESC, jaccard_bp DESC, id_a, id_b
         LIMIT 20
 """
+
+
+# --- r8: ANALYZE-style CBO column statistics ---
+
+# (column, kind) spine — the stats a cost-based optimizer feeds on
+_CBO_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+    "l_returnflag", "l_linestatus",
+]
+
+
+def cbo_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as a query:
+    per lineitem column — row count, EXACT distinct count, null count,
+    lexicographic min/max (values rendered as strings so one schema
+    fits every column type), and average serialized width in basis
+    points. These are precisely the inputs a CBO's selectivity and
+    build-side estimates consume; running them as a query makes stats
+    collection schedulable like any other pipeline stage.
+
+    One pass: ALL columns' stats in a SINGLE aggregate (count_distinct
+    per column is Spark's expand-based exact distinct — map-side
+    partial, one shuffle), then a literal posexplode emits one row per
+    column. Width = total string length, integer-DIV bp. At 100 TB the
+    documented swap is approx_count_distinct (HLL, mergeable) with the
+    identical query shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in _CBO_COLS:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}"),
+            F.min(s).alias(f"min_{c}"),
+            F.max(s).alias(f"max_{c}"),
+            F.sum(F.length(s)).cast("bigint").alias(f"len_{c}"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(f"ndv_{c}").alias("ndv"),
+                    F.col(f"nulls_{c}").alias("n_nulls"),
+                    F.col(f"min_{c}").alias("min_value"),
+                    F.col(f"max_{c}").alias("max_value"),
+                    F.col(f"len_{c}").alias("_len"),
+                )
+                for c in _CBO_COLS
+            ]
+        )
+    )
+    return (
+        one.select("n_rows", rows.alias("s"))
+        .select(
+            F.col("s.column_name").alias("column_name"),
+            "n_rows",
+            F.col("s.ndv").alias("ndv"),
+            F.col("s.n_nulls").alias("n_nulls"),
+            F.col("s.min_value").alias("min_value"),
+            F.col("s.max_value").alias("max_value"),
+            F.expr("CAST(s._len * 10000 DIV n_rows AS BIGINT)").alias(
+                "avg_width_bp"
+            ),
+        )
+        .orderBy("column_name")
+    )
+
+
+QUERIES["cbo_column_stats"] = cbo_column_stats
+
+_CBO_STATS_SQL = ", ".join(
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{c},"
+    f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS nulls_{c},"
+    f" min(CAST({c} AS VARCHAR)) AS min_{c},"
+    f" max(CAST({c} AS VARCHAR)) AS max_{c},"
+    f" CAST(sum(length(CAST({c} AS VARCHAR))) AS BIGINT) AS len_{c}"
+    for c in _CBO_COLS
+)
+_CBO_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, n_rows, ndv_{c} AS ndv,"
+    f" nulls_{c} AS n_nulls, min_{c} AS min_value, max_{c} AS max_value,"
+    f" CAST(len_{c} * 10000 // n_rows AS BIGINT) AS avg_width_bp FROM one"
+    for c in _CBO_COLS
+)
+
+ORACLES["cbo_column_stats"] = f"""
+        WITH one AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows, {_CBO_STATS_SQL}
+            FROM lineitem
+        )
+        SELECT * FROM ({_CBO_ROWS_SQL}) ORDER BY column_name
+"""

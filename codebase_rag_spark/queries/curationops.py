@@ -2773,3 +2773,108 @@ ORACLES["classifier_agreement_kappa"] = r"""
                    AS kappa
         FROM k ORDER BY lang
 """
+
+
+# --- r8: PII density rollup (the measurement side of pii_redaction) ---
+
+
+def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII density per source — the compliance dashboard behind the
+    redaction pass (pii_redaction is the scrubber; this is the monitor
+    that decides which sources need it and verifies the trend): emails,
+    SSNs, and phone-like digit runs per 10k tokens, plus the fraction
+    of documents carrying any PII, in basis points. SSN counts are
+    subtracted from phone counts (the SSN shape is a subset of the
+    phone pattern — same precedence the redactor applies).
+
+    Scan-stage regexp_count over the shared Java/RE2 patterns
+    (functions/text.py), one keyed aggregate; exact ints + integer-DIV
+    bp. Spread against the single-row-group test scan."""
+    from codebase_rag_spark.functions.text import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        SSN_PATTERN,
+        token_count,
+    )
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    n_email = F.regexp_count(F.col("text"), F.lit(EMAIL_PATTERN))
+    n_ssn = F.regexp_count(F.col("text"), F.lit(SSN_PATTERN))
+    n_phone = F.regexp_count(F.col("text"), F.lit(PHONE_PATTERN)) - n_ssn
+    per_doc = d.select(
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("_toks"),
+        n_email.cast("bigint").alias("_e"),
+        n_ssn.cast("bigint").alias("_s"),
+        n_phone.cast("bigint").alias("_p"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_toks").alias("n_tokens"),
+            F.sum("_e").alias("n_emails"),
+            F.sum("_s").alias("n_ssns"),
+            F.sum("_p").alias("n_phones"),
+            F.sum(
+                F.when(F.col("_e") + F.col("_s") + F.col("_p") > 0, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_with_pii"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_emails",
+            "n_ssns",
+            "n_phones",
+            F.expr(
+                "CAST((n_emails + n_ssns + n_phones) * 10000 DIV n_tokens"
+                " AS BIGINT)"
+            ).alias("pii_per_10k_tokens"),
+            F.expr("CAST(n_docs_with_pii * 10000 DIV n_docs AS BIGINT)")
+            .alias("docs_with_pii_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["pii_density_by_source"] = pii_density_by_source
+
+ORACLES["pii_density_by_source"] = r"""
+        WITH per_doc AS (
+            SELECT source,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                        w -> w <> '')) AS BIGINT) AS _toks,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS _e,
+                   CAST(len(regexp_extract_all(text,
+                        '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS _s,
+                   CAST(len(regexp_extract_all(text,
+                        '\+?\d[\d -]{7,}\d')) AS BIGINT)
+                   - CAST(len(regexp_extract_all(text,
+                        '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS _p
+            FROM documents
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(_toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(_e) AS BIGINT) AS n_emails,
+                   CAST(sum(_s) AS BIGINT) AS n_ssns,
+                   CAST(sum(_p) AS BIGINT) AS n_phones,
+                   CAST(sum(CASE WHEN _e + _s + _p > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_with_pii
+            FROM per_doc GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens, n_emails, n_ssns, n_phones,
+               CAST((n_emails + n_ssns + n_phones) * 10000 // n_tokens
+                    AS BIGINT) AS pii_per_10k_tokens,
+               CAST(n_docs_with_pii * 10000 // n_docs AS BIGINT)
+                   AS docs_with_pii_bp
+        FROM agg ORDER BY source
+"""
