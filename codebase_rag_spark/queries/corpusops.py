@@ -975,3 +975,86 @@ ORACLES["tokenizer_fertility_audit"] = """
                    AS chars_per_token_bp
         FROM agg ORDER BY lang
 """
+
+
+# --- r8: token-length histogram (the packing planner's input) ---
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document token-count distribution in power-of-two bins per lang —
+    the input every sequence-packing planner reads (doc_sequence_packing
+    consumes docs; THIS table is how you choose its max_len: the share
+    of docs that fragment at 512/1024/2048 falls straight out). Bin =
+    floor(log2(tokens)) computed by INTEGER threshold comparison (a CASE
+    over powers of two — no libm log in either engine), bins 0..10 with
+    11 absorbing 2048+; per (lang, bin): docs, token mass, and doc-share
+    in basis points against a broadcast per-lang total.
+
+    Scan-stage counter + one keyed aggregate + a broadcast join back;
+    exact ints everywhere."""
+    from codebase_rag_spark.functions.text import token_count
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    n = token_count(F.col("text")).cast("bigint")
+    bin_expr = F.lit(11)
+    for b in range(10, -1, -1):
+        bin_expr = F.when(n < F.lit(1 << (b + 1)), F.lit(b)).otherwise(
+            bin_expr
+        )
+    bin_expr = F.when(n <= 0, F.lit(0)).otherwise(bin_expr)
+    per_doc = d.select("lang", bin_expr.cast("int").alias("bin"), n.alias("_n"))
+    cells = per_doc.groupBy("lang", "bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_n").cast("bigint").alias("n_tokens"),
+    )
+    totals = per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("_tot")
+    )
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "bin",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_docs * 10000 DIV _tot AS BIGINT)").alias(
+                "doc_share_bp"
+            ),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+QUERIES["token_length_histogram"] = token_length_histogram
+
+_TLH_BIN_SQL = "CASE WHEN _n <= 0 THEN 0 " + " ".join(
+    f"WHEN _n < {1 << (b + 1)} THEN {b}" for b in range(0, 11)
+) + " ELSE 11 END"
+
+ORACLES["token_length_histogram"] = rf"""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                        w -> w <> '')) AS BIGINT) AS _n
+            FROM documents
+        ),
+        binned AS (
+            SELECT lang, CAST({_TLH_BIN_SQL} AS INTEGER) AS bin, _n
+            FROM per_doc
+        ),
+        cells AS (
+            SELECT lang, bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(_n) AS BIGINT) AS n_tokens
+            FROM binned GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS _tot
+            FROM per_doc GROUP BY lang
+        )
+        SELECT c.lang, c.bin, c.n_docs, c.n_tokens,
+               CAST(c.n_docs * 10000 // t._tot AS BIGINT) AS doc_share_bp
+        FROM cells c JOIN totals t ON c.lang = t.lang
+        ORDER BY c.lang, c.bin
+"""

@@ -1698,3 +1698,97 @@ ORACLES["ann_recall_vs_nprobe"] = (
         ORDER BY nprobe
 """
 )
+
+
+# --- r8: embedding norm audit (pre-index sanity gate) ---
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-index embedding sanity gate, per label: SQUARED-norm
+    distribution (min / mean-bp / max), zero-vector count, and
+    non-finite component count — the checklist every ANN-index publish
+    runs first (a zero vector breaks cosine; a NaN poisons a whole
+    IVF cell mean; a wild norm spread means the embedder was fed mixed
+    precision). Complements mips_norm_pruned_topk, which USES norms —
+    this audits them.
+
+    Exactness: the squared norm (never the sqrt — libm-free) is a
+    per-term DECIMAL(20,10) quantization + exact decimal sum, the
+    rp_lsh fold convention, so every statistic is engine-exact; the
+    mean is integer-DIV bp over a x10^6-scaled integer norm. One
+    scan-stage fold + one keyed aggregate."""
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
+    v = as_double(F.col("embedding"))
+    sq = F.aggregate(
+        F.transform(v, lambda x: (x * x).cast("decimal(20,10)")),
+        F.lit(0).cast("decimal(27,10)"),
+        lambda acc, x: (acc + x).cast("decimal(27,10)"),
+    )
+    n_nonfinite = F.size(
+        F.filter(v, lambda x: x.isNull() | F.isnan(x))
+    )
+    per_vec = emb.select(
+        "label",
+        sq.alias("_sq"),
+        # floor, not cast: Spark cast(decimal->bigint) truncates but
+        # DuckDB rounds — floor is the portable form (values >= 0)
+        F.floor(sq * 1000000).cast("bigint").alias("_sqi"),
+        n_nonfinite.cast("bigint").alias("_bad"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("_sq").cast("double").alias("min_sq_norm"),
+            F.max("_sq").cast("double").alias("max_sq_norm"),
+            F.sum("_sqi").alias("_sqsum"),
+            F.sum(F.when(F.col("_sq") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_vecs"),
+            F.sum("_bad").cast("bigint").alias("n_nonfinite"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "min_sq_norm",
+            "max_sq_norm",
+            F.expr("CAST(_sqsum DIV n_vecs AS BIGINT)").alias(
+                "mean_sq_norm_micro"
+            ),
+            "n_zero_vecs",
+            "n_nonfinite",
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["embedding_norm_audit"] = embedding_norm_audit
+
+ORACLES["embedding_norm_audit"] = """
+        WITH per_vec AS (
+            SELECT label,
+                   list_sum(list_transform(embedding,
+                       x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                 AS DECIMAL(20,10)))) AS _sq,
+                   CAST(len(list_filter(embedding,
+                       x -> x IS NULL OR isnan(CAST(x AS DOUBLE))))
+                       AS BIGINT) AS _bad
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT label, _sq, _bad,
+                   CAST(floor(_sq * 1000000) AS BIGINT) AS _sqi
+            FROM per_vec
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(_sq) AS DOUBLE) AS min_sq_norm,
+               CAST(max(_sq) AS DOUBLE) AS max_sq_norm,
+               CAST(sum(_sqi) // count(*) AS BIGINT) AS mean_sq_norm_micro,
+               CAST(sum(CASE WHEN _sq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_vecs,
+               CAST(sum(_bad) AS BIGINT) AS n_nonfinite
+        FROM scaled GROUP BY label ORDER BY label
+"""
