@@ -1,0 +1,98 @@
+"""Math-invariant and brute-force-referee tests for the round-8
+operators (the test_r6_properties convention): each statistical entry is
+re-derived in plain Python/pandas on sf0.001 and compared exactly, plus
+closed-form identities that must hold for ANY data."""
+
+from __future__ import annotations
+
+import math
+
+
+from codebase_rag_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mann_whitney_identities_and_bruteforce(spark):
+    out = {r["event_type"]: r for r in
+           QUERIES["mann_whitney_value_shift"](spark, SF).collect()}
+    from codebase_rag_spark.catalog import load_table
+
+    pdf = load_table(spark, SF, "events").select(
+        "event_type", "value", "ts"
+    ).toPandas()
+    d0 = pdf["ts"].min().normalize()
+    pdf["_ref"] = (pdf["ts"].dt.normalize() - d0).dt.days < 15
+    for et, g in pdf.groupby("event_type"):
+        ref = g[g["_ref"]]["value"].to_numpy()
+        cur = g[~g["_ref"]]["value"].to_numpy()
+        n1, n2 = len(ref), len(cur)
+        # brute-force doubled U: sum over (r, c) of 2*(r>c) + 1*(r==c)
+        u2 = 0
+        for r in ref:
+            u2 += 2 * int((cur < r).sum()) + int((cur == r).sum())
+        row = out[et]
+        assert row["n_ref"] == n1 and row["n_cur"] == n2, et
+        assert row["u_ref_x2"] == u2, et
+        # identity: U1 + U2 = n1*n2  (doubled: u1x2 + u2x2 = 2*n1*n2)
+        assert 0 <= row["u_ref_x2"] <= 2 * n1 * n2, et
+        assert row["effect_size"] == u2 / (2.0 * n1 * n2), et
+
+
+def test_kappa_bruteforce_and_bounds(spark):
+    out = {r["lang"]: r for r in
+           QUERIES["classifier_agreement_kappa"](spark, SF).collect()}
+    for lang, row in out.items():
+        n, a, b, c, d = (row["n_docs"], row["both_pass"], row["a_only"],
+                         row["b_only"], row["both_fail"])
+        assert a + b + c + d == n, lang
+        pe = (a + b) * (a + c) + (c + d) * (b + d)
+        kappa = (n * (a + d) - pe) / (n * n - pe)
+        assert row["kappa"] == kappa, lang
+        assert -1.0 <= row["kappa"] <= 1.0, lang
+        assert row["agree_bp"] == (a + d) * 10000 // n, lang
+
+
+def test_lsh_planner_matches_float_formula_and_is_monotone(spark):
+    rows = QUERIES["lsh_parameter_planner"](spark, SF).collect()
+    assert len(rows) == 8
+    for r in rows:
+        b, rr = r["bands"], r["rows"]
+        for jname, col in (("0.3", "p30_bp"), ("0.5", "p50_bp"),
+                           ("0.7", "p70_bp")):
+            j = float(jname)
+            p = 1.0 - (1.0 - j ** rr) ** b
+            # exact decimal vs float: the bp floor can differ by at most
+            # one ulp-induced unit; the decimal value is the truth
+            assert abs(r[col] - math.floor(p * 10000)) <= 1, (b, rr, jname)
+        # s-curve: more bands -> higher p at fixed (rows, j)
+        assert 0 <= r["p30_bp"] <= r["p50_bp"] <= r["p70_bp"] <= 10000
+
+    
+def test_scd2_fold_equals_oneshot_build(spark):
+    """The sink parity theorem engine-internally: folding 3 pseudo-batches
+    through scd2_merge_batch == the one-shot gaps-and-islands build."""
+    fold = QUERIES["scd2_dimension_build"](spark, SF)
+    oneshot = QUERIES["scd2_user_state"](spark, SF)
+    cols = ["user_id", "seq", "state", "valid_from", "valid_to",
+            "is_current", "n_events"]
+    a = sorted(tuple(r[c] for c in cols) for r in fold.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in oneshot.collect())
+    assert a == b
+
+
+def test_bipartite_projection_invariants(spark):
+    for r in QUERIES["bipartite_customer_projection"](spark, SF).collect():
+        assert r["id_a"] < r["id_b"]
+        assert 1 <= r["shared_parts"] <= min(r["deg_a"], r["deg_b"])
+        assert r["overlap_bp"] <= 10000
+        assert r["jaccard_bp"] <= r["overlap_bp"]
+
+
+def test_embedding_norm_audit_bounds(spark):
+    for r in QUERIES["embedding_norm_audit"](spark, SF).collect():
+        assert r["n_zero_vecs"] + r["n_nonfinite"] >= 0
+        assert r["min_sq_norm"] <= r["max_sq_norm"]
+        lo = math.floor(r["min_sq_norm"] * 1e6)
+        hi = math.floor(r["max_sq_norm"] * 1e6) + 1
+        assert lo <= r["mean_sq_norm_micro"] <= hi
