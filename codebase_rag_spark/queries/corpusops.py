@@ -1058,3 +1058,109 @@ ORACLES["token_length_histogram"] = rf"""
         FROM cells c JOIN totals t ON c.lang = t.lang
         ORDER BY c.lang, c.bin
 """
+
+
+# --- r8: unigram entropy / lexical-diversity audit ---
+
+
+def unigram_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the unigram distribution per language, with
+    vocabulary size, hapax share, and the entropy-efficiency ratio
+    H/ln(V) — the lexical-diversity panel a corpus card reports next to
+    Zipf/Heaps fits (low efficiency = boilerplate-heavy text; hapax
+    share tracks OOV pressure on the tokenizer). Complements
+    source_token_kl (cross-source divergence) with the within-lang
+    absolute measure.
+
+    Portability is the dsir/bigram libm rule: H = ln(N) - S/N with
+    S = sum(c * ln(c)) where each ln(c) is quantized ONCE per DISTINCT
+    count value (round(ln, 6) -> DECIMAL) and the weighted sum is exact
+    decimal; the final divisions are single IEEE ops. One corpus-sized
+    token explode into a vocabulary-keyed aggregate, then a per-lang
+    rollup of (count, ln-count) pairs — never a per-token log."""
+    from codebase_rag_spark.functions.text import tokens
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(
+            "lang", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    lnc = F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(12,6)")
+    per_lang = vocab.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum((F.col("c").cast("decimal(18,0)") * lnc).cast("decimal(28,6)"))
+        .cast("decimal(38,6)")
+        .alias("_s"),
+    )
+    n = F.col("n_tokens").cast("double")
+    # the two standalone lns are quantized ONCE each (the dsir idiom) so
+    # a 1-ulp libm divergence can never reach the output; S/N and the
+    # subtraction are single IEEE ops over identical operands
+    ln_n = F.round(F.log(n), 6).cast("decimal(12,6)").cast("double")
+    h = ln_n - F.col("_s").cast("double") / n
+    return per_lang.select(
+        "lang",
+        "vocab_size",
+        "n_tokens",
+        "n_hapax",
+        F.expr("CAST(n_hapax * 10000 DIV vocab_size AS BIGINT)").alias(
+            "hapax_share_bp"
+        ),
+        # UNROUNDED doubles: every operand is engine-exact (decimal sum,
+        # exact ints) and the op order identical, so the IEEE results
+        # match bit-for-bit — round(double, n) would NOT be portable
+        # (the r7 portable-round rule)
+        h.alias("entropy_nats"),
+        (
+            h
+            / F.round(F.log(F.col("vocab_size").cast("double")), 6)
+            .cast("decimal(12,6)")
+            .cast("double")
+        ).alias("entropy_efficiency"),
+    ).orderBy("lang")
+
+
+QUERIES["unigram_entropy_by_lang"] = unigram_entropy_by_lang
+
+ORACLES["unigram_entropy_by_lang"] = r"""
+        WITH vocab AS (
+            SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT lang, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    t -> t <> '')) AS w
+                FROM documents
+            ) GROUP BY lang, w
+        ),
+        per_lang AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(sum(CAST(CAST(c AS DECIMAL(18,0))
+                       * CAST(round(CAST(CAST(ln(CAST(c AS DOUBLE))
+                             AS VARCHAR) AS DECIMAL(38,30)), 6)
+                             AS DECIMAL(12,6))
+                       AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS _s
+            FROM vocab GROUP BY lang
+        )
+        SELECT lang, vocab_size, n_tokens, n_hapax,
+               CAST(n_hapax * 10000 // vocab_size AS BIGINT)
+                   AS hapax_share_bp,
+               CAST(CAST(round(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DECIMAL(12,6)) AS DOUBLE)
+                     - CAST(_s AS DOUBLE) / n_tokens AS entropy_nats,
+               (CAST(CAST(round(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DECIMAL(12,6)) AS DOUBLE)
+                      - CAST(_s AS DOUBLE) / n_tokens)
+                     / CAST(CAST(round(CAST(CAST(ln(CAST(vocab_size AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DECIMAL(12,6)) AS DOUBLE)
+                   AS entropy_efficiency
+        FROM per_lang ORDER BY lang
+"""
