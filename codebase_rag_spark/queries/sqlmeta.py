@@ -221,11 +221,18 @@ def sql_transpile(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — the transpiler is a pure JVM expression."""
     df = spark.createDataFrame(DDL_CORPUS, ["ddl_id", "ddl"])
     ddl = F.col("ddl")
-    d = dialect_detect(ddl)
-    return df.select(
+    # chained aliased select (the SCALE.md MP4-walk lesson): inlining the
+    # dialect-detect CASE into transpile_expr's 6 dispatch comparisons
+    # multiplied the regex-chain codegen unit ~2x — whichever transpile
+    # query ran first paid ~7 s of janino compile; detect once, then
+    # dispatch on the materialized column
+    detected = df.select(
+        "ddl_id", "ddl", dialect_detect(ddl).alias("dialect")
+    )
+    return detected.select(
         "ddl_id",
-        d.alias("dialect"),
-        transpile_expr(ddl, d).alias("ansi_sql"),
+        "dialect",
+        transpile_expr(ddl, F.col("dialect")).alias("ansi_sql"),
         validate_sql_expr(ddl).alias("valid"),
     )
 
