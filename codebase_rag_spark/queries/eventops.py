@@ -5111,3 +5111,92 @@ ORACLES["mann_whitney_value_shift"] = """
                / (2.0 * n_ref * n_cur) AS effect_size
         FROM agg ORDER BY event_type
 """
+
+
+# --- r8: IQR fence outlier audit (the Tukey member of the robust family) ---
+
+
+def value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR fence audit per event type — the third member of the
+    robust-outlier family next to value_mad_outliers (MAD z) and
+    value_winsorization (percentile clipping): DISCRETE Q1/Q3
+    (percentile_disc returns actual data values, so quartiles are
+    engine-exact — the price_percentiles rule), fences at
+    Q1 - 1.5*IQR / Q3 + 1.5*IQR, and the count outside each fence.
+    The fence arithmetic is single IEEE ops over the exact quartile
+    values, identical both engines; shares in integer-DIV bp.
+
+    One per-type quartile aggregate (a per-group sort at this SF; the
+    documented swap is approx_percentile's t-digest at 100 TB), one
+    broadcast join back, one counting aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY value)"
+        ).alias("q1"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY value)"
+        ).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    j = e.select("event_type", "value").join(F.broadcast(q), "event_type")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.sum(F.when(F.col("value") < lo, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "q1",
+            "q3",
+            "n_low",
+            "n_high",
+            F.expr(
+                "CAST((n_low + n_high) * 10000 DIV n_events AS BIGINT)"
+            ).alias("outlier_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["value_iqr_outliers"] = value_iqr_outliers
+
+ORACLES["value_iqr_outliers"] = """
+        WITH q AS (
+            SELECT event_type,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3
+            FROM events GROUP BY event_type
+        ),
+        j AS (
+            SELECT e.event_type, e.value, q.q1, q.q3,
+                   q.q1 - 1.5 * (q.q3 - q.q1) AS lo,
+                   q.q3 + 1.5 * (q.q3 - q.q1) AS hi
+            FROM events e JOIN q USING (event_type)
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(q1) AS q1,
+                   min(q3) AS q3,
+                   CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_high
+            FROM j GROUP BY event_type
+        )
+        SELECT event_type, n_events, q1, q3, n_low, n_high,
+               CAST((n_low + n_high) * 10000 // n_events AS BIGINT)
+                   AS outlier_bp
+        FROM agg ORDER BY event_type
+"""
