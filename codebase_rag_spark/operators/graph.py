@@ -547,7 +547,11 @@ def k_core(edges: DataFrame, k: int = 2, iterations: int = 3) -> DataFrame:
 
     Physical shape per round: two semi-joins (edge endpoints vs survivors)
     + one count aggregate — all on the edge key, so one shuffle
-    partitioning serves every round; the shrinking survivor set broadcasts.
+    partitioning serves every round. The survivor side carries NO static
+    broadcast hint: at iteration 1 it is the FULL node set (nothing has
+    been peeled yet), so a forced broadcast is an OOM on a billion-node
+    graph — AQE broadcasts it per-round once it actually shrinks below
+    the threshold, which is the degrade-don't-die behavior we want.
     Returns the surviving (node) set after `iterations` rounds."""
     und = (
         edges.select("src", "dst")
@@ -557,9 +561,9 @@ def k_core(edges: DataFrame, k: int = 2, iterations: int = 3) -> DataFrame:
     survivors = und.select(F.col("src").alias("node")).distinct()
     for _ in range(iterations):
         alive = und.join(
-            F.broadcast(survivors), und.src == survivors.node, "left_semi"
+            survivors, und.src == survivors.node, "left_semi"
         ).join(
-            F.broadcast(survivors.withColumnRenamed("node", "_n")),
+            survivors.withColumnRenamed("node", "_n"),
             F.col("dst") == F.col("_n"),
             "left_semi",
         )

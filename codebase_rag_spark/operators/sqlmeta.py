@@ -804,6 +804,135 @@ def reverse_transpile_chain(dialect: str) -> list[tuple[str, str]]:
     )
 
 
+def _dialect_body_case(
+    masked: Column, dialect: Column, tables: dict[str, list[tuple[str, str]]]
+) -> Column:
+    """CASE over per-dialect body-rule chains. `masked` should be a bare
+    column REFERENCE (F.col), not an inline chain: each branch copies the
+    `masked` expression tree, so an inlined 90-node mask chain multiplies
+    by (dialects+1) — the Catalyst-has-no-let-binding blow-up."""
+    body = masked
+    for d, rules in tables.items():
+        if rules:
+            body = F.when(dialect == d, _apply_rules(masked, rules)).otherwise(
+                body
+            )
+    return body
+
+
+# rules per stacked select in with_transpiled/with_reverse_transpiled:
+# ~18 regexp_replace nodes generate well under janino's 64 KB method cap
+# (the whole 89-rule content mask in one method was the r8 blow-out).
+_RULES_PER_SELECT = 18
+
+
+def _stack_rules(
+    df: DataFrame, in_col: str, rules: list[tuple[str, str]], out_col: str
+) -> tuple[DataFrame, list[str]]:
+    """Apply a rule chain as ceil(n/_RULES_PER_SELECT) chained aliased
+    selects and return (df, temp column names to drop).
+
+    Two codegen facts make this the compiling shape (VERDICT r8 #3):
+    (a) whole-stage codegen fuses consecutive Projects into ONE
+    processNext(), but with spark.sql.codegen.splitConsumeFuncByOperator
+    (default true) each surviving Project gets its OWN generated method —
+    so the 64 KB method cap applies per segment, not per chain;
+    (b) CollapseProject would merge single-reference Projects back into
+    one, so each boundary column is referenced TWICE via a null
+    passthrough guard (value-identical: regexp_replace(NULL) is NULL),
+    making it multiply-referenced + non-cheap = not collapsible."""
+    segs = [
+        rules[i : i + _RULES_PER_SELECT]
+        for i in range(0, len(rules), _RULES_PER_SELECT)
+    ]
+    temps: list[str] = []
+    cur = in_col
+    for j, seg in enumerate(segs):
+        nxt = out_col if j == len(segs) - 1 else f"{out_col}_{j}"
+        prev = F.col(cur)
+        guarded = F.when(prev.isNull(), prev).otherwise(
+            _apply_rules(prev, seg)
+        )
+        df = df.select("*", guarded.alias(nxt))
+        if nxt != out_col:
+            temps.append(nxt)
+        cur = nxt
+    return df, temps
+
+
+def with_transpiled(
+    df: DataFrame, sql_col: str, dialect_col: str, out_col: str = "ansi_sql"
+) -> DataFrame:
+    """T11 forward transpile as STACKED ALIASED SELECTS (VERDICT r8 #3).
+
+    transpile_expr builds ONE Column: the ~95-node quote-mask chain is a
+    Python variable, so every dialect CASE branch inlines its own COPY of
+    that subtree (~460 regexp_replace nodes for 3 dialects), and the whole
+    chain lands in one generated method — past janino's 64 KB cap, Spark
+    silently fell back to interpreted execution (17
+    InternalCompilerExceptions in the r8 sf0.1 replay log).
+
+    Here every shared segment is an aliased column (CASE branches
+    reference it as a bare AttributeReference instead of copying the
+    subtree) and the 89-rule content mask is split across ~18-rule
+    Projects via _stack_rules, so every generated method compiles.
+    Value-identical to transpile_expr (tested) and to the DuckDB oracle's
+    per-branch full chain: a CASE of full chains equals shared-prefix +
+    CASE of suffixes because the mask segments are dialect-independent."""
+    dialect = F.col(dialect_col)
+    out = df.select(
+        "*", _apply_rules(F.col(sql_col), _SQUOTE_MASK_RULES).alias("_t_seg")
+    )
+    pre = F.col("_t_seg")
+    for d, rules in QUOTE_PRE_TO_ANSI.items():
+        pre = F.when(
+            dialect == d, _apply_rules(F.col("_t_seg"), rules)
+        ).otherwise(pre)
+    out = out.select("*", pre.alias("_t_pre"))
+    out, temps = _stack_rules(out, "_t_pre", _CONTENT_MASK_RULES, "_t_masked")
+    body = _dialect_body_case(F.col("_t_masked"), dialect, TRANSPILE_TO_ANSI)
+    out = out.select("*", body.alias("_t_body"))
+    final = _apply_rules(
+        _apply_rules(F.col("_t_body"), NORMALIZE_RULES),
+        quote_unmask_rules('"'),
+    )
+    final = F.when(F.col("_t_body").isNull(), F.col("_t_body")).otherwise(
+        final
+    )
+    return out.select("*", final.alias(out_col)).drop(
+        "_t_seg", "_t_pre", "_t_masked", "_t_body", *temps
+    )
+
+
+def with_reverse_transpiled(
+    df: DataFrame, sql_col: str, target_col: str, out_col: str = "dialect_sql"
+) -> DataFrame:
+    """T11 reverse transpile, stacked exactly like with_transpiled; one
+    extra aliased segment (`_t_norm`) because the per-target unmask CASE
+    would otherwise copy the body+normalize subtree into both branches."""
+    target = F.col(target_col)
+    out = df.select(
+        "*", _apply_rules(F.col(sql_col), _SQUOTE_MASK_RULES).alias("_t_seg")
+    )
+    pre = F.when(
+        target == "mysql",
+        _apply_rules(
+            F.col("_t_seg"), [(r"`([^`]*)`", _Q_DQL + "$1" + _Q_DQR)]
+        ),
+    ).otherwise(F.col("_t_seg"))
+    out = out.select("*", pre.alias("_t_pre"))
+    out, temps = _stack_rules(out, "_t_pre", _CONTENT_MASK_RULES, "_t_masked")
+    body = _dialect_body_case(F.col("_t_masked"), target, TRANSPILE_FROM_ANSI)
+    out = out.select("*", _apply_rules(body, NORMALIZE_RULES).alias("_t_norm"))
+    final = F.when(
+        target == "mysql",
+        _apply_rules(F.col("_t_norm"), quote_unmask_rules("`")),
+    ).otherwise(_apply_rules(F.col("_t_norm"), quote_unmask_rules('"')))
+    return out.select("*", final.alias(out_col)).drop(
+        "_t_seg", "_t_pre", "_t_masked", "_t_norm", *temps
+    )
+
+
 def transpile_expr(sql: Column, from_dialect: Column) -> Column:
     """T11: rule-based dialect -> ANSI/postgres transpile, dispatched on the
     (detected or given) source dialect — pure JVM expression. Unknown

@@ -70,10 +70,15 @@ def count_static_broadcast_hints(df: DataFrame) -> int:
     tracks corpus duplicate volume — must NOT be hinted: past the 8 GB
     broadcast hard limit the query dies instead of degrading. Unhinted,
     the size-estimating planner / AQE broadcasts them when actually
-    small and falls back to a keyed shuffle join when not."""
-    return df._jdf.queryExecution().analyzed().toString().count(
-        "ResolvedHint"
-    )
+    small and falls back to a keyed shuffle join when not.
+
+    Counts ONLY broadcast-strategy hints: ResolvedHint nodes are emitted
+    for every join-strategy hint (merge, shuffle_hash, shuffle_replicate_nl
+    too), and those others assert nothing about relation size — a merge
+    hint must not trip a no-static-broadcast contract. Spark renders the
+    analyzed node as `ResolvedHint (strategy=broadcast)`."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return analyzed.count("ResolvedHint (strategy=broadcast")
 
 
 def has_unpartitioned_window(df: DataFrame) -> bool:

@@ -24,8 +24,8 @@ from codebase_rag_spark.operators.sqlmeta import (
     normalize_sql_expr,
     split_statements,
     statement_type_expr,
-    transpile_expr,
     validate_sql_expr,
+    with_transpiled,
 )
 
 SQL_CORPUS: list[tuple[str, str]] = [
@@ -225,14 +225,17 @@ def sql_transpile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dialect-detect CASE into transpile_expr's 6 dispatch comparisons
     # multiplied the regex-chain codegen unit ~2x — whichever transpile
     # query ran first paid ~7 s of janino compile; detect once, then
-    # dispatch on the materialized column
+    # dispatch on the materialized column. r9: the rule chain itself is
+    # stacked the same way (with_transpiled — each shared mask segment is
+    # an aliased column, not a subtree copied into every CASE branch), so
+    # every codegen unit compiles instead of falling back to interpreted.
     detected = df.select(
         "ddl_id", "ddl", dialect_detect(ddl).alias("dialect")
     )
-    return detected.select(
+    return with_transpiled(detected, "ddl", "dialect").select(
         "ddl_id",
         "dialect",
-        transpile_expr(ddl, F.col("dialect")).alias("ansi_sql"),
+        "ansi_sql",
         validate_sql_expr(ddl).alias("valid"),
     )
 
@@ -480,10 +483,8 @@ def sql_dml_transpile(spark: SparkSession, sf_dir: str) -> DataFrame:
     identifier normalization, WHERE 1=1 scaffolding dropped. The oracle
     runs the IDENTICAL chain rendered as DuckDB regexp_replace calls."""
     df = spark.createDataFrame(DML_CORPUS, ["stmt_id", "dialect", "sql"])
-    return df.select(
-        "stmt_id",
-        "dialect",
-        transpile_expr(F.col("sql"), F.col("dialect")).alias("ansi_sql"),
+    return with_transpiled(df, "sql", "dialect").select(
+        "stmt_id", "dialect", "ansi_sql"
     )
 
 
@@ -495,15 +496,11 @@ def sql_reverse_transpile(spark: SparkSession, sf_dir: str) -> DataFrame:
     STRING_AGG -> GROUP_CONCAT (delimiter preserved via SEPARATOR),
     LIMIT/OFFSET -> MySQL two-arg LIMIT. Unknown targets pass through
     normalized. Pure JVM projection; oracle runs the identical chain."""
-    from codebase_rag_spark.operators.sqlmeta import reverse_transpile_expr
+    from codebase_rag_spark.operators.sqlmeta import with_reverse_transpiled
 
     df = spark.createDataFrame(REV_CORPUS, ["stmt_id", "target", "sql"])
-    return df.select(
-        "stmt_id",
-        "target",
-        reverse_transpile_expr(F.col("sql"), F.col("target")).alias(
-            "dialect_sql"
-        ),
+    return with_reverse_transpiled(df, "sql", "target").select(
+        "stmt_id", "target", "dialect_sql"
     )
 
 

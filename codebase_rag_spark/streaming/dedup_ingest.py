@@ -12,8 +12,9 @@ table of content hashes: unbounded horizon, queryable, compactable, and
 shared across restarts and across independent pipelines.
 
 Scale: the signature table carries one 64-hex row per unique doc. The
-anti-join is hash-key equi (broadcastable while small; shuffle-hash with
-AQE beyond that). Idempotence under foreachBatch replay: output and
+anti-join is hash-key equi and carries no strategy hint — AQE broadcasts
+it while small and shuffle-joins beyond that (the table is unbounded, so
+a forced broadcast would be an OOM cliff, not an optimization). Idempotence under foreachBatch replay: output and
 signatures are partitioned by ingest_batch and written with DYNAMIC
 partition overwrite — a replayed batch rewrites its own partition instead
 of appending twice (the standard exactly-once recipe for parquet sinks).
@@ -68,7 +69,11 @@ def dedup_ingest(
         ).select(hashed["*"])
         seen = _seen_hashes(spark, sig_path)
         if seen is not None:
-            fresh = fresh.join(F.broadcast(seen), "content_sha", "left_anti")
+            # NO static broadcast hint: the signature table holds one row
+            # per unique doc EVER ingested — unbounded by construction.
+            # AQE broadcasts it while actually small and degrades to a
+            # shuffle join past the threshold instead of OOMing the sink.
+            fresh = fresh.join(seen, "content_sha", "left_anti")
         fresh = fresh.withColumn("ingest_batch", F.lit(batch_id))
 
         with temp_conf(

@@ -287,9 +287,11 @@ def stream_static_enrich(
     snapshot of a batch-side dimension (re-read per batch for file
     sources) — the enrichment shape for streams (user tier, doc lang,
     device class). Stateless: unlike stream-stream joins it buffers
-    nothing, so no watermark is needed; the static side broadcasts when
-    small."""
-    return events.join(F.broadcast(dim), key)
+    nothing, so no watermark is needed. No static broadcast hint on the
+    dimension — it is caller-supplied and can scale with users; AQE
+    broadcasts it per-batch when actually under the threshold and
+    shuffle-joins otherwise."""
+    return events.join(dim, key)
 
 
 def streaming_user_sketch(

@@ -806,3 +806,71 @@ def test_no_static_broadcast_on_pair_graph_relations(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         assert count_static_broadcast_hints(df) == 0, name
         assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_transpile_stacked_selects_parity_and_shape(spark):
+    """VERDICT r8 #3: the transpile rule chain runs as stacked aliased
+    selects (with_transpiled) so every codegen unit compiles — the old
+    single-Column form copied the ~95-node mask chain into every dialect
+    CASE branch and blew janino's 64 KB method cap (silent interpreted
+    fallback). Pins three facts:
+
+    1. value parity: the stacked transformer equals the single-expression
+       reference form (transpile_expr) on a dialect-mixed corpus — the
+       stacking is a physical re-shape, not a semantic change;
+    2. null passthrough: the segment-boundary null guards are
+       value-identical (regexp_replace(NULL) is NULL either way);
+    3. plan shape: CollapseProject must NOT re-merge the segments — the
+       optimized plan keeps >= 4 Project nodes (one per ~18-rule segment),
+       each small enough for splitConsumeFuncByOperator to give it its
+       own compiling method. One collapsed mega-Project = regression."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.operators.sqlmeta import (
+        reverse_transpile_expr,
+        transpile_expr,
+        with_reverse_transpiled,
+        with_transpiled,
+    )
+    from codebase_rag_spark.plans import explain_str
+
+    rows = [
+        ("a", "mysql", "SELECT `user name`, IFNULL(x, 0) FROM t LIMIT 5, 10"),
+        ("b", "oracle", "SELECT NVL(a, 'it''s, (ok)') FROM dual WHERE 1=1"),
+        ("c", "sqlserver", "SELECT TOP 3 [col one], GETDATE() FROM t"),
+        ("d", "postgres", "SELECT \"q\" FROM t"),
+        ("e", "unknown", "SELECT 1"),
+        ("f", "mysql", None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "dialect", "sql"])
+    stacked = with_transpiled(df, "sql", "dialect")
+    got = {r["id"]: r["ansi_sql"] for r in stacked.collect()}
+    want = {
+        r["id"]: r["ref"]
+        for r in df.select(
+            "id", transpile_expr(F.col("sql"), F.col("dialect")).alias("ref")
+        ).collect()
+    }
+    assert got == want
+    assert got["f"] is None
+    plan = explain_str(stacked, "simple")
+    assert plan.count("Project") >= 4, plan
+
+    rev_rows = [
+        ("a", "mysql", "SELECT \"name\", STRING_AGG(x, ',') FROM t LIMIT 10 OFFSET 5"),
+        ("b", "generic", "SELECT 1"),
+        ("c", "mysql", None),
+    ]
+    rdf = spark.createDataFrame(rev_rows, ["id", "target", "sql"])
+    rstacked = with_reverse_transpiled(rdf, "sql", "target")
+    rgot = {r["id"]: r["dialect_sql"] for r in rstacked.collect()}
+    rwant = {
+        r["id"]: r["ref"]
+        for r in rdf.select(
+            "id",
+            reverse_transpile_expr(F.col("sql"), F.col("target")).alias("ref"),
+        ).collect()
+    }
+    assert rgot == rwant
+    assert rgot["c"] is None
+    assert explain_str(rstacked, "simple").count("Project") >= 4
