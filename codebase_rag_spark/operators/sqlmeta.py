@@ -1043,6 +1043,13 @@ def _duck_rules(rules: list[tuple[str, str]], col_sql: str) -> str:
     accumulator)."""
     items = [col_sql]
     for pat, rep in rules:
+        # Loud failure beats silent mis-split: control bytes ARE normal
+        # in rule text (mask sentinels use \x04-\x14), so the "\x01 can
+        # never appear" invariant is enforced, not just asserted in prose
+        # (ADVICE r8).
+        assert "\x01" not in pat and "\x01" not in rep, (
+            f"rule contains the \\x01 packing delimiter: {pat!r} -> {rep!r}"
+        )
         p = pat.replace("'", "''")
         r = rep.replace("$", "\\").replace("'", "''")
         items.append(f"'{p}\x01{r}'")

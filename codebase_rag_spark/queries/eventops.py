@@ -4881,15 +4881,21 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     ev = e.select("user_id", "event_id", "ts", "event_type")
     dim = empty_dim(spark)
+    # Fold windows partition ALL of time: first unbounded below, last
+    # unbounded above (ADVICE r8: a bounded last window silently dropped
+    # any event outside the generator's current span, breaking the
+    # fold-equals-oneshot parity with the whole-history oracle).
     for lo, hi in (
-        ("2024-01-01", "2024-01-11"),
+        (None, "2024-01-11"),
         ("2024-01-11", "2024-01-21"),
-        ("2024-01-21", "2024-12-31"),
+        ("2024-01-21", None),
     ):
-        batch = ev.filter(
-            (F.col("ts") >= F.to_timestamp(F.lit(lo)))
-            & (F.col("ts") < F.to_timestamp(F.lit(hi)))
-        )
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ts") >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (F.col("ts") < F.to_timestamp(F.lit(hi)))
+        batch = ev.filter(cond)
         dim = scd2_merge_batch(dim, batch).localCheckpoint(eager=False)
     return dim.select(
         "user_id",

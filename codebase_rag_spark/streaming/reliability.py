@@ -48,10 +48,36 @@ def read_snapshot(
     high-water mark to -1, which would re-enable the double-apply
     failure mode this module exists to prevent (ADVICE r7: mapping the
     read error class UNABLE_TO_INFER_SCHEMA to no-state conflated the
-    two cases)."""
+    two cases).
+
+    RECOVERY (intentionally manual — ADVICE r8): an interrupted
+    FIRST-ever snapshot write also leaves an unreadable directory and is
+    indistinguishable on disk from an interrupted overwrite of real
+    state (mode=overwrite deletes the old files before writing), so this
+    function refuses to guess. The operator procedure is:
+
+    * if the pipeline has never committed a batch (streaming checkpoint
+      offsets empty / brand-new deployment), delete the snapshot
+      directory and restart — the sink rebuilds from batch 0;
+    * otherwise real state was lost mid-overwrite: restore the snapshot
+      directory from a backup/previous copy, or delete BOTH the snapshot
+      directory and the streaming checkpoint so the source replays from
+      the beginning (requires a source that retains history).
+    """
     if not _configured_fs_exists(spark, path):
         return None, -1
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:
+        raise RuntimeError(
+            f"state snapshot at {path!r} exists but is unreadable — "
+            "likely an interrupted overwrite. Refusing to restart from "
+            "empty state (would re-apply already-applied batches). If "
+            "this pipeline has never committed a batch, delete the "
+            "directory and restart; otherwise restore it from backup or "
+            "clear snapshot + streaming checkpoint together to replay "
+            "(see read_snapshot docstring)."
+        ) from exc
     if APPLIED_COL not in df.columns:  # pre-marker snapshot: treat as hwm -1
         return df, -1
     row = df.agg(F.max(APPLIED_COL).alias("m")).collect()[0]

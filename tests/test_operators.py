@@ -973,11 +973,16 @@ def test_spread_for_compute_policy(spark):
     a = sorted(narrow.groupBy("k").agg(F.sum("id").alias("s")).collect())
     b = sorted(spread.groupBy("k").agg(F.sum("id").alias("s")).collect())
     assert a == b
-    # order-DEPENDENT consumer: first-seen order differs after round-robin
+    # The spread preserves the row MULTISET exactly (the property that
+    # makes it legal before order-insensitive consumers) ...
+    assert sorted(r["id"] for r in spread.collect()) == list(range(1000))
+    # ... but NOT a stable scan order: limit() on a single-partition
+    # frame is deterministic, while limit() after round-robin is not —
+    # so no exact assertion on spread's limit order is possible, which
+    # is itself the order-dependent-consumer hazard the policy bans
+    # (ADVICE r8: the old set-containment assertion here was vacuous).
     raw_order = [r["id"] for r in narrow.limit(20).collect()]
-    spread_order = [r["id"] for r in spread.limit(20).collect()]
     assert raw_order == list(range(20))  # single partition: stable
-    assert set(spread_order) <= set(range(1000))
     # wide frame: helper must not coalesce or add a shuffle
     wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism * 2)
     assert spread_for_compute(wide) is wide

@@ -1053,3 +1053,23 @@ def test_scd2_dedup_then_session_window_chained_stateful(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_read_snapshot_raises_actionably_on_unreadable_state(spark, tmp_path):
+    """ADVICE r8: an existing-but-unreadable snapshot directory (e.g. only
+    _SUCCESS left after an interrupted overwrite) must raise with the
+    recovery procedure in the message — never silently reset the
+    high-water mark — while a MISSING path is still (None, -1)."""
+    import pytest
+
+    from codebase_rag_spark.streaming.reliability import read_snapshot
+
+    missing = str(tmp_path / "never_written")
+    df, hwm = read_snapshot(spark, missing)
+    assert df is None and hwm == -1
+
+    torn = tmp_path / "torn_snapshot"
+    torn.mkdir()
+    (torn / "_SUCCESS").touch()
+    with pytest.raises(RuntimeError, match="interrupted overwrite"):
+        read_snapshot(spark, str(torn))
