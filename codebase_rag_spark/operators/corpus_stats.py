@@ -62,8 +62,8 @@ def collocation_lift(
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     return (
-        big.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        big.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(n_bigrams))
         .select(

@@ -259,10 +259,12 @@ def rp_lsh_topk(
     for _ in range(probe_bits):
         frontier = {b ^ (1 << p) for b in frontier for p in range(num_planes)}
         probes |= frontier
+    # No static broadcast on the candidate-id set: probed-bucket
+    # occupancy is ~N * |probes| / 2^num_planes — linear in corpus size
+    # for a fixed plane count, so a forced broadcast is the unbounded-
+    # relation pattern (VERDICT r8). AQE broadcasts it while small.
     cands = embeddings.join(
-        F.broadcast(
-            buckets.filter(F.col("bucket").isin(sorted(probes))).select(id_col)
-        ),
+        buckets.filter(F.col("bucket").isin(sorted(probes))).select(id_col),
         id_col,
         "left_semi",
     )

@@ -183,23 +183,48 @@ _DRIVER_CHECKED = {
     "qini_uplift_deciles", "search_snippets", "media_ahash_groups",
     "span_corruption_masking", "sql_antipattern_lint",
     "textrank_keywords", "ngram_novelty_curve",
+    # --- r08 (50, all green in CORRECTNESS_r08.json; only the names not
+    # already listed above — the union now covers all 300 entries) ---
+    "bipartite_customer_projection", "cbo_column_stats",
+    "lsh_parameter_planner", "classifier_agreement_kappa",
+    "pii_density_by_source", "embedding_norm_audit",
+    "scd2_dimension_build", "psi_snapshot_readout",
+    "mann_whitney_value_shift", "value_iqr_outliers", "sql_lint_severity",
+    "tokenizer_fertility_audit", "token_length_histogram",
+    "unigram_entropy_by_lang",
 }
 
-# Round-8 window (VERDICT r7 'Next round' #2, rotation computed from
-# CORRECTNESS_r07.json: all 50 rows green, union now covers all 286
-# entries). _PRIORITY = everything REWRITTEN in r8, so its driver row
-# postdates the current implementation:
-#   * the five LSH pair-graph verify consumers whose static F.broadcast
-#     hints were dropped (VERDICT r7 #1 — AQE now sizes the join);
-#   * the three transpile entries whose masking chain changed
-#     (_Q_RUN_PASSES 8->64 + list_reduce oracle rendering — query AND
-#     oracle both changed).
-# New round-8 entries fill the remaining window slots automatically via
+# Round-9 window (rotation computed from CORRECTNESS_r08.json: all 50
+# rows green, union now covers all 300 entries). _PRIORITY = everything
+# REWRITTEN after its r8 driver row, so the next driver row postdates
+# the current implementation:
+#   * the three transpile entries: the rule chain now runs as stacked
+#     aliased selects so every codegen unit compiles (VERDICT r8 #4);
+#   * doc_k_core: k_core's per-round survivor semi-joins no longer force
+#     F.broadcast (VERDICT r8 #2 — AQE sizes them);
+#   * scd2_dimension_build: fold windows now partition ALL of time
+#     (ADVICE r8 — the bounded tail dropped out-of-span events);
+#   * the 22 entries de-hinted by the r9 repo-wide broadcast-policy
+#     sweep (tests/broadcast_sites.json): static F.broadcast dropped
+#     from data-scaled relations (full/filtered customer/supplier/part,
+#     per-partkey aggregates, per-user funnel aggregates, unigram
+#     vocabularies) — AQE sizes those joins now.
+# New round-9 entries fill the remaining window slots automatically via
 # the dict rebuild below (never-checked entries sort before checked).
 _PRIORITY = [
-    "near_dup_verify", "edit_distance_verify", "containment_pairs",
-    "hard_negative_mining", "dedup_threshold_sweep",
     "sql_transpile", "sql_dml_transpile", "sql_reverse_transpile",
+    "doc_k_core", "scd2_dimension_build",
+    # r9 de-hint sweep, relational/analytics/event/corpus consumers:
+    "region_revenue", "big_orders", "small_quantity_revenue",
+    "shipping_priority", "promo_revenue_share", "nation_revenue_trend",
+    "ship_delay_percentiles", "cohort_retention", "funnel_steps",
+    "conversion_latency", "conversion_latency_quantiles",
+    "funnel_conversion_ci", "collocation_lift_top",
+    # r9 de-hint sweep, TPC-H shapes:
+    "volume_shipping", "market_share", "product_profit",
+    "top_revenue_supplier", "supplier_part_counts",
+    "disjunctive_bracket_revenue", "min_balance_shipper",
+    "returned_item_revenue", "excess_promo_suppliers",
 ]
 
 QUERIES = {

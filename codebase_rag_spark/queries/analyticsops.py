@@ -572,7 +572,7 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     monthly = (
-        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.join(c.select("c_custkey", "c_nationkey"),
                o.o_custkey == c.c_custkey)
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -1059,7 +1059,7 @@ def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate")
         .join(o.select("o_orderkey", "o_orderdate"),
               li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               s["s_nationkey"] == n["n_nationkey"])
@@ -1902,4 +1902,126 @@ _CBO_ROWS_SQL = " UNION ALL ".join(
 
 ORACLES["cbo_column_stats"] = f"""
         SELECT * FROM ({_CBO_ROWS_SQL}) ORDER BY column_name
+"""
+
+
+# --- r9: CBO join-cardinality estimation audit ---
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-style join-cardinality estimation validated against
+    ground truth for the three fact-dimension equi-joins: the CBO's
+    uniformity formula |A JOIN B| ~= |A|*|B| / max(ndv_A(k), ndv_B(k))
+    (Spark's JoinEstimation.scala uses exactly this), next to the
+    ACTUAL join count — the audit that tells you whether collected
+    stats are good enough to trust broadcast/reorder decisions on this
+    schema. Per join: two count aggregates, two single-distinct
+    aggregates (one per side — never a multi-distinct Expand, the
+    cbo_column_stats lesson), one real join count; the products run in
+    DECIMAL(38,0) so the estimate is exact at any SF. err_bp is the
+    estimate relative to truth in basis points (integer DIV)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def branch(name, left, lkey, right, rkey):
+        nl = left.groupBy().agg(F.count("*").cast("bigint").alias("n_left"))
+        nr = right.groupBy().agg(F.count("*").cast("bigint").alias("n_right"))
+        dl = left.groupBy().agg(
+            F.countDistinct(lkey).cast("bigint").alias("ndv_left")
+        )
+        dr = right.groupBy().agg(
+            F.countDistinct(rkey).cast("bigint").alias("ndv_right")
+        )
+        actual = (
+            left.select(F.col(lkey).alias("_k"))
+            .join(right.select(F.col(rkey).alias("_k")), "_k")
+            .groupBy()
+            .agg(F.count("*").cast("bigint").alias("actual_rows"))
+        )
+        est = F.expr(
+            "CAST(CAST(n_left AS DECIMAL(38,0))"
+            " * CAST(n_right AS DECIMAL(38,0))"
+            " DIV CAST(greatest(ndv_left, ndv_right) AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        )
+        return (
+            nl.crossJoin(F.broadcast(nr))
+            .crossJoin(F.broadcast(dl))
+            .crossJoin(F.broadcast(dr))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                est.alias("est_rows"),
+                "actual_rows",
+                F.expr(
+                    "CAST(CAST(n_left AS DECIMAL(38,0))"
+                    " * CAST(n_right AS DECIMAL(38,0))"
+                    " * 10000"
+                    " DIV (CAST(greatest(ndv_left, ndv_right)"
+                    "            AS DECIMAL(38,0)) * actual_rows)"
+                    " AS BIGINT)"
+                ).alias("err_bp"),
+            )
+        )
+
+    return (
+        branch("lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(branch("lineitem_part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(branch("orders_customer", o, "o_custkey", c, "c_custkey"))
+        .orderBy("join_name")
+    )
+
+
+QUERIES["join_cardinality_estimate"] = join_cardinality_estimate
+
+ORACLES["join_cardinality_estimate"] = """
+        WITH stats AS (
+            SELECT 'lineitem_orders' AS join_name,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_left,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_right,
+                   (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                    FROM lineitem) AS ndv_left,
+                   (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                    FROM orders) AS ndv_right,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+                       AS actual_rows
+            UNION ALL
+            SELECT 'lineitem_part',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM part),
+                   (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+                    FROM lineitem),
+                   (SELECT CAST(count(DISTINCT p_partkey) AS BIGINT)
+                    FROM part),
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM lineitem JOIN part ON l_partkey = p_partkey)
+            UNION ALL
+            SELECT 'orders_customer',
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders),
+                   (SELECT CAST(count(*) AS BIGINT) FROM customer),
+                   (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                    FROM orders),
+                   (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+                    FROM customer),
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM orders JOIN customer ON o_custkey = c_custkey)
+        )
+        SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+               CAST(CAST(n_left AS DECIMAL(38,0))
+                    * CAST(n_right AS DECIMAL(38,0))
+                    // CAST(greatest(ndv_left, ndv_right) AS DECIMAL(38,0))
+                    AS BIGINT) AS est_rows,
+               actual_rows,
+               CAST(CAST(n_left AS DECIMAL(38,0))
+                    * CAST(n_right AS DECIMAL(38,0)) * 10000
+                    // (CAST(greatest(ndv_left, ndv_right) AS DECIMAL(38,0))
+                        * actual_rows) AS BIGINT) AS err_bp
+        FROM stats ORDER BY join_name
 """

@@ -1164,3 +1164,86 @@ ORACLES["unigram_entropy_by_lang"] = r"""
                    AS entropy_efficiency
         FROM per_lang ORDER BY lang
 """
+
+
+# --- r9: cross-lingual vocabulary overlap matrix ---
+
+
+def vocabulary_jaccard_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language sub-corpora — the
+    cross-lingual contamination / mislabeled-language audit: two langs
+    whose vocabularies overlap far above baseline share templated text
+    or carry language-ID errors (the lang_id_confusion signal seen from
+    the corpus side). Vocabulary = distinct (lang, token) from the scan
+    stage; the pair matrix comes from a token-keyed self-join of that
+    vocab (shuffle keyed on token — the join side is vocab-sized, so NO
+    static broadcast hint: vocabularies grow with the corpus under
+    Heaps' law, the collocation_lift rule). Output is #lang-pairs rows
+    (enum-bounded); jaccard in exact basis points (integer DIV over
+    integer set sizes)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    a = vocab.select(F.col("lang").alias("lang_a"), "tok")
+    b = vocab.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("v").alias("v_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "v_a",
+            "v_b",
+            "n_shared",
+            F.expr(
+                "CAST(n_shared * 10000 DIV (v_a + v_b - n_shared) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+QUERIES["vocabulary_jaccard_by_lang"] = vocabulary_jaccard_by_lang
+
+ORACLES["vocabulary_jaccard_by_lang"] = """
+        WITH vocab AS (
+            SELECT DISTINCT lang, tok
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        sizes AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS v
+            FROM vocab GROUP BY lang
+        ),
+        inter AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM vocab a JOIN vocab b USING (tok)
+            WHERE a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT i.lang_a, i.lang_b,
+               sa.v AS v_a, sb.v AS v_b, i.n_shared,
+               CAST(i.n_shared * 10000 // (sa.v + sb.v - i.n_shared)
+                    AS BIGINT) AS jaccard_bp
+        FROM inter i
+        JOIN sizes sa ON sa.lang = i.lang_a
+        JOIN sizes sb ON sb.lang = i.lang_b
+        ORDER BY lang_a, lang_b
+"""

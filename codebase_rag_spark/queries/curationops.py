@@ -2878,3 +2878,133 @@ ORACLES["pii_density_by_source"] = r"""
                    AS docs_with_pii_bp
         FROM agg ORDER BY source
 """
+
+
+# --- r9: activity-concentration audit (Gini + top-share) ---
+
+
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient and top-1%/top-10% share of per-user event
+    volume — the concentration audit that decides whether per-user
+    sampling caps are needed before training (a handful of bot users
+    can dominate a behavioral corpus the way boilerplate dominates
+    text). Gini via the rank formula G = (2*sum(i*x_i) - (n+1)*sum(x))
+    / (n*sum(x)) over users sorted by (count, user_id) — the global
+    row_number comes from scalewin.global_order_stats (range-sharded
+    windows + broadcast shard offsets, never a single-partition
+    exchange), so the sort scales to any user count. All sums are
+    exact DECIMAL(38,0); the single division is the last op. Top-k
+    shares use k = greatest(1, n DIV 100 / DIV 10) computed from the
+    same ranks."""
+    from codebase_rag_spark.operators.scalewin import global_order_stats
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    ranked = global_order_stats(
+        per_user, [F.col("x"), F.col("user_id")], rn_col="_rn"
+    )
+    tot = ranked.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("decimal(38,0)").alias("_sx"),
+        F.sum(
+            F.col("_rn").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_srx"),
+    )
+    shares = (
+        ranked.crossJoin(
+            F.broadcast(
+                tot.select(
+                    "n_users",
+                    F.greatest(F.lit(1), (F.col("n_users") / 100).cast("bigint"))
+                    .alias("_k1"),
+                    F.greatest(F.lit(1), (F.col("n_users") / 10).cast("bigint"))
+                    .alias("_k10"),
+                )
+            )
+        )
+        .groupBy()
+        .agg(
+            F.sum(
+                F.when(F.col("_rn") > F.col("n_users") - F.col("_k1"), F.col("x"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_top1"),
+            F.sum(
+                F.when(F.col("_rn") > F.col("n_users") - F.col("_k10"), F.col("x"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_top10"),
+        )
+    )
+    n = F.col("n_users").cast("double")
+    sx = F.col("_sx").cast("double")
+    srx = F.col("_srx").cast("double")
+    return (
+        tot.crossJoin(F.broadcast(shares))
+        .select(
+            "n_users",
+            F.col("_sx").cast("bigint").alias("n_events"),
+            F.round((2 * srx - (n + 1) * sx) / (n * sx), 4).alias("gini"),
+            F.round(F.col("_top1").cast("double") / sx, 4).alias(
+                "top1pct_share"
+            ),
+            F.round(F.col("_top10").cast("double") / sx, 4).alias(
+                "top10pct_share"
+            ),
+        )
+    )
+
+
+QUERIES["user_activity_gini"] = user_activity_gini
+
+ORACLES["user_activity_gini"] = """
+        WITH per_user AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT x,
+                   CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT)
+                       AS rn
+            FROM per_user
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                   CAST(sum(CAST(rn AS DECIMAL(19,0))
+                            * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                       AS srx
+            FROM ranked
+        ),
+        ks AS (
+            SELECT n_users,
+                   greatest(1, n_users // 100) AS k1,
+                   greatest(1, n_users // 10) AS k10
+            FROM tot
+        ),
+        shares AS (
+            SELECT CAST(sum(CASE WHEN rn > n_users - k1 THEN x ELSE 0 END)
+                        AS BIGINT) AS top1,
+                   CAST(sum(CASE WHEN rn > n_users - k10 THEN x ELSE 0 END)
+                        AS BIGINT) AS top10
+            FROM ranked, ks
+        )
+        SELECT t.n_users,
+               CAST(t.sx AS BIGINT) AS n_events,
+               round((2 * CAST(t.srx AS DOUBLE)
+                      - (CAST(t.n_users AS DOUBLE) + 1)
+                        * CAST(t.sx AS DOUBLE))
+                     / (CAST(t.n_users AS DOUBLE) * CAST(t.sx AS DOUBLE)),
+                     4) AS gini,
+               round(CAST(s.top1 AS DOUBLE) / CAST(t.sx AS DOUBLE), 4)
+                   AS top1pct_share,
+               round(CAST(s.top10 AS DOUBLE) / CAST(t.sx AS DOUBLE), 4)
+                   AS top10pct_share
+        FROM tot t, shares s
+"""

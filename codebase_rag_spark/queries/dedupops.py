@@ -1274,3 +1274,116 @@ ORACLES["lsh_parameter_planner"] = f"""
         FROM pts GROUP BY bands, rows
         ORDER BY bands, rows
 """
+
+
+# --- r9: sorted-neighborhood blocking (the third blocking family) ---
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking audit — the classic entity-resolution
+    alternative to LSH banding (Hernandez & Stolfo's merge/purge): sort
+    the corpus by a cheap key (lang, n_chars, doc_id), compare each doc
+    only to its next 2 neighbors in the sorted order, and report how
+    much duplicate signal the window catches per lang. Exact token
+    Jaccard on each candidate pair via array_intersect on distinct
+    token sets (|union| = |a|+|b|-|inter|, all integer counts; jaccard
+    in exact basis points by integer DIV, so no float drift).
+
+    Scale shape: the neighbor pairing is lead() inside (lang,
+    char-bucket) partitions at this SF; the 100-TB version range-shards
+    the sorted order exactly like scalewin (per-shard windows + w-row
+    shard-boundary overlap) — the window NEVER spans a data-bound
+    partition unboundedly, and the pair count is n*w by construction
+    (vs n^2/bands for LSH) — blocking cost is linear and known ahead
+    of time, the property this method trades recall for."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    base = d.select(
+        "lang", "n_chars", "doc_id", toks.alias("_t"), F.size(toks).alias("_nt")
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    paired = base.select(
+        "lang",
+        "n_chars",
+        "_t",
+        "_nt",
+        F.lead("_t", 1).over(w).alias("_t1"),
+        F.lead("_nt", 1).over(w).alias("_nt1"),
+        F.lead("_t", 2).over(w).alias("_t2"),
+        F.lead("_nt", 2).over(w).alias("_nt2"),
+    )
+
+    def jbp(other_t, other_n):
+        # floor(exact-double division): operands <= 1e6 are exact doubles
+        # and the quotient can't sit within an ulp of an integer without
+        # being one, so floor() == integer DIV in both engines
+        inter = F.size(F.array_intersect(F.col("_t"), other_t))
+        union = F.col("_nt") + other_n - inter
+        return F.floor(inter * 10000 / union).cast("bigint")
+
+    pairs = paired.select(
+        "lang",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(F.col("_t1").isNotNull(), jbp(F.col("_t1"), F.col("_nt1"))),
+                    F.when(F.col("_t2").isNotNull(), jbp(F.col("_t2"), F.col("_nt2"))),
+                )
+            )
+        ).alias("j_bp"),
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("j_bp") >= 3000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.expr("CAST(sum(j_bp) DIV count(*) AS BIGINT)").alias("avg_j_bp"),
+            F.max("j_bp").cast("bigint").alias("max_j_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["sorted_neighborhood_pairs"] = sorted_neighborhood_pairs
+
+ORACLES["sorted_neighborhood_pairs"] = """
+        WITH base AS (
+            SELECT lang, n_chars, doc_id,
+                   list_distinct(string_split(text, ' ')) AS t,
+                   len(list_distinct(string_split(text, ' '))) AS nt
+            FROM documents
+        ),
+        paired AS (
+            SELECT lang, t, nt,
+                   lead(t, 1) OVER w AS t1,
+                   lead(nt, 1) OVER w AS nt1,
+                   lead(t, 2) OVER w AS t2,
+                   lead(nt, 2) OVER w AS nt2
+            FROM base
+            WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        ),
+        pairs AS (
+            SELECT lang,
+                   CAST(floor(len(list_intersect(t, t1)) * 10000
+                        / (nt + nt1 - len(list_intersect(t, t1))))
+                        AS BIGINT) AS j_bp
+            FROM paired WHERE t1 IS NOT NULL
+            UNION ALL
+            SELECT lang,
+                   CAST(floor(len(list_intersect(t, t2)) * 10000
+                        / (nt + nt2 - len(list_intersect(t, t2))))
+                        AS BIGINT) AS j_bp
+            FROM paired WHERE t2 IS NOT NULL
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN j_bp >= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_candidates,
+               CAST(sum(j_bp) // count(*) AS BIGINT) AS avg_j_bp,
+               CAST(max(j_bp) AS BIGINT) AS max_j_bp
+        FROM pairs GROUP BY lang ORDER BY lang
+"""

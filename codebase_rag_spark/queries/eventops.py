@@ -156,7 +156,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     first = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
     return (
-        e.join(F.broadcast(first), "user_id")
+        e.join(first, "user_id")
         .withColumn("day_offset", F.datediff("d", F.col("cohort")))
         .filter(F.col("day_offset") <= 7)
         .groupBy("cohort", "day_offset")
@@ -183,14 +183,14 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(views), "user_id")
+        .join(views, "user_id")
         .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("deadline")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"), F.min("deadline").alias("deadline"))
     )
     purchases = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(clicks), "user_id")
+        .join(clicks, "user_id")
         .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("deadline")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
@@ -261,7 +261,7 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(views), "user_id")
+        .join(views, "user_id")
         .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("deadline")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"), F.min("v_ts").alias("v_ts"))
@@ -2875,7 +2875,7 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(views), "user_id")
+        .join(views, "user_id")
         .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("deadline")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"), F.min("v_ts").alias("v_ts"))
@@ -4549,7 +4549,7 @@ def funnel_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(views), "user_id")
+        .join(views, "user_id")
         .filter(
             (F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("deadline"))
         )
@@ -4558,7 +4558,7 @@ def funnel_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(clicks), "user_id")
+        .join(clicks, "user_id")
         .filter(
             (F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("deadline"))
         )
@@ -5205,4 +5205,282 @@ ORACLES["value_iqr_outliers"] = """
                CAST((n_low + n_high) * 10000 // n_events AS BIGINT)
                    AS outlier_bp
         FROM agg ORDER BY event_type
+"""
+
+
+# --- r9: exact higher moments, delta-maintained aggregates, burstiness ---
+
+
+def distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable higher moments per event type — skewness and excess
+    kurtosis from EXACT integer power sums, the shape a distributed
+    moments job must take (Spark's own kurtosis() streams doubles, so
+    its result is partition-order-dependent; this one is not). cents =
+    round(value*100) <= 56k fits DECIMAL(6,0); the power chain caps at
+    DECIMAL(27,0) per row (c^4 < 1e19) and the sums at DECIMAL(37,0) —
+    exact and summation-order-insensitive at any SF. The central-moment
+    formulas then run in IEEE doubles over the exact sums, written
+    identically in the oracle. One scan, one enum-keyed aggregate —
+    scan-stage flat at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("decimal(6,0)")
+    base = e.select(
+        "event_type",
+        c.alias("_c1"),
+        (c * c).alias("_c2"),
+        (c * c * c).alias("_c3"),
+        (c * c * c * c).alias("_c4"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_c1").cast("decimal(37,0)").alias("_s1"),
+        F.sum("_c2").cast("decimal(37,0)").alias("_s2"),
+        F.sum("_c3").cast("decimal(37,0)").alias("_s3"),
+        F.sum("_c4").cast("decimal(37,0)").alias("_s4"),
+    )
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    n = F.col("n").cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4 * mu * (s3 / n)
+        + 6 * mu * mu * (s2 / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(mu / 100, 4).alias("mean_value"),
+        F.round(F.sqrt(m2) / 100, 4).alias("std_value"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 4).alias("kurtosis_excess"),
+    ).orderBy("event_type")
+
+
+QUERIES["distribution_moments"] = distribution_moments
+
+ORACLES["distribution_moments"] = """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS HUGEINT) AS c
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(c) AS s1,
+                   sum(c * c) AS s2,
+                   sum(c * c * c) AS s3,
+                   sum(c * c * c * c) AS s4
+            FROM base GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+                   CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+                   CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+            FROM agg
+        ),
+        cm AS (
+            SELECT event_type, n, mu,
+                   e2 - mu * mu AS m2,
+                   e3 - 3 * mu * e2 + 2 * mu * mu * mu AS m3,
+                   e4 - 4 * mu * e3 + 6 * mu * mu * e2
+                      - 3 * mu * mu * mu * mu AS m4
+            FROM m
+        )
+        SELECT event_type, n,
+               round(mu / 100, 4) AS mean_value,
+               round(sqrt(m2) / 100, 4) AS std_value,
+               round(m3 / pow(m2, 1.5), 4) AS skewness,
+               round(m4 / (m2 * m2) - 3, 4) AS kurtosis_excess
+        FROM cm ORDER BY event_type
+"""
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained per-(event_type, day) aggregate table: three
+    time-ordered pseudo-batches fold into the state via full-outer
+    merge + coalesced adds — the incremental-view-maintenance dataflow
+    a 100-TB pipeline uses instead of re-scanning history (per-batch
+    cost is O(touched keys), never O(history)). Fold windows partition
+    ALL of time (first unbounded below, last unbounded above — the
+    scd2_dimension_build ADVICE r8 lesson, applied from birth). The
+    oracle computes the one-shot groupBy, so the driver hash-checks the
+    fold-equals-batch parity of additive state. Lineage is cut per fold
+    (lazy localCheckpoint) exactly as a sink would materialize its
+    snapshot."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+    )
+    state = None
+    for lo, hi in (
+        (None, "2024-01-11"),
+        ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", None),
+    ):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("day") >= F.lit(lo).cast("date"))
+        if hi is not None:
+            cond = cond & (F.col("day") < F.lit(hi).cast("date"))
+        delta = (
+            ev.filter(cond)
+            .groupBy("event_type", "day")
+            .agg(
+                F.count("*").cast("bigint").alias("_dn"),
+                F.sum("_cents").cast("bigint").alias("_ds"),
+            )
+        )
+        if state is None:
+            merged = delta.select(
+                "event_type",
+                "day",
+                F.col("_dn").alias("n_events"),
+                F.col("_ds").alias("_sum"),
+            )
+        else:
+            merged = state.join(
+                delta, ["event_type", "day"], "full_outer"
+            ).select(
+                "event_type",
+                "day",
+                (
+                    F.coalesce(F.col("n_events"), F.lit(0))
+                    + F.coalesce(F.col("_dn"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n_events"),
+                (
+                    F.coalesce(F.col("_sum"), F.lit(0))
+                    + F.coalesce(F.col("_ds"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("_sum"),
+            )
+        state = merged.localCheckpoint(eager=False)
+    return state.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.col("_sum").cast("double") / 100, 2).alias("sum_value"),
+    ).orderBy("event_type", "day")
+
+
+QUERIES["incremental_agg_maintenance"] = incremental_agg_maintenance
+
+ORACLES["incremental_agg_maintenance"] = """
+        SELECT event_type,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS DOUBLE) / 100, 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, day
+"""
+
+
+def event_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time burstiness per event type: coefficient of
+    variation and the Goh-Barabasi burstiness index (sigma - mu) /
+    (sigma + mu) over the gaps between consecutive events of a type.
+    Scale shape: a single lag window over a whole type's stream is one
+    partition per type (unbounded at 100 TB), so gaps are computed
+    WITHIN (type, day) partitions — calendar-bounded — and the missing
+    day-boundary gaps are recovered from the per-day min/max via a lag
+    over the per-(type, day) summary (O(#types x #days) rows, never the
+    event stream). The union is provably the full consecutive-pair gap
+    multiset; the oracle computes the same gaps with ONE naive lag over
+    the whole stream, so the driver hash-checks the decomposition.
+    Gap sums are exact integer microseconds (DECIMAL power sums, the
+    distribution_moments discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type",
+        F.to_date("ts").alias("_day"),
+        F.unix_micros("ts").alias("_us"),
+        "event_id",
+    )
+    w_day = Window.partitionBy("event_type", "_day").orderBy("_us", "event_id")
+    within = (
+        ev.withColumn("_prev", F.lag("_us").over(w_day))
+        .filter(F.col("_prev").isNotNull())
+        .select("event_type", (F.col("_us") - F.col("_prev")).alias("gap_us"))
+    )
+    per_day = ev.groupBy("event_type", "_day").agg(
+        F.min("_us").alias("_first"), F.max("_us").alias("_last")
+    )
+    w_cal = Window.partitionBy("event_type").orderBy("_day")
+    boundary = (
+        per_day.withColumn("_prev_last", F.lag("_last").over(w_cal))
+        .filter(F.col("_prev_last").isNotNull())
+        .select(
+            "event_type",
+            (F.col("_first") - F.col("_prev_last")).alias("gap_us"),
+        )
+    )
+    gaps = within.unionByName(boundary)
+    g = F.col("gap_us").cast("decimal(15,0)")
+    agg = gaps.select("event_type", g.alias("_g"), (g * g).alias("_g2")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("_g").cast("decimal(37,0)").alias("_s1"),
+        F.sum("_g2").cast("decimal(37,0)").alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("_s1").cast("double") / n
+    var = F.col("_s2").cast("double") / n - mu * mu
+    sd = F.sqrt(var)
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu / 1e6, 4).alias("mean_gap_s"),
+        F.round(sd / mu, 4).alias("cv"),
+        F.round((sd - mu) / (sd + mu), 4).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+QUERIES["event_interarrival_burstiness"] = event_interarrival_burstiness
+
+ORACLES["event_interarrival_burstiness"] = """
+        WITH gaps AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(ts), event_id
+                   ) AS HUGEINT) AS g
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   sum(g) AS s1,
+                   sum(g * g) AS s2
+            FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n_gaps,
+                   CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+                   sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                       AS sd
+            FROM agg
+        )
+        SELECT event_type, n_gaps,
+               round(mu / 1e6, 4) AS mean_gap_s,
+               round(sd / mu, 4) AS cv,
+               round((sd - mu) / (sd + mu), 4) AS burstiness
+        FROM m ORDER BY event_type
 """

@@ -964,3 +964,111 @@ ORACLES["span_corruption_masking"] = r"""
         FROM per_doc GROUP BY lang
         ORDER BY lang
 """
+
+
+# --- r9: range-partition planning (the RangePartitioner primitive) ---
+
+
+def range_shard_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-shard boundaries over orders.o_totalprice — the
+    planning step behind Spark's own RangePartitioner / sortWithinParts
+    sharding: pick 7 cut points that split the key space into 8
+    equal-count shards, then audit the ACTUAL shard sizes produced by
+    value-only assignment (ties at a boundary all land in the lower
+    shard, so duplicated key values are the honest source of skew a
+    range shuffle inherits). Boundaries come from an exact NTILE(8) via
+    scalewin.global_ntile (range-sharded windows, no single-partition
+    sort); assignment is a 7-row broadcast theta-join (count of
+    boundaries below each value), so the audit is scan + enum-keyed
+    aggregate at any SF. At 100 TB the same plan runs on a sample with
+    identical code — the boundaries table stays 7 rows.
+
+    skew_bp = shard size relative to the perfectly balanced N/8 in
+    basis points (integer DIV, exact)."""
+    from codebase_rag_spark.operators.scalewin import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    keyed = o.select(cents.alias("_c"), "o_orderkey")
+    tiled = global_ntile(keyed, [F.col("_c"), F.col("o_orderkey")], 8, "_tile")
+    bounds = (
+        tiled.filter(F.col("_tile") < 8)
+        .groupBy("_tile")
+        .agg(F.max("_c").alias("_b"))
+        .select("_b")
+    )
+    assigned = (
+        keyed.join(F.broadcast(bounds), F.col("_c") > F.col("_b"), "left")
+        .groupBy("o_orderkey", "_c")
+        .agg(F.count("_b").cast("int").alias("_below"))
+        .select((F.col("_below") + 1).alias("shard"), F.col("_c"))
+    )
+    sizes = assigned.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    # rank the 7 boundaries by a self-join count (deterministic under
+    # hypothetical duplicate boundary values; no window needed)
+    b2 = bounds.select(F.col("_b").alias("_b2"))
+    upper = (
+        bounds.join(F.broadcast(b2), F.col("_b2") <= F.col("_b"))
+        .groupBy("_b")
+        .agg(F.count("*").cast("int").alias("shard"))
+        .select(
+            "shard",
+            F.round(F.col("_b").cast("double") / 100, 2).alias("upper_value"),
+        )
+    )
+    total = sizes.groupBy().agg(F.sum("n_rows").cast("bigint").alias("_t"))
+    return (
+        sizes.join(F.broadcast(upper), "shard", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "upper_value",
+            "n_rows",
+            F.expr("CAST(n_rows * 8 * 10000 DIV _t AS BIGINT)").alias(
+                "skew_bp"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["range_shard_boundaries"] = range_shard_boundaries
+
+ORACLES["range_shard_boundaries"] = """
+        WITH keyed AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                   o_orderkey
+            FROM orders
+        ),
+        tiled AS (
+            SELECT c, ntile(8) OVER (ORDER BY c, o_orderkey) AS tile
+            FROM keyed
+        ),
+        bounds AS (
+            SELECT CAST(max(c) AS BIGINT) AS b
+            FROM tiled WHERE tile < 8 GROUP BY tile
+        ),
+        assigned AS (
+            SELECT k.o_orderkey,
+                   CAST(1 + (SELECT count(*) FROM bounds WHERE b < k.c)
+                        AS INTEGER) AS shard
+            FROM keyed k
+        ),
+        sizes AS (
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_rows
+            FROM assigned GROUP BY shard
+        ),
+        upper AS (
+            SELECT CAST((SELECT count(*) FROM bounds b2 WHERE b2.b <= b1.b)
+                        AS INTEGER) AS shard,
+                   round(CAST(b1.b AS DOUBLE) / 100, 2) AS upper_value
+            FROM bounds b1
+        ),
+        total AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM sizes)
+        SELECT s.shard, u.upper_value, s.n_rows,
+               CAST(s.n_rows * 8 * 10000 // total.t AS BIGINT) AS skew_bp
+        FROM sizes s LEFT JOIN upper u ON s.shard = u.shard, total
+        ORDER BY s.shard
+"""

@@ -25,10 +25,16 @@ right) while using available columns. Reference parity: these are the
 ad-hoc SQL analytics the reference serves through its query routes
 (reference routes.py query endpoints; SURVEY §2.3-§2.5).
 
-Scale notes (100 TB): every dimension here (nation x2, filtered part,
-supplier, even customer at ~1.5 M rows/TB) broadcasts; the single big
-shuffle is lineitem's groupBy. Global scalars (Q15 max, Q22 avg) are
-1-row aggregates cross-joined back (broadcast) — never a driver collect.
+Scale notes (100 TB): static F.broadcast hints appear ONLY on
+relations whose size is fixed at any SF — nation (25 rows), region
+(5), and 1-row global scalars (Q15 max, Q22 avg — cross-joined back,
+never a driver collect). Supplier/customer/part and every per-partkey
+aggregate GROW with the data (customer alone is ~150 M rows at 100 TB,
+past the 8 GB broadcast hard limit), so those joins carry no hint: AQE
+broadcasts them while the SF keeps them small and degrades to a
+shuffle join at volumes where a forced broadcast would OOM (the r8
+dedupops contract, applied here). The single unavoidable big shuffle
+is lineitem's groupBy.
 Float-equality joins (Q2 min, Q15 max) compare values produced by the
 SAME scan, so they are bit-identical; cross-engine comparisons go
 through per-row DECIMAL(18,6) quantization (_dsum) which is
@@ -72,8 +78,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = c.join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
-        .join(F.broadcast(c2), o.o_custkey == c2.c_custkey)
+        .join(s2, li.l_suppkey == s2.s_suppkey)
+        .join(c2, o.o_custkey == c2.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", _year("l_shipdate").alias("l_year"))
         .agg(
@@ -111,10 +117,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     tgt = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(asia_c), o.o_custkey == asia_c.c_custkey, "left_semi")
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(asia_c, o.o_custkey == asia_c.c_custkey, "left_semi")
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
         .groupBy(_year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -146,9 +152,9 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
         .groupBy("nation", _year("o_orderdate").alias("o_year"))
         .agg(_dsum(amount).alias("profit"), F.count("*").alias("n_rows"))
     )
@@ -211,7 +217,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.crossJoin(F.broadcast(best))
         .filter(F.col("_rev") == F.col("_best"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -233,8 +239,8 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -252,7 +258,7 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     b = (
         ((F.col("p_brand") == "Brand#1")
          & F.col("p_size").between(1, 10)
@@ -327,8 +333,8 @@ def min_balance_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     cand = (
-        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
-        .join(F.broadcast(eu), pairs.l_suppkey == eu.s_suppkey)
+        pairs.join(p, pairs.l_partkey == p.p_partkey)
+        .join(eu, pairs.l_suppkey == eu.s_suppkey)
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
     )
     mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
@@ -336,7 +342,7 @@ def min_balance_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(
-            F.broadcast(mins),
+            mins,
             (cand.p_partkey == F.col("mk")) & (cand.s_acctbal == F.col("mb")),
         )
         .select(
@@ -366,7 +372,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -403,7 +409,7 @@ def excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    promo_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    promo_li = li.join(p, li.l_partkey == p.p_partkey).select(
         "l_suppkey", "l_partkey", F.col("l_quantity").cast("decimal(18,6)").alias("qty")
     )
     pair = promo_li.groupBy("l_suppkey", "l_partkey").agg(
@@ -413,13 +419,13 @@ def excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("total_qty")
     )
     dominant = (
-        pair.join(F.broadcast(total), pair.l_partkey == F.col("tk"))
+        pair.join(total, pair.l_partkey == F.col("tk"))
         .filter(F.lit(8) * F.col("pair_qty") > F.col("total_qty"))
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("n_parts"))
     )
     return (
-        dominant.join(F.broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        dominant.join(s, dominant.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name", "n_parts")
         .orderBy(F.desc("n_parts"), "s_name")
