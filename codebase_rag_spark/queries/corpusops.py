@@ -1247,3 +1247,255 @@ ORACLES["vocabulary_jaccard_by_lang"] = """
         JOIN sizes sb ON sb.lang = i.lang_b
         ORDER BY lang_a, lang_b
 """
+
+
+# --- r9 batch 2: bigram LM eval + hapax lexical audit ---
+
+
+def bigram_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out BIGRAM-LM perplexity per source — the order-2 sibling of
+    heldout_perplexity: fit add-one-smoothed P(w2|w1) =
+    (c(w1 w2)+1)/(c(w1)+V) on the train split (doc_id % 10 < 8), score
+    held-out bigrams with unigram-context backoff for unseen bigrams
+    (1/(c(w1)+V), degrading to 1/V when w1 itself is unseen), and
+    report per-source cross-entropy / perplexity / unseen-bigram rate.
+    Bigram perplexity separates shuffled-word soup from real text in a
+    way no unigram score can — the cheap word-order-sensitivity filter.
+
+    Determinism (the heldout_perplexity recipe): every distinct train
+    bigram's -ln p and every distinct context's backoff -ln p are
+    quantized ONCE at 6dp DECIMAL; per-source totals are exact decimal
+    sums of count x quantized score; exp/round once at output.
+
+    Scale shape: bigram-keyed aggregates with map-side combine; the
+    scored-bigram and context joins are keyed shuffles whose build
+    sides are VOCABULARY-sized — un-hinted per the broadcast policy
+    (Heaps-law growth), AQE sizes them."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    # guard: Spark's sequence(1, 0) DESCENDS instead of being empty, so
+    # single-token docs must short-circuit to an empty bigram array
+    grams = F.expr(
+        "CASE WHEN size(_w) < 2 THEN"
+        " CAST(array() AS array<struct<w1: string, w2: string>>)"
+        " ELSE filter(transform(sequence(1, size(_w) - 1),"
+        " i -> struct(_w[i - 1] AS w1, _w[i] AS w2)),"
+        " g -> g.w1 <> '' AND g.w2 <> '') END"
+    )
+    base = d.select("doc_id", "source", w.alias("_w")).select(
+        "doc_id", "source", F.explode(grams).alias("g")
+    ).select("doc_id", "source", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    train = base.filter(F.col("doc_id") % 10 < 8)
+    held = base.filter(F.col("doc_id") % 10 >= 8)
+
+    big = train.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    ctx = train.groupBy("w1").agg(F.sum(F.lit(1)).cast("bigint").alias("c1"))
+    v = ctx.agg(F.countDistinct("w1").cast("bigint").alias("_v"))
+
+    scored_big = (
+        big.join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("_v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(16,6)")
+            .alias("_lp"),
+        )
+    )
+    scored_ctx = ctx.crossJoin(F.broadcast(v)).select(
+        "w1",
+        F.round(
+            -F.log(F.lit(1.0) / (F.col("c1") + F.col("_v")).cast("double")),
+            6,
+        )
+        .cast("decimal(16,6)")
+        .alias("_blp"),
+    )
+    oov = v.select(
+        F.round(-F.log(F.lit(1.0) / F.col("_v").cast("double")), 6)
+        .cast("decimal(16,6)")
+        .alias("_oov_lp")
+    )
+    hb = held.groupBy("source", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("hc")
+    )
+    joined = (
+        hb.join(scored_big, ["w1", "w2"], "left")
+        .join(scored_ctx, "w1", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "source",
+            "hc",
+            F.coalesce("_lp", "_blp", "_oov_lp").alias("_s"),
+            F.col("_lp").isNull().alias("_unseen"),
+        )
+    )
+    agg = joined.groupBy("source").agg(
+        F.sum("hc").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("_unseen"), F.col("hc")).otherwise(0))
+        .cast("bigint")
+        .alias("n_unseen"),
+        F.sum(F.col("hc").cast("decimal(20,6)") * F.col("_s"))
+        .cast("decimal(30,6)")
+        .alias("_tot"),
+    )
+    ce = F.col("_tot").cast("double") / F.col("n_bigrams").cast("double")
+    return agg.select(
+        "source",
+        "n_bigrams",
+        F.expr("CAST(n_unseen * 10000 DIV n_bigrams AS BIGINT)").alias(
+            "unseen_bp"
+        ),
+        F.round(ce, 4).alias("cross_entropy_nats"),
+        F.round(F.exp(ce), 2).alias("perplexity"),
+    ).orderBy("source")
+
+
+QUERIES["bigram_perplexity_heldout"] = bigram_perplexity_heldout
+
+ORACLES["bigram_perplexity_heldout"] = """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   string_split(text, ' ') AS w
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, source, w,
+                   unnest(range(1, len(w))) AS i
+            FROM toks
+        ),
+        base AS (
+            SELECT doc_id, source,
+                   w[i] AS w1, w[i + 1] AS w2
+            FROM pos
+            WHERE w[i] <> '' AND w[i + 1] <> ''
+        ),
+        big AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM base WHERE doc_id % 10 < 8 GROUP BY w1, w2
+        ),
+        ctx AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS c1
+            FROM base WHERE doc_id % 10 < 8 GROUP BY w1
+        ),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ctx),
+        scored_big AS (
+            SELECT w1, w2,
+                   CAST(round(-ln(CAST(c12 + 1 AS DOUBLE)
+                                  / CAST(c1 + v AS DOUBLE)), 6)
+                        AS DECIMAL(16,6)) AS lp
+            FROM big JOIN ctx USING (w1), v
+        ),
+        scored_ctx AS (
+            SELECT w1,
+                   CAST(round(-ln(1.0 / CAST(c1 + v AS DOUBLE)), 6)
+                        AS DECIMAL(16,6)) AS blp
+            FROM ctx, v
+        ),
+        oov AS (
+            SELECT CAST(round(-ln(1.0 / CAST(v AS DOUBLE)), 6)
+                        AS DECIMAL(16,6)) AS oov_lp
+            FROM v
+        ),
+        hb AS (
+            SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS hc
+            FROM base WHERE doc_id % 10 >= 8 GROUP BY source, w1, w2
+        ),
+        joined AS (
+            SELECT hb.source, hb.hc,
+                   coalesce(sb.lp, sc.blp, oov.oov_lp) AS s,
+                   sb.lp IS NULL AS unseen
+            FROM hb
+            LEFT JOIN scored_big sb ON hb.w1 = sb.w1 AND hb.w2 = sb.w2
+            LEFT JOIN scored_ctx sc ON hb.w1 = sc.w1, oov
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(sum(hc) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN unseen THEN hc ELSE 0 END) AS BIGINT)
+                       AS n_unseen,
+                   CAST(sum(CAST(hc AS DECIMAL(20,6)) * s) AS DECIMAL(30,6))
+                       AS tot
+            FROM joined GROUP BY source
+        )
+        SELECT source, n_bigrams,
+               CAST(n_unseen * 10000 // n_bigrams AS BIGINT) AS unseen_bp,
+               round(CAST(tot AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4)
+                   AS cross_entropy_nats,
+               round(exp(CAST(tot AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 2)
+                   AS perplexity
+        FROM agg ORDER BY source
+"""
+
+
+def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena audit per source: vocabulary size, share of vocab
+    occurring exactly once (hapax), and type-token ratio — the lexical
+    fingerprint that separates generative/templated text (low hapax,
+    low TTR) from organic text, and catches encoding breaks (hapax
+    explosion). All ratios in exact basis points (integer DIV). One
+    (source, token) aggregate with map-side combine, then an enum-keyed
+    rollup — scan-stage flat at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        st.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "n_hapax",
+            "n_tokens",
+            F.expr("CAST(n_hapax * 10000 DIV vocab_size AS BIGINT)").alias(
+                "hapax_bp"
+            ),
+            F.expr("CAST(vocab_size * 10000 DIV n_tokens AS BIGINT)").alias(
+                "ttr_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["hapax_ratio_by_source"] = hapax_ratio_by_source
+
+ORACLES["hapax_ratio_by_source"] = """
+        WITH st AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+            GROUP BY source, tok
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(sum(c) AS BIGINT) AS n_tokens
+            FROM st GROUP BY source
+        )
+        SELECT source, vocab_size, n_hapax, n_tokens,
+               CAST(n_hapax * 10000 // vocab_size AS BIGINT) AS hapax_bp,
+               CAST(vocab_size * 10000 // n_tokens AS BIGINT) AS ttr_bp
+        FROM agg ORDER BY source
+"""

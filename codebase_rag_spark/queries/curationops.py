@@ -3008,3 +3008,158 @@ ORACLES["user_activity_gini"] = """
                    AS top10pct_share
         FROM tot t, shares s
 """
+
+
+# --- r9 batch 2: head/middle/tail quality routing ---
+
+
+def quality_tertile_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail routing: score every doc with the
+    quantized unigram-LM surprise (low = typical = head; high = rare-
+    token-heavy = tail), cut each SOURCE at its own exact tertiles, and
+    report per-(source, tier) volume + mean score — the routing table a
+    pretraining pipeline uses to sample head-heavy mixtures. Per-doc
+    scores follow the heldout_perplexity determinism recipe (per-token
+    -ln p quantized once at 6dp DECIMAL, exact decimal sums, ONE
+    division rounded to 6dp), so tertile cuts compare identical doubles
+    in both engines. The per-source cutoffs come from
+    scalewin.exact_rank_quantile (range-sharded ranks — never a
+    per-source single-partition sort); the oracle mirrors the rank
+    formula rn = ceil(n * q) explicitly."""
+    from codebase_rag_spark.operators.scalewin import exact_rank_quantile
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_tok = (
+        d.select(
+            "doc_id", "source",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    vocab = doc_tok.groupBy("tok").agg(
+        F.sum("cnt").cast("bigint").alias("tf")
+    )
+    total = vocab.agg(F.sum("tf").cast("bigint").alias("_n"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            -F.log(F.col("tf").cast("double") / F.col("_n").cast("double")),
+            6,
+        )
+        .cast("decimal(16,6)")
+        .alias("_lp"),
+    )
+    per_doc = (
+        doc_tok.join(scored_vocab, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(20,6)") * F.col("_lp"))
+            .cast("decimal(30,6)")
+            .alias("_tot"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("_tot").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    cuts = exact_rank_quantile(
+        per_doc,
+        ["source"],
+        [F.col("score"), F.col("doc_id")],
+        "score",
+        {"_t1": 1.0 / 3.0, "_t2": 2.0 / 3.0},
+    )
+    tier = (
+        F.when(F.col("score") <= F.col("_t1"), F.lit("1_head"))
+        .when(F.col("score") <= F.col("_t2"), F.lit("2_middle"))
+        .otherwise(F.lit("3_tail"))
+    )
+    return (
+        per_doc.join(F.broadcast(cuts), "source")
+        .select("source", tier.alias("tier"), "n_tokens", F.col("score"))
+        .groupBy("source", "tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(20,6)"))
+                .cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_surprise"),
+        )
+        .orderBy("source", "tier")
+    )
+
+
+QUERIES["quality_tertile_routing"] = quality_tertile_routing
+
+ORACLES["quality_tertile_routing"] = """
+        WITH doc_tok AS (
+            SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT doc_id, source,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+            GROUP BY doc_id, source, tok
+        ),
+        vocab AS (
+            SELECT tok, CAST(sum(cnt) AS BIGINT) AS tf FROM doc_tok GROUP BY tok
+        ),
+        total AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM vocab),
+        scored_vocab AS (
+            SELECT tok,
+                   CAST(round(-ln(CAST(tf AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                        AS DECIMAL(16,6)) AS lp
+            FROM vocab, total
+        ),
+        per_doc AS (
+            SELECT dt.doc_id, dt.source,
+                   CAST(sum(dt.cnt) AS BIGINT) AS n_tokens,
+                   round(CAST(CAST(sum(CAST(dt.cnt AS DECIMAL(20,6)) * sv.lp)
+                                   AS DECIMAL(30,6)) AS DOUBLE)
+                         / CAST(CAST(sum(dt.cnt) AS BIGINT) AS DOUBLE), 6)
+                       AS score
+            FROM doc_tok dt JOIN scored_vocab sv USING (tok)
+            GROUP BY dt.doc_id, dt.source
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY score, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM per_doc
+        ),
+        cuts AS (
+            SELECT source,
+                   min(CASE WHEN rn = CAST(ceil(n * (1.0 / 3.0)) AS BIGINT)
+                            THEN score END) AS t1,
+                   min(CASE WHEN rn = CAST(ceil(n * (2.0 / 3.0)) AS BIGINT)
+                            THEN score END) AS t2
+            FROM ranked GROUP BY source
+        ),
+        tiered AS (
+            SELECT p.source,
+                   CASE WHEN p.score <= c.t1 THEN '1_head'
+                        WHEN p.score <= c.t2 THEN '2_middle'
+                        ELSE '3_tail' END AS tier,
+                   p.n_tokens, p.score
+            FROM per_doc p JOIN cuts c USING (source)
+        )
+        SELECT source, tier,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(CAST(sum(CAST(score AS DECIMAL(20,6))) AS DOUBLE)
+                     / count(*), 4) AS avg_surprise
+        FROM tiered GROUP BY source, tier
+        ORDER BY source, tier
+"""

@@ -1,0 +1,251 @@
+"""Math-invariant and brute-force-referee tests for the round-9
+operators (the test_r6/r8_properties convention): each statistical
+entry is re-derived in plain Python/pandas on sf0.001 and compared
+exactly, plus structural identities that must hold for ANY data."""
+
+from __future__ import annotations
+
+import math
+
+from codebase_rag_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_distribution_moments_bruteforce(spark):
+    """Skewness/kurtosis re-derived in exact Python ints (cents power
+    sums are small enough for arbitrary-precision int), same central-
+    moment formulas in floats at the end."""
+    from codebase_rag_spark.catalog import load_table
+
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["distribution_moments"](spark, SF).collect()
+    }
+    pdf = load_table(spark, SF, "events").select(
+        "event_type", "value"
+    ).toPandas()
+    pdf["c"] = (pdf["value"] * 100).round().astype("int64")
+    for et, g in pdf.groupby("event_type"):
+        cs = [int(x) for x in g["c"]]
+        n = len(cs)
+        s1, s2 = sum(cs), sum(c * c for c in cs)
+        s3, s4 = sum(c**3 for c in cs), sum(c**4 for c in cs)
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu**3
+        m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu**4
+        row = out[et]
+        assert row["n"] == n
+        assert row["mean_value"] == round(mu / 100, 4)
+        assert row["std_value"] == round(math.sqrt(m2) / 100, 4)
+        assert row["skewness"] == round(m3 / m2**1.5, 4)
+        assert row["kurtosis_excess"] == round(m4 / (m2 * m2) - 3, 4)
+
+
+def test_user_activity_gini_bruteforce_and_bounds(spark):
+    from codebase_rag_spark.catalog import load_table
+
+    row = QUERIES["user_activity_gini"](spark, SF).collect()[0]
+    pdf = load_table(spark, SF, "events").select("user_id").toPandas()
+    counts = pdf.groupby("user_id").size().reset_index(name="x")
+    xs = counts.sort_values(["x", "user_id"])["x"].tolist()
+    n, sx = len(xs), sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2 * srx - (n + 1) * sx) / (n * sx)
+    assert row["n_users"] == n and row["n_events"] == sx
+    assert row["gini"] == round(gini, 4)
+    k1, k10 = max(1, n // 100), max(1, n // 10)
+    assert row["top1pct_share"] == round(sum(xs[n - k1:]) / sx, 4)
+    assert row["top10pct_share"] == round(sum(xs[n - k10:]) / sx, 4)
+    # identities: 0 <= gini < 1; top shares nested and >= uniform share
+    assert 0 <= row["gini"] < 1
+    assert row["top1pct_share"] <= row["top10pct_share"] <= 1
+
+
+def test_burstiness_day_decomposition_equals_naive_lag(spark):
+    """The (type, day)-partitioned gap computation + day-boundary
+    recovery must equal the naive whole-stream lag gap multiset —
+    checked on a synthetic frame WITH duplicate timestamps and
+    multi-day holes (the edge cases the decomposition must survive)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1, 23, 59, 0)
+    # same-ts tie, midnight straddle, 3-day hole
+    for i, off_s in enumerate([0, 0, 90, 120, 3 * 86400, 3 * 86400 + 5]):
+        rows.append((i, t0 + dt.timedelta(seconds=off_s), "a", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r["event_type"]: r
+            for r in QUERIES["event_interarrival_burstiness"](
+                spark, d
+            ).collect()
+        }
+    # naive consecutive diffs (s): last same-day event is at +120 s, the
+    # next is at +3 days exactly, so the hole gap is 3*86400 - 120
+    gaps = [0, 90, 30, 3 * 86400 - 120, 5]
+    n = len(gaps)
+    mu = sum(gaps) * 1e6 / n
+    sd = math.sqrt(sum((g * 1e6) ** 2 for g in gaps) / n - mu * mu)
+    row = out["a"]
+    assert row["n_gaps"] == n
+    assert row["mean_gap_s"] == round(mu / 1e6, 4)
+    assert row["cv"] == round(sd / mu, 4)
+    assert row["burstiness"] == round((sd - mu) / (sd + mu), 4)
+
+
+def test_sorted_neighborhood_pair_budget(spark):
+    """Structural identity: with window w=2, a lang with n >= 2 docs
+    yields exactly (n-1) + (n-2) candidate pairs — the linear pair
+    budget the method exists for."""
+    from codebase_rag_spark.catalog import load_table
+
+    out = {
+        r["lang"]: r
+        for r in QUERIES["sorted_neighborhood_pairs"](spark, SF).collect()
+    }
+    d = load_table(spark, SF, "documents")
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    for lang, n in per_lang.items():
+        expect = max(n - 1, 0) + max(n - 2, 0)
+        assert out[lang]["n_pairs"] == expect, lang
+        assert 0 <= out[lang]["avg_j_bp"] <= out[lang]["max_j_bp"] <= 10000
+
+
+def test_range_shard_boundaries_partition_identity(spark):
+    """Shard sizes must sum to the table count, boundaries must be
+    strictly increasing, and every shard must be non-empty (equi-depth
+    with 150k/8 rows per tile cannot produce an empty shard unless a
+    single value spans a whole tile)."""
+    from codebase_rag_spark.catalog import load_table
+
+    rows = QUERIES["range_shard_boundaries"](spark, SF).collect()
+    n_orders = load_table(spark, SF, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == n_orders
+    assert [r["shard"] for r in rows] == list(range(1, 9))
+    uppers = [r["upper_value"] for r in rows if r["upper_value"] is not None]
+    assert uppers == sorted(uppers) and len(set(uppers)) == len(uppers)
+    assert rows[-1]["upper_value"] is None  # last shard is unbounded
+    assert all(r["n_rows"] > 0 for r in rows)
+
+
+def test_join_cardinality_estimate_fk_exactness(spark):
+    """For a true FK join (every left key present on the unique right
+    side), actual == n_left and the uniformity estimate is EXACT when
+    ndv_right == n_right and left keys cover the right domain — so
+    est_rows == actual_rows for lineitem x orders and orders x
+    customer only if coverage holds; at minimum est/actual must be
+    within the ndv-coverage bound est <= n_left."""
+    rows = {
+        r["join_name"]: r
+        for r in QUERIES["join_cardinality_estimate"](spark, SF).collect()
+    }
+    for name, r in rows.items():
+        # right side is the PK side in all three branches
+        assert r["ndv_right"] == r["n_right"], name
+        # uniformity estimate with max(ndv) = n_right: n_left * n_right
+        # / n_right == n_left exactly
+        assert r["est_rows"] == r["n_left"], name
+        assert r["actual_rows"] <= r["n_left"], name
+
+
+def test_incremental_agg_fold_order_invariance(spark):
+    """Additive state must not care HOW history is windowed: the
+    registry entry folds 3 time-ordered batches; this referee recomputes
+    with a different (5-way, interleaved by event_id parity then time)
+    batching on the same data and the merged state must be identical."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+
+    base = QUERIES["incremental_agg_maintenance"](spark, SF)
+    e = load_table(spark, SF, "events")
+    ev = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+        "event_id",
+    )
+    state = None
+    for pred in [
+        (F.col("event_id") % 2 == 0) & (F.dayofmonth("day") <= 15),
+        (F.col("event_id") % 2 == 0) & (F.dayofmonth("day") > 15),
+        (F.col("event_id") % 2 == 1) & (F.dayofmonth("day") > 20),
+        (F.col("event_id") % 2 == 1) & (F.dayofmonth("day") <= 10),
+        (F.col("event_id") % 2 == 1)
+        & (F.dayofmonth("day") > 10)
+        & (F.dayofmonth("day") <= 20),
+    ]:
+        delta = (
+            ev.filter(pred)
+            .groupBy("event_type", "day")
+            .agg(
+                F.count("*").cast("bigint").alias("_dn"),
+                F.sum("_cents").cast("bigint").alias("_ds"),
+            )
+        )
+        if state is None:
+            state = delta.select(
+                "event_type", "day",
+                F.col("_dn").alias("n"), F.col("_ds").alias("s"),
+            )
+        else:
+            state = state.join(delta, ["event_type", "day"], "full_outer").select(
+                "event_type", "day",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias("n"),
+                (F.coalesce("s", F.lit(0)) + F.coalesce("_ds", F.lit(0))).alias("s"),
+            )
+        state = state.localCheckpoint(eager=False)
+    want = {
+        (r["event_type"], str(r["day"])): (r["n"], r["s"]) for r in state.collect()
+    }
+    got = {
+        (r["event_type"], r["day"]): (
+            r["n_events"],
+            int(round(r["sum_value"] * 100)),
+        )
+        for r in base.collect()
+    }
+    assert got == want
+
+
+def test_vocabulary_jaccard_symmetry_and_bounds(spark):
+    rows = QUERIES["vocabulary_jaccard_by_lang"](spark, SF).collect()
+    langs = set()
+    for r in rows:
+        assert r["lang_a"] < r["lang_b"]  # upper triangle only
+        assert 0 < r["n_shared"] <= min(r["v_a"], r["v_b"])
+        assert 0 <= r["jaccard_bp"] <= 10000
+        langs |= {r["lang_a"], r["lang_b"]}
+    # complete upper-triangular matrix over the langs present
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+
+
+def test_hapax_and_tertile_identities(spark):
+    h = QUERIES["hapax_ratio_by_source"](spark, SF).collect()
+    for r in h:
+        assert 0 <= r["n_hapax"] <= r["vocab_size"] <= r["n_tokens"]
+        assert 0 <= r["hapax_bp"] <= 10000 and 0 < r["ttr_bp"] <= 10000
+    t = QUERIES["quality_tertile_routing"](spark, SF).collect()
+    by_source = {}
+    for r in t:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rows in by_source.items():
+        tiers = sorted(r["tier"] for r in rows)
+        assert tiers == ["1_head", "2_middle", "3_tail"], source
+        # mean surprise must be non-decreasing head -> middle -> tail
+        ordered = sorted(rows, key=lambda r: r["tier"])
+        surprises = [r["avg_surprise"] for r in ordered]
+        assert surprises == sorted(surprises), source
