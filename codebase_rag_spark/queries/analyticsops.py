@@ -2025,3 +2025,98 @@ ORACLES["join_cardinality_estimate"] = """
                         * actual_rows) AS BIGINT) AS err_bp
         FROM stats ORDER BY join_name
 """
+
+
+# --- r9 batch 3: equi-depth histogram selectivity audit ---
+
+
+def histogram_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram selectivity validation — the third leg of
+    the CBO stool next to cbo_column_stats (base stats) and
+    join_cardinality_estimate (join formula): build an 8-bucket
+    equi-depth histogram over l_extendedprice (exact NTILE via
+    scalewin.global_ntile — range-sharded, no single-partition sort),
+    then audit the continuous-uniform interpolation estimate for the
+    range predicate [30000, 60000) against the TRUE per-bucket count.
+    Per-bucket err shows exactly where uniform-within-bucket breaks —
+    the evidence behind Spark's own equi-height histogram option
+    (spark.sql.statistics.histogram.enabled). Estimates use integer
+    cents and integer DIV throughout (overlap_width * n_rows DIV
+    bucket_width) — exact at any SF; one ntile pass + one conditional
+    aggregate."""
+    from codebase_rag_spark.operators.scalewin import global_ntile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lb, ub = 30000 * 100, 60000 * 100  # predicate [lb, ub) in cents
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    keyed = li.select(
+        cents.alias("_c"), "l_orderkey", "l_linenumber"
+    )
+    tiled = global_ntile(
+        keyed, [F.col("_c"), F.col("l_orderkey"), F.col("l_linenumber")],
+        8, "_b",
+    )
+    per_bucket = tiled.groupBy("_b").agg(
+        F.min("_c").alias("_lo"),
+        F.max("_c").alias("_hi"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when((F.col("_c") >= lb) & (F.col("_c") < ub), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("actual_in_range"),
+    )
+    # inclusive integer-domain interpolation: bucket covers [lo, hi],
+    # width hi-lo+1; overlap with [lb, ub) is [max(lo,lb), min(hi,ub-1)]
+    ov = F.greatest(
+        F.lit(0),
+        F.least(F.col("_hi"), F.lit(ub - 1))
+        - F.greatest(F.col("_lo"), F.lit(lb))
+        + 1,
+    )
+    return per_bucket.select(
+        F.col("_b").cast("bigint").alias("bucket"),
+        F.round(F.col("_lo").cast("double") / 100, 2).alias("lo_value"),
+        F.round(F.col("_hi").cast("double") / 100, 2).alias("hi_value"),
+        "n_rows",
+        F.expr(
+            "CAST(greatest(0, least(_hi, {u}) - greatest(_lo, {l}) + 1)"
+            " * n_rows DIV (_hi - _lo + 1) AS BIGINT)".format(u=ub - 1, l=lb)
+        ).alias("est_in_range"),
+        "actual_in_range",
+    ).orderBy("bucket")
+
+
+QUERIES["histogram_selectivity_audit"] = histogram_selectivity_audit
+
+ORACLES["histogram_selectivity_audit"] = """
+        WITH keyed AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        tiled AS (
+            SELECT c,
+                   ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS b
+            FROM keyed
+        ),
+        per_bucket AS (
+            SELECT b,
+                   CAST(min(c) AS BIGINT) AS lo,
+                   CAST(max(c) AS BIGINT) AS hi,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN c >= 3000000 AND c < 6000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS actual_in_range
+            FROM tiled GROUP BY b
+        )
+        SELECT b AS bucket,
+               round(CAST(lo AS DOUBLE) / 100, 2) AS lo_value,
+               round(CAST(hi AS DOUBLE) / 100, 2) AS hi_value,
+               n_rows,
+               CAST(greatest(0, least(hi, 5999999) - greatest(lo, 3000000)
+                             + 1) * n_rows // (hi - lo + 1) AS BIGINT)
+                   AS est_in_range,
+               actual_in_range
+        FROM per_bucket ORDER BY bucket
+"""

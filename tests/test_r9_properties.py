@@ -249,3 +249,27 @@ def test_hapax_and_tertile_identities(spark):
         ordered = sorted(rows, key=lambda r: r["tier"])
         surprises = [r["avg_surprise"] for r in ordered]
         assert surprises == sorted(surprises), source
+
+
+def test_histogram_selectivity_partition_and_bounds(spark):
+    """Equi-depth identities: bucket sizes sum to the table count and
+    differ by at most 1 (ANSI ntile); bucket ranges are ordered and
+    non-overlapping; per-bucket interpolation estimate is bounded by
+    the bucket size; fully-covered buckets estimate EXACTLY n_rows
+    (overlap == width) and disjoint buckets estimate 0 == actual."""
+    from codebase_rag_spark.catalog import load_table
+
+    rows = QUERIES["histogram_selectivity_audit"](spark, SF).collect()
+    n = load_table(spark, SF, "lineitem").count()
+    sizes = [r["n_rows"] for r in rows]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi_value"] <= cur["lo_value"]
+    lb, ub = 30000.0, 60000.0
+    for r in rows:
+        assert 0 <= r["est_in_range"] <= r["n_rows"]
+        assert 0 <= r["actual_in_range"] <= r["n_rows"]
+        if r["lo_value"] >= lb and r["hi_value"] < ub:  # fully inside
+            assert r["est_in_range"] == r["n_rows"] == r["actual_in_range"]
+        if r["hi_value"] < lb or r["lo_value"] >= ub:  # fully outside
+            assert r["est_in_range"] == 0 == r["actual_in_range"]
