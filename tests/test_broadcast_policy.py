@@ -82,3 +82,31 @@ def test_unbounded_relation_keywords_not_rebroadcast():
     for rel, frag in banned_fragments:
         text = (root / rel).read_text()
         assert frag not in text, f"{rel}: de-hinted relation regressed: {frag}"
+
+
+def test_optimizer_broadcasts_dehinted_joins_by_size(spark, sf_dir):
+    """The de-hint trade, demonstrated end-to-end on region_revenue
+    (customer side de-hinted in the r9 sweep): only the two fixed dims
+    (nation, region) carry static hints, yet ALL FOUR joins execute as
+    broadcast joins at this SF — Catalyst's size estimation (statically
+    from file stats, adaptively from shuffle stats) makes the small-SF
+    broadcast decision without any hint on the data-scaled sides. That
+    is the whole policy: the optimizer owns the size decision, so the
+    same code degrades to a shuffle join at 100-TB volumes instead of
+    hitting the 8 GB broadcast wall."""
+    from codebase_rag_spark.plans import (
+        count_static_broadcast_hints,
+        explain_str,
+    )
+    from codebase_rag_spark.queries import QUERIES
+
+    df = QUERIES["region_revenue"](spark, sf_dir)
+    # exactly the nation + region hints survive the sweep
+    assert count_static_broadcast_hints(df) == 2
+    df.collect()
+    final = explain_str(df, "simple")
+    assert "isFinalPlan=true" in final, final
+    # lineitem-orders, orders-customer, customer-nation, nation-region:
+    # all broadcast at runtime despite only 2 hints
+    assert final.count("BroadcastHashJoin") >= 4, final
+    assert "SortMergeJoin" not in final, final
