@@ -663,7 +663,7 @@ ORACLES["comment_markers"] = f"""
                                       chr(10)) AS l
                   FROM c)
         )
-        SELECT snippet_id, line_no,
+        SELECT CAST(snippet_id AS BIGINT) AS snippet_id, line_no,
                CASE WHEN contains(upper(line), 'TODO') THEN 'TODO'
                     WHEN contains(upper(line), 'FIXME') THEN 'FIXME'
                     WHEN contains(upper(line), 'BUG') THEN 'BUG'

@@ -3643,6 +3643,7 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dp").isNotNull(), F.datediff("dp", "d0")
         )
         .otherwise(F.datediff("dl", "d0"))
+        .cast("bigint")
         .alias("day_t"),
         F.col("dp").isNotNull().cast("int").alias("death"),
     )

@@ -1181,7 +1181,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             .localCheckpoint(eager=False)
         )
     return v.select(
-        F.col("d").alias("dim"),
+        F.col("d").cast("bigint").alias("dim"),
         F.round(F.col("v").cast("double"), 6).alias("component"),
     ).orderBy("dim")
 
