@@ -1499,3 +1499,108 @@ ORACLES["hapax_ratio_by_source"] = """
                CAST(vocab_size * 10000 // n_tokens AS BIGINT) AS ttr_bp
         FROM agg ORDER BY source
 """
+
+
+# --- r9 batch 4: CMS sink fold twin (driver-checked additivity) ---
+
+
+def cms_fold_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built INCREMENTALLY through the streaming sink's
+    dataflow (streaming/cms_ingest.py: per-batch partial sketches, folded
+    by summing counters as read_cms does): the corpus arrives as THREE
+    interleaved pseudo-batches (doc_id % 3 — interleaving stresses
+    additivity harder than contiguous ranges), each batch collapses to
+    its own vocab and partial 4x256 sketch, and the fold is a counter
+    sum. The oracle builds the ONE-SHOT sketch over the whole corpus
+    (cms_heavy_hitters' SQL recipe), so a driver hash match proves the
+    sink's fold-equals-batch additivity theorem end-to-end — the CMS
+    sibling of scd2_dimension_build and psi_snapshot_readout. Probes the
+    exact top-10 tokens; over_bp is the CMS overestimate in basis
+    points (count-min never underestimates, so over_bp >= 0 always).
+    State is depth*width rows per batch — constant at any corpus
+    scale."""
+    from codebase_rag_spark.functions.text import tokens
+    from codebase_rag_spark.operators.corpus_stats import (
+        build_count_min,
+        cms_estimate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    partials = []
+    for b in range(3):
+        vocab_b = (
+            toks.filter(F.col("doc_id") % 3 == b)
+            .groupBy("tok")
+            .agg(F.count("*").alias("_n"))
+        )
+        partials.append(
+            build_count_min(
+                vocab_b, depth=CMS_DEPTH, width=CMS_WIDTH, count_col="_n"
+            )
+        )
+    folded = (
+        partials[0]
+        .unionByName(partials[1])
+        .unionByName(partials[2])
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("true_n"))
+        .orderBy(F.desc("true_n"), "tok")
+        .limit(10)
+    )
+    return (
+        cms_estimate(folded, top, depth=CMS_DEPTH, width=CMS_WIDTH)
+        .select(
+            "tok",
+            "true_n",
+            F.col("cms_n").cast("bigint").alias("cms_n"),
+            F.expr(
+                "CAST((cms_n - true_n) * 10000 DIV true_n AS BIGINT)"
+            ).alias("over_bp"),
+        )
+        .orderBy(F.desc("true_n"), "tok")
+    )
+
+
+QUERIES["cms_fold_readout"] = cms_fold_readout
+
+ORACLES["cms_fold_readout"] = rf"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+            FROM documents
+        ),
+        t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+        d(r) AS (VALUES (0), (1), (2), (3)),
+        cnt AS (
+            SELECT r,
+                   ('0x' || substr(md5(tok || chr(0) || 'cms' || r), 1, 8))::BIGINT
+                       % {CMS_WIDTH} AS bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM t2 CROSS JOIN d
+            GROUP BY r, bucket
+        ),
+        top AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS true_n FROM t2
+            GROUP BY tok ORDER BY true_n DESC, tok LIMIT 10
+        ),
+        est AS (
+            SELECT t.tok, t.true_n, CAST(min(c.c) AS BIGINT) AS cms_n
+            FROM top t
+            CROSS JOIN d
+            JOIN cnt c
+              ON c.r = d.r
+             AND c.bucket = ('0x' || substr(md5(t.tok || chr(0) || 'cms'
+                                               || d.r), 1, 8))::BIGINT
+                            % {CMS_WIDTH}
+            GROUP BY t.tok, t.true_n
+        )
+        SELECT tok, true_n, cms_n,
+               CAST((cms_n - true_n) * 10000 // true_n AS BIGINT) AS over_bp
+        FROM est ORDER BY true_n DESC, tok
+"""
