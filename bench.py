@@ -13,6 +13,18 @@ its last select (regex extraction, rounding chains) benched cheaper than
 its real production cost. df.write.format("noop") keeps every output
 column live. Timings before BENCH_local_r8 are on the count() basis —
 compare across the break only per ROUND8_NOTES.md.
+
+Timing basis (VERDICT r9 #1, changed in r10): each row is the MIN of
+N_PASSES=2 back-to-back executions (the tools/scale_probe.py
+convention). A single pass made the artifact weather-dominated — the
+committed r9 run showed 55 phantom >2x "regressions" that a judge-side
+3-run replay traced entirely to VM host contention. Min-of-2 rejects
+one-off scheduler stalls per row; the weather-control row (a fixed-shape
+synthetic aggregate over range(), no input tables, identical plan every
+round) calibrates whatever contention remains: if "control" drifts vs
+prior rounds' artifacts, the whole artifact drifted with the host, not
+the code. Timings before BENCH_local_r10 are single-pass — compare
+across the break accordingly. The JSON line records basis + control.
 """
 
 from __future__ import annotations
@@ -217,6 +229,30 @@ def main() -> None:
 
     spark.range(1).mapInPandas(_ident, "id long").collect()
 
+    # transpile-codegen warm (VERDICT r9 #2 nit / next-round #4): the
+    # FIRST stacked-select transpile shape in a session pays a one-time
+    # janino compile of the ~18-rule regexp_replace Projects (5.8-10 s
+    # measured r9) that belongs to the session, not to whichever
+    # transpile-family query runs first. Compile both directions once on
+    # a 1-row frame so every transpile bench row measures steady state.
+    try:
+        from codebase_rag_spark.operators.sqlmeta import (
+            with_reverse_transpiled,
+            with_transpiled,
+        )
+
+        _w = spark.createDataFrame(
+            [("SELECT 1", "mysql")], "sql string, dialect string"
+        )
+        with_transpiled(_w, "sql", "dialect").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        with_reverse_transpiled(_w, "sql", "dialect").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001 - warm-up must never fail the run
+        print(f"BENCH WARM SKIP transpile: {e}", file=sys.stderr)
+
     # table warm (VERDICT r6 #4): one full-column noop materialization per
     # input table, shared by ALL queries — absorbs first-read parquet
     # footer/page costs so per-query rows measure the query, not whichever
@@ -232,20 +268,48 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - warm-up must never fail the run
             print(f"BENCH WARM SKIP {t}: {e}", file=sys.stderr)
 
+    # Weather-control row: a fixed-shape synthetic aggregate with NO input
+    # tables — one wide projection, one shuffle, one agg over range().
+    # Its plan is byte-identical every round, so any drift in its timing
+    # across artifacts measures the HOST, not the repo. Sampled before
+    # and after the query loop (host contention is time-varying).
+    def control_pass() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "id % 1000003 AS k",
+            "cast(id % 97 as double) AS v",
+        ).groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.avg("v").alias("a"),
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
+    control_pass()  # uncounted: absorb the control shape's own codegen
+    control = [min(control_pass(), control_pass())]
+
     # Per-query error isolation: one broken query must never cost the run its
     # entire timing signal. Failures are recorded in "errors" and excluded
     # from the total; the JSON line is emitted no matter what.
+    # Each row = min of N_PASSES back-to-back runs (VERDICT r9 #1).
+    N_PASSES = 2
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
         try:
-            df = QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(N_PASSES):
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
         except Exception as e:  # noqa: BLE001 - isolate any query failure
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+
+    control.append(min(control_pass(), control_pass()))
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -255,6 +319,12 @@ def main() -> None:
         "sf": sf,
         "n_ok": len(timings),
         "n_err": len(errors),
+        "basis": f"min_of_{N_PASSES}_noop",
+        "control": {
+            "shape": "range(50e6,32p) -> mod-key groupBy count/sum/avg",
+            "pre_sec": control[0],
+            "post_sec": control[1],
+        },
     }
     if errors:
         out["errors"] = errors

@@ -1046,10 +1046,13 @@ def _duck_rules(rules: list[tuple[str, str]], col_sql: str) -> str:
         # Loud failure beats silent mis-split: control bytes ARE normal
         # in rule text (mask sentinels use \x04-\x14), so the "\x01 can
         # never appear" invariant is enforced, not just asserted in prose
-        # (ADVICE r8).
-        assert "\x01" not in pat and "\x01" not in rep, (
-            f"rule contains the \\x01 packing delimiter: {pat!r} -> {rep!r}"
-        )
+        # (ADVICE r8). ValueError, not assert: an assert is stripped under
+        # `python -O`, which would silently re-enable the mis-split
+        # (ADVICE r9).
+        if "\x01" in pat or "\x01" in rep:
+            raise ValueError(
+                f"rule contains the \\x01 packing delimiter: {pat!r} -> {rep!r}"
+            )
         p = pat.replace("'", "''")
         r = rep.replace("$", "\\").replace("'", "''")
         items.append(f"'{p}\x01{r}'")

@@ -34,11 +34,15 @@ PACKAGE_ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
 def scan_broadcast_sites(root: pathlib.Path | None = None) -> dict[str, int]:
-    """{"<relpath>::<enclosing function>": n_sites} for every
+    """{"<relpath>::<enclosing function stack>": n_sites} for every
     ``*.broadcast(...)`` call under the package root. Grouping by
     enclosing function (not line number) keeps the manifest stable
     under unrelated edits while still forcing re-review when a
-    function gains or loses a hint."""
+    function gains or loses a hint. The key carries the FULL nesting
+    stack (``outer::inner``), not just the innermost name: generically
+    named nested helpers (``branch``, ``day``) in different queries of
+    one file would otherwise merge into one ambiguous manifest row
+    (ADVICE r9)."""
     root = root or PACKAGE_ROOT
     out: dict[str, int] = {}
 
@@ -60,7 +64,7 @@ def scan_broadcast_sites(root: pathlib.Path | None = None) -> dict[str, int]:
             def visit_Call(self, node):  # noqa: N802
                 f = node.func
                 if isinstance(f, ast.Attribute) and f.attr == "broadcast":
-                    fn = self.stack[-1] if self.stack else "<module>"
+                    fn = "::".join(self.stack) if self.stack else "<module>"
                     key = f"{rel}::{fn}"
                     out[key] = out.get(key, 0) + 1
                 self.generic_visit(node)

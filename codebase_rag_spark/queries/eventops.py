@@ -5224,7 +5224,12 @@ def distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in the oracle. One scan, one enum-keyed aggregate —
     scan-stage flat at 100 TB."""
     e = load_table(spark, sf_dir, "events")
-    c = F.round(F.col("value") * 100).cast("decimal(6,0)")
+    # decimal(8,0) (not 6): ANSI mode is off, so an out-of-range cents
+    # value under a narrower cast becomes NULL and silently drops out of
+    # the sums — a wrong answer with no error. 8 digits covers $999,999.99
+    # and keeps c^4 at decimal(35,0), inside the 38-digit ceiling
+    # (ADVICE r9).
+    c = F.round(F.col("value") * 100).cast("decimal(8,0)")
     base = e.select(
         "event_type",
         c.alias("_c1"),

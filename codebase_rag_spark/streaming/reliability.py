@@ -69,14 +69,23 @@ def read_snapshot(
     try:
         df = spark.read.parquet(path)
     except Exception as exc:
+        # ADVICE r9: the original failure class/message leads the error —
+        # a transient IO/permission/network fault must not read as "your
+        # state is torn, start destructive recovery". Only after ruling
+        # out a transient cause does the manual procedure below apply.
         raise RuntimeError(
-            f"state snapshot at {path!r} exists but is unreadable — "
-            "likely an interrupted overwrite. Refusing to restart from "
-            "empty state (would re-apply already-applied batches). If "
-            "this pipeline has never committed a batch, delete the "
-            "directory and restart; otherwise restore it from backup or "
-            "clear snapshot + streaming checkpoint together to replay "
-            "(see read_snapshot docstring)."
+            f"state snapshot at {path!r} exists but failed to read: "
+            f"[{type(exc).__name__}] {exc}. FIRST rule out transient "
+            "causes (IO/permission/network) and simply retry — do NOT "
+            "delete anything for a recoverable fault. If the read fails "
+            "deterministically (e.g. only _SUCCESS left by an "
+            "interrupted overwrite, corrupt footer), this is torn "
+            "state: refusing to restart from empty (would re-apply "
+            "already-applied batches). If this pipeline has never "
+            "committed a batch, delete the directory and restart; "
+            "otherwise restore it from backup or clear snapshot + "
+            "streaming checkpoint together to replay (see read_snapshot "
+            "docstring)."
         ) from exc
     if APPLIED_COL not in df.columns:  # pre-marker snapshot: treat as hwm -1
         return df, -1

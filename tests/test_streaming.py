@@ -1071,5 +1071,12 @@ def test_read_snapshot_raises_actionably_on_unreadable_state(spark, tmp_path):
     torn = tmp_path / "torn_snapshot"
     torn.mkdir()
     (torn / "_SUCCESS").touch()
-    with pytest.raises(RuntimeError, match="interrupted overwrite"):
+    # ADVICE r9: the message must lead with the ORIGINAL failure class and
+    # tell the operator to rule out transient faults before any
+    # destructive recovery step.
+    with pytest.raises(
+        RuntimeError, match=r"\[\w+\].*rule out transient"
+    ) as ei:
         read_snapshot(spark, str(torn))
+    assert "interrupted overwrite" in str(ei.value)
+    assert ei.value.__cause__ is not None

@@ -306,3 +306,19 @@ def test_rules_never_fire_inside_quotes():
     }
     for (dialect, src), want in cases.items():
         assert _transpile_py(src, dialect) == want, (dialect, src)
+
+
+def test_duck_rules_packing_delimiter_guard_survives_optimize():
+    """ADVICE r9: the \\x01 packing-delimiter invariant in _duck_rules must
+    raise ValueError (not assert, which `python -O` strips) — a silent
+    mis-split would corrupt the oracle-side rule chain."""
+    import pytest
+
+    from codebase_rag_spark.operators.sqlmeta import _duck_rules
+
+    with pytest.raises(ValueError, match="packing delimiter"):
+        _duck_rules([("bad\x01pat", "rep")], "col")
+    with pytest.raises(ValueError, match="packing delimiter"):
+        _duck_rules([("pat", "bad\x01rep")], "col")
+    # clean rules still render
+    assert "list_reduce" in _duck_rules([("a", "b")], "col")
