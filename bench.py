@@ -295,6 +295,8 @@ def main() -> None:
     N_PASSES = 2
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    import gc
+
     for name in HEADLINE:
         try:
             best = float("inf")
@@ -307,6 +309,12 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - isolate any query failure
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+        # Drop Python refs promptly so the ContextCleaner can release
+        # localCheckpoint blocks (the fold-twin entries each pin a few;
+        # 322 queries x 2 passes in one JVM otherwise accumulate block
+        # pressure that bleeds into later rows). Outside the timers.
+        df = None
+        gc.collect()
 
     control.append(min(control_pass(), control_pass()))
 

@@ -182,3 +182,27 @@ def topk_per_group(
     return (
         df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     )
+
+
+def logistic_fusion(
+    features: DataFrame,
+    weights: dict[str, float],
+    bias: float,
+    out_col: str = "fused_score",
+    decimals: int = 6,
+) -> DataFrame:
+    """Feature-fusion rerank scoring: sigmoid(bias + sum w_c * col_c) —
+    the deterministic stand-in for the cross-encoder/LTR rerank stage a
+    production RAG stack runs over its hybrid candidate pool (the
+    reference approximates this with hand-tuned multipliers,
+    ranker.py:12-62; a learned linear model over the SAME features is the
+    standard first upgrade). Pure column math in the candidates'
+    projection — no shuffle of its own, whatever partitioning the
+    candidate join produced flows through."""
+    logit = F.lit(float(bias))
+    for c, w in weights.items():
+        logit = logit + F.lit(float(w)) * F.coalesce(
+            F.col(c).cast("double"), F.lit(0.0)
+        )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return features.withColumn(out_col, F.round(score, decimals))

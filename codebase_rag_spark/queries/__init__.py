@@ -192,39 +192,30 @@ _DRIVER_CHECKED = {
     "mann_whitney_value_shift", "value_iqr_outliers", "sql_lint_severity",
     "tokenizer_fertility_audit", "token_length_histogram",
     "unigram_entropy_by_lang",
+    # --- r09 (50, all green in CORRECTNESS_r09.json; only the names not
+    # already listed above — the union now covers all 313 r9 entries) ---
+    "bigram_perplexity_heldout", "cms_fold_readout",
+    "distribution_moments", "event_interarrival_burstiness",
+    "hapax_ratio_by_source", "histogram_selectivity_audit",
+    "incremental_agg_maintenance", "join_cardinality_estimate",
+    "quality_tertile_routing", "range_shard_boundaries",
+    "sorted_neighborhood_pairs", "user_activity_gini",
+    "vocabulary_jaccard_by_lang",
 }
 
-# Round-9 window (rotation computed from CORRECTNESS_r08.json: all 50
-# rows green, union now covers all 300 entries). _PRIORITY = everything
-# REWRITTEN after its r8 driver row, so the next driver row postdates
+# Round-10 window (rotation computed from CORRECTNESS_r09.json: all 50
+# rows green, union now covers all 313 entries). _PRIORITY = everything
+# REWRITTEN after its r9 driver row, so the next driver row postdates
 # the current implementation:
-#   * the three transpile entries: the rule chain now runs as stacked
-#     aliased selects so every codegen unit compiles (VERDICT r8 #4);
-#   * doc_k_core: k_core's per-round survivor semi-joins no longer force
-#     F.broadcast (VERDICT r8 #2 — AQE sizes them);
-#   * scd2_dimension_build: fold windows now partition ALL of time
-#     (ADVICE r8 — the bounded tail dropped out-of-span events);
-#   * the 22 entries de-hinted by the r9 repo-wide broadcast-policy
-#     sweep (tests/broadcast_sites.json): static F.broadcast dropped
-#     from data-scaled relations (full/filtered customer/supplier/part,
-#     per-partkey aggregates, per-user funnel aggregates, unigram
-#     vocabularies) — AQE sizes those joins now.
-# New round-9 entries fill the remaining window slots automatically via
-# the dict rebuild below (never-checked entries sort before checked).
+#   * distribution_moments: the cents cast widened decimal(6,0) ->
+#     decimal(8,0) (ADVICE r9 — out-of-range values silently became
+#     NULL under ANSI-off and dropped from the sums).
+# New round-10 entries (dedup_ingest_fold, fulltext_incremental_fold,
+# cbo_column_stats_approx, bloom_ingest_fold, ...) fill the remaining
+# window slots automatically via the dict rebuild below (never-checked
+# entries sort before checked).
 _PRIORITY = [
-    "sql_transpile", "sql_dml_transpile", "sql_reverse_transpile",
-    "doc_k_core", "scd2_dimension_build",
-    # r9 de-hint sweep, relational/analytics/event/corpus consumers:
-    "region_revenue", "big_orders", "small_quantity_revenue",
-    "shipping_priority", "promo_revenue_share", "nation_revenue_trend",
-    "ship_delay_percentiles", "cohort_retention", "funnel_steps",
-    "conversion_latency", "conversion_latency_quantiles",
-    "funnel_conversion_ci", "collocation_lift_top",
-    # r9 de-hint sweep, TPC-H shapes:
-    "volume_shipping", "market_share", "product_profit",
-    "top_revenue_supplier", "supplier_part_counts",
-    "disjunctive_bracket_revenue", "min_balance_shipper",
-    "returned_item_revenue", "excess_promo_suppliers",
+    "distribution_moments",
 ]
 
 QUERIES = {

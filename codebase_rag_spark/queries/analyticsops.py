@@ -1905,6 +1905,149 @@ ORACLES["cbo_column_stats"] = f"""
 """
 
 
+# --- r10: the 100-TB approx-stats swap as a REGISTERED, tolerance-banded
+# entry (VERDICT r8 #7 / r9 next-round #3) ---
+
+_CBO_P50_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def cbo_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100-TB swap for cbo_column_stats, now a checked
+    operator instead of a docstring: sketch-based stats
+    (approx_count_distinct = HLL++, approx_percentile = Greenwald-Khanna
+    — both MERGEABLE, so at scale they fold across partitions/days with
+    no global sort or Expand) audited against exact stats under a
+    tolerance band the driver gate enforces.
+
+    The oracle cannot reproduce Spark's sketch values (different HLL
+    seeds/encodings), so the banded contract makes the sketch
+    driver-checkable anyway: the Spark side emits the EXACT value (which
+    DuckDB recomputes — that column crosses engines) plus a boolean
+    `within_band` asserting |approx - exact| is inside the sketch's
+    documented error; the oracle emits literal TRUE. A sketch drifting
+    out of band flips the boolean and fails the hash — the same
+    tolerance-twin pattern as distinct_users_hll, but on Spark's REAL
+    production sketches rather than an md5 re-derivation.
+
+    Bands: ndv within 15% (HLL++ default rsd = 5%, band = 3*rsd);
+    approx p50 (accuracy 1000 => rank error <= 0.1% of n) must land
+    between the exact discrete p49 and p51 — a rank band ~500x wider
+    than the guarantee, so a pass is meaningful and a failure is a real
+    sketch bug, not noise. One single-sketch aggregate per column over a
+    column-pruned scan, unioned (the cbo_column_stats no-Expand shape);
+    the exact referees ride along only to measure the band — at 100 TB
+    you keep ONLY the sketch passes.
+
+    The exact p49/p50/p51 come from ONE value-HISTOGRAM pass over all
+    numeric columns stacked into (column_name, value) rows: groupBy the
+    distinct values (map-side combine — the shuffle carries one row per
+    distinct value, not per input row), then a cumulative-count window
+    per column over that tiny table and min(value where cum >= ceil(q*n))
+    per quantile. The per-column window task is O(ndv), which is the
+    honest cost model for discrete quantiles: l_quantity/discount/tax
+    have 50/11/9 distinct values and l_extendedprice ~583k at sf1.
+    Rejected forms, all measured: per-expression percentile_disc
+    (object-aggregate re-collects and re-sorts the column PER
+    EXPRESSION) 11-38 s @ sf0.1; one exact_rank_quantile per column
+    (per-branch range-sampling jobs serialize on the driver) 25/9 s;
+    ONE stacked exact_rank_quantile (range partitioning never splits
+    TIES, so the 9-value l_tax puts ~600k rows in single shards —
+    super-linear, 23 s @ sf1, exponent 1.05). Values are identical to
+    percentile_disc: disc(q) is the smallest value whose cumulative
+    count reaches ceil(q*n) (oracle pins the rank form explicitly)."""
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    li = spread_for_compute(load_table(spark, sf_dir, "lineitem"))
+    parts = []
+    for c in _CBO_COLS:
+        exact = F.countDistinct(F.col(c)).cast("bigint")
+        approx = F.approx_count_distinct(F.col(c), 0.05).cast("bigint")
+        parts.append(
+            li.select(F.col(c)).agg(
+                F.lit(c).alias("column_name"),
+                F.lit("ndv").alias("metric"),
+                exact.cast("string").alias("exact_value"),
+                (
+                    F.abs(approx.cast("double") - exact.cast("double"))
+                    <= 0.15 * exact.cast("double")
+                ).alias("within_band"),
+            )
+        )
+    ndv = parts[0]
+    for p in parts[1:]:
+        ndv = ndv.unionByName(p)
+    stack_expr = "stack({n}, {args}) as (column_name, _v)".format(
+        n=len(_CBO_P50_COLS),
+        args=", ".join(f"'{c}', {c}" for c in _CBO_P50_COLS),
+    )
+    stacked = li.select(*_CBO_P50_COLS).selectExpr(stack_expr)
+    hist = stacked.groupBy("column_name", "_v").agg(
+        F.count("*").alias("_cnt")
+    )
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            Window.partitionBy("column_name")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "_n", F.sum("_cnt").over(Window.partitionBy("column_name"))
+    )
+
+    def disc(q: float) -> Column:
+        return F.min(
+            F.when(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")), F.col("_v"))
+        )
+
+    brackets = cum.groupBy("column_name").agg(
+        disc(0.49).alias("_q49"),
+        disc(0.5).alias("_q50"),
+        disc(0.51).alias("_q51"),
+    )
+    ap = stacked.groupBy("column_name").agg(
+        F.expr("approx_percentile(_v, 0.5, 1000)").alias("_ap")
+    )
+    p50 = brackets.join(ap, "column_name").select(
+        "column_name",
+        F.lit("p50").alias("metric"),
+        F.col("_q50").cast("string").alias("exact_value"),
+        F.col("_ap").between(F.col("_q49"), F.col("_q51")).alias(
+            "within_band"
+        ),
+    )
+    return ndv.unionByName(p50).orderBy("metric", "column_name")
+
+
+QUERIES["cbo_column_stats_approx"] = cbo_column_stats_approx
+
+_CBO_APPROX_ROWS_SQL = " UNION ALL ".join(
+    [
+        f"SELECT '{c}' AS column_name, 'ndv' AS metric,"
+        f" CAST(count(DISTINCT {c}) AS VARCHAR) AS exact_value,"
+        f" TRUE AS within_band FROM lineitem"
+        for c in _CBO_COLS
+    ]
+    + [
+        # explicit rank form (rn = ceil(q*n)) — pins the exact_rank_quantile
+        # convention rather than trusting quantile_disc's to coincide
+        f"SELECT '{c}' AS column_name, 'p50' AS metric,"
+        f" CAST(_v AS VARCHAR) AS exact_value, TRUE AS within_band"
+        f" FROM (SELECT {c} AS _v,"
+        f"              row_number() OVER (ORDER BY {c}) AS rn,"
+        f"              count(*) OVER () AS n"
+        f"       FROM lineitem) r"
+        f" WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)"
+        for c in _CBO_P50_COLS
+    ]
+)
+
+ORACLES["cbo_column_stats_approx"] = f"""
+        SELECT * FROM ({_CBO_APPROX_ROWS_SQL})
+        ORDER BY metric, column_name
+"""
+
+
 # --- r9: CBO join-cardinality estimation audit ---
 
 

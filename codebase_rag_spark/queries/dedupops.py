@@ -1387,3 +1387,562 @@ ORACLES["sorted_neighborhood_pairs"] = """
                CAST(max(j_bp) AS BIGINT) AS max_j_bp
         FROM pairs GROUP BY lang ORDER BY lang
 """
+
+
+# --- r10: driver twin of the streaming dedup-ingest sink (VERDICT r8 #6 /
+# r9 next-round #2) ---
+
+# Shift for the duplicated-corpus construction: past any real doc_id at
+# every SF (sf1 tiling tops out ~5e5), so copies never collide with
+# originals; 1e9 % 3 == 1, so a copy ALWAYS lands in a different
+# pseudo-batch than its original.
+_COPY_SHIFT = 1_000_000_000
+
+
+def dedup_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch exact dedup computed through the streaming sink's OWN
+    per-batch dataflow (streaming/dedup_ingest.py:dedup_batch — the same
+    function foreachBatch runs): the corpus arrives as THREE interleaved
+    pseudo-batches (doc_id % 3), each batch dedups in-batch (min-id
+    keeper per content sha) then anti-joins the signatures accumulated by
+    ALL earlier batches. The oracle is the ONE-SHOT dedup over the whole
+    corpus (earliest batch wins, then min id — a row_number over
+    (batch, doc_id) per hash), so a driver hash match proves the sink's
+    fold-equals-oneshot contract end-to-end — the dedup sibling of
+    scd2_dimension_build / psi_snapshot_readout / cms_fold_readout.
+
+    The test corpus carries NO exact duplicates, so the twin unions a
+    _COPY_SHIFT-shifted copy of every doc: each text then exists exactly
+    twice and (shift % 3 == 1) the copy ALWAYS lands in a different
+    pseudo-batch than the original — every duplicate pair crosses a batch
+    boundary, so the cross-batch anti-join (not the in-batch keeper) is
+    what the hash verifies. The survivor for about a third of the pairs
+    is the HIGHER doc_id (its batch folds first), which a naive global
+    min-id dedup would get wrong — the oracle's (batch, id) ordering pins
+    the sink's actual arrival-order semantics.
+
+    Scale: per-fold cost is one in-batch hash aggregate + one anti-join
+    against the signature accumulation — un-hinted (the signature side is
+    unbounded; AQE broadcasts while small, shuffles beyond). Lineage is
+    cut between folds (lazy localCheckpoint, the scd2_dimension_build
+    convention) so batch k's anti-join does not recompute batches < k."""
+    from codebase_rag_spark.streaming.dedup_ingest import dedup_batch
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"), "text")
+    )
+    seen = None
+    outs = []
+    for b in range(3):
+        batch = corpus.filter(F.col("doc_id") % 3 == b)
+        fresh = dedup_batch(batch, seen).localCheckpoint(eager=False)
+        outs.append(
+            fresh.select(
+                "doc_id",
+                "content_sha",
+                F.lit(b).cast("bigint").alias("ingest_batch"),
+            )
+        )
+        sigs = fresh.select("content_sha")
+        seen = sigs if seen is None else seen.unionByName(sigs)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("doc_id")
+
+
+QUERIES["dedup_ingest_fold"] = dedup_ingest_fold
+
+# fold result must equal the one-shot dedup where the EARLIEST batch wins
+ORACLES["dedup_ingest_fold"] = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_COPY_SHIFT} AS doc_id, text FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, sha256(text) AS content_sha,
+                   doc_id % 3 AS b
+            FROM corpus
+        ),
+        ranked AS (
+            SELECT doc_id, content_sha, b,
+                   row_number() OVER (
+                       PARTITION BY content_sha ORDER BY b, doc_id
+                   ) AS rn
+            FROM hashed
+        )
+        SELECT doc_id, content_sha, CAST(b AS BIGINT) AS ingest_batch
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+INGEST_BLOOM_M, INGEST_BLOOM_K = 8192, 3
+
+
+def bloom_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The constant-state streaming dedup's OR-merged filter, audited
+    under the driver gate (the stretch half of VERDICT r8 #6): the same
+    duplicated 3-pseudo-batch corpus as dedup_ingest_fold folds through
+    streaming/bloom_ingest.py's OWN dataflow — bloom_survivors (in-batch
+    keeper, then drop every hash the previous filter passes) and
+    merge_bloom (OR the survivors' bits in) — and the readout is the
+    final (w, bits) bitmap with per-word popcounts.
+
+    The oracle builds the ONE-SHOT filter over the distinct content
+    hashes of the whole corpus, which is provably what the fold must
+    produce: OR is idempotent, so dropping an already-seen (or
+    false-positive) doc never clears bits that its hashes would have
+    set — every hash's bits end up in the bitmap exactly once no matter
+    how batches slice the corpus. A driver hash match therefore pins the
+    sink's bitmap-fold additivity end-to-end, the Bloom sibling of
+    cms_fold_readout's counter additivity. The hash family is the
+    repo's engine-portable md5 recipe (operators/bloomfilter.py), so
+    DuckDB rebuilds the identical bitmap bit-for-bit.
+
+    Scale: state is <= m/32 rows per fold regardless of corpus size;
+    each fold is one probe (k broadcast word-table joins — design-fixed
+    size) + one map-side-combined bit_or aggregate."""
+    from codebase_rag_spark.streaming.bloom_ingest import (
+        bloom_survivors,
+        merge_bloom,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + _COPY_SHIFT).alias("doc_id"), "text")
+    )
+    filt = None
+    for b in range(3):
+        batch = corpus.filter(F.col("doc_id") % 3 == b)
+        survivors = bloom_survivors(
+            batch, filt, m_bits=INGEST_BLOOM_M, k_hashes=INGEST_BLOOM_K
+        )
+        filt = merge_bloom(
+            survivors, filt, m_bits=INGEST_BLOOM_M, k_hashes=INGEST_BLOOM_K
+        ).localCheckpoint(eager=False)
+    return filt.select(
+        "w",
+        "bits",
+        F.bit_count("bits").cast("bigint").alias("n_bits"),
+    ).orderBy("w")
+
+
+QUERIES["bloom_ingest_fold"] = bloom_ingest_fold
+
+# the folded bitmap must equal the one-shot filter over distinct hashes
+ORACLES["bloom_ingest_fold"] = f"""
+        WITH ks AS (
+            SELECT DISTINCT sha256(text) AS key FROM documents
+        ),
+        d(i) AS (VALUES (0), (1), (2)),
+        pos AS (
+            SELECT ('0x' || substr(md5(key || chr(0) || 'bloom' || i),
+                                   1, 8))::BIGINT % {INGEST_BLOOM_M} AS p
+            FROM ks CROSS JOIN d
+        ),
+        words AS (
+            SELECT p // 32 AS w,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+                       AS bits
+            FROM pos GROUP BY w
+        )
+        SELECT w, bits, CAST(bit_count(bits) AS BIGINT) AS n_bits
+        FROM words ORDER BY w
+"""
+
+
+# --- r10: suffix/prefix boundary-overlap dedup (VERDICT r9 next-round
+# #8: the context-window-stuffing variant of duplicated_spans) ---
+
+
+def boundary_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-boundary overlap detection: find fragment pairs where one
+    fragment's SUFFIX equals another's PREFIX — the duplication shape
+    context-window stuffing produces when a long document is re-split
+    into overlapping windows and the shards are ingested as independent
+    docs. Doc-level MinHash misses it (fragments are mostly distinct);
+    duplicated_spans flags the grams but not the stitch direction or
+    length. Detected overlap window: 8..64 tokens (documented cap — an
+    8-gram is the discrimination floor, 64 the longest stuffing overlap
+    audited; both engines implement the same cap).
+
+    The test corpus has no overlapping shards, so the query builds them
+    the way a window-stuffer would: every doc with >= 16 tokens splits
+    into A = tokens[1 .. n/2 + v] and B = tokens[n/2+1 .. n] with
+    v = clamp(n/5, 8, 48) — a v-token overlap straddling the midpoint.
+    B's fragment id is doc_id + _COPY_SHIFT (collision-proof at every
+    SF). The operator is then run blind over the fragment pool.
+
+    Plan (the duplicated_spans lesson, applied to an asymmetric key):
+      1. anchor — each fragment emits its first-8-token key once (the
+         prefix side) and, per candidate overlap length m in 8..min(64,L),
+         the 8-gram OPENING its length-m suffix (<=57 small rows per
+         fragment); ONE hash equi-join pairs suffix anchors with prefix
+         keys. No token arrays ride this shuffle.
+      2. verify — candidates only: join the two fragments' token arrays
+         back by id and keep m where suffix_m(A) == prefix_m(B) exactly
+         (token-level, collision-free); max m per pair is the overlap.
+    Cost is linear in fragments + anchor matches; arrays shuffle only
+    for the candidate pairs. No broadcast hints — pair lists and
+    fragment sides are data-scaled, AQE sizes them."""
+    SEP = " "  # tokens are \s+-split, so a space join is unambiguous
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", "lang", t.alias("t")).withColumn(
+        "n", F.size("t")
+    ).filter(F.col("n") >= 16)
+    s = F.expr("n DIV 2")
+    v = F.least(F.greatest(F.expr("n DIV 5"), F.lit(8)), F.lit(48))
+    a_side = base.select(
+        F.col("doc_id").alias("frag_id"),
+        "lang",
+        F.slice("t", F.lit(1), s + v).alias("t"),
+    )
+    b_side = base.select(
+        (F.col("doc_id") + _COPY_SHIFT).alias("frag_id"),
+        "lang",
+        F.slice("t", s + 1, F.col("n") - s).alias("t"),
+    )
+    frags = a_side.unionByName(b_side).withColumn("L", F.size("t"))
+    anchors = frags.select(
+        F.col("frag_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(8), F.least(F.lit(64), F.col("L")))
+        ).alias("m"),
+        "t",
+        "L",
+    ).select(
+        "src",
+        "m",
+        F.array_join(
+            F.slice("t", F.col("L") - F.col("m") + 1, F.lit(8)), SEP
+        ).alias("key"),
+    )
+    prefixes = frags.select(
+        F.col("frag_id").alias("dst"),
+        F.array_join(F.slice("t", F.lit(1), F.lit(8)), SEP).alias("key"),
+    )
+    cand = anchors.join(prefixes, "key").filter(F.col("src") != F.col("dst"))
+    left = frags.select(
+        F.col("frag_id").alias("src"),
+        F.col("lang"),
+        F.col("t").alias("ta"),
+        F.col("L").alias("la"),
+    )
+    right = frags.select(
+        F.col("frag_id").alias("dst"),
+        F.col("t").alias("tb"),
+        F.col("L").alias("lb"),
+    )
+    verified = (
+        cand.join(left, "src")
+        .join(right, "dst")
+        .filter(
+            (F.col("m") <= F.col("lb"))
+            & (
+                F.slice("ta", F.col("la") - F.col("m") + 1, F.col("m"))
+                == F.slice("tb", F.lit(1), F.col("m"))
+            )
+        )
+    )
+    return (
+        verified.groupBy("src", "dst", "lang")
+        .agg(F.max("m").cast("bigint").alias("overlap_tokens"))
+        .select(
+            F.col("src").alias("left_id"),
+            F.col("dst").alias("right_id"),
+            "lang",
+            "overlap_tokens",
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+QUERIES["boundary_overlap_pairs"] = boundary_overlap_pairs
+
+ORACLES["boundary_overlap_pairs"] = rf"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        b2 AS (
+            SELECT doc_id, lang, t, len(t) AS n
+            FROM base WHERE len(t) >= 16
+        ),
+        frag AS (
+            SELECT doc_id AS frag_id, lang,
+                   t[1 : (n // 2) + least(greatest(n // 5, 8), 48)] AS t
+            FROM b2
+            UNION ALL
+            SELECT doc_id + {_COPY_SHIFT}, lang, t[(n // 2) + 1 : n] FROM b2
+        ),
+        f2 AS (SELECT frag_id, lang, t, len(t) AS L FROM frag),
+        anchors AS (
+            SELECT f2.frag_id AS src, g.m,
+                   array_to_string(t[L - g.m + 1 : L - g.m + 8], ' ') AS key
+            FROM f2 CROSS JOIN generate_series(8, 64) AS g(m)
+            WHERE g.m <= L
+        ),
+        prefixes AS (
+            SELECT frag_id AS dst,
+                   array_to_string(t[1:8], ' ') AS key
+            FROM f2
+        ),
+        cand AS (
+            SELECT a.src, p.dst, a.m
+            FROM anchors a JOIN prefixes p ON a.key = p.key
+            WHERE a.src <> p.dst
+        ),
+        verified AS (
+            SELECT c.src, c.dst, la.lang, c.m
+            FROM cand c
+            JOIN f2 la ON la.frag_id = c.src
+            JOIN f2 rb ON rb.frag_id = c.dst
+            WHERE c.m <= rb.L
+              AND la.t[la.L - c.m + 1 : la.L] = rb.t[1 : c.m]
+        )
+        SELECT src AS left_id, dst AS right_id, lang,
+               CAST(max(m) AS BIGINT) AS overlap_tokens
+        FROM verified GROUP BY src, dst, lang
+        ORDER BY left_id, right_id
+"""
+
+
+def signature_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance audit for the dedup sink's signature table (the state
+    streaming/dedup_ingest.py appends one small file per micro-batch —
+    at one batch a minute that is half a million files a year): plan the
+    compacted layout with sources/layout.py:hex_key_compaction_plan
+    (equi-width ranges over the sha's leading 32 bits — scan-stage
+    assignment, NO global sort) and audit the plan's three contracts:
+
+      * parity — per-file n_rows sum back to the full signature count
+        (share_bp is each file's share in basis points; the driver hash
+        over all rows pins the exact partition of the table);
+      * skew — equi-width over a sha domain must be near-equi-depth;
+        share_bp exposes any imbalance to review;
+      * disjointness — each file's max_key must sort strictly below the
+        next file's min_key (range-disjoint files keep parquet min/max
+        skipping effective after the rewrite).
+
+    The audit window runs over the MANIFEST (n_files rows, a design
+    constant), never the signature rows — the single-partition window is
+    bounded by construction at any corpus scale."""
+    from pyspark.sql import Window
+
+    from codebase_rag_spark.sources.layout import hex_key_compaction_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select(F.sha2(F.col("text"), 256).alias("content_sha"))
+    manifest = hex_key_compaction_plan(sigs, "content_sha", 8)
+    w = Window.orderBy("file_id")
+    total = Window.partitionBy()
+    return (
+        manifest.withColumn("_tot", F.sum("n_rows").over(total))
+        .withColumn(
+            "share_bp", F.expr("CAST(n_rows * 10000 DIV _tot AS BIGINT)")
+        )
+        .withColumn(
+            "disjoint_next",
+            F.coalesce(
+                F.col("max_key") < F.lead("min_key").over(w), F.lit(True)
+            ),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "share_bp",
+            F.substring("min_key", 1, 8).alias("min_key8"),
+            F.substring("max_key", 1, 8).alias("max_key8"),
+            "disjoint_next",
+        )
+        .orderBy("file_id")
+    )
+
+
+QUERIES["signature_compaction_audit"] = signature_compaction_audit
+
+ORACLES["signature_compaction_audit"] = """
+        WITH sigs AS (
+            SELECT sha256(text) AS content_sha FROM documents
+        ),
+        assigned AS (
+            SELECT content_sha,
+                   ('0x' || substr(content_sha, 1, 8))::BIGINT * 8
+                       // 4294967296 AS file_id
+            FROM sigs
+        ),
+        manifest AS (
+            SELECT file_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(content_sha) AS min_key,
+                   max(content_sha) AS max_key
+            FROM assigned GROUP BY file_id
+        )
+        SELECT file_id, n_rows,
+               CAST(n_rows * 10000 // (SELECT sum(n_rows) FROM manifest)
+                    AS BIGINT) AS share_bp,
+               substr(min_key, 1, 8) AS min_key8,
+               substr(max_key, 1, 8) AS max_key8,
+               coalesce(max_key < lead(min_key) OVER (ORDER BY file_id),
+                        TRUE) AS disjoint_next
+        FROM manifest ORDER BY file_id
+"""
+
+
+def lsh_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming NEAR-dup sink driver-checked end-to-end — the last
+    pytest-only ingest path (VERDICT r9 noted dedup/bloom/lsh as the
+    remaining trio; dedup and bloom twins live above): three interleaved
+    pseudo-batches fold through streaming/lsh_ingest.py's OWN dataflow —
+    batch_signatures (shingled md5 MinHash, band keys) then
+    lsh_dedup_batch (cross-batch probe of the accumulated band index,
+    then in-batch self-dedup, larger id loses) — and the oracle UNROLLS
+    the same three folds in SQL (the doc_k_core unrolled-iteration
+    convention) over the identical md5 hash family, so the driver hash
+    pins the sink's sequential keeper semantics exactly: which doc
+    survives depends on ARRIVAL ORDER (a batch-1 doc loses to a batch-0
+    near-match but beats a batch-2 one), which no one-shot dedup
+    reproduces.
+
+    Near-dups are constructed (the corpus has none): every doc gains a
+    +_COPY_SHIFT copy with one appended token ' qq' — a handful of
+    changed shingles, so most copies agree on >= 3 of 4 minhashes and
+    are dropped as near-matches while a deterministic minority drift
+    below threshold and survive; both engines agree bit-for-bit because
+    the hash family is md5.
+
+    Scale: per-fold cost is one signature aggregate + band equi-joins
+    against the index delta union — no corpus self-join; the index side
+    is unbounded so it carries NO broadcast hint (AQE sizes the probe).
+    4 hashes / 2 bands / 3-shingles (the module's oracle-checked LSH
+    constants); threshold 0.75 = 3-of-4 agreement."""
+    from codebase_rag_spark.streaming.lsh_ingest import (
+        batch_signatures,
+        lsh_dedup_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_SHIFT).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+        )
+    )
+    index = None
+    outs = []
+    for b in range(3):
+        batch = corpus.filter(F.col("doc_id") % 3 == b)
+        keyed = batch_signatures(
+            batch, "doc_id", "text",
+            num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3,
+        ).localCheckpoint(eager=False)
+        kept = lsh_dedup_batch(
+            keyed, index, num_hashes=NUM_HASHES, sim_threshold=0.75
+        ).localCheckpoint(eager=False)
+        shorts = batch.select(F.col("doc_id").alias("_id")).subtract(
+            keyed.select("_id")
+        )
+        ids = kept.select("_id").distinct().unionByName(shorts)
+        outs.append(
+            ids.select(
+                F.col("_id").alias("doc_id"),
+                F.lit(b).cast("bigint").alias("ingest_batch"),
+            )
+        )
+        delta = kept.select("band_key", "sig")
+        index = delta if index is None else index.unionByName(delta)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("doc_id")
+
+
+QUERIES["lsh_ingest_fold"] = lsh_ingest_fold
+
+_LSH_AGREE = (
+    "(CAST(({x}.mh0 = {y}.mh0) AS INTEGER)"
+    " + CAST(({x}.mh1 = {y}.mh1) AS INTEGER)"
+    " + CAST(({x}.mh2 = {y}.mh2) AS INTEGER)"
+    " + CAST(({x}.mh3 = {y}.mh3) AS INTEGER)) >= 3"
+)
+
+
+def _lsh_fold_batch_sql(b: int) -> str:
+    """One unrolled fold step: cross-batch near-matches vs the index
+    accumulated from kept0..kept{b-1}, then in-batch losers among the
+    cross-batch survivors (larger id loses)."""
+    if b == 0:
+        surv = "SELECT * FROM bands WHERE b = 0"
+    else:
+        idx = " UNION ALL ".join(f"SELECT * FROM kept{j}" for j in range(b))
+        surv = f"""
+            SELECT * FROM bands WHERE b = {b} AND doc_id NOT IN (
+                SELECT DISTINCT n.doc_id
+                FROM bands n JOIN ({idx}) o ON n.band_key = o.band_key
+                WHERE n.b = {b}
+                  AND {_LSH_AGREE.format(x='n', y='o')}
+            )"""
+    return f"""
+        surv{b} AS ({surv}),
+        kept{b} AS (
+            SELECT * FROM surv{b} WHERE doc_id NOT IN (
+                SELECT DISTINCT y.doc_id
+                FROM surv{b} x JOIN surv{b} y
+                  ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+                WHERE {_LSH_AGREE.format(x='x', y='y')}
+            )
+        )"""
+
+
+ORACLES["lsh_ingest_fold"] = rf"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_COPY_SHIFT}, text || ' qq' FROM documents
+        ),
+        base AS (
+            SELECT doc_id, doc_id % 3 AS b,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM corpus
+        ),
+        eligible AS (SELECT doc_id, b, t FROM base WHERE len(t) >= 3),
+        toks AS (
+            SELECT doc_id, b,
+                   unnest(list_transform(generate_series(1, len(t) - 2),
+                                         i -> array_to_string(t[i:i+2], ' ')))
+                       AS tok
+            FROM eligible
+        ),
+        sig AS (
+            SELECT doc_id, b,
+               {_minhash_sql_cols()}
+            FROM toks GROUP BY doc_id, b
+        ),
+        bands AS (
+            SELECT doc_id, b, mh0, mh1, mh2, mh3,
+                   md5('band0:' || mh0 || '|' || mh1) AS band_key FROM sig
+            UNION ALL
+            SELECT doc_id, b, mh0, mh1, mh2, mh3,
+                   md5('band1:' || mh2 || '|' || mh3) AS band_key FROM sig
+        ),
+        {_lsh_fold_batch_sql(0)},
+        {_lsh_fold_batch_sql(1)},
+        {_lsh_fold_batch_sql(2)},
+        shorts AS (
+            SELECT doc_id, b FROM base WHERE len(t) < 3
+        ),
+        survivors AS (
+            SELECT DISTINCT doc_id, b FROM kept0
+            UNION ALL SELECT DISTINCT doc_id, b FROM kept1
+            UNION ALL SELECT DISTINCT doc_id, b FROM kept2
+            UNION ALL SELECT doc_id, b FROM shorts
+        )
+        SELECT doc_id, CAST(b AS BIGINT) AS ingest_batch
+        FROM survivors ORDER BY doc_id
+"""

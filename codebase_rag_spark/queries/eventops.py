@@ -5490,3 +5490,67 @@ ORACLES["event_interarrival_burstiness"] = """
                round((sd - mu) / (sd + mu), 4) AS burstiness
         FROM m ORDER BY event_type
 """
+
+
+def qsketch_fold_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch mergeability driver-checked through the streaming
+    sink's own dataflow (streaming/qsketch_ingest.py: per-batch partial
+    sketches via build_qsketch, folded by merge_qsketch — the exact fold
+    read_qsketch runs over the batch-partition parquet): the event
+    stream arrives as THREE interleaved pseudo-batches (event_id % 3),
+    each collapses to its own partial decimal-bin sketch, and the fold
+    sums bin counts. The oracle builds the ONE-SHOT sketch over the
+    whole stream (value_quantile_sketch's bin SQL), so a driver hash
+    match proves the DDSketch-style additivity law end-to-end — the
+    quantile sibling of cms_fold_readout / psi_snapshot_readout.
+    State is <= 90 rows/decade/group per batch — constant at any
+    volume."""
+    from codebase_rag_spark.operators.qsketch import build_qsketch
+    from codebase_rag_spark.streaming.qsketch_ingest import merge_qsketch
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    partials = [
+        build_qsketch(
+            e.filter(F.col("event_id") % 3 == b), ["event_type"],
+            F.col("cents"),
+        )
+        for b in range(3)
+    ]
+    folded = merge_qsketch(
+        partials[0].unionByName(partials[1]).unionByName(partials[2])
+    )
+    return folded.select(
+        "event_type",
+        F.col("m").cast("bigint").alias("m"),
+        F.col("lead2").cast("bigint").alias("lead2"),
+        "cnt",
+    ).orderBy("event_type", "m", "lead2")
+
+
+QUERIES["qsketch_fold_readout"] = qsketch_fold_readout
+
+# the folded partials must equal the one-shot sketch (bin counts add)
+ORACLES["qsketch_fold_readout"] = """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        bins AS (
+            SELECT event_type,
+                   length(CAST(cents AS VARCHAR)) - 1 AS m,
+                   CASE WHEN length(CAST(cents AS VARCHAR)) >= 2
+                        THEN CAST(substr(CAST(cents AS VARCHAR), 1, 2)
+                                  AS BIGINT)
+                        ELSE cents * 10 END AS lead2
+            FROM base
+        )
+        SELECT event_type, CAST(m AS BIGINT) AS m, lead2,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM bins GROUP BY event_type, m, lead2
+        ORDER BY event_type, m, lead2
+"""

@@ -578,3 +578,161 @@ ORACLES["search_snippets"] = r"""
         FROM top, unnest(generate_series(1, len(_s))) AS t(i)
         ORDER BY n_hits DESC, doc_id, snippet_idx
 """
+
+
+# --- r10: feature-fusion rerank over the hybrid candidate pool
+# (VERDICT r9 next-round #8) ---
+
+_FUSION_W = {"graph_score": 2.5, "text_score": 1.8,
+             "len_feat": 0.8, "qual_feat": 0.4}
+_FUSION_BIAS = -1.0
+
+
+def feature_fusion_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rerank stage every RAG stack runs after candidate generation
+    (the reference approximates it with hand-tuned heuristic multipliers,
+    ranker.py:12-62): build a deterministic per-candidate feature vector
+    over the SAME hybrid pool hybrid_retrieval produces — graph
+    proximity (max 1/(1+depth) over the 2-hop expansion), term-frequency
+    text score, a length prior 100/(100+tokens), a quality prior
+    min(n_chars/1000, 1) — and score it with a fixed-weight logistic
+    model (operators/ranking.py:logistic_fusion). Candidates come from
+    EITHER branch (full-outer merge with coalesce-to-0 features: a
+    graph-only doc still gets length/quality signal), top-12 by fused
+    score.
+
+    Scale: the graph branch is query-bounded (10 seeds + <=2 hops); the
+    text branch is a filtered scan; features join back to documents on
+    doc_id — AQE sizes both joins (candidate pools are small in
+    practice but data-scaled in the worst case, so no static hint).
+    The fusion itself is pure projection math — zero extra exchanges
+    over the candidate join."""
+    from codebase_rag_spark.functions.text import token_count
+    from codebase_rag_spark.operators.ranking import logistic_fusion
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = _doc_chain_edges(d)
+    seeds = contains_fallback(d, "doc_id", "text", TERMS, k=10).select(
+        F.col("id").cast("string").alias("node")
+    )
+    reached = bounded_traversal(edges, seeds, depth=2)
+    graph = (
+        seeds.select("node", F.lit(0).alias("depth"))
+        .unionByName(reached)
+        .groupBy("node")
+        .agg(
+            F.round(
+                F.max(F.lit(1.0) / (F.lit(1.0) + F.col("depth"))), 4
+            ).alias("graph_score")
+        )
+        .select(F.col("node").alias("id"), "graph_score")
+    )
+    tf = sum(
+        (F.regexp_count(F.col("text"), F.lit(t)) for t in TERMS), F.lit(0)
+    )
+    text = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.round(tf / F.lit(10.0), 4).alias("text_score"),
+    ).filter(F.col("text_score") > 0)
+    cand = graph.join(text, "id", "full_outer")
+    feats = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.round(
+            F.lit(100.0) / (F.lit(100.0) + token_count(F.col("text"))), 4
+        ).alias("len_feat"),
+        F.round(
+            F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0)), 4
+        ).alias("qual_feat"),
+    )
+    scored = logistic_fusion(
+        cand.join(feats, "id"), _FUSION_W, _FUSION_BIAS
+    )
+    return (
+        scored.select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.coalesce("graph_score", F.lit(0.0)).alias("graph_score"),
+            F.coalesce("text_score", F.lit(0.0)).alias("text_score"),
+            "fused_score",
+        )
+        .orderBy(F.desc("fused_score"), F.col("doc_id"))
+        .limit(12)
+    )
+
+
+QUERIES["feature_fusion_rerank"] = feature_fusion_rerank
+
+ORACLES["feature_fusion_rerank"] = rf"""
+        WITH seeds AS (
+            SELECT CAST(doc_id AS VARCHAR) AS node
+            FROM (
+                SELECT doc_id, {_CONTAINS_SCORE} AS s
+                FROM documents
+            ) t
+            WHERE s > 0
+            ORDER BY s DESC, doc_id
+            LIMIT 10
+        ),
+        edges AS (
+            SELECT CAST(doc_id AS VARCHAR) AS src,
+                   CAST(lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                        AS VARCHAR) AS dst
+            FROM documents
+            QUALIFY dst IS NOT NULL
+        ),
+        hop1 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN seeds s ON e.src = s.node
+            WHERE e.dst NOT IN (SELECT node FROM seeds)
+        ),
+        hop2 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN hop1 h ON e.src = h.node
+            WHERE e.dst NOT IN (SELECT node FROM seeds)
+              AND e.dst NOT IN (SELECT node FROM hop1)
+        ),
+        graph AS (
+            SELECT node AS id, round(max(s), 4) AS graph_score FROM (
+                SELECT node, 1.0::DOUBLE / 1.0 AS s FROM seeds
+                UNION ALL SELECT node, 1.0::DOUBLE / 2.0 FROM hop1
+                UNION ALL SELECT node, 1.0::DOUBLE / 3.0 FROM hop2
+            ) g GROUP BY node
+        ),
+        txt AS (
+            SELECT * FROM (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       round({_TF_SQL} / 10.0::DOUBLE, 4) AS text_score
+                FROM documents
+            ) tb WHERE text_score > 0
+        ),
+        cand AS (
+            SELECT coalesce(g.id, t.id) AS id, g.graph_score, t.text_score
+            FROM graph g FULL OUTER JOIN txt t ON g.id = t.id
+        ),
+        feats AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   round(100.0::DOUBLE /
+                         (100.0::DOUBLE + len(list_filter(
+                             regexp_split_to_array(text, '\s+'),
+                             x -> x <> ''))), 4) AS len_feat,
+                   round(least(n_chars / 1000.0::DOUBLE, 1.0::DOUBLE), 4)
+                       AS qual_feat
+            FROM documents
+        ),
+        scored AS (
+            SELECT c.id,
+                   coalesce(c.graph_score, 0.0::DOUBLE) AS graph_score,
+                   coalesce(c.text_score, 0.0::DOUBLE) AS text_score,
+                   round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(
+                       -1.0::DOUBLE
+                       + 2.5::DOUBLE * coalesce(c.graph_score, 0.0::DOUBLE)
+                       + 1.8::DOUBLE * coalesce(c.text_score, 0.0::DOUBLE)
+                       + 0.8::DOUBLE * f.len_feat
+                       + 0.4::DOUBLE * f.qual_feat))), 6) AS fused_score
+            FROM cand c JOIN feats f ON c.id = f.id
+        )
+        SELECT CAST(id AS BIGINT) AS doc_id, graph_score, text_score,
+               fused_score
+        FROM scored
+        ORDER BY fused_score DESC, doc_id
+        LIMIT 12
+"""

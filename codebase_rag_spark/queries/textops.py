@@ -823,3 +823,77 @@ ORACLES["corpus_overview"] = r"""
                    AS avg_doc_tokens
         FROM stats, vocab, dups
 """
+
+
+# --- r10: driver twin of incremental fulltext-index maintenance
+# (VERDICT r9 next-round #7) ---
+
+
+def fulltext_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1's CDC path driver-checked end-to-end: the inverted index is
+    built INCREMENTALLY through operators/fulltext.py:update_inverted_index
+    — the same function an ingestion pipeline calls per change batch —
+    and the oracle builds the ONE-SHOT index over the final corpus state,
+    so a driver hash match proves incremental == rebuild at the postings
+    level (previously a pytest-only parity; the fulltext sibling of
+    scd2_dimension_build / cms_fold_readout / dedup_ingest_fold).
+
+    Change stream (three folds over doc_id % 3 pseudo-batches):
+      1. base index over batch 0 (build_inverted_index),
+      2. pure append of batch 1 (update with no deletions — the anti-join
+         must be a no-op on disjoint ids),
+      3. batch 2 arrives TOGETHER with updates (docs doc_id % 15 == 0
+         re-ingested with modified text — their old postings must drop)
+         and deletions (doc_id % 15 in (3, 4) — one batch-0 doc and one
+         batch-1 doc per 15, so the delete path crosses batches).
+
+    Scale: each fold's work is one anti-join (changed+deleted ids vs the
+    index — id-keyed, AQE-sized) plus postings for the change set only —
+    O(changed docs), never O(corpus); the '60x' incremental-ingestion
+    shape. At 100 TB the postings table is bucketed by term so the
+    anti-join and the append both stay shuffle-local."""
+    from codebase_rag_spark.operators.fulltext import (
+        build_inverted_index,
+        update_inverted_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = d.filter(F.col("doc_id") % 3 == 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 1)
+    b2 = d.filter(F.col("doc_id") % 3 == 2)
+    updated = d.filter(F.col("doc_id") % 15 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    deleted = d.filter((F.col("doc_id") % 15).isin(3, 4)).select(
+        F.col("doc_id").alias("id")
+    )
+
+    idx = build_inverted_index(b0, "doc_id", "text")
+    idx = update_inverted_index(idx, b1, None, "doc_id", "text")
+    idx = idx.localCheckpoint(eager=False)
+    idx = update_inverted_index(
+        idx, b2.unionByName(updated), deleted, "doc_id", "text"
+    )
+    return idx.orderBy("term", "id")
+
+
+QUERIES["fulltext_incremental_fold"] = fulltext_incremental_fold
+
+# incremental result must equal the one-shot index over the FINAL corpus
+ORACLES["fulltext_incremental_fold"] = r"""
+        WITH final AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 15 = 0 THEN text || ' updated'
+                        ELSE text END AS text
+            FROM documents
+            WHERE doc_id % 15 NOT IN (3, 4)
+        ),
+        toks AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+            FROM final
+        )
+        SELECT term, id, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> ''
+        GROUP BY term, id ORDER BY term, id
+"""

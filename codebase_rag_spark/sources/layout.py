@@ -125,3 +125,38 @@ def compact_files(
         out_path
     )
     return n_out
+
+
+def hex_key_compaction_plan(
+    df: DataFrame, key_col: str, n_files: int
+) -> DataFrame:
+    """Compaction planning for a hex-keyed state table (the dedup sink's
+    signature table: one sha-256 row per unique doc, appended as one
+    small file per micro-batch — the classic small-file pileup): assign
+    every row to one of `n_files` target files by equi-WIDTH ranges over
+    the key's leading 32 hash bits, and return the per-file manifest
+    (file_id, n_rows, min_key, max_key).
+
+    Equi-width on a cryptographic-hash domain IS near-equi-depth (the
+    keys are uniform), and unlike ntile/row_number it needs NO global
+    sort — the file assignment is scan-stage column math, the manifest
+    is one map-side-combined aggregate, and the planned files are
+    range-disjoint on the key BY CONSTRUCTION (each file owns a
+    contiguous hash interval), so a rewritten layout keeps parquet
+    min/max skipping effective for point lookups on the key. This is
+    the planning half of write_sized_sorted for keys where sampling
+    range boundaries (repartitionByRange) is unnecessary."""
+    b = F.conv(F.substring(F.col(key_col), 1, 8), 16, 10).cast("bigint")
+    return (
+        df.withColumn("_hb", b)
+        .withColumn(
+            "file_id",
+            F.expr(f"CAST(_hb * {int(n_files)} DIV 4294967296 AS BIGINT)"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+    )

@@ -39,6 +39,54 @@ def _read_bloom(spark: SparkSession, path: str) -> DataFrame | None:
     return read_version(spark, path)
 
 
+def bloom_survivors(
+    batch_df: DataFrame,
+    old: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """The sink's per-batch survivor dataflow as a pure function (factored
+    out so the driver-checked fold twin `bloom_ingest_fold` runs the SAME
+    code the stream does): in-batch exact dedup (min-id keeper per
+    content hash), then drop every doc whose hash PASSES the previous
+    filter (`old`, a (w, bits) table or None on the first batch ever).
+    Returns survivors with content_sha attached."""
+    hashed = batch_df.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    keeper = hashed.groupBy("content_sha").agg(F.min(id_col).alias("_keep_id"))
+    fresh = hashed.join(
+        keeper,
+        (hashed["content_sha"] == keeper["content_sha"])
+        & (hashed[id_col] == keeper["_keep_id"]),
+    ).select(hashed["*"])
+    if old is not None:
+        fresh = (
+            bloom_probe(fresh, "content_sha", old, m_bits, k_hashes)
+            .filter(~F.col("bloom_pass"))
+            .drop("bloom_pass")
+        )
+    return fresh
+
+
+def merge_bloom(
+    survivors: DataFrame,
+    old: DataFrame | None,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """OR the survivors' bits into the filter — idempotent (a replayed
+    batch re-ORs already-set bits), associative, and order-insensitive,
+    which is exactly the fold-equals-oneshot theorem `bloom_ingest_fold`
+    pins under the driver gate."""
+    add = build_bloom(survivors, "content_sha", m_bits, k_hashes)
+    if old is None:
+        return add
+    return (
+        add.unionByName(old).groupBy("w").agg(F.bit_or("bits").alias("bits"))
+    )
+
+
 def bloom_dedup_ingest(
     docs: DataFrame,
     out_path: str,
@@ -55,22 +103,11 @@ def bloom_dedup_ingest(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hashed = batch_df.withColumn("content_sha", F.sha2(F.col(text_col), 256))
-        # in-batch exact dedup (deterministic keeper: min id per hash)
-        keeper = hashed.groupBy("content_sha").agg(F.min(id_col).alias("_keep_id"))
-        fresh = hashed.join(
-            keeper,
-            (hashed["content_sha"] == keeper["content_sha"])
-            & (hashed[id_col] == keeper["_keep_id"]),
-        ).select(hashed["*"])
         # cross-batch: drop everything the filter has (maybe) seen
         old = _read_bloom(spark, bloom_path)
-        if old is not None:
-            fresh = (
-                bloom_probe(fresh, "content_sha", old, m_bits, k_hashes)
-                .filter(~F.col("bloom_pass"))
-                .drop("bloom_pass")
-            )
+        fresh = bloom_survivors(
+            batch_df, old, id_col, text_col, m_bits, k_hashes
+        )
         fresh = fresh.withColumn("ingest_batch", F.lit(batch_id)).localCheckpoint(
             eager=True  # consumed twice (output write + filter update)
         )
@@ -89,11 +126,7 @@ def bloom_dedup_ingest(
         # the versioned store: one atomic pointer rename publishes the
         # new filter, so a reader never sees a missing/half-written
         # bitmap and a crash leaves the previous filter current.
-        add = build_bloom(fresh, "content_sha", m_bits, k_hashes)
-        merged = add if old is None else (
-            add.unionByName(old).groupBy("w").agg(F.bit_or("bits").alias("bits"))
-        )
-        write_version(merged, bloom_path)
+        write_version(merge_bloom(fresh, old, m_bits, k_hashes), bloom_path)
         vacuum(bloom_path, keep=2)
 
     return (

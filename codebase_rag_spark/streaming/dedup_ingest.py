@@ -40,6 +40,37 @@ def _seen_hashes(spark: SparkSession, sig_path: str) -> DataFrame | None:
     return spark.read.parquet(sig_path).select("content_sha")
 
 
+def dedup_batch(
+    batch_df: DataFrame,
+    seen: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The sink's per-batch dedup dataflow as a pure function (factored
+    out so the driver-checked fold twin `dedup_ingest_fold` exercises the
+    SAME code the stream runs): in-batch dedup first (deterministic
+    keeper: min id per content hash), then cross-batch anti-join against
+    `seen` (a DataFrame with a content_sha column, or None on the first
+    batch ever). Returns the surviving rows with content_sha attached.
+
+    NO static broadcast hint on the anti-join: the signature table holds
+    one row per unique doc EVER ingested — unbounded by construction.
+    AQE broadcasts it while actually small and degrades to a shuffle
+    join past the threshold instead of OOMing the sink."""
+    hashed = batch_df.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    keeper = hashed.groupBy("content_sha").agg(
+        F.min(id_col).alias("_keep_id")
+    )
+    fresh = hashed.join(
+        keeper,
+        (hashed["content_sha"] == keeper["content_sha"])
+        & (hashed[id_col] == keeper["_keep_id"]),
+    ).select(hashed["*"])
+    if seen is not None:
+        fresh = fresh.join(seen, "content_sha", "left_anti")
+    return fresh
+
+
 def dedup_ingest(
     docs: DataFrame,
     out_path: str,
@@ -54,27 +85,9 @@ def dedup_ingest(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hashed = batch_df.withColumn(
-            "content_sha", F.sha2(F.col(text_col), 256)
-        )
-        # in-batch dedup first (deterministic keeper: min id per hash),
-        # then cross-batch anti-join against the persistent signatures
-        keeper = hashed.groupBy("content_sha").agg(
-            F.min(id_col).alias("_keep_id")
-        )
-        fresh = hashed.join(
-            keeper,
-            (hashed["content_sha"] == keeper["content_sha"])
-            & (hashed[id_col] == keeper["_keep_id"]),
-        ).select(hashed["*"])
-        seen = _seen_hashes(spark, sig_path)
-        if seen is not None:
-            # NO static broadcast hint: the signature table holds one row
-            # per unique doc EVER ingested — unbounded by construction.
-            # AQE broadcasts it while actually small and degrades to a
-            # shuffle join past the threshold instead of OOMing the sink.
-            fresh = fresh.join(seen, "content_sha", "left_anti")
-        fresh = fresh.withColumn("ingest_batch", F.lit(batch_id))
+        fresh = dedup_batch(
+            batch_df, _seen_hashes(spark, sig_path), id_col, text_col
+        ).withColumn("ingest_batch", F.lit(batch_id))
 
         with temp_conf(
             spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"

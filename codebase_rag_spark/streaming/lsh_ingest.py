@@ -87,6 +87,50 @@ def _match_frac(a, b, num_hashes: int):
     return agree / F.lit(float(num_hashes))
 
 
+def lsh_dedup_batch(
+    keyed: DataFrame,
+    index: DataFrame | None,
+    num_hashes: int = 8,
+    sim_threshold: float = 0.75,
+) -> DataFrame:
+    """The sink's per-batch near-dup dataflow as a pure function
+    (factored out so the driver-checked fold twin `lsh_ingest_fold`
+    exercises the SAME code the stream runs): drop docs whose signature
+    near-matches the persistent band index (`index`: (band_key, sig)
+    rows, or None on the first batch ever), then drop in-batch losers
+    (band self-join among the remaining docs; the larger id loses —
+    dedup_corpus's keeper rule). `keyed` is batch_signatures output,
+    MATERIALIZED by the caller (it is consumed up to 3x here).
+    Returns the surviving docs' band rows (the new index delta)."""
+    dup_ids = None
+    if index is not None:
+        hits = keyed.join(
+            index.select("band_key", F.col("sig").alias("_old_sig")),
+            "band_key",
+        ).filter(
+            _match_frac(F.col("sig"), F.col("_old_sig"), num_hashes)
+            >= sim_threshold
+        )
+        dup_ids = hits.select("_id").distinct()
+
+    survivors = keyed
+    if dup_ids is not None:
+        survivors = keyed.join(dup_ids, "_id", "left_anti")
+
+    a, b = survivors.alias("a"), survivors.alias("b")
+    in_batch_losers = (
+        a.join(b, "band_key")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(
+            _match_frac(F.col("a.sig"), F.col("b.sig"), num_hashes)
+            >= sim_threshold
+        )
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+    )
+    return survivors.join(in_batch_losers, "_id", "left_anti")
+
+
 def lsh_dedup_ingest(
     docs: DataFrame,
     out_path: str,
@@ -109,36 +153,14 @@ def lsh_dedup_ingest(
             batch_df, id_col, text_col, num_hashes, bands, shingle_size
         ).localCheckpoint(eager=True)  # cut the lineage: reused 3x below
 
-        # --- cross-batch: probe the persistent band index --------------
-        dup_ids = None
-        if os.path.exists(index_path):
-            index = spark.read.parquet(index_path)
-            hits = keyed.join(
-                index.select("band_key", F.col("sig").alias("_old_sig")),
-                "band_key",
-            ).filter(
-                _match_frac(F.col("sig"), F.col("_old_sig"), num_hashes)
-                >= sim_threshold
-            )
-            dup_ids = hits.select("_id").distinct()
-
-        survivors = keyed
-        if dup_ids is not None:
-            survivors = keyed.join(dup_ids, "_id", "left_anti")
-
-        # --- in-batch: band self-join among the remaining docs ---------
-        a, b = survivors.alias("a"), survivors.alias("b")
-        in_batch_losers = (
-            a.join(b, "band_key")
-            .filter(F.col("a._id") < F.col("b._id"))
-            .filter(
-                _match_frac(F.col("a.sig"), F.col("b.sig"), num_hashes)
-                >= sim_threshold
-            )
-            .select(F.col("b._id").alias("_id"))
-            .distinct()
+        # cross-batch probe of the persistent band index + in-batch
+        # self-dedup, via the factored per-batch dataflow
+        index = (
+            spark.read.parquet(index_path)
+            if os.path.exists(index_path)
+            else None
         )
-        kept_sigs = survivors.join(in_batch_losers, "_id", "left_anti")
+        kept_sigs = lsh_dedup_batch(keyed, index, num_hashes, sim_threshold)
         kept_ids = kept_sigs.select("_id").distinct()
 
         # docs too short for a signature are always kept

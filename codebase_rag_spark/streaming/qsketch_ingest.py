@@ -59,13 +59,21 @@ def qsketch_ingest(
     )
 
 
+def merge_qsketch(
+    partials: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold partial sketches: counts add per (group, m, lead2) bin — the
+    sketch's mergeability law, factored out so the driver-checked fold
+    twin `qsketch_fold_readout` exercises the SAME fold read_qsketch
+    runs."""
+    groups = group_cols or ["event_type"]
+    return partials.groupBy(*groups, "m", "lead2").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
 def read_qsketch(
     spark: SparkSession, sketch_path: str, group_cols: list[str] | None = None
 ) -> DataFrame:
     """Current merged sketch: fold all batch partials (counts add)."""
-    groups = group_cols or ["event_type"]
-    return (
-        spark.read.parquet(sketch_path)
-        .groupBy(*groups, "m", "lead2")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    return merge_qsketch(spark.read.parquet(sketch_path), group_cols)

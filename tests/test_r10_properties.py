@@ -1,0 +1,206 @@
+"""Fold-vs-oneshot referees and structural invariants for the round-10
+operators (the test_r6/r8/r9_properties convention): each fold twin is
+checked against an independent in-Python re-derivation on sf0.001, plus
+identities that must hold for ANY data."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_ingest_fold_earliest_batch_wins(spark):
+    """The fold's survivor per hash must be the min-id doc of the
+    EARLIEST batch containing the hash — re-derived in plain Python over
+    the duplicated corpus. Also pins that a nontrivial share of
+    survivors are NOT the global min id (the cross-batch semantics a
+    naive one-shot min-id dedup would get wrong)."""
+    import hashlib
+
+    from codebase_rag_spark.catalog import load_table
+
+    rows = QUERIES["dedup_ingest_fold"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    corpus = [(r["doc_id"], r["text"]) for r in docs] + [
+        (r["doc_id"] + 1000000000, r["text"]) for r in docs
+    ]
+    best = {}
+    for did, text in corpus:
+        h = hashlib.sha256(text.encode()).hexdigest()
+        k = (did % 3, did)
+        if h not in best or k < best[h]:
+            best[h] = k
+    want = sorted(did for (_, did) in best.values())
+    got = sorted(r["doc_id"] for r in rows)
+    assert got == want
+    # every text appears twice, shifted by 1000000000 ≡ 1 (mod 3): for docs
+    # with doc_id ≡ 2 (mod 3) the +1000000000 copy lands in batch 0 and WINS
+    # despite the higher id — there must be such survivors.
+    assert any(d >= 1000000000 for d in got)
+    for r in rows:
+        assert r["ingest_batch"] == r["doc_id"] % 3
+
+
+def test_bloom_ingest_fold_matches_oneshot_build(spark):
+    """OR-fold additivity, checked against a one-shot build over the
+    distinct hashes via the package's own build_bloom (independent
+    dataflow: no batching, no probe-drops)."""
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.operators.bloomfilter import build_bloom
+    from codebase_rag_spark.queries.dedupops import (
+        INGEST_BLOOM_K,
+        INGEST_BLOOM_M,
+    )
+
+    folded = {
+        r["w"]: r["bits"]
+        for r in QUERIES["bloom_ingest_fold"](spark, SF).collect()
+    }
+    d = load_table(spark, SF, "documents").select(
+        F.sha2(F.col("text"), 256).alias("content_sha")
+    ).distinct()
+    oneshot = {
+        r["w"]: r["bits"]
+        for r in build_bloom(
+            d, "content_sha", INGEST_BLOOM_M, INGEST_BLOOM_K
+        ).collect()
+    }
+    assert folded == oneshot
+
+
+def test_fulltext_incremental_fold_equals_rebuild(spark):
+    """Incremental postings == one-shot rebuild over the final corpus
+    state, via the package's own build_inverted_index on an
+    independently-constructed final corpus."""
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.operators.fulltext import build_inverted_index
+
+    got = QUERIES["fulltext_incremental_fold"](spark, SF).collect()
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    final = d.filter(~(F.col("doc_id") % 15).isin(3, 4)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 15 == 0, F.concat("text", F.lit(" updated"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    want = build_inverted_index(final, "doc_id", "text").collect()
+    key = lambda r: (r["term"], r["id"], r["tf"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_cbo_approx_bands_hold_and_exacts_match(spark):
+    """All within_band booleans True at this SF, and the exact values
+    agree with direct aggregates."""
+    from codebase_rag_spark.catalog import load_table
+
+    rows = QUERIES["cbo_column_stats_approx"](spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    for r in rows:
+        assert r["within_band"] is True, r
+        if r["metric"] == "ndv":
+            exact = li.select(r["column_name"]).distinct().count()
+            assert r["exact_value"] == str(exact)
+
+
+def test_boundary_overlap_detects_constructed_overlap(spark):
+    """Every doc with >= 16 tokens must yield its constructed A->B pair
+    with overlap_tokens >= clamp(n/5, 8, 48) (accidental longer matches
+    can only increase it), and every reported overlap verifies exactly
+    against the token arrays."""
+    from codebase_rag_spark.catalog import load_table
+
+    rows = QUERIES["boundary_overlap_pairs"](spark, SF).collect()
+    by_pair = {(r["left_id"], r["right_id"]): r["overlap_tokens"] for r in rows}
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    frags = {}
+    for r in docs:
+        t = [x for x in r["text"].split() if x]
+        n = len(t)
+        if n < 16:
+            continue
+        s, v = n // 2, min(max(n // 5, 8), 48)
+        frags[r["doc_id"]] = t[: s + v]
+        frags[r["doc_id"] + 1000000000] = t[s:]
+        got = by_pair.get((r["doc_id"], r["doc_id"] + 1000000000))
+        assert got is not None and got >= v, (r["doc_id"], n, v, got)
+    for (a, b), m in by_pair.items():
+        ta, tb = frags[a], frags[b]
+        assert 8 <= m <= 64 and ta[len(ta) - m:] == tb[:m], (a, b, m)
+
+
+def test_compaction_plan_disjoint_and_parity(spark):
+    """Planned files partition the signature table: shares sum to <=
+    10000 bp, every file range-disjoint from the next, n_rows sum to
+    the full row count (sha of text is injective on this corpus)."""
+    from codebase_rag_spark.catalog import load_table
+
+    rows = QUERIES["signature_compaction_audit"](spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_rows"] for r in rows) == n_docs
+    assert all(r["disjoint_next"] for r in rows)
+    assert sum(r["share_bp"] for r in rows) <= 10000
+    # equi-width over a sha domain must be near-equi-depth: with 8 files
+    # the max share should stay well under 2x the fair share.
+    assert max(r["share_bp"] for r in rows) < 2500
+
+
+def test_logistic_fusion_math(spark):
+    from codebase_rag_spark.operators.ranking import logistic_fusion
+
+    df = spark.createDataFrame(
+        [(1.0, None), (0.0, 2.0)], "a double, b double"
+    )
+    got = logistic_fusion(
+        df, {"a": 2.0, "b": -1.0}, bias=0.5, decimals=6
+    ).collect()
+    for r in got:
+        a = r["a"] or 0.0
+        b = r["b"] or 0.0
+        want = round(1.0 / (1.0 + math.exp(-(0.5 + 2.0 * a - 1.0 * b))), 6)
+        assert r["fused_score"] == want
+
+
+def test_lsh_ingest_fold_order_dependence_and_near_dup_drop(spark):
+    """Arrival order decides near-dup winners, not id order: copies of
+    doc_id % 3 == 2 docs land in batch 0 and BEAT their originals, so
+    the fold must drop some originals AND keep some copies (a one-shot
+    min-id dedup would keep all originals); every survivor's batch tag
+    must be its arrival batch."""
+    rows = QUERIES["lsh_ingest_fold"](spark, SF).collect()
+    got = {r["doc_id"]: r["ingest_batch"] for r in rows}
+    from codebase_rag_spark.catalog import load_table
+
+    n_docs = load_table(spark, SF, "documents").count()
+    originals = [d for d in got if d < 1_000_000_000]
+    copies = [d for d in got if d >= 1_000_000_000]
+    # batch order decides winners, not id order: some originals lose to
+    # their earlier-batch copy (doc_id % 3 == 2 -> copy in batch 0).
+    assert len(originals) < n_docs
+    assert 0 < len(copies) < n_docs
+    for d, b in got.items():
+        assert b == d % 3
+
+
+def test_qsketch_fold_readout_matches_oneshot(spark):
+    """Bin-count additivity vs an independent one-shot build_qsketch."""
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.operators.qsketch import build_qsketch
+
+    got = {
+        (r["event_type"], r["m"], r["lead2"]): r["cnt"]
+        for r in QUERIES["qsketch_fold_readout"](spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    want = {
+        (r["event_type"], r["m"], r["lead2"]): r["cnt"]
+        for r in build_qsketch(e, ["event_type"], F.col("cents")).collect()
+    }
+    assert got == want
