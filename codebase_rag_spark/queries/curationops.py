@@ -3163,3 +3163,81 @@ ORACLES["quality_tertile_routing"] = """
         FROM tiered GROUP BY source, tier
         ORDER BY source, tier
 """
+
+
+# --- r10: differential-privacy release calibration over the
+# k-anonymity grouping (privacy-family depth) ---
+
+# (label, Laplace scale b = 1/eps rendered at 4dp, integer releasable-n
+# threshold): rel. expected error of a Laplace count release is
+# 1/(eps*n); "<= 5%" is exactly n >= 20/eps, precomputed as an INTEGER
+# so the gate never compares floats across engines.
+_DP_GRID = [("0.1", 10.0, 200), ("0.5", 2.0, 40), ("1.0", 1.0, 20)]
+
+
+def dp_noise_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release planning for the per-(lang, source)
+    count table (the same grouping k_anonymity_audit gates): for each
+    epsilon in a release grid, the Laplace mechanism for a count query
+    (L1 sensitivity 1) adds noise of scale b = 1/eps, so a group of
+    size n carries expected relative error 1/(eps*n). This audit
+    reports, per epsilon: how many groups exist, how many are
+    releasable at <= 5% expected relative error (an exact integer gate,
+    n >= 20/eps), how many must be suppressed or generalized, and the
+    smallest group size present — the table a data steward reads to
+    pick the privacy budget BEFORE any noisy release is drawn
+    (calibration is deterministic; actual noise draws are not part of
+    the checked surface).
+
+    Scale: the grouping is enum-sized (|langs| x |sources|), the grid is
+    a 3-row literal — everything after the one corpus groupBy is
+    constant work at any volume."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count("*").alias("_n"))
+    parts = []
+    for label, b, thr in _DP_GRID:
+        parts.append(
+            g.agg(
+                F.lit(label).alias("eps"),
+                F.lit(b).alias("laplace_b"),
+                F.lit(thr).cast("bigint").alias("min_releasable_n"),
+                F.count("*").cast("bigint").alias("n_groups"),
+                F.sum((F.col("_n") >= thr).cast("int"))
+                .cast("bigint")
+                .alias("n_releasable"),
+                F.sum((F.col("_n") < thr).cast("int"))
+                .cast("bigint")
+                .alias("n_suppressed"),
+                F.min("_n").cast("bigint").alias("min_group_n"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("eps")
+
+
+QUERIES["dp_noise_calibration"] = dp_noise_calibration
+
+ORACLES["dp_noise_calibration"] = """
+        WITH g AS (
+            SELECT lang, source, count(*) AS n
+            FROM documents GROUP BY lang, source
+        ),
+        grid(eps, laplace_b, thr) AS (
+            VALUES ('0.1', 10.0::DOUBLE, 200),
+                   ('0.5', 2.0::DOUBLE, 40),
+                   ('1.0', 1.0::DOUBLE, 20)
+        )
+        SELECT eps, laplace_b,
+               CAST(thr AS BIGINT) AS min_releasable_n,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n >= thr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_releasable,
+               CAST(sum(CASE WHEN n < thr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_suppressed,
+               CAST(min(n) AS BIGINT) AS min_group_n
+        FROM g CROSS JOIN grid
+        GROUP BY eps, laplace_b, thr
+        ORDER BY eps
+"""

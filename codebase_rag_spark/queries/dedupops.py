@@ -1587,6 +1587,23 @@ def boundary_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost is linear in fragments + anchor matches; arrays shuffle only
     for the candidate pairs. No broadcast hints — pair lists and
     fragment sides are data-scaled, AQE sizes them."""
+    _, verified = _boundary_verified(spark, sf_dir)
+    return (
+        verified.groupBy("src", "dst", "lang")
+        .agg(F.max("m").cast("bigint").alias("overlap_tokens"))
+        .select(
+            F.col("src").alias("left_id"),
+            F.col("dst").alias("right_id"),
+            "lang",
+            "overlap_tokens",
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+def _boundary_verified(spark: SparkSession, sf_dir: str):
+    """(frags, verified): the shared fragment pool and exact-verified
+    (src, dst, lang, m) overlap rows both boundary consumers run on."""
     SEP = " "  # tokens are \s+-split, so a space join is unambiguous
     d = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
@@ -1647,23 +1664,14 @@ def boundary_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return (
-        verified.groupBy("src", "dst", "lang")
-        .agg(F.max("m").cast("bigint").alias("overlap_tokens"))
-        .select(
-            F.col("src").alias("left_id"),
-            F.col("dst").alias("right_id"),
-            "lang",
-            "overlap_tokens",
-        )
-        .orderBy("left_id", "right_id")
-    )
+    return frags, verified
 
 
 QUERIES["boundary_overlap_pairs"] = boundary_overlap_pairs
 
-ORACLES["boundary_overlap_pairs"] = rf"""
-        WITH base AS (
+# the WITH body shared by boundary_overlap_pairs and boundary_overlap_trim
+# (the _lsh_cand_sql convention: sliced consumers run the IDENTICAL blocker)
+_BOUNDARY_CTES = rf"""base AS (
             SELECT doc_id, lang,
                    list_filter(regexp_split_to_array(text, '\s+'),
                                x -> x <> '') AS t
@@ -1704,11 +1712,80 @@ ORACLES["boundary_overlap_pairs"] = rf"""
             JOIN f2 rb ON rb.frag_id = c.dst
             WHERE c.m <= rb.L
               AND la.t[la.L - c.m + 1 : la.L] = rb.t[1 : c.m]
-        )
+        )"""
+
+ORACLES["boundary_overlap_pairs"] = f"""
+        WITH {_BOUNDARY_CTES}
         SELECT src AS left_id, dst AS right_id, lang,
                CAST(max(m) AS BIGINT) AS overlap_tokens
         FROM verified GROUP BY src, dst, lang
         ORDER BY left_id, right_id
+"""
+
+
+def boundary_overlap_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM half of boundary-overlap dedup: given the verified
+    stitch pairs (same detection as boundary_overlap_pairs — the shared
+    _boundary_verified dataflow, so detector and trimmer can never
+    disagree), trim each right fragment's redundant prefix by the
+    LONGEST overlap any left fragment covers (max m per dst — trimming
+    less would leave duplicated tokens, more would delete content) and
+    account the savings per language: fragments audited, fragments
+    trimmed, tokens before, tokens saved, and the savings in basis
+    points. This is the accounting a window-stuffed corpus repair job
+    reports before committing the rewrite — exactly how dedup_token_
+    savings reports MinHash-cluster savings, but at sub-document
+    granularity.
+
+    Scale: adds ONE per-dst max aggregate and one frag-keyed left join
+    on top of the detector; the per-lang rollup is enum-sized. Same
+    no-hint posture as the detector."""
+    frags, verified = _boundary_verified(spark, sf_dir)
+    trims = verified.groupBy("dst").agg(F.max("m").alias("_trim"))
+    per_frag = (
+        frags.select(F.col("frag_id").alias("dst"), "lang", "L")
+        .join(trims, "dst", "left")
+        .select(
+            "lang",
+            "L",
+            F.coalesce(F.col("_trim"), F.lit(0)).alias("_trim"),
+        )
+    )
+    return (
+        per_frag.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frags"),
+            F.sum((F.col("_trim") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_trimmed"),
+            F.sum("L").cast("bigint").alias("tokens_before"),
+            F.sum("_trim").cast("bigint").alias("tokens_saved"),
+        )
+        .withColumn(
+            "savings_bp",
+            F.expr("CAST(tokens_saved * 10000 DIV tokens_before AS BIGINT)"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["boundary_overlap_trim"] = boundary_overlap_trim
+
+ORACLES["boundary_overlap_trim"] = f"""
+        WITH {_BOUNDARY_CTES},
+        trims AS (SELECT dst, max(m) AS trim FROM verified GROUP BY dst),
+        pf AS (
+            SELECT f2.lang, f2.L, coalesce(t2.trim, 0) AS trim
+            FROM f2 LEFT JOIN trims t2 ON t2.dst = f2.frag_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_frags,
+               CAST(sum(CASE WHEN trim > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_trimmed,
+               CAST(sum(L) AS BIGINT) AS tokens_before,
+               CAST(sum(trim) AS BIGINT) AS tokens_saved,
+               CAST(sum(trim) * 10000 // sum(L) AS BIGINT) AS savings_bp
+        FROM pf GROUP BY lang ORDER BY lang
 """
 
 

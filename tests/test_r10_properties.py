@@ -204,3 +204,52 @@ def test_qsketch_fold_readout_matches_oneshot(spark):
         for r in build_qsketch(e, ["event_type"], F.col("cents")).collect()
     }
     assert got == want
+
+
+def test_boundary_trim_consistent_with_pairs(spark):
+    """The trimmer and the detector share one dataflow: tokens_saved per
+    lang must equal the sum over right-fragments of the MAX reported
+    overlap, re-derived from boundary_overlap_pairs' own output."""
+    from codebase_rag_spark.catalog import load_table
+
+    pairs = QUERIES["boundary_overlap_pairs"](spark, SF).collect()
+    trim = {r["lang"]: r for r in QUERIES["boundary_overlap_trim"](spark, SF).collect()}
+    best: dict = {}
+    for r in pairs:
+        k = r["right_id"]
+        best[k] = max(best.get(k, 0), r["overlap_tokens"])
+    # savings are attributed to the RIGHT fragment's lang (the trimmed
+    # doc), which for cross-lang accidental pairs differs from the pair
+    # row's lang (the left fragment's)
+    doc_lang = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, SF, "documents").select(
+            "doc_id", "lang"
+        ).collect()
+    }
+    saved: dict = {}
+    for k, m in best.items():
+        lang = doc_lang[k if k < 1_000_000_000 else k - 1_000_000_000]
+        saved[lang] = saved.get(lang, 0) + m
+    for lang, row in trim.items():
+        assert row["tokens_saved"] == saved.get(lang, 0), lang
+        assert row["n_trimmed"] <= row["n_frags"]
+        assert 0 <= row["savings_bp"] <= 10000
+
+
+def test_dp_noise_calibration_math(spark):
+    """Monotonicity in epsilon (bigger eps releases at least as many
+    groups) and exact partition of groups into releasable + suppressed."""
+    rows = {r["eps"]: r for r in QUERIES["dp_noise_calibration"](spark, SF).collect()}
+    assert set(rows) == {"0.1", "0.5", "1.0"}
+    n_groups = {r["n_groups"] for r in rows.values()}
+    assert len(n_groups) == 1
+    for r in rows.values():
+        assert r["n_releasable"] + r["n_suppressed"] == r["n_groups"]
+        assert abs(r["laplace_b"] * float(r["eps"]) - 1.0) < 1e-9
+        assert r["min_releasable_n"] * float(r["eps"]) == 20.0
+    assert (
+        rows["0.1"]["n_releasable"]
+        <= rows["0.5"]["n_releasable"]
+        <= rows["1.0"]["n_releasable"]
+    )
