@@ -308,6 +308,16 @@ def main() -> None:
             timings[name] = round(best, 4)
         except Exception as e:  # noqa: BLE001 - isolate any query failure
             errors[name] = f"{type(e).__name__}: {e}"[:500]
+            # A later pass failing must not discard an earlier valid
+            # timing (ADVICE r10): keep the best finite pass and mark
+            # the row as partial so the artifact neither loses real
+            # signal nor silently presents it as a clean min-of-N.
+            if best != float("inf"):
+                timings[name] = round(best, 4)
+                errors[name] = (
+                    "PARTIAL (timing kept from an earlier successful"
+                    f" pass): {errors[name]}"
+                )[:500]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
         # Drop Python refs promptly so the ContextCleaner can release
         # localCheckpoint blocks (the fold-twin entries each pin a few;
@@ -317,6 +327,27 @@ def main() -> None:
         gc.collect()
 
     control.append(min(control_pass(), control_pass()))
+
+    # Calm-gate (VERDICT r10 #2): the control row DETECTS contention but
+    # r10 proved nothing stopped a contended artifact from becoming the
+    # round's committed record (r10's control ran ~3.5x over calm). The
+    # documented calm band for the control shape on this box is
+    # 1.9-3.4 s (r10 calm replays); if either sampled control min
+    # exceeds CALM_CEILING_SEC the artifact self-declares weather=true
+    # and the banner tells the operator to prefer a calm re-run before
+    # committing. The gate never aborts — a flagged artifact is still
+    # better than none — it just refuses to look clean.
+    CALM_CEILING_SEC = 3.5
+    weather = max(control) > CALM_CEILING_SEC
+    if weather:
+        print(
+            "BENCH WEATHER: control row "
+            f"(pre {control[0]}s / post {control[1]}s) exceeds the "
+            f"calm band ceiling {CALM_CEILING_SEC}s — this run is "
+            "host-contended. Prefer re-running at a calm moment "
+            "(uptime load < 2) before committing this artifact.",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -332,7 +363,9 @@ def main() -> None:
             "shape": "range(50e6,32p) -> mod-key groupBy count/sum/avg",
             "pre_sec": control[0],
             "post_sec": control[1],
+            "calm_ceiling_sec": CALM_CEILING_SEC,
         },
+        "weather": weather,
     }
     if errors:
         out["errors"] = errors

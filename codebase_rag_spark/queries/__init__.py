@@ -201,21 +201,42 @@ _DRIVER_CHECKED = {
     "quality_tertile_routing", "range_shard_boundaries",
     "sorted_neighborhood_pairs", "user_activity_gini",
     "vocabulary_jaccard_by_lang",
+    # --- r10 (50 window rows, all green in CORRECTNESS_r10.json; the 11
+    # names new in round 10 — the other 39 window rows were re-checks of
+    # entries already listed above) ---
+    "bloom_ingest_fold", "boundary_overlap_pairs", "boundary_overlap_trim",
+    "cbo_column_stats_approx", "dedup_ingest_fold", "dp_noise_calibration",
+    "feature_fusion_rerank", "fulltext_incremental_fold", "lsh_ingest_fold",
+    "qsketch_fold_readout", "signature_compaction_audit",
 }
 
-# Round-10 window (rotation computed from CORRECTNESS_r09.json: all 50
-# rows green, union now covers all 313 entries). _PRIORITY = everything
-# REWRITTEN after its r9 driver row, so the next driver row postdates
+# Round-11 window (rotation computed from CORRECTNESS_r10.json: all 50
+# rows green, union covers all 324 r10 entries). _PRIORITY = everything
+# REWRITTEN after its r10 driver row, so the next driver row postdates
 # the current implementation:
-#   * distribution_moments: the cents cast widened decimal(6,0) ->
-#     decimal(8,0) (ADVICE r9 — out-of-range values silently became
-#     NULL under ANSI-off and dropped from the sums).
-# New round-10 entries (dedup_ingest_fold, fulltext_incremental_fold,
-# cbo_column_stats_approx, bloom_ingest_fold, ...) fill the remaining
-# window slots automatically via the dict rebuild below (never-checked
-# entries sort before checked).
+#   * distribution_moments + event_interarrival_burstiness: the
+#     narrowing .cast('decimal(37,0)') on the power/gap sums was
+#     dropped (ADVICE r10 — it re-added the silent-NULL overflow class
+#     the r9 widening removed);
+#   * cbo_column_stats_approx: p50 columns now cast to DOUBLE
+#     explicitly in BOTH engines before stacking/rendering (ADVICE r10
+#     — pins the cross-engine string format against future column-type
+#     drift);
+#   * signature_compaction_audit: the n_files literal is now the shared
+#     N_SIG_FILES constant interpolated into both engines (ADVICE r10).
+# New round-11 entries (exact_substring_pairs, semantic_ingest_fold,
+# contamination_removal, compaction_manifest_diff) are listed too so
+# their first driver row is guaranteed this round.
 _PRIORITY = [
     "distribution_moments",
+    "event_interarrival_burstiness",
+    "cbo_column_stats_approx",
+    "signature_compaction_audit",
+    "exact_substring_pairs",
+    "semantic_ingest_fold",
+    "contamination_removal",
+    "compaction_manifest_diff",
+    "context_pack_ablation",
 ]
 
 QUERIES = {

@@ -1976,9 +1976,17 @@ def cbo_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndv = parts[0]
     for p in parts[1:]:
         ndv = ndv.unionByName(p)
+    # Each column is cast to DOUBLE explicitly (mirrored in the oracle)
+    # so the cross-engine exact_value STRING is pinned to double
+    # rendering: stack() otherwise coerces to the columns' common type,
+    # and a future decimal column would change Spark's widened-type
+    # rendering ('24.00' vs '24.0') and break the hash on formatting
+    # rather than values (ADVICE r10).
     stack_expr = "stack({n}, {args}) as (column_name, _v)".format(
         n=len(_CBO_P50_COLS),
-        args=", ".join(f"'{c}', {c}" for c in _CBO_P50_COLS),
+        args=", ".join(
+            f"'{c}', CAST({c} AS DOUBLE)" for c in _CBO_P50_COLS
+        ),
     )
     stacked = li.select(*_CBO_P50_COLS).selectExpr(stack_expr)
     hist = stacked.groupBy("column_name", "_v").agg(
@@ -2031,10 +2039,13 @@ _CBO_APPROX_ROWS_SQL = " UNION ALL ".join(
     + [
         # explicit rank form (rn = ceil(q*n)) — pins the exact_rank_quantile
         # convention rather than trusting quantile_disc's to coincide
+        # CAST ... AS DOUBLE mirrors the Spark side's explicit stack cast
+        # so both engines render the p50 string from the same type
         f"SELECT '{c}' AS column_name, 'p50' AS metric,"
         f" CAST(_v AS VARCHAR) AS exact_value, TRUE AS within_band"
-        f" FROM (SELECT {c} AS _v,"
-        f"              row_number() OVER (ORDER BY {c}) AS rn,"
+        f" FROM (SELECT CAST({c} AS DOUBLE) AS _v,"
+        f"              row_number() OVER (ORDER BY CAST({c} AS DOUBLE))"
+        f"                  AS rn,"
         f"              count(*) OVER () AS n"
         f"       FROM lineitem) r"
         f" WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)"

@@ -1789,6 +1789,15 @@ ORACLES["boundary_overlap_trim"] = f"""
 """
 
 
+# Target file count for the signature-table compaction plan, shared by
+# the Spark call and the oracle SQL below (ADVICE r10: the two copies
+# were a hand-inlined literal 8 that could silently drift). The 2^32
+# divisor is the domain of the sha's leading-32-bit key that
+# hex_key_compaction_plan splits equi-width (layout.py).
+N_SIG_FILES = 8
+_HEX32_DOMAIN = 1 << 32
+
+
 def signature_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance audit for the dedup sink's signature table (the state
     streaming/dedup_ingest.py appends one small file per micro-batch —
@@ -1815,7 +1824,7 @@ def signature_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sigs = d.select(F.sha2(F.col("text"), 256).alias("content_sha"))
-    manifest = hex_key_compaction_plan(sigs, "content_sha", 8)
+    manifest = hex_key_compaction_plan(sigs, "content_sha", N_SIG_FILES)
     w = Window.orderBy("file_id")
     total = Window.partitionBy()
     return (
@@ -1843,14 +1852,14 @@ def signature_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["signature_compaction_audit"] = signature_compaction_audit
 
-ORACLES["signature_compaction_audit"] = """
+ORACLES["signature_compaction_audit"] = f"""
         WITH sigs AS (
             SELECT sha256(text) AS content_sha FROM documents
         ),
         assigned AS (
             SELECT content_sha,
-                   ('0x' || substr(content_sha, 1, 8))::BIGINT * 8
-                       // 4294967296 AS file_id
+                   ('0x' || substr(content_sha, 1, 8))::BIGINT * {N_SIG_FILES}
+                       // {_HEX32_DOMAIN} AS file_id
             FROM sigs
         ),
         manifest AS (
@@ -2022,4 +2031,563 @@ ORACLES["lsh_ingest_fold"] = rf"""
         )
         SELECT doc_id, CAST(b AS BIGINT) AS ingest_batch
         FROM survivors ORDER BY doc_id
+"""
+
+
+# --- r11: exact-substring (suffix-array-family) dedup (VERDICT r10 #3:
+# the one training-data dedup modality not yet covered — MinHash catches
+# near-dups, duplicated_spans flags repeated grams, boundary ops catch
+# stitches; NONE reports maximal exact shared substrings) ---
+
+# Minimum duplicated run reported, in tokens. 16 is the discrimination
+# floor the boundary family documents (an 8-gram anchors, a 16-token
+# run is unambiguous duplication, not idiom); the classic
+# exact-substring dedup threshold for training corpora is ~50 tokens,
+# but this corpus's docs average ~54 tokens, so 16 keeps the operator
+# observable at every SF. Shared by Spark and the oracle.
+ES_K = 16
+# Anchor-confinement cap: a K-gram occurring at more than ES_GCAP
+# positions corpus-wide is boilerplate and is excluded from anchoring
+# (its pair fan-out is quadratic in its frequency — the one blowup mode
+# of gram-anchor methods). Runs containing a hotter window fragment at
+# that window; both engines apply the identical cap, so the capped
+# semantics ARE the checked semantics. At these corpus sizes no
+# natural 16-gram approaches 128 occurrences — the cap is the 100-TB
+# posture, not a test-corpus behavior.
+ES_GCAP = 128
+
+
+def _es_pool(d: DataFrame) -> DataFrame:
+    """The fragment pool exact_substring_pairs runs blind over: every
+    original doc, plus (for docs with >= 32 tokens) a constructed
+    'quoting' doc — a mid-span excerpt of clamp(n/2, 16, 96) tokens
+    wrapped in doc-unique zzl/zzr marker tokens so the shared run is
+    bounded by construction. Excerpt id = doc_id + _COPY_SHIFT
+    (collision-proof at every SF, the r10 id-shift lesson). This is the
+    boundary_overlap corpus-construction convention: the test corpus has
+    no verbatim quotations, so the query builds them the way a quoting
+    pipeline would, then the operator detects them with no knowledge of
+    the construction."""
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", t.alias("t")).withColumn("n", F.size("t"))
+    orig = base.select(F.col("doc_id").alias("sid"), "t")
+    s = F.expr("n DIV 4 + 1")
+    m = F.least(F.greatest(F.expr("n DIV 2"), F.lit(ES_K)), F.lit(96))
+    exc = base.filter(F.col("n") >= 32).select(
+        (F.col("doc_id") + _COPY_SHIFT).alias("sid"),
+        F.concat(
+            F.array(F.concat(F.lit("zzl"), F.col("doc_id").cast("string"))),
+            F.slice("t", s, m),
+            F.array(F.concat(F.lit("zzr"), F.col("doc_id").cast("string"))),
+        ).alias("t"),
+    )
+    return (
+        orig.unionByName(exc)
+        .withColumn("L", F.size("t"))
+        .filter(F.col("L") >= ES_K)
+    )
+
+
+def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-duplicated-substring detection — the suffix-array dedup
+    family (find maximal EXACT token runs shared across documents),
+    re-expressed as the shuffle-bounded anchor/verify/island dataflow a
+    distributed engine wants instead of a literal suffix array (which
+    needs a global sort of every suffix — the thing a 100-TB corpus
+    cannot afford). Exceeds the reference's substring capability (its
+    fulltext CONTAINS fallback, graph_service.py:522-533, tests one
+    needle against one haystack; this reports every maximal shared run
+    corpus-wide).
+
+    Dataflow (the duplicated_spans hash-confinement + boundary_overlap
+    anchor-then-verify lessons, composed):
+      1. anchor — each pool fragment emits one row per K-gram POSITION
+        (pos 1..L-K+1) carrying only (sid, pos, xxhash64(gram)) — 16
+        bytes rides the wide shuffle, never token text. A count window
+        over the 8-byte hash drops grams hotter than ES_GCAP positions
+        (see the cap note above), then ONE hash equi-join pairs
+        positions across fragments (sid_a < sid_b).
+      2. verify — candidate hits only: join both fragments' token
+        arrays back by id and keep hits whose K-token slices are
+        EQUAL token-for-token, so a 64-bit anchor collision can never
+        fabricate a run (it only wastes one verify row). The only
+        residual hash sensitivity is the CAP decision itself (a
+        collision could merge two grams' counts); with ~1e6 grams the
+        collision odds are ~1e-7 and deterministic per corpus — the
+        oracle caps on the gram STRING, so the gate itself would catch
+        a binding collision.
+      3. islands — a shared run of length R >= K is exactly R-K+1
+        verified hits on one DIAGONAL (p1 - p2 constant) at consecutive
+        p1; the classic gaps-and-islands groupBy (p1 - row_number per
+        (pair, diag)) recovers each maximal run and its length
+        count + K - 1. Per pair: the longest run, the number of maximal
+        runs, and their total tokens.
+
+    Scale: anchors are linear in corpus tokens (one 16-byte row per
+    position); the pair fan-out is capped by ES_GCAP; token arrays
+    shuffle only for verified-candidate pairs; the islands window
+    partitions by (pair, diagonal) — thousands of tiny partitions, no
+    single-partition window. sf1 probe + plan budget per house rules."""
+    from pyspark.sql import Window
+
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    pool = _es_pool(d)
+    grams = pool.select(
+        "sid",
+        F.explode(
+            F.sequence(F.lit(1), F.col("L") - F.lit(ES_K - 1))
+        ).alias("pos"),
+        "t",
+    ).select(
+        "sid",
+        "pos",
+        F.xxhash64(F.slice("t", F.col("pos"), F.lit(ES_K))).alias("h"),
+    )
+    capped = grams.withColumn(
+        "c", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("c") <= ES_GCAP)
+    g1 = capped.select(
+        F.col("sid").alias("d1"), F.col("pos").alias("p1"), "h"
+    )
+    g2 = capped.select(
+        F.col("sid").alias("d2"), F.col("pos").alias("p2"), "h"
+    )
+    hits = g1.join(g2, "h").filter(F.col("d1") < F.col("d2"))
+    left = pool.select(F.col("sid").alias("d1"), F.col("t").alias("ta"))
+    right = pool.select(F.col("sid").alias("d2"), F.col("t").alias("tb"))
+    ver = (
+        hits.join(left, "d1")
+        .join(right, "d2")
+        .filter(
+            F.slice("ta", F.col("p1"), F.lit(ES_K))
+            == F.slice("tb", F.col("p2"), F.lit(ES_K))
+        )
+        .select(
+            "d1", "d2", "p1", (F.col("p1") - F.col("p2")).alias("diag")
+        )
+    )
+    w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    runs = (
+        ver.withColumn("isl", F.col("p1") - F.row_number().over(w))
+        .groupBy("d1", "d2", "diag", "isl")
+        .agg((F.count("*") + F.lit(ES_K - 1)).alias("run"))
+    )
+    return (
+        runs.groupBy("d1", "d2")
+        .agg(
+            F.max("run").cast("bigint").alias("longest_run_tokens"),
+            F.count("*").cast("bigint").alias("n_runs"),
+            F.sum("run").cast("bigint").alias("dup_tokens"),
+        )
+        .select(
+            F.col("d1").alias("left_id"),
+            F.col("d2").alias("right_id"),
+            "longest_run_tokens",
+            "n_runs",
+            "dup_tokens",
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+QUERIES["exact_substring_pairs"] = exact_substring_pairs
+
+ORACLES["exact_substring_pairs"] = rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        b2 AS (SELECT doc_id, t, len(t) AS n FROM base),
+        pool AS (
+            SELECT doc_id AS sid, t FROM b2
+            UNION ALL
+            SELECT doc_id + {_COPY_SHIFT},
+                   ['zzl' || doc_id]
+                   || t[(n // 4) + 1 :
+                        (n // 4) + least(greatest(n // 2, {ES_K}), 96)]
+                   || ['zzr' || doc_id]
+            FROM b2 WHERE n >= 32
+        ),
+        p2 AS (
+            SELECT sid, t, len(t) AS L FROM pool WHERE len(t) >= {ES_K}
+        ),
+        grams AS (
+            SELECT sid, pos,
+                   array_to_string(t[pos : pos + {ES_K} - 1], ' ') AS gram
+            FROM (SELECT sid, t,
+                         unnest(generate_series(1, L - {ES_K} + 1)) AS pos
+                  FROM p2)
+        ),
+        capped AS (
+            SELECT sid, pos, gram FROM (
+                SELECT sid, pos, gram,
+                       count(*) OVER (PARTITION BY gram) AS c
+                FROM grams
+            ) WHERE c <= {ES_GCAP}
+        ),
+        hits AS (
+            SELECT a.sid AS d1, b.sid AS d2, a.pos AS p1,
+                   a.pos - b.pos AS diag
+            FROM capped a JOIN capped b ON a.gram = b.gram
+            WHERE a.sid < b.sid
+        ),
+        runs AS (
+            SELECT d1, d2, count(*) + {ES_K} - 1 AS run
+            FROM (SELECT d1, d2, diag, p1,
+                         p1 - row_number() OVER (
+                             PARTITION BY d1, d2, diag ORDER BY p1
+                         ) AS isl
+                  FROM hits)
+            GROUP BY d1, d2, diag, isl
+        )
+        SELECT d1 AS left_id, d2 AS right_id,
+               CAST(max(run) AS BIGINT) AS longest_run_tokens,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(sum(run) AS BIGINT) AS dup_tokens
+        FROM runs GROUP BY d1, d2 ORDER BY left_id, right_id
+"""
+
+
+# --- r11: embedding-space streaming dedup twin (VERDICT r10 #4: the
+# semantic near-dup path was the one ingest modality still batch-only;
+# with this the fold-twin family covers ALL 8 streaming sinks) ---
+
+
+def semantic_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming SEMANTIC-dedup sink driver-checked end-to-end:
+    three interleaved pseudo-batches of (vec_id, embedding) rows fold
+    through streaming/semantic_ingest.py's OWN dataflow —
+    batch_vectors (double cast + axis-plane sign bucket) then
+    semantic_dedup_batch (cross-batch cosine probe of the accumulated
+    kept-vector state, then one-pass in-batch dedup, larger id loses) —
+    and the oracle UNROLLS the same three folds in SQL over the
+    identical vectors, so the driver hash pins the sink's
+    ARRIVAL-ORDER keeper semantics (a batch-0 near-copy beats its
+    batch-2 original) exactly as lsh_ingest_fold does for MinHash.
+
+    Near-dups are constructed (the corpus has none): every vector gains
+    a +_COPY_SHIFT copy with its LAST component negated — cosine(orig,
+    copy) = 1 - 2*z where z is the last component's share of the squared
+    norm (~1/64 on average), so most copies land at cosine >= 0.9 and
+    drop while a deterministic minority (vectors whose tail component
+    carries > 5% of the energy) survive. Negating dim 64 leaves dims
+    1..4 — the bucket sign bits — untouched, so every orig/copy pair is
+    bucket-colocated and the THRESHOLD, not bucket recall, is the
+    decision under test. Both engines compare round(cosine, 4) >= 0.9
+    on doubles cast from the same float32 inputs (the
+    semantic_dedup_audit cross-engine convention, green since r3).
+
+    Scale: per-fold cost is bucket-keyed batch x (batch + kept) — never
+    corpus x corpus; the kept side is unbounded so it carries NO
+    broadcast hint (AQE sizes the probe). 2^4 buckets at this corpus;
+    at 100 TB raise SEM_PLANES so bucket populations stay bounded."""
+    from codebase_rag_spark.functions.vector import as_double
+    from codebase_rag_spark.streaming.semantic_ingest import (
+        batch_vectors,
+        semantic_dedup_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = as_double(F.col("embedding"))
+    corpus = e.select("vec_id", v.alias("embedding")).unionByName(
+        e.select(
+            (F.col("vec_id") + _COPY_SHIFT).alias("vec_id"),
+            F.concat(
+                F.slice(v, 1, 63), F.array(-F.element_at(v, 64))
+            ).alias("embedding"),
+        )
+    )
+    kept = None
+    outs = []
+    for b in range(3):
+        batch = corpus.filter(F.col("vec_id") % 3 == b)
+        keyed = batch_vectors(batch, "vec_id", "embedding").localCheckpoint(
+            eager=False
+        )
+        surv = semantic_dedup_batch(keyed, kept).localCheckpoint(eager=False)
+        outs.append(
+            surv.select(
+                F.col("_id").alias("vec_id"),
+                F.lit(b).cast("bigint").alias("ingest_batch"),
+            )
+        )
+        delta = surv.select("_id", "_v", "bucket")
+        kept = delta if kept is None else kept.unionByName(delta)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("vec_id")
+
+
+QUERIES["semantic_ingest_fold"] = semantic_ingest_fold
+
+
+def _sem_fold_batch_sql(b: int) -> str:
+    """One unrolled fold step (the _lsh_fold_batch_sql convention):
+    cross-batch near-matches vs the kept state accumulated from
+    kept0..kept{b-1}, then one-pass in-batch losers among the
+    cross-batch survivors (larger id loses). Batch membership is
+    vec_id % 3, so the near-pair table needs no extra join to test it."""
+    if b == 0:
+        cross = f"SELECT vec_id FROM keyed WHERE b = {b}"
+    else:
+        idx = " UNION ALL ".join(f"SELECT * FROM kept{j}" for j in range(b))
+        cross = f"""
+            SELECT vec_id FROM keyed WHERE b = {b} AND vec_id NOT IN (
+                SELECT n.w FROM near2 n JOIN ({idx}) o ON n.u = o.vec_id
+                WHERE n.w % 3 = {b}
+            )"""
+    return f"""
+        cross{b} AS ({cross}),
+        kept{b} AS (
+            SELECT vec_id FROM cross{b} WHERE vec_id NOT IN (
+                SELECT n.w FROM near2 n JOIN cross{b} c ON n.u = c.vec_id
+                WHERE n.u < n.w
+            )
+        )"""
+
+
+ORACLES["semantic_ingest_fold"] = f"""
+        WITH raw AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        corpus AS (
+            SELECT vec_id, v FROM raw
+            UNION ALL
+            SELECT vec_id + {_COPY_SHIFT}, v[1:63] || [-v[64]] FROM raw
+        ),
+        keyed AS (
+            SELECT vec_id, v, vec_id % 3 AS b,
+                   (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+            FROM corpus
+        ),
+        pe AS (
+            SELECT a.vec_id AS u, c.vec_id AS w,
+                   unnest(a.v) AS x, unnest(c.v) AS y
+            FROM keyed a JOIN keyed c
+              ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        ),
+        near AS (
+            SELECT u, w FROM pe GROUP BY u, w
+            HAVING round(sum(x * y)
+                         / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) >= 0.9
+        ),
+        near2 AS (
+            SELECT u, w FROM near UNION ALL SELECT w AS u, u AS w FROM near
+        ),
+        {_sem_fold_batch_sql(0)},
+        {_sem_fold_batch_sql(1)},
+        {_sem_fold_batch_sql(2)}
+        SELECT vec_id, CAST(b AS BIGINT) AS ingest_batch FROM (
+            SELECT vec_id, 0 AS b FROM kept0
+            UNION ALL SELECT vec_id, 1 FROM kept1
+            UNION ALL SELECT vec_id, 2 FROM kept2
+        ) ORDER BY vec_id
+"""
+
+
+# --- r11 cadence ops (VERDICT r10 #7a + #7c) ---
+
+
+def contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM half of benchmark_decontamination (the way
+    boundary_overlap_trim completes boundary_overlap_pairs): actually
+    REMOVE the contaminated training documents and account for what the
+    removal costs, per source — docs audited, docs removed, tokens
+    before, tokens removed, and the removal in basis points of the
+    source's token mass. This is the report a pretraining-data curation
+    job publishes before committing a decontaminated corpus snapshot:
+    the flag half says WHO is contaminated, this half says what the
+    cleaned corpus LOSES (a source losing 30% of its tokens to
+    benchmark overlap is a leakage incident, not a cleanup).
+
+    Same detection dataflow as benchmark_decontamination —
+    operators/dedup.py:ngram_decontaminate, eval grams broadcast
+    (benchmark suites are tiny by construction — the one
+    boundedness-classified broadcast in this family), train grams
+    exploded in the scan stage, broadcast LEFT SEMI, so removal adds
+    ZERO new shuffles over detection: one enum-keyed per-source
+    aggregate replaces the per-lang one."""
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    eval_df = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    flagged = ngram_decontaminate(train, eval_df, "doc_id", "text", n=5)
+    nt = token_count(F.col("text"))
+    return (
+        flagged.select("source", F.col("contaminated"), nt.alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.count(F.when(F.col("contaminated"), 1))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum("_nt").cast("bigint").alias("tokens_before"),
+            F.sum(F.when(F.col("contaminated"), F.col("_nt")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+        )
+        .withColumn(
+            "removed_bp",
+            F.expr("CAST(tokens_removed * 10000 DIV tokens_before AS BIGINT)"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["contamination_removal"] = contamination_removal
+
+ORACLES["contamination_removal"] = r"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(text), '\s+') AS words,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS nt
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+            FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+        ),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        cont AS (
+            SELECT DISTINCT g.doc_id
+            FROM g JOIN ev USING (gram)
+            WHERE g.doc_id % 20 <> 0
+        ),
+        acct AS (
+            SELECT w.source,
+                   CAST(count(*) AS BIGINT) AS n_train,
+                   CAST(count(c.doc_id) AS BIGINT) AS n_removed,
+                   CAST(sum(w.nt) AS BIGINT) AS tokens_before,
+                   CAST(coalesce(sum(CASE WHEN c.doc_id IS NOT NULL
+                                          THEN w.nt ELSE 0 END), 0)
+                        AS BIGINT) AS tokens_removed
+            FROM w LEFT JOIN cont c ON w.doc_id = c.doc_id
+            WHERE w.doc_id % 20 <> 0
+            GROUP BY w.source
+        )
+        SELECT source, n_train, n_removed, tokens_before, tokens_removed,
+               CAST(tokens_removed * 10000 // tokens_before AS BIGINT)
+                   AS removed_bp
+        FROM acct ORDER BY source
+"""
+
+
+def compaction_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after parity audit for the signature-table compaction plan
+    (VERDICT r10 #7c — the maintenance companion to
+    signature_compaction_audit): simulate a re-ingest (every doc gains a
+    revised ' r2' version, so the signature table grows by one NEW sha
+    per doc), re-plan the compacted layout with the SAME
+    hex_key_compaction_plan, and diff the two manifests per target file:
+
+      * added_rows / growth_bp — where the new signatures landed (on a
+        sha domain growth must be near-uniform; a hot file means the
+        key isn't hash-distributed anymore);
+      * contains_before — the invariant that makes equi-width planning
+        re-ingest-safe: file boundaries are FIXED hash intervals, so an
+        old row can never migrate files and each file's new observed
+        key range must CONTAIN its old one. A FALSE here means the
+        assignment function changed between plans — exactly the silent
+        re-layout drift this audit exists to catch (equi-DEPTH plans
+        fail it on every re-ingest, which is why the sink plans
+        equi-width).
+
+    Both manifests are one map-side-combined aggregate each; the diff
+    joins two n_files-row tables — manifest-sized, corpus-independent."""
+    from codebase_rag_spark.sources.layout import hex_key_compaction_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs_before = d.select(F.sha2(F.col("text"), 256).alias("content_sha"))
+    revised = d.select(
+        F.sha2(F.concat(F.col("text"), F.lit(" r2")), 256).alias(
+            "content_sha"
+        )
+    )
+    sigs_after = sigs_before.unionByName(revised)
+    before = hex_key_compaction_plan(sigs_before, "content_sha", N_SIG_FILES)
+    after = hex_key_compaction_plan(sigs_after, "content_sha", N_SIG_FILES)
+    b = before.select(
+        "file_id",
+        F.col("n_rows").alias("n_before"),
+        F.col("min_key").alias("_minb"),
+        F.col("max_key").alias("_maxb"),
+    )
+    a = after.select(
+        "file_id",
+        F.col("n_rows").alias("n_after"),
+        F.col("min_key").alias("_mina"),
+        F.col("max_key").alias("_maxa"),
+    )
+    return (
+        a.join(b, "file_id", "left")
+        .select(
+            "file_id",
+            F.coalesce("n_before", F.lit(0).cast("bigint")).alias(
+                "n_before"
+            ),
+            "n_after",
+            (F.col("n_after") - F.coalesce("n_before", F.lit(0))).cast(
+                "bigint"
+            ).alias("added_rows"),
+            F.expr(
+                "CAST((n_after - coalesce(n_before, 0)) * 10000"
+                " DIV n_after AS BIGINT)"
+            ).alias("growth_bp"),
+            F.coalesce(
+                (F.col("_mina") <= F.col("_minb"))
+                & (F.col("_maxa") >= F.col("_maxb")),
+                F.lit(True),
+            ).alias("contains_before"),
+        )
+        .orderBy("file_id")
+    )
+
+
+QUERIES["compaction_manifest_diff"] = compaction_manifest_diff
+
+ORACLES["compaction_manifest_diff"] = f"""
+        WITH sigs_before AS (
+            SELECT sha256(text) AS content_sha FROM documents
+        ),
+        sigs_after AS (
+            SELECT content_sha FROM sigs_before
+            UNION ALL
+            SELECT sha256(text || ' r2') FROM documents
+        ),
+        mb AS (
+            SELECT ('0x' || substr(content_sha, 1, 8))::BIGINT
+                       * {N_SIG_FILES} // {_HEX32_DOMAIN} AS file_id,
+                   CAST(count(*) AS BIGINT) AS n_before,
+                   min(content_sha) AS minb, max(content_sha) AS maxb
+            FROM sigs_before GROUP BY 1
+        ),
+        ma AS (
+            SELECT ('0x' || substr(content_sha, 1, 8))::BIGINT
+                       * {N_SIG_FILES} // {_HEX32_DOMAIN} AS file_id,
+                   CAST(count(*) AS BIGINT) AS n_after,
+                   min(content_sha) AS mina, max(content_sha) AS maxa
+            FROM sigs_after GROUP BY 1
+        )
+        SELECT ma.file_id,
+               coalesce(mb.n_before, 0) AS n_before,
+               ma.n_after,
+               ma.n_after - coalesce(mb.n_before, 0) AS added_rows,
+               CAST((ma.n_after - coalesce(mb.n_before, 0)) * 10000
+                    // ma.n_after AS BIGINT) AS growth_bp,
+               coalesce(ma.mina <= mb.minb AND ma.maxa >= mb.maxb, TRUE)
+                   AS contains_before
+        FROM ma LEFT JOIN mb ON ma.file_id = mb.file_id
+        ORDER BY ma.file_id
 """

@@ -5217,9 +5217,15 @@ def distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     kurtosis from EXACT integer power sums, the shape a distributed
     moments job must take (Spark's own kurtosis() streams doubles, so
     its result is partition-order-dependent; this one is not). cents =
-    round(value*100) <= 56k fits DECIMAL(6,0); the power chain caps at
-    DECIMAL(27,0) per row (c^4 < 1e19) and the sums at DECIMAL(37,0) —
-    exact and summation-order-insensitive at any SF. The central-moment
+    round(value*100) cast to DECIMAL(8,0) (see inline note); the power
+    chain caps at DECIMAL(35,0) per row (c^4) and the sums take Spark's
+    native sum-of-decimal type DECIMAL(38,0) — exact and
+    summation-order-insensitive at any SF. The sums are consumed only
+    via cast('double'), so no narrowing cast is applied to them: a
+    re-cast below 38 digits would re-introduce the exact
+    silent-NULL-on-overflow class the 8-digit widening removed (with
+    8-digit cents, c^4 ~ 1e32 and ~1e5 max-magnitude rows already
+    exceed 1e37; ADVICE r10). The central-moment
     formulas then run in IEEE doubles over the exact sums, written
     identically in the oracle. One scan, one enum-keyed aggregate —
     scan-stage flat at 100 TB."""
@@ -5239,10 +5245,10 @@ def distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = base.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("_c1").cast("decimal(37,0)").alias("_s1"),
-        F.sum("_c2").cast("decimal(37,0)").alias("_s2"),
-        F.sum("_c3").cast("decimal(37,0)").alias("_s3"),
-        F.sum("_c4").cast("decimal(37,0)").alias("_s4"),
+        F.sum("_c1").alias("_s1"),
+        F.sum("_c2").alias("_s2"),
+        F.sum("_c3").alias("_s3"),
+        F.sum("_c4").alias("_s4"),
     )
     s1 = F.col("_s1").cast("double")
     s2 = F.col("_s2").cast("double")
@@ -5441,8 +5447,11 @@ def event_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type"
     ).agg(
         F.count("*").cast("bigint").alias("n_gaps"),
-        F.sum("_g").cast("decimal(37,0)").alias("_s1"),
-        F.sum("_g2").cast("decimal(37,0)").alias("_s2"),
+        # Native sum-of-decimal type decimal(38,0) — a narrowing re-cast
+        # would add a silent-NULL overflow point under ANSI-off (ADVICE
+        # r10); the sums are consumed only via cast('double') below.
+        F.sum("_g").alias("_s1"),
+        F.sum("_g2").alias("_s2"),
     )
     n = F.col("n_gaps").cast("double")
     mu = F.col("_s1").cast("double") / n

@@ -736,3 +736,134 @@ ORACLES["feature_fusion_rerank"] = rf"""
         ORDER BY fused_score DESC, doc_id
         LIMIT 12
 """
+
+
+# --- r11: RAG context-pack ablation audit (VERDICT r10 #7b) ---
+
+
+def context_pack_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-category-out ablation grid over the budget knapsack —
+    the pack_builder analytics the reference's context packing implies
+    (pack_builder.py:63-129 packs greedily under caps; this measures
+    what each category is WORTH to the packed context): for every
+    category (brand), rebuild the same greedy pack (score desc / id asc,
+    per-category cap 8, cumulative cost <= 50000 — identical rules to
+    pack_budget_selection) with that category excluded, and report the
+    ablated pack's size/cost/value next to the value delta vs the
+    un-ablated baseline. The delta is NOT the sum of the category's
+    packed rows — evicting a category refills the budget with the next
+    candidates — which is exactly why the grid must re-run the pack and
+    why a naive per-category subtraction misleads.
+
+    Scale: the per-category cap is applied ONCE, before the grid — a
+    category's own top-8 is ablation-invariant, so the grid crosses a
+    (cap x category-domain)-row table (~200 rows), never the corpus;
+    the corpus-sized work (the cap window) happens exactly once. The
+    ablation grid broadcast is category-domain-bounded (an enum + one
+    baseline row), classified in tests/broadcast_sites.json. The
+    per-ablation cumulative window partitions by ablation key — ~26
+    partitions of <= 200 rows by construction."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        (F.col("p_size") * 10 + 50).cast("bigint").alias("cost"),
+    )
+    w_cat = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), "p_partkey"
+    )
+    capped = (
+        p.withColumn("_rn", F.row_number().over(w_cat))
+        .filter(F.col("_rn") <= 8)
+        .drop("_rn")
+    )
+    grid = (
+        capped.select(F.col("p_brand").alias("ablated_brand"))
+        .distinct()
+        .unionByName(
+            spark.createDataFrame([("__none__",)], ["ablated_brand"])
+        )
+    )
+    cand = capped.crossJoin(F.broadcast(grid)).filter(
+        F.col("p_brand") != F.col("ablated_brand")
+    )
+    w_cum = Window.partitionBy("ablated_brand").orderBy(
+        F.desc("p_retailprice"), "p_partkey"
+    )
+    picked = cand.withColumn("cum_cost", F.sum("cost").over(w_cum)).filter(
+        F.col("cum_cost") <= 50000
+    )
+    packs = picked.groupBy("ablated_brand").agg(
+        F.count("*").cast("bigint").alias("n_picked"),
+        F.sum("cost").cast("bigint").alias("pack_cost"),
+        F.round(F.sum("p_retailprice"), 2).alias("pack_value"),
+    )
+    base = packs.filter(F.col("ablated_brand") == "__none__").select(
+        F.col("pack_value").alias("_bv")
+    )
+    return (
+        packs.crossJoin(F.broadcast(base))
+        .select(
+            "ablated_brand",
+            "n_picked",
+            "pack_cost",
+            "pack_value",
+            F.round(F.col("_bv") - F.col("pack_value"), 2).alias(
+                "value_delta"
+            ),
+        )
+        .orderBy("ablated_brand")
+    )
+
+
+QUERIES["context_pack_ablation"] = context_pack_ablation
+
+ORACLES["context_pack_ablation"] = """
+        WITH p AS (
+            SELECT p_partkey, p_brand, p_retailprice,
+                   CAST(p_size * 10 + 50 AS BIGINT) AS cost
+            FROM part
+        ),
+        capped AS (
+            SELECT p_partkey, p_brand, p_retailprice, cost FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey
+                ) AS rn FROM p
+            ) WHERE rn <= 8
+        ),
+        grid AS (
+            SELECT DISTINCT p_brand AS ablated_brand FROM capped
+            UNION ALL SELECT '__none__'
+        ),
+        cand AS (
+            SELECT g.ablated_brand, c.p_partkey, c.p_brand,
+                   c.p_retailprice, c.cost
+            FROM capped c CROSS JOIN grid g
+            WHERE c.p_brand <> g.ablated_brand
+        ),
+        picked AS (
+            SELECT * FROM (
+                SELECT ablated_brand, p_retailprice, cost,
+                       sum(cost) OVER (
+                           PARTITION BY ablated_brand
+                           ORDER BY p_retailprice DESC, p_partkey
+                       ) AS cum_cost
+                FROM cand
+            ) WHERE cum_cost <= 50000
+        ),
+        packs AS (
+            SELECT ablated_brand,
+                   CAST(count(*) AS BIGINT) AS n_picked,
+                   CAST(sum(cost) AS BIGINT) AS pack_cost,
+                   round(sum(p_retailprice), 2) AS pack_value
+            FROM picked GROUP BY ablated_brand
+        ),
+        base AS (
+            SELECT pack_value AS bv FROM packs
+            WHERE ablated_brand = '__none__'
+        )
+        SELECT ablated_brand, n_picked, pack_cost, pack_value,
+               round(bv - pack_value, 2) AS value_delta
+        FROM packs, base ORDER BY ablated_brand
+"""

@@ -1,0 +1,206 @@
+"""Incremental corpus ingestion with SEMANTIC (embedding-space) dedup —
+the streaming twin of the SemDeDup-shaped batch audit
+(queries/vectorops.py:semantic_dedup_audit), and the last ingest modality
+after exact (dedup_ingest), Bloom (bloom_ingest), and MinHash-LSH
+(lsh_ingest): each micro-batch drops vectors whose cosine similarity to
+any ALREADY-KEPT vector in the same LSH bucket reaches the threshold,
+then appends the survivors to a persistent vector-state table.
+
+The sink ingests (id, vector) rows — the realistic contract: embeddings
+arrive from an upstream embedding stage (the batch path's E1 hash
+embedder, pipeline.py:embed_chunks, or a provider). For text streams,
+`embed_text_batch` below attaches the deterministic hash embedding
+(functions/hashing.py:hash_embed) first; note the hash embedder is NOT
+locality-sensitive in text space (any edit produces an unrelated
+vector), so through it only EXACT text copies dedup — the threshold
+semantics are exercised by vector-space inputs.
+
+Bucketing: sign bits of the first SEM_PLANES vector components — an
+axis-aligned RP-LSH (random_hyperplane_buckets with axis planes). Two
+near-identical vectors agree on every high-magnitude component sign, so
+they share a bucket with probability -> 1 as cosine -> 1; the pair work
+per batch is sum(bucket_size^2), never batch x state. At 100 TB raise
+SEM_PLANES (or swap in trained IVF cells, operators/similarity.py) so
+bucket populations stay bounded; missed cross-bucket near-dups are the
+documented recall trade every LSH ingest makes (multi-probe widens it).
+
+Keeper semantics (identical to lsh_ingest, arrival-order): a vector
+loses to any near-match kept in an EARLIER batch, then among the
+cross-batch survivors of the same batch the larger id loses to a
+smaller-id near-match (one-pass rule, not transitive closure — both
+engines implement the same rule, so the fold twin pins it).
+
+Scale: the state table carries one row per kept vector — unbounded by
+construction, so the probe join carries NO broadcast hint (AQE
+broadcasts it while small, shuffle-joins beyond). Idempotence under
+foreachBatch replay: dynamic partition overwrite on ingest_batch, the
+dedup_ingest recipe.
+
+Reference parity: exceeds the reference's ingest path (incremental
+ingestion dedups on content hash only — SURVEY §2 S12/S16); semantic
+ingest is the training-data-pipeline capability the reference lacks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.vector import as_double, cosine_similarity
+from codebase_rag_spark.streaming.confutil import temp_conf
+
+# Axis-plane count for the sign-bit bucket (2^SEM_PLANES buckets) and
+# the SemDeDup drop threshold on round(cosine, 4). Shared by the stream,
+# the fold twin, and the twin's DuckDB oracle.
+SEM_PLANES = 4
+SEM_THRESHOLD = 0.9
+
+
+def sign_bucket(vec: Column, planes: int = SEM_PLANES) -> Column:
+    """Axis-aligned RP-LSH bucket: bit i set iff component i >= 0."""
+    bits = [
+        F.when(vec.getItem(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def batch_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Normalize a batch to the sink's internal shape: (_id, _v double
+    array, bucket). Pure projection — stays in the scan stage."""
+    v = as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+    ).withColumn("bucket", sign_bucket(F.col("_v")))
+
+
+def embed_text_batch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 8,
+) -> DataFrame:
+    """Text adapter: attach the deterministic hash embedding first
+    (functions/hashing.py:hash_embed), then bucket. Only exact text
+    copies dedup through this path (see module docstring)."""
+    from codebase_rag_spark.functions.hashing import hash_embed
+
+    return batch_vectors(
+        df.select(
+            F.col(id_col).alias("_tmp_id"),
+            hash_embed(F.col(text_col), dim=dim).alias("_tmp_v"),
+        ),
+        "_tmp_id",
+        "_tmp_v",
+    )
+
+
+def semantic_dedup_batch(
+    keyed: DataFrame,
+    kept: DataFrame | None,
+    threshold: float = SEM_THRESHOLD,
+) -> DataFrame:
+    """The sink's per-batch dataflow as a pure function (factored out so
+    the driver-checked fold twin `semantic_ingest_fold` exercises the
+    SAME code the stream runs — the dedup_batch/lsh_dedup_batch
+    convention): probe the accumulated state FIRST (any same-bucket kept
+    vector at round(cosine,4) >= threshold kills the arrival), then
+    in-batch one-pass dedup among the cross-batch survivors (larger id
+    loses to a smaller-id same-bucket near-match). Returns surviving
+    (_id, _v, bucket) rows.
+
+    Both joins are bucket-keyed equi-joins — cost is per-bucket
+    quadratic, never batch x state — and carry NO broadcast hint (state
+    is unbounded; AQE sizes the probe side at runtime)."""
+    surv = keyed
+    if kept is not None:
+        hit = (
+            keyed.select("_id", "bucket", "_v")
+            .join(
+                kept.select(
+                    F.col("bucket"), F.col("_v").alias("_kv")
+                ),
+                "bucket",
+            )
+            .filter(
+                F.round(cosine_similarity(F.col("_v"), F.col("_kv")), 4)
+                >= threshold
+            )
+            .select("_id")
+            .distinct()
+        )
+        surv = keyed.join(hit, "_id", "left_anti")
+    a = surv.select(
+        F.col("_id").alias("_ia"), "bucket", F.col("_v").alias("_va")
+    )
+    b = surv.select(
+        F.col("_id").alias("_ib"), "bucket", F.col("_v").alias("_vb")
+    )
+    losers = (
+        a.join(b, "bucket")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .filter(
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4)
+            >= threshold
+        )
+        .select(F.col("_ib").alias("_id"))
+        .distinct()
+    )
+    return surv.join(losers, "_id", "left_anti")
+
+
+def _kept_vectors(spark: SparkSession, state_path: str) -> DataFrame | None:
+    if not os.path.exists(state_path):
+        return None
+    return spark.read.parquet(state_path).select("_id", "_v", "bucket")
+
+
+def semantic_ingest(
+    vecs: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = SEM_THRESHOLD,
+):
+    """Start an availableNow stream that ingests `vecs` (a streaming
+    DataFrame of id + vector) with global semantic dedup. Returns the
+    StreamingQuery; await it, then read out_path."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = batch_vectors(batch_df, id_col, vec_col)
+        fresh = semantic_dedup_batch(
+            keyed, _kept_vectors(spark, state_path), threshold
+        ).withColumn("ingest_batch", F.lit(batch_id))
+
+        with temp_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            (
+                fresh.write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(out_path)
+            )
+            (
+                fresh.select("_id", "_v", "bucket", "ingest_batch")
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(state_path)
+            )
+
+    return (
+        vecs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,288 @@
+"""Independent referees and structural invariants for the round-11
+operators (the test_r8/r9/r10_properties convention): each new entry is
+re-derived in plain Python/numpy on sf0.001 — a third implementation
+besides Spark and the DuckDB oracle — plus identities that must hold
+for any data."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SHIFT = 1_000_000_000
+
+
+def _es_pool_py(docs):
+    """Python mirror of dedupops._es_pool: originals + marker-wrapped
+    mid-span excerpts."""
+    pool = {}
+    for did, text in docs:
+        t = text.split()
+        n = len(t)
+        if n >= 16:
+            pool[did] = t
+        if n >= 32:
+            s = n // 4 + 1
+            m = min(max(n // 2, 16), 96)
+            pool[did + SHIFT] = (
+                [f"zzl{did}"] + t[s - 1 : s - 1 + m] + [f"zzr{did}"]
+            )
+    return pool
+
+
+def test_exact_substring_pairs_full_python_referee(spark):
+    """Complete third-implementation referee: gram index -> capped
+    anchor pairs -> diagonal islands, in plain Python dicts. The Spark
+    output (pairs, longest run, island count, total dup tokens) must
+    match exactly."""
+    K, GCAP = 16, 128
+    rows = QUERIES["exact_substring_pairs"](spark, SF).collect()
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    pool = _es_pool_py(docs)
+    grams = defaultdict(list)
+    for sid, t in pool.items():
+        for p in range(len(t) - K + 1):
+            grams[tuple(t[p : p + K])].append((sid, p + 1))
+    hits = defaultdict(set)
+    for occ in grams.values():
+        if len(occ) > GCAP:
+            continue
+        for d1, p1 in occ:
+            for d2, p2 in occ:
+                if d1 < d2:
+                    hits[(d1, d2)].add((p1, p2))
+    want = {}
+    for (d1, d2), hs in hits.items():
+        bydiag = defaultdict(list)
+        for p1, p2 in hs:
+            bydiag[p1 - p2].append(p1)
+        runs = []
+        for ps in bydiag.values():
+            ps.sort()
+            start = prev = ps[0]
+            for p in ps[1:]:
+                if p == prev + 1:
+                    prev = p
+                else:
+                    runs.append(prev - start + K)
+                    start = prev = p
+            runs.append(prev - start + K)
+        want[(d1, d2)] = (max(runs), len(runs), sum(runs))
+    got = {
+        (r["left_id"], r["right_id"]): (
+            r["longest_run_tokens"],
+            r["n_runs"],
+            r["dup_tokens"],
+        )
+        for r in rows
+    }
+    assert got == want
+    # the construction is detected: every doc with >= 32 tokens must
+    # pair with its excerpt at exactly clamp(n/2, 16, 96) tokens (the
+    # markers bound the run on both sides)
+    for did, text in docs:
+        n = len(text.split())
+        if n >= 32:
+            m = min(max(n // 2, 16), 96)
+            assert got[(did, did + SHIFT)][0] == m
+
+
+def test_exact_substring_pairs_runs_are_real_substrings(spark):
+    """Spot-verify the reported longest runs ARE verbatim shared token
+    spans: for every pair reported with longest >= 20, some window of
+    that length from the left fragment must occur in the right one."""
+    rows = [
+        r
+        for r in QUERIES["exact_substring_pairs"](spark, SF).collect()
+        if r["longest_run_tokens"] >= 20
+    ]
+    assert rows, "constructed excerpts guarantee runs >= 20 exist"
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    pool = _es_pool_py(docs)
+    for r in rows[:50]:
+        ta, tb = pool[r["left_id"]], pool[r["right_id"]]
+        L = r["longest_run_tokens"]
+        wins_b = {
+            tuple(tb[i : i + L]) for i in range(len(tb) - L + 1)
+        }
+        assert any(
+            tuple(ta[i : i + L]) in wins_b
+            for i in range(len(ta) - L + 1)
+        )
+
+
+def test_semantic_ingest_fold_full_python_referee(spark):
+    """Complete fold referee in numpy: same buckets (sign bits of dims
+    1..4), same round(cosine,4) >= 0.9 rule, same arrival-order fold
+    (cross-batch probe first, then one-pass in-batch, larger id loses).
+    Also pins the order-dependence: some copies beat their originals."""
+    import numpy as np
+
+    rows = QUERIES["semantic_ingest_fold"](spark, SF).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    corpus = dict(emb)
+    for vid, v in emb.items():
+        corpus[vid + SHIFT] = np.concatenate([v[:63], [-v[63]]])
+    bucket = {
+        i: sum(1 << k for k in range(4) if v[k] >= 0)
+        for i, v in corpus.items()
+    }
+    norm = {i: float(np.sqrt(v @ v)) for i, v in corpus.items()}
+
+    def near(i, j):
+        if bucket[i] != bucket[j]:
+            return False
+        c = float(corpus[i] @ corpus[j]) / (norm[i] * norm[j])
+        return round(c, 4) >= 0.9
+
+    kept: list[int] = []
+    want = {}
+    for b in range(3):
+        batch = sorted(i for i in corpus if i % 3 == b)
+        cross = [
+            i for i in batch if not any(near(i, k) for k in kept)
+        ]
+        surv = [
+            i
+            for i in cross
+            if not any(j < i and near(j, i) for j in cross)
+        ]
+        for i in surv:
+            want[i] = b
+        kept.extend(surv)
+    got = {r["vec_id"]: r["ingest_batch"] for r in rows}
+    assert got == want
+    originals = [i for i in got if i < SHIFT]
+    copies = [i for i in got if i >= SHIFT]
+    # most orig/copy pairs are near-dups (the negated tail component is
+    # ~1/64 of the energy), and arrival order — not id order — decides:
+    # some originals lose to their earlier-batch copy
+    assert len(originals) < len(emb)
+    assert 0 < len(copies) < len(emb)
+    for i, b in got.items():
+        assert b == i % 3
+
+
+def test_contamination_removal_consistent_with_detection(spark):
+    """The removal accounting must agree with an independent Python
+    5-gram re-derivation AND with benchmark_decontamination's totals
+    (the detector and the transform can never disagree)."""
+    rows = QUERIES["contamination_removal"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    ev_grams = set()
+    for r in docs:
+        if r["doc_id"] % 20 == 0:
+            w = r["text"].split()
+            ev_grams.update(
+                " ".join(w[i : i + 5]) for i in range(len(w) - 4)
+            )
+    acct = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        if r["doc_id"] % 20 == 0:
+            continue
+        w = r["text"].split()
+        hit = any(
+            " ".join(w[i : i + 5]) in ev_grams
+            for i in range(len(w) - 4)
+        )
+        a = acct[r["source"]]
+        a[0] += 1
+        a[2] += len(w)
+        if hit:
+            a[1] += 1
+            a[3] += len(w)
+    for r in rows:
+        a = acct[r["source"]]
+        assert (
+            r["n_train"],
+            r["n_removed"],
+            r["tokens_before"],
+            r["tokens_removed"],
+        ) == tuple(a)
+        assert r["removed_bp"] == a[3] * 10000 // a[2]
+    n_removed_total = sum(r["n_removed"] for r in rows)
+    flags = QUERIES["benchmark_decontamination"](spark, SF).collect()
+    assert n_removed_total == sum(r["n_contaminated"] for r in flags)
+
+
+def test_compaction_manifest_diff_invariants(spark):
+    """Re-ingest parity: every file's new range contains its old one
+    (fixed hash intervals — no row migrates), added rows sum to exactly
+    one new signature per doc, and the before column equals
+    signature_compaction_audit's manifest."""
+    rows = QUERIES["compaction_manifest_diff"](spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert all(r["contains_before"] for r in rows)
+    assert sum(r["added_rows"] for r in rows) == n_docs
+    assert sum(r["n_before"] for r in rows) == n_docs
+    audit = {
+        r["file_id"]: r["n_rows"]
+        for r in QUERIES["signature_compaction_audit"](spark, SF).collect()
+    }
+    for r in rows:
+        assert r["n_before"] == audit.get(r["file_id"], 0)
+        assert r["growth_bp"] == r["added_rows"] * 10000 // r["n_after"]
+
+
+def test_semantic_ingest_stream_end_to_end(spark, tmp_path):
+    """The real foreachBatch sink (not the fold twin): cross-batch and
+    cross-RUN semantic dedup on literal vectors with known cosines,
+    replay-idempotent state."""
+    from codebase_rag_spark.streaming.semantic_ingest import semantic_ingest
+
+    src, out, st, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "state", "ck")
+    )
+    schema = "vec_id bigint, embedding array<double>"
+
+    def run():
+        vecs = spark.readStream.schema(schema).parquet(src)
+        q = semantic_ingest(vecs, out, st, ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 1.0, 1.0]),
+            (2, [1.0, 1.0, 1.0, 0.9]),  # cos vs 1 ~ 0.999 -> in-batch drop
+            (3, [1.0, -1.0, 1.0, -1.0]),  # different bucket -> survives
+        ],
+        ["vec_id", "embedding"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got1 = {r._id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}
+
+    spark.createDataFrame(
+        [
+            (9, [0.9, 1.0, 1.1, 1.0]),  # cos vs kept 1 ~ 0.998 -> drop
+            (10, [-1.0, -1.0, -1.0, -1.0]),  # new bucket -> survives
+        ],
+        ["vec_id", "embedding"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert {r._id for r in rows} == {1, 3, 10}
+    state = spark.read.parquet(st)
+    assert state.count() == 3

@@ -7,6 +7,11 @@ log10(ratio). Exponent ~1.0 = linear, <1 = fixed-cost amortized,
 MIN is kept (damps GC/scheduling noise; the between-run variance on
 this box is documented at 2-4x in SCALE.md).
 
+Materialization is the bench's noop-sink basis (changed round 11,
+VERDICT r10 #1 — exponents recorded before ROUND11 are on the count()
+basis and may have been measured on a Catalyst-pruned plan; compare
+across the break only per SCALE.md).
+
 Usage: python tools/scale_probe.py [names...]   # default: built-in list
 Writes one JSON line; transcribe into SCALE.md.
 """
@@ -47,10 +52,18 @@ DEFAULT = [
 
 
 def timed(spark, name: str, sf_dir: str) -> float:
+    # noop basis, NOT count() (VERDICT r10 #1): count() lets Catalyst
+    # prune expensive final-Project expressions, so a probe could report
+    # a (even negative!) exponent measured on a cheaper plan than the
+    # bench's — r10's cbo_column_stats_approx probed 0.84 s under
+    # count() vs ~5 s real. Same materialization as bench.py so probe
+    # rows and bench rows are directly comparable.
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 
