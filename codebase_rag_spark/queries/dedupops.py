@@ -2127,7 +2127,20 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     position); the pair fan-out is capped by ES_GCAP; token arrays
     shuffle only for verified-candidate pairs; the islands window
     partitions by (pair, diagonal) — thousands of tiny partitions, no
-    single-partition window. sf1 probe + plan budget per house rules."""
+    single-partition window.
+
+    The sf1 probe reads SUPER-linear in input (ratio ~14.8x for 10x
+    docs) and that is OUTPUT-VOLUME-BOUND, not a plan defect: the sf1
+    test corpus tiles the same texts ~10x, so the TRUE answer grows
+    quadratically — measured 4,574 pairs / 152,820 dup tokens @ sf0.1
+    vs 838,775 pairs / 32.8M dup tokens @ sf1 (183x more pairs). Against
+    output size the ratio is sub-linear (14.8x time for 183x answer).
+    Per-gram work stays bounded by ES_GCAP^2 at any scale (sf1's max
+    gram frequency is 80, still under the cap), so a corpus where
+    duplication keeps growing eventually fragments at the cap instead
+    of exploding — degrade-not-OOM, and reporting a quadratically
+    bigger duplicate set any cheaper than this is information-
+    theoretically off the table."""
     from pyspark.sql import Window
 
     from codebase_rag_spark.operators.fanout import spread_for_compute
@@ -2277,14 +2290,19 @@ def semantic_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries > 5% of the energy) survive. Negating dim 64 leaves dims
     1..4 — the bucket sign bits — untouched, so every orig/copy pair is
     bucket-colocated and the THRESHOLD, not bucket recall, is the
-    decision under test. Both engines compare round(cosine, 4) >= 0.9
-    on doubles cast from the same float32 inputs (the
+    decision under test (negation preserves every sign bit the bucket
+    reads — SEM_PLANES <= 63). Both engines compare round(cosine, 4)
+    >= 0.9 on doubles cast from the same float32 inputs (the
     semantic_dedup_audit cross-engine convention, green since r3).
 
     Scale: per-fold cost is bucket-keyed batch x (batch + kept) — never
     corpus x corpus; the kept side is unbounded so it carries NO
-    broadcast hint (AQE sizes the probe). 2^4 buckets at this corpus;
-    at 100 TB raise SEM_PLANES so bucket populations stay bounded."""
+    broadcast hint (AQE sizes the probe). 2^SEM_PLANES = 256 buckets
+    (the semantic_dedup_audit count): the first registered form used 16
+    buckets and went SUPER-linear at sf1 (exponent 1.43, 168 s — ~11M
+    in-bucket cosines per fold); 256 buckets cut the quadratic term 16x
+    and the sf1 probe to ~1.4x of sf0.1. At 100 TB SEM_PLANES grows
+    with log(corpus) so bucket populations stay bounded."""
     from codebase_rag_spark.functions.vector import as_double
     from codebase_rag_spark.streaming.semantic_ingest import (
         batch_vectors,
@@ -2326,6 +2344,21 @@ def semantic_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["semantic_ingest_fold"] = semantic_ingest_fold
 
 
+# Generated from streaming/semantic_ingest.py's SEM_PLANES so the oracle
+# bucket function can never drift from the sink's (the N_SIG_FILES
+# shared-constant convention): bit i set iff component i+1 >= 0.
+def _sem_bucket_sql() -> str:
+    from codebase_rag_spark.streaming.semantic_ingest import SEM_PLANES
+
+    return "\n                 + ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SEM_PLANES)
+    )
+
+
+_SEM_BUCKET_SQL = _sem_bucket_sql()
+
+
 def _sem_fold_batch_sql(b: int) -> str:
     """One unrolled fold step (the _lsh_fold_batch_sql convention):
     cross-batch near-matches vs the kept state accumulated from
@@ -2364,10 +2397,7 @@ ORACLES["semantic_ingest_fold"] = f"""
         ),
         keyed AS (
             SELECT vec_id, v, vec_id % 3 AS b,
-                   (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
-                 + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
-                 + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
-                 + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+                   {_SEM_BUCKET_SQL} AS bucket
             FROM corpus
         ),
         pe AS (

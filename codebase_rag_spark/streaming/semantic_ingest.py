@@ -53,8 +53,15 @@ from codebase_rag_spark.streaming.confutil import temp_conf
 
 # Axis-plane count for the sign-bit bucket (2^SEM_PLANES buckets) and
 # the SemDeDup drop threshold on round(cosine, 4). Shared by the stream,
-# the fold twin, and the twin's DuckDB oracle.
-SEM_PLANES = 4
+# the fold twin, and the twin's DuckDB oracle. 8 planes (256 buckets)
+# matches semantic_dedup_audit's bucket count: the per-batch pair work
+# is sum(bucket_size^2), so plane count is THE scale lever — the first
+# registered form used 4 planes and went super-linear at sf1 (exponent
+# 1.43, 168 s: ~11M in-bucket cosines per fold); 8 planes cuts the
+# quadratic term 16x. At 100 TB planes grows with log(corpus) so bucket
+# populations stay bounded (or swap in trained IVF cells,
+# operators/similarity.py).
+SEM_PLANES = 8
 SEM_THRESHOLD = 0.9
 
 

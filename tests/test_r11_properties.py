@@ -133,6 +133,8 @@ def test_semantic_ingest_fold_full_python_referee(spark):
     Also pins the order-dependence: some copies beat their originals."""
     import numpy as np
 
+    from codebase_rag_spark.streaming.semantic_ingest import SEM_PLANES
+
     rows = QUERIES["semantic_ingest_fold"](spark, SF).collect()
     emb = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
@@ -144,7 +146,7 @@ def test_semantic_ingest_fold_full_python_referee(spark):
     for vid, v in emb.items():
         corpus[vid + SHIFT] = np.concatenate([v[:63], [-v[63]]])
     bucket = {
-        i: sum(1 << k for k in range(4) if v[k] >= 0)
+        i: sum(1 << k for k in range(SEM_PLANES) if v[k] >= 0)
         for i, v in corpus.items()
     }
     norm = {i: float(np.sqrt(v @ v)) for i, v in corpus.items()}
@@ -262,11 +264,15 @@ def test_semantic_ingest_stream_end_to_end(spark, tmp_path):
         q = semantic_ingest(vecs, out, st, ckpt)
         q.awaitTermination()
 
+    # 8-dim vectors (>= SEM_PLANES); zero pads keep the 4-dim cosines
+    pad = [0.0, 0.0, 0.0, 0.0]
     spark.createDataFrame(
         [
-            (1, [1.0, 1.0, 1.0, 1.0]),
-            (2, [1.0, 1.0, 1.0, 0.9]),  # cos vs 1 ~ 0.999 -> in-batch drop
-            (3, [1.0, -1.0, 1.0, -1.0]),  # different bucket -> survives
+            (1, [1.0, 1.0, 1.0, 1.0] + pad),
+            # cos vs 1 ~ 0.999 -> in-batch drop
+            (2, [1.0, 1.0, 1.0, 0.9] + pad),
+            # different bucket -> survives
+            (3, [1.0, -1.0, 1.0, -1.0] + pad),
         ],
         ["vec_id", "embedding"],
     ).coalesce(1).write.mode("append").parquet(src)
@@ -276,8 +282,8 @@ def test_semantic_ingest_stream_end_to_end(spark, tmp_path):
 
     spark.createDataFrame(
         [
-            (9, [0.9, 1.0, 1.1, 1.0]),  # cos vs kept 1 ~ 0.998 -> drop
-            (10, [-1.0, -1.0, -1.0, -1.0]),  # new bucket -> survives
+            (9, [0.9, 1.0, 1.1, 1.0] + pad),  # cos vs kept 1 -> drop
+            (10, [-1.0, -1.0, -1.0, -1.0] + pad),  # new bucket -> survives
         ],
         ["vec_id", "embedding"],
     ).coalesce(1).write.mode("append").parquet(src)
