@@ -237,6 +237,8 @@ _PRIORITY = [
     "contamination_removal",
     "compaction_manifest_diff",
     "context_pack_ablation",
+    "exact_substring_trim",
+    "semantic_bucket_scurve",
 ]
 
 QUERIES = {

@@ -2069,12 +2069,15 @@ def _es_pool(d: DataFrame) -> DataFrame:
     pipeline would, then the operator detects them with no knowledge of
     the construction."""
     t = tokens(F.col("text"))
-    base = d.select("doc_id", t.alias("t")).withColumn("n", F.size("t"))
-    orig = base.select(F.col("doc_id").alias("sid"), "t")
+    base = d.select("doc_id", "lang", t.alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    orig = base.select(F.col("doc_id").alias("sid"), "lang", "t")
     s = F.expr("n DIV 4 + 1")
     m = F.least(F.greatest(F.expr("n DIV 2"), F.lit(ES_K)), F.lit(96))
     exc = base.filter(F.col("n") >= 32).select(
         (F.col("doc_id") + _COPY_SHIFT).alias("sid"),
+        "lang",
         F.concat(
             F.array(F.concat(F.lit("zzl"), F.col("doc_id").cast("string"))),
             F.slice("t", s, m),
@@ -2088,59 +2091,12 @@ def _es_pool(d: DataFrame) -> DataFrame:
     )
 
 
-def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Longest-duplicated-substring detection — the suffix-array dedup
-    family (find maximal EXACT token runs shared across documents),
-    re-expressed as the shuffle-bounded anchor/verify/island dataflow a
-    distributed engine wants instead of a literal suffix array (which
-    needs a global sort of every suffix — the thing a 100-TB corpus
-    cannot afford). Exceeds the reference's substring capability (its
-    fulltext CONTAINS fallback, graph_service.py:522-533, tests one
-    needle against one haystack; this reports every maximal shared run
-    corpus-wide).
-
-    Dataflow (the duplicated_spans hash-confinement + boundary_overlap
-    anchor-then-verify lessons, composed):
-      1. anchor — each pool fragment emits one row per K-gram POSITION
-        (pos 1..L-K+1) carrying only (sid, pos, xxhash64(gram)) — 16
-        bytes rides the wide shuffle, never token text. A count window
-        over the 8-byte hash drops grams hotter than ES_GCAP positions
-        (see the cap note above), then ONE hash equi-join pairs
-        positions across fragments (sid_a < sid_b).
-      2. verify — candidate hits only: join both fragments' token
-        arrays back by id and keep hits whose K-token slices are
-        EQUAL token-for-token, so a 64-bit anchor collision can never
-        fabricate a run (it only wastes one verify row). The only
-        residual hash sensitivity is the CAP decision itself (a
-        collision could merge two grams' counts); with ~1e6 grams the
-        collision odds are ~1e-7 and deterministic per corpus — the
-        oracle caps on the gram STRING, so the gate itself would catch
-        a binding collision.
-      3. islands — a shared run of length R >= K is exactly R-K+1
-        verified hits on one DIAGONAL (p1 - p2 constant) at consecutive
-        p1; the classic gaps-and-islands groupBy (p1 - row_number per
-        (pair, diag)) recovers each maximal run and its length
-        count + K - 1. Per pair: the longest run, the number of maximal
-        runs, and their total tokens.
-
-    Scale: anchors are linear in corpus tokens (one 16-byte row per
-    position); the pair fan-out is capped by ES_GCAP; token arrays
-    shuffle only for verified-candidate pairs; the islands window
-    partitions by (pair, diagonal) — thousands of tiny partitions, no
-    single-partition window.
-
-    The sf1 probe reads SUPER-linear in input (ratio ~14.8x for 10x
-    docs) and that is OUTPUT-VOLUME-BOUND, not a plan defect: the sf1
-    test corpus tiles the same texts ~10x, so the TRUE answer grows
-    quadratically — measured 4,574 pairs / 152,820 dup tokens @ sf0.1
-    vs 838,775 pairs / 32.8M dup tokens @ sf1 (183x more pairs). Against
-    output size the ratio is sub-linear (14.8x time for 183x answer).
-    Per-gram work stays bounded by ES_GCAP^2 at any scale (sf1's max
-    gram frequency is 80, still under the cap), so a corpus where
-    duplication keeps growing eventually fragments at the cap instead
-    of exploding — degrade-not-OOM, and reporting a quadratically
-    bigger duplicate set any cheaper than this is information-
-    theoretically off the table."""
+def _es_runs(spark: SparkSession, sf_dir: str):
+    """(pool, runs): the shared anchor/verify/island dataflow both
+    exact-substring consumers run on (the _boundary_verified convention
+    — detector and trimmer share ONE dataflow so they cannot disagree).
+    `runs` has one row per maximal shared run: (d1, d2, diag, isl, run)
+    with run = length in tokens, d1 < d2."""
     from pyspark.sql import Window
 
     from codebase_rag_spark.operators.fanout import spread_for_compute
@@ -2187,6 +2143,64 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d1", "d2", "diag", "isl")
         .agg((F.count("*") + F.lit(ES_K - 1)).alias("run"))
     )
+    return pool, runs
+
+
+def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-duplicated-substring detection — the suffix-array dedup
+    family (find maximal EXACT token runs shared across documents),
+    re-expressed as the shuffle-bounded anchor/verify/island dataflow a
+    distributed engine wants instead of a literal suffix array (which
+    needs a global sort of every suffix — the thing a 100-TB corpus
+    cannot afford). Exceeds the reference's substring capability (its
+    fulltext CONTAINS fallback, graph_service.py:522-533, tests one
+    needle against one haystack; this reports every maximal shared run
+    corpus-wide).
+
+    Dataflow (the duplicated_spans hash-confinement + boundary_overlap
+    anchor-then-verify lessons, composed):
+      1. anchor — each pool fragment emits one row per K-gram POSITION
+        (pos 1..L-K+1) carrying only (sid, pos, xxhash64(gram)) — 16
+        bytes rides the wide shuffle, never token text. A count window
+        over the 8-byte hash drops grams hotter than ES_GCAP positions
+        (see the cap note above), then ONE hash equi-join pairs
+        positions across fragments (sid_a < sid_b).
+      2. verify — candidate hits only: join both fragments' token
+        arrays back by id and keep hits whose K-token slices are
+        EQUAL token-for-token, so a 64-bit anchor collision can never
+        fabricate a run (it only wastes one verify row). The only
+        residual hash sensitivity is the CAP decision itself (a
+        collision could merge two grams' counts); with ~1e6 grams the
+        collision odds are ~1e-7 and deterministic per corpus — the
+        oracle caps on the gram STRING, so the gate itself would catch
+        a binding collision.
+      3. islands — a shared run of length R >= K is exactly R-K+1
+        verified hits on one DIAGONAL (p1 - p2 constant) at consecutive
+        p1; the classic gaps-and-islands groupBy (p1 - row_number per
+        (pair, diag)) recovers each maximal run and its length
+        count + K - 1. Per pair: the longest run, the number of maximal
+        runs, and their total tokens.
+
+    Scale: anchors are linear in corpus tokens (one 16-byte row per
+    position); the pair fan-out is capped by ES_GCAP; token arrays
+    shuffle only for verified-candidate pairs; the islands window
+    partitions by (pair, diagonal) — thousands of tiny partitions, no
+    single-partition window.
+
+    The sf1 probe ratio (~4-5x for 10x docs, exponent ~0.65; four
+    sessions measured sf1 at 11.8/13.1/13.8 s calm with one contended
+    38.6 s outlier) is OUTPUT-VOLUME-DRIVEN, not a plan defect: the sf1
+    test corpus tiles the same texts ~10x, so the TRUE answer grows
+    quadratically — measured 4,574 pairs / 152,820 dup tokens @ sf0.1
+    vs 838,775 pairs / 32.8M dup tokens @ sf1 (183x more pairs). Against
+    output size the cost is strongly sub-linear (~5x time for a 183x
+    answer). Per-gram work stays bounded by ES_GCAP^2 at any scale
+    (sf1's max gram frequency is 80, still under the cap), so a corpus
+    where duplication keeps growing eventually fragments at the cap
+    instead of exploding — degrade-not-OOM, and reporting a
+    quadratically bigger duplicate set any cheaper is information-
+    theoretically off the table."""
+    _, runs = _es_runs(spark, sf_dir)
     return (
         runs.groupBy("d1", "d2")
         .agg(
@@ -2207,18 +2221,20 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["exact_substring_pairs"] = exact_substring_pairs
 
-ORACLES["exact_substring_pairs"] = rf"""
-        WITH base AS (
-            SELECT doc_id,
+# the WITH body shared by exact_substring_pairs and exact_substring_trim
+# (the _BOUNDARY_CTES convention: sliced consumers run the IDENTICAL
+# anchor/verify/island dataflow)
+_ES_CTES = rf"""base AS (
+            SELECT doc_id, lang,
                    list_filter(regexp_split_to_array(text, '\s+'),
                                x -> x <> '') AS t
             FROM documents
         ),
-        b2 AS (SELECT doc_id, t, len(t) AS n FROM base),
+        b2 AS (SELECT doc_id, lang, t, len(t) AS n FROM base),
         pool AS (
-            SELECT doc_id AS sid, t FROM b2
+            SELECT doc_id AS sid, lang, t FROM b2
             UNION ALL
-            SELECT doc_id + {_COPY_SHIFT},
+            SELECT doc_id + {_COPY_SHIFT}, lang,
                    ['zzl' || doc_id]
                    || t[(n // 4) + 1 :
                         (n // 4) + least(greatest(n // 2, {ES_K}), 96)]
@@ -2226,7 +2242,8 @@ ORACLES["exact_substring_pairs"] = rf"""
             FROM b2 WHERE n >= 32
         ),
         p2 AS (
-            SELECT sid, t, len(t) AS L FROM pool WHERE len(t) >= {ES_K}
+            SELECT sid, lang, t, len(t) AS L
+            FROM pool WHERE len(t) >= {ES_K}
         ),
         grams AS (
             SELECT sid, pos,
@@ -2256,12 +2273,79 @@ ORACLES["exact_substring_pairs"] = rf"""
                          ) AS isl
                   FROM hits)
             GROUP BY d1, d2, diag, isl
-        )
+        )"""
+
+ORACLES["exact_substring_pairs"] = f"""
+        WITH {_ES_CTES}
         SELECT d1 AS left_id, d2 AS right_id,
                CAST(max(run) AS BIGINT) AS longest_run_tokens,
                CAST(count(*) AS BIGINT) AS n_runs,
                CAST(sum(run) AS BIGINT) AS dup_tokens
         FROM runs GROUP BY d1, d2 ORDER BY left_id, right_id
+"""
+
+
+def exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM half of exact-substring dedup (the way
+    boundary_overlap_trim completes boundary_overlap_pairs): for every
+    fragment that shares a maximal run with a LOWER-id fragment
+    (keep-min-id, the corpus-wide convention), trim its single longest
+    shared run and account the savings per language — fragments
+    audited, fragments trimmed, tokens before, tokens saved, savings in
+    basis points. One pass removes one run per fragment (removing all
+    runs at once can over-delete where islands overlap on different
+    diagonals); production iterates passes to convergence exactly like
+    the MinHash dedup passes, and this entry audits pass 1.
+
+    Shares `_es_runs` with the detector (the _boundary_verified
+    convention) so trimmer and detector can never disagree; adds ONE
+    per-victim max aggregate and one pool-keyed left join on top of the
+    detector's dataflow. Savings are attributed to the victim
+    fragment's language (excerpt fragments inherit their parent's)."""
+    pool, runs = _es_runs(spark, sf_dir)
+    worst = runs.groupBy(F.col("d2").alias("sid")).agg(
+        F.max("run").alias("_cut")
+    )
+    audited = pool.join(worst, "sid", "left")
+    return (
+        audited.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("frags_audited"),
+            F.count("_cut").cast("bigint").alias("frags_trimmed"),
+            F.sum("L").cast("bigint").alias("tokens_before"),
+            F.sum(F.coalesce(F.col("_cut"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_saved"),
+        )
+        .withColumn(
+            "saved_bp",
+            F.expr("CAST(tokens_saved * 10000 DIV tokens_before AS BIGINT)"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["exact_substring_trim"] = exact_substring_trim
+
+ORACLES["exact_substring_trim"] = f"""
+        WITH {_ES_CTES},
+        worst AS (
+            SELECT d2 AS sid, max(run) AS cut FROM runs GROUP BY d2
+        ),
+        acct AS (
+            SELECT p.lang,
+                   CAST(count(*) AS BIGINT) AS frags_audited,
+                   CAST(count(w.cut) AS BIGINT) AS frags_trimmed,
+                   CAST(sum(p.L) AS BIGINT) AS tokens_before,
+                   CAST(coalesce(sum(w.cut), 0) AS BIGINT) AS tokens_saved
+            FROM p2 p LEFT JOIN worst w ON p.sid = w.sid
+            GROUP BY p.lang
+        )
+        SELECT lang, frags_audited, frags_trimmed, tokens_before,
+               tokens_saved,
+               CAST(tokens_saved * 10000 // tokens_before AS BIGINT)
+                   AS saved_bp
+        FROM acct ORDER BY lang
 """
 
 
@@ -2347,11 +2431,11 @@ QUERIES["semantic_ingest_fold"] = semantic_ingest_fold
 # Generated from streaming/semantic_ingest.py's SEM_PLANES so the oracle
 # bucket function can never drift from the sink's (the N_SIG_FILES
 # shared-constant convention): bit i set iff component i+1 >= 0.
-def _sem_bucket_sql() -> str:
+def _sem_bucket_sql(var: str = "v") -> str:
     from codebase_rag_spark.streaming.semantic_ingest import SEM_PLANES
 
     return "\n                 + ".join(
-        f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN {var}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
         for i in range(SEM_PLANES)
     )
 
@@ -2620,4 +2704,127 @@ ORACLES["compaction_manifest_diff"] = f"""
                    AS contains_before
         FROM ma LEFT JOIN mb ON ma.file_id = mb.file_id
         ORDER BY ma.file_id
+"""
+
+
+# --- r11: sign-bucket collision curve (the semantic sink's recall
+# trade, measured instead of waved at) ---
+
+# Perturbation grades for the collision curve: v' mixes each component
+# with alpha times its cyclic neighbor, so cosine(v, v') ~
+# 1/sqrt(1+alpha^2) with data-dependent spread — four grades walk the
+# cosine axis from ~0.97 to ~0.45. Shared by Spark and the oracle.
+SEM_CURVE_ALPHAS = [0.25, 0.5, 1.0, 2.0]
+SEM_DIM = 64
+
+
+def semantic_bucket_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-space analogue of lsh_s_curve_calibration: measure
+    the sign-bucket LSH's collision-probability-vs-similarity curve —
+    the recall trade streaming/semantic_ingest.py documents (a near-dup
+    pair in different buckets is never probed). For each grade alpha,
+    every vector is paired with a deterministic perturbed copy
+    (component i mixed with alpha times its cyclic neighbor), and the
+    audit reports per grade: pair count, mean cosine (in integer basis
+    points — sum DIV n, no float crosses engines), bucket collisions,
+    and the collision rate in bp. Hyperplane LSH theory says collision
+    probability = (1 - theta/pi)^planes; this entry pins the measured
+    curve so a bucket-function regression (or a planes change that
+    silently guts recall) fails the driver hash, not a code review.
+
+    One corpus scan, a 4-grade explode (design-constant fan-out), one
+    enum-keyed aggregate — linear at any SF; the cosine/bucket math is
+    per-row projection (zero joins, zero windows)."""
+    from codebase_rag_spark.functions.vector import as_double, cosine_similarity
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+    from codebase_rag_spark.streaming.semantic_ingest import sign_bucket
+
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
+    v = as_double(F.col("embedding"))
+    g = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.explode(
+            F.array(*[F.lit(a) for a in SEM_CURVE_ALPHAS])
+        ).alias("alpha"),
+    )
+    vcol = F.col("v")
+    mixed = g.withColumn(
+        "w",
+        F.transform(
+            vcol,
+            lambda x, i: x
+            + F.col("alpha")
+            * F.element_at(vcol, ((i + 1) % F.lit(SEM_DIM)) + 1),
+        ),
+    )
+    scored = mixed.select(
+        "alpha",
+        F.round(cosine_similarity(vcol, F.col("w")) * 10000)
+        .cast("bigint")
+        .alias("cbp"),
+        (sign_bucket(vcol) == sign_bucket(F.col("w"))).alias("hit"),
+    )
+    return (
+        scored.groupBy("alpha")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("CAST(sum(cbp) DIV count(*) AS BIGINT)").alias(
+                "mean_cos_bp"
+            ),
+            F.count(F.when(F.col("hit"), 1)).cast("bigint").alias(
+                "n_collide"
+            ),
+        )
+        .withColumn(
+            "collide_bp",
+            F.expr("CAST(n_collide * 10000 DIV n_pairs AS BIGINT)"),
+        )
+        .orderBy("alpha")
+    )
+
+
+QUERIES["semantic_bucket_scurve"] = semantic_bucket_scurve
+
+ORACLES["semantic_bucket_scurve"] = f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        g AS (
+            SELECT vec_id, v,
+                   unnest([{", ".join(str(a) for a in SEM_CURVE_ALPHAS)}])
+                       AS alpha
+            FROM e
+        ),
+        m AS (
+            SELECT vec_id, alpha, v,
+                   list_transform(generate_series(1, {SEM_DIM}),
+                                  i -> v[i] + alpha * v[(i % {SEM_DIM}) + 1])
+                       AS w
+            FROM g
+        ),
+        pe AS (
+            SELECT vec_id, alpha,
+                   {_sem_bucket_sql("v")} AS bv,
+                   {_sem_bucket_sql("w")} AS bw,
+                   unnest(v) AS x, unnest(w) AS y
+            FROM m
+        ),
+        pc AS (
+            SELECT vec_id, alpha, bv, bw,
+                   CAST(round(sum(x * y)
+                              / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                              * 10000) AS BIGINT) AS cbp
+            FROM pe GROUP BY vec_id, alpha, bv, bw
+        )
+        SELECT alpha,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(cbp) // count(*) AS BIGINT) AS mean_cos_bp,
+               CAST(sum(CASE WHEN bv = bw THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_collide,
+               CAST(sum(CASE WHEN bv = bw THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS collide_bp
+        FROM pc GROUP BY alpha ORDER BY alpha
 """

@@ -22,7 +22,15 @@ they share a bucket with probability -> 1 as cosine -> 1; the pair work
 per batch is sum(bucket_size^2), never batch x state. At 100 TB raise
 SEM_PLANES (or swap in trained IVF cells, operators/similarity.py) so
 bucket populations stay bounded; missed cross-bucket near-dups are the
-documented recall trade every LSH ingest makes (multi-probe widens it).
+documented recall trade every LSH ingest makes. The trade is MEASURED,
+not waved at: queries/dedupops.py:semantic_bucket_scurve pins the
+collision curve on this corpus — one 8-plane table collides ~48% of
+cosine-0.97 pairs (hyperplane-LSH theory: (1 - theta/pi)^planes = 0.52
+at theta = 0.246), falling to ~1.6% at cosine 0.44. Production
+amplifies recall with several independent plane tables (OR of bands,
+the MinHash banding trick) or multi-probe of neighboring buckets; one
+table is registered here because the fold twin constructs
+bucket-colocated pairs, making the THRESHOLD the decision under test.
 
 Keeper semantics (identical to lsh_ingest, arrival-order): a vector
 loses to any near-match kept in an EARLIER batch, then among the

@@ -127,8 +127,9 @@ def test_exact_substring_pairs_runs_are_real_substrings(spark):
 
 
 def test_semantic_ingest_fold_full_python_referee(spark):
-    """Complete fold referee in numpy: same buckets (sign bits of dims
-    1..4), same round(cosine,4) >= 0.9 rule, same arrival-order fold
+    """Complete fold referee in numpy: same buckets (sign bits of the
+    first SEM_PLANES dims), same round(cosine,4) >= 0.9 rule, same
+    arrival-order fold
     (cross-batch probe first, then one-pass in-batch, larger id loses).
     Also pins the order-dependence: some copies beat their originals."""
     import numpy as np
@@ -292,3 +293,99 @@ def test_semantic_ingest_stream_end_to_end(spark, tmp_path):
     assert {r._id for r in rows} == {1, 3, 10}
     state = spark.read.parquet(st)
     assert state.count() == 3
+
+
+def test_exact_substring_trim_consistent_with_pairs(spark):
+    """Trimmer and detector share one dataflow: tokens_saved per lang
+    must equal the sum over victim fragments of the MAX shared run any
+    lower-id partner covers, re-derived from exact_substring_pairs' own
+    output plus the Python pool mirror (for fragment lang and length)."""
+    pairs = QUERIES["exact_substring_pairs"](spark, SF).collect()
+    trim = {
+        r["lang"]: r
+        for r in QUERIES["exact_substring_trim"](spark, SF).collect()
+    }
+    docs = [
+        (r["doc_id"], r["lang"], r["text"])
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    ]
+    pool = _es_pool_py([(d, t) for d, _, t in docs])
+    lang_of = {d: lg for d, lg, _ in docs}
+
+    def frag_lang(sid):
+        return lang_of[sid if sid < SHIFT else sid - SHIFT]
+
+    worst: dict = {}
+    for r in pairs:
+        v = r["right_id"]
+        worst[v] = max(worst.get(v, 0), r["longest_run_tokens"])
+    saved: dict = {}
+    audited: dict = {}
+    before: dict = {}
+    trimmed: dict = {}
+    for sid, t in pool.items():
+        lg = frag_lang(sid)
+        audited[lg] = audited.get(lg, 0) + 1
+        before[lg] = before.get(lg, 0) + len(t)
+        if sid in worst:
+            saved[lg] = saved.get(lg, 0) + worst[sid]
+            trimmed[lg] = trimmed.get(lg, 0) + 1
+    for lg, r in trim.items():
+        assert r["frags_audited"] == audited[lg]
+        assert r["frags_trimmed"] == trimmed.get(lg, 0)
+        assert r["tokens_before"] == before[lg]
+        assert r["tokens_saved"] == saved.get(lg, 0)
+        assert r["saved_bp"] == saved.get(lg, 0) * 10000 // before[lg]
+
+
+def test_semantic_bucket_scurve_matches_theory_and_numpy(spark):
+    """Full numpy referee for the collision curve, plus the hyperplane-
+    LSH shape constraints: mean cosine and collision rate must both be
+    strictly decreasing in alpha, and the alpha=0.25 collision rate must
+    be within the theoretical (1 - theta/pi)^planes ballpark."""
+    import math
+
+    import numpy as np
+
+    from codebase_rag_spark.streaming.semantic_ingest import SEM_PLANES
+
+    rows = {
+        r["alpha"]: r
+        for r in QUERIES["semantic_bucket_scurve"](spark, SF).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    for alpha in [0.25, 0.5, 1.0, 2.0]:
+        n = coll = cbp_sum = 0
+        for v in emb.values():
+            w = v + alpha * np.roll(v, -1)
+            c = float(v @ w) / math.sqrt(float(v @ v) * float(w @ w))
+            cbp_sum += round(c * 10000)
+            bv = sum(1 << k for k in range(SEM_PLANES) if v[k] >= 0)
+            bw = sum(1 << k for k in range(SEM_PLANES) if w[k] >= 0)
+            n += 1
+            coll += bv == bw
+        r = rows[alpha]
+        assert r["n_pairs"] == n
+        assert r["mean_cos_bp"] == cbp_sum // n
+        assert r["n_collide"] == coll
+        assert r["collide_bp"] == coll * 10000 // n
+    curve = [rows[a] for a in [0.25, 0.5, 1.0, 2.0]]
+    assert all(
+        a["mean_cos_bp"] > b["mean_cos_bp"]
+        for a, b in zip(curve, curve[1:])
+    )
+    assert all(
+        a["collide_bp"] > b["collide_bp"] for a, b in zip(curve, curve[1:])
+    )
+    # theory check at the tightest grade: collision ~ (1 - theta/pi)^p
+    c0 = rows[0.25]["mean_cos_bp"] / 10000.0
+    pred = (1 - math.acos(c0) / math.pi) ** SEM_PLANES
+    got = rows[0.25]["collide_bp"] / 10000.0
+    assert abs(got - pred) < 0.15

@@ -75,6 +75,21 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    # bench-style table warm at BOTH SFs (round 11): without it a probe
+    # row charges first-read parquet footer/page costs to the query and
+    # reads ~1.2-1.6x over the bench row for scan-heavy plans
+    # (cbo_column_stats_approx measured 9.2 s unwarmed vs 7.7 s warmed
+    # vs 5.9 s in the fully-warmed bench session).
+    from codebase_rag_spark.catalog import TABLES, load_table
+
+    for sf_dir in (SF01, SF1):
+        for t in TABLES:
+            try:
+                load_table(spark, sf_dir, t).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001 - warm-up must never fail
+                print(f"PROBE WARM SKIP {t}: {e}", file=sys.stderr)
     out = {}
     for name in names:
         t01 = timed(spark, name, SF01)
