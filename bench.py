@@ -287,6 +287,13 @@ def main() -> None:
 
     control_pass()  # uncounted: absorb the control shape's own codegen
     control = [min(control_pass(), control_pass())]
+    # Mid-run control samples (round 11): the pre/post pair cannot see a
+    # contention pocket INSIDE the loop (r11 measured 8 rows reading
+    # 2-4x their same-code replays while both end controls sat in-band).
+    # One single-pass sample every CONTROL_EVERY rows timestamps the
+    # weather across the run; weather = ANY sample over the ceiling.
+    CONTROL_EVERY = 60
+    mid_controls: list[float] = []
 
     # Per-query error isolation: one broken query must never cost the run its
     # entire timing signal. Failures are recorded in "errors" and excluded
@@ -297,7 +304,9 @@ def main() -> None:
     errors: dict[str, str] = {}
     import gc
 
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi and qi % CONTROL_EVERY == 0:
+            mid_controls.append(control_pass())
         try:
             best = float("inf")
             for _ in range(N_PASSES):
@@ -338,14 +347,16 @@ def main() -> None:
     # committing. The gate never aborts — a flagged artifact is still
     # better than none — it just refuses to look clean.
     CALM_CEILING_SEC = 3.5
-    weather = max(control) > CALM_CEILING_SEC
+    weather = max(control + mid_controls) > CALM_CEILING_SEC
     if weather:
+        mid_max = max(mid_controls) if mid_controls else 0.0
         print(
             "BENCH WEATHER: control row "
-            f"(pre {control[0]}s / post {control[1]}s) exceeds the "
-            f"calm band ceiling {CALM_CEILING_SEC}s — this run is "
-            "host-contended. Prefer re-running at a calm moment "
-            "(uptime load < 2) before committing this artifact.",
+            f"(pre {control[0]}s / mid max {mid_max}s / post "
+            f"{control[1]}s) exceeds the calm band ceiling "
+            f"{CALM_CEILING_SEC}s — this run is host-contended. Prefer "
+            "re-running at a calm moment (uptime load < 2) before "
+            "committing this artifact.",
             file=sys.stderr,
         )
 
@@ -363,6 +374,8 @@ def main() -> None:
             "shape": "range(50e6,32p) -> mod-key groupBy count/sum/avg",
             "pre_sec": control[0],
             "post_sec": control[1],
+            "mid_sec": mid_controls,
+            "mid_every": CONTROL_EVERY,
             "calm_ceiling_sec": CALM_CEILING_SEC,
         },
         "weather": weather,
