@@ -1,0 +1,90 @@
+"""Repo-wide unpartitioned-window policy scanner (VERDICT r11 nit #2).
+
+Policy: a window spec with NO partitionBy (``Window.orderBy(...)`` or
+an explicit empty ``Window.partitionBy()``) funnels its entire input
+through ONE task — the classic Spark scale cliff (operators/scalewin.py
+documents the discipline). It is legal ONLY when the window's input is
+bounded by something other than the input data volume: a design-fixed
+spine (days of a literal range, deciles, bucket grids), a top-k /
+capped table, or a manifest-sized aggregate. Corpus-sized inputs must
+use scalewin's range-sharded machinery or a partitioned window.
+
+A full sf0.001 replay emits ~152 ``WindowExec: No Partition Defined``
+warnings; every attributable site is bounded by construction, but —
+unlike broadcast hints (tests/broadcast_sites.json) — nothing ASSERTED
+that, so a corpus-sized global window could slip in unnoticed. This
+module closes the gap exactly the way broadcast_audit does: every
+unpartitioned-window call site in the package, grouped by
+(file, enclosing function stack), must appear in
+``tests/window_sites.json`` with a one-line boundedness argument. A new
+site — or a count change in an existing group — fails
+tests/test_window_policy.py until a human classifies it.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+PACKAGE_ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _bottoms_at_window(node: ast.expr) -> bool:
+    """True if an attribute/call chain bottoms out at the bare name
+    ``Window`` (e.g. Window.orderBy, Window.currentRow does not call)."""
+    while True:
+        if isinstance(node, ast.Name):
+            return node.id == "Window"
+        if isinstance(node, ast.Attribute):
+            node = node.value
+        elif isinstance(node, ast.Call):
+            node = node.func
+        else:
+            return False
+
+
+def scan_window_sites(root: pathlib.Path | None = None) -> dict[str, int]:
+    """{"<relpath>::<enclosing function stack>": n_sites} for every
+    window spec built WITHOUT a partition: ``Window.orderBy(...)``
+    called directly on the Window class, and ``Window.partitionBy()``
+    with zero arguments (the explicit single-partition total window).
+    Specs that chain through a non-empty partitionBy never match —
+    their orderBy hangs off the partitionBy Call, not off ``Window``."""
+    root = root or PACKAGE_ROOT
+    out: dict[str, int] = {}
+
+    for path in sorted(root.rglob("*.py")):
+        rel = path.relative_to(root.parent).as_posix()
+        tree = ast.parse(path.read_text())
+
+        class _V(ast.NodeVisitor):
+            def __init__(self) -> None:
+                self.stack: list[str] = []
+
+            def visit_FunctionDef(self, node):  # noqa: N802
+                self.stack.append(node.name)
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):  # noqa: N802
+                f = node.func
+                hit = False
+                if isinstance(f, ast.Attribute) and isinstance(
+                    f.value, ast.Name
+                ) and f.value.id == "Window":
+                    if f.attr == "orderBy":
+                        hit = True
+                    elif f.attr == "partitionBy" and not (
+                        node.args or node.keywords
+                    ):
+                        hit = True
+                if hit:
+                    fn = "::".join(self.stack) if self.stack else "<module>"
+                    key = f"{rel}::{fn}"
+                    out[key] = out.get(key, 0) + 1
+                self.generic_visit(node)
+
+        _V().visit(tree)
+    return out

@@ -208,37 +208,42 @@ _DRIVER_CHECKED = {
     "cbo_column_stats_approx", "dedup_ingest_fold", "dp_noise_calibration",
     "feature_fusion_rerank", "fulltext_incremental_fold", "lsh_ingest_fold",
     "qsketch_fold_readout", "signature_compaction_audit",
+    # --- r11 (50 window rows, all green in CORRECTNESS_r11.json; the 7
+    # names new in round 11 — the other 43 window rows were re-checks of
+    # entries already listed above) ---
+    "compaction_manifest_diff", "contamination_removal",
+    "context_pack_ablation", "exact_substring_pairs",
+    "exact_substring_trim", "semantic_bucket_scurve",
+    "semantic_ingest_fold",
 }
 
-# Round-11 window (rotation computed from CORRECTNESS_r10.json: all 50
-# rows green, union covers all 324 r10 entries). _PRIORITY = everything
-# REWRITTEN after its r10 driver row, so the next driver row postdates
+# Round-12 window (rotation computed from CORRECTNESS_r11.json: all 50
+# rows green, union covers all 331 r11 entries). _PRIORITY = everything
+# REWRITTEN after its r11 driver row, so the next driver row postdates
 # the current implementation:
-#   * distribution_moments + event_interarrival_burstiness: the
-#     narrowing .cast('decimal(37,0)') on the power/gap sums was
-#     dropped (ADVICE r10 — it re-added the silent-NULL overflow class
-#     the r9 widening removed);
-#   * cbo_column_stats_approx: p50 columns now cast to DOUBLE
-#     explicitly in BOTH engines before stacking/rendering (ADVICE r10
-#     — pins the cross-engine string format against future column-type
-#     drift);
-#   * signature_compaction_audit: the n_files literal is now the shared
-#     N_SIG_FILES constant interpolated into both engines (ADVICE r10).
-# New round-11 entries (exact_substring_pairs, semantic_ingest_fold,
-# contamination_removal, compaction_manifest_diff) are listed too so
-# their first driver row is guaranteed this round.
+#   * exact_substring_pairs + exact_substring_trim: their shared
+#     dataflow was refactored (_es_runs split into _pool_runs + pool,
+#     the runs aggregate gained the mp1 start column) for the pass-2
+#     convergence audit — outputs are unchanged but the code the driver
+#     checked is not;
+#   * semantic_ingest_fold: docstring-only SEM_PLANES fix (ADVICE r11),
+#     re-listed out of caution since the entry was touched;
+#   * lsh_ingest_fold: signatures now built once over the fold corpus
+#     and filtered per fold (VERDICT r11 #6 shave) — identical keyed
+#     rows, but the code the driver checked changed.
+# New round-12 entries (es_ingest_fold — the 9th streaming sink's fold
+# twin, exact_substring_trim_pass2, semantic_multiprobe_recall,
+# cc_vs_onepass_delta) are listed so their first driver row is
+# guaranteed this round.
 _PRIORITY = [
-    "distribution_moments",
-    "event_interarrival_burstiness",
-    "cbo_column_stats_approx",
-    "signature_compaction_audit",
+    "es_ingest_fold",
+    "exact_substring_trim_pass2",
+    "semantic_multiprobe_recall",
+    "cc_vs_onepass_delta",
     "exact_substring_pairs",
-    "semantic_ingest_fold",
-    "contamination_removal",
-    "compaction_manifest_diff",
-    "context_pack_ablation",
     "exact_substring_trim",
-    "semantic_bucket_scurve",
+    "semantic_ingest_fold",
+    "lsh_ingest_fold",
 ]
 
 QUERIES = {

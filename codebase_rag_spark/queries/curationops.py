@@ -3241,3 +3241,104 @@ ORACLES["dp_noise_calibration"] = """
         GROUP BY eps, laplace_b, thr
         ORDER BY eps
 """
+
+
+# --- r12: transitive-closure vs one-pass keeper delta (VERDICT r11
+# #8b: every streaming sink in this package pins the ONE-PASS
+# arrival-order keeper rule — larger id loses to any smaller-id
+# near-match — while batch dedup_clusters computes the full connected
+# components; this entry MEASURES what the streaming approximation
+# leaves behind) ---
+
+
+def cc_vs_onepass_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per cluster size: how many docs full transitive-closure dedup
+    removes (every non-minimum member) vs the one-pass rule the
+    streaming sinks apply (a doc is removed iff it has a DIRECT edge to
+    a smaller id). One-pass removals are always a subset: a doc with a
+    smaller-id edge is never its component's minimum. The delta is the
+    docs whose every SCORED partner has a larger id yet who share a
+    component with a smaller doc through those partners — e.g. edges
+    (1,9) and (5,9): CC removes 5 and 9, one-pass removes only 9, so 5
+    is the approximation's residue. Size-2 clusters have zero delta by
+    construction, which the per-size readout makes visible.
+
+    Same pair graph and same 3-iteration min-label CC as dedup_clusters
+    (both engines run the identical fixed iteration count, the
+    adjudicated convention), so the two policies are compared on equal
+    evidence. Scale: everything after the LSH shuffle is PAIR-sized;
+    the per-cluster and per-size aggregates never touch the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
+    )
+    edges = cands.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    labels = connected_components(edges, iterations=3)
+    onepass = (
+        cands.select(F.col("id_b").cast("string").alias("node"))
+        .distinct()
+        .withColumn("_op", F.lit(True))
+    )
+    per = (
+        labels.join(onepass, "node", "left")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("sz"),
+            F.sum(
+                F.when(F.col("node") != F.col("component"), 1).otherwise(0)
+            ).alias("ccr"),
+            F.count("_op").alias("opr"),
+        )
+    )
+    return (
+        per.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("ccr").cast("bigint").alias("cc_removed"),
+            F.sum("opr").cast("bigint").alias("onepass_removed"),
+            (F.sum("ccr") - F.sum("opr"))
+            .cast("bigint")
+            .alias("extra_removed"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES["cc_vs_onepass_delta"] = cc_vs_onepass_delta
+
+ORACLES["cc_vs_onepass_delta"] = f"""
+        WITH cand AS ({_DEDUP_ORACLES["lsh_candidates"]}),
+        e AS (
+            SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+            FROM cand
+        ),
+        u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS component FROM u),
+        {{cc1}},
+        {{cc2}},
+        {{cc3}},
+        op AS (SELECT DISTINCT CAST(id_b AS VARCHAR) AS node FROM cand),
+        per AS (
+            SELECT l3.component,
+                   count(*) AS sz,
+                   sum(CASE WHEN l3.node <> l3.component
+                            THEN 1 ELSE 0 END) AS ccr,
+                   sum(CASE WHEN op.node IS NOT NULL
+                            THEN 1 ELSE 0 END) AS opr
+            FROM l3 LEFT JOIN op ON l3.node = op.node
+            GROUP BY l3.component
+        )
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(ccr) AS BIGINT) AS cc_removed,
+               CAST(sum(opr) AS BIGINT) AS onepass_removed,
+               CAST(sum(ccr) - sum(opr) AS BIGINT) AS extra_removed
+        FROM per GROUP BY sz ORDER BY cluster_size
+""".format(
+    cc1=_CC_ITER.format(i=1, prev=0),
+    cc2=_CC_ITER.format(i=2, prev=1),
+    cc3=_CC_ITER.format(i=3, prev=2),
+)

@@ -1902,11 +1902,18 @@ def lsh_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     below threshold and survive; both engines agree bit-for-bit because
     the hash family is md5.
 
-    Scale: per-fold cost is one signature aggregate + band equi-joins
-    against the index delta union — no corpus self-join; the index side
-    is unbounded so it carries NO broadcast hint (AQE sizes the probe).
-    4 hashes / 2 bands / 3-shingles (the module's oracle-checked LSH
-    constants); threshold 0.75 = 3-of-4 agreement."""
+    Scale: signatures are built ONCE over the fold corpus and filtered
+    per fold (r12, VERDICT r11 #6 — a doc's signature depends only on
+    its text, so per-fold signature rebuilds were 3x the explode +
+    groupBy overhead for byte-identical keyed rows; the oracle's sig
+    CTE always built them once over the union, so the engines are now
+    shape-parallel too). The SEQUENTIAL semantics under test live
+    entirely in the per-fold lsh_dedup_batch calls, which are
+    unchanged: band equi-joins against the index delta union — no
+    corpus self-join; the index side is unbounded so it carries NO
+    broadcast hint (AQE sizes the probe). 4 hashes / 2 bands /
+    3-shingles (the module's oracle-checked LSH constants); threshold
+    0.75 = 3-of-4 agreement."""
     from codebase_rag_spark.streaming.lsh_ingest import (
         batch_signatures,
         lsh_dedup_batch,
@@ -1919,14 +1926,15 @@ def lsh_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" qq")).alias("text"),
         )
     )
+    all_keyed = batch_signatures(
+        corpus, "doc_id", "text",
+        num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3,
+    ).localCheckpoint(eager=False)
     index = None
     outs = []
     for b in range(3):
         batch = corpus.filter(F.col("doc_id") % 3 == b)
-        keyed = batch_signatures(
-            batch, "doc_id", "text",
-            num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3,
-        ).localCheckpoint(eager=False)
+        keyed = all_keyed.filter(F.col("_id") % 3 == b)
         kept = lsh_dedup_batch(
             keyed, index, num_hashes=NUM_HASHES, sim_threshold=0.75
         ).localCheckpoint(eager=False)
@@ -2045,16 +2053,24 @@ ORACLES["lsh_ingest_fold"] = rf"""
 # exact-substring dedup threshold for training corpora is ~50 tokens,
 # but this corpus's docs average ~54 tokens, so 16 keeps the operator
 # observable at every SF. Shared by Spark and the oracle.
-ES_K = 16
-# Anchor-confinement cap: a K-gram occurring at more than ES_GCAP
-# positions corpus-wide is boilerplate and is excluded from anchoring
-# (its pair fan-out is quadratic in its frequency — the one blowup mode
-# of gram-anchor methods). Runs containing a hotter window fragment at
-# that window; both engines apply the identical cap, so the capped
-# semantics ARE the checked semantics. At these corpus sizes no
-# natural 16-gram approaches 128 occurrences — the cap is the 100-TB
-# posture, not a test-corpus behavior.
-ES_GCAP = 128
+#
+# ES_GCAP is the anchor-confinement cap: a K-gram occurring at more
+# than ES_GCAP positions corpus-wide is boilerplate and is excluded
+# from anchoring (its pair fan-out is quadratic in its frequency — the
+# one blowup mode of gram-anchor methods). Runs containing a hotter
+# window fragment at that window; both engines apply the identical
+# cap, so the capped semantics ARE the checked semantics. At these
+# corpus sizes no natural 16-gram approaches 128 occurrences — the cap
+# is the 100-TB posture, not a test-corpus behavior.
+#
+# Since r12 both values LIVE in the streaming sink module so the batch
+# detector, the trimmer, the ingest sink, and every oracle f-string
+# interpolate the same numbers (the SEM_PLANES convention).
+from codebase_rag_spark.streaming.es_ingest import (  # noqa: E402
+    ES_GCAP,
+    ES_K,
+    ES_MINRUN,
+)
 
 
 def _es_pool(d: DataFrame) -> DataFrame:
@@ -2091,18 +2107,17 @@ def _es_pool(d: DataFrame) -> DataFrame:
     )
 
 
-def _es_runs(spark: SparkSession, sf_dir: str):
-    """(pool, runs): the shared anchor/verify/island dataflow both
-    exact-substring consumers run on (the _boundary_verified convention
-    — detector and trimmer share ONE dataflow so they cannot disagree).
-    `runs` has one row per maximal shared run: (d1, d2, diag, isl, run)
-    with run = length in tokens, d1 < d2."""
+def _pool_runs(pool: DataFrame):
+    """The anchor/verify/island dataflow on an arbitrary pool
+    (sid, lang, t[, L]) — factored out of _es_runs in r12 so the
+    pass-2 convergence audit can re-run the IDENTICAL dataflow on the
+    pass-1-trimmed pool. Returns one row per maximal shared run:
+    (d1, d2, diag, isl, run, mp1) with run = length in tokens, d1 < d2,
+    and mp1 = the run's first anchor position in d1 coordinates (the
+    victim-side start is mp1 - diag)."""
     from pyspark.sql import Window
 
-    from codebase_rag_spark.operators.fanout import spread_for_compute
-
-    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    pool = _es_pool(d)
+    pool = pool.withColumn("L", F.size("t")).filter(F.col("L") >= ES_K)
     grams = pool.select(
         "sid",
         F.explode(
@@ -2138,12 +2153,26 @@ def _es_runs(spark: SparkSession, sf_dir: str):
         )
     )
     w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
-    runs = (
+    return (
         ver.withColumn("isl", F.col("p1") - F.row_number().over(w))
         .groupBy("d1", "d2", "diag", "isl")
-        .agg((F.count("*") + F.lit(ES_K - 1)).alias("run"))
+        .agg(
+            (F.count("*") + F.lit(ES_K - 1)).alias("run"),
+            F.min("p1").alias("mp1"),
+        )
     )
-    return pool, runs
+
+
+def _es_runs(spark: SparkSession, sf_dir: str):
+    """(pool, runs): the shared anchor/verify/island dataflow every
+    exact-substring consumer runs on (the _boundary_verified convention
+    — detector, trimmer, and convergence audit share ONE dataflow so
+    they cannot disagree). See _pool_runs for the runs shape."""
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    pool = _es_pool(d)
+    return pool, _pool_runs(pool)
 
 
 def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2221,10 +2250,11 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["exact_substring_pairs"] = exact_substring_pairs
 
-# the WITH body shared by exact_substring_pairs and exact_substring_trim
-# (the _BOUNDARY_CTES convention: sliced consumers run the IDENTICAL
-# anchor/verify/island dataflow)
-_ES_CTES = rf"""base AS (
+# the pool-construction WITH body shared by every exact-substring
+# consumer — the batch pair detector, the trimmer, AND the streaming
+# fold twin's unrolled oracle — so all three oracles quote the
+# IDENTICAL corpus construction
+_ES_POOL_CTES = rf"""base AS (
             SELECT doc_id, lang,
                    list_filter(regexp_split_to_array(text, '\s+'),
                                x -> x <> '') AS t
@@ -2240,7 +2270,12 @@ _ES_CTES = rf"""base AS (
                         (n // 4) + least(greatest(n // 2, {ES_K}), 96)]
                    || ['zzr' || doc_id]
             FROM b2 WHERE n >= 32
-        ),
+        )"""
+
+# the WITH body shared by exact_substring_pairs and exact_substring_trim
+# (the _BOUNDARY_CTES convention: sliced consumers run the IDENTICAL
+# anchor/verify/island dataflow)
+_ES_CTES = _ES_POOL_CTES + rf""",
         p2 AS (
             SELECT sid, lang, t, len(t) AS L
             FROM pool WHERE len(t) >= {ES_K}
@@ -2371,8 +2406,9 @@ def semantic_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy) = 1 - 2*z where z is the last component's share of the squared
     norm (~1/64 on average), so most copies land at cosine >= 0.9 and
     drop while a deterministic minority (vectors whose tail component
-    carries > 5% of the energy) survive. Negating dim 64 leaves dims
-    1..4 — the bucket sign bits — untouched, so every orig/copy pair is
+    carries > 5% of the energy) survive. Negating dim 64 leaves the
+    first SEM_PLANES dims (1..8) — the bucket sign bits — untouched, so
+    every orig/copy pair is
     bucket-colocated and the THRESHOLD, not bucket recall, is the
     decision under test (negation preserves every sign bit the bucket
     reads — SEM_PLANES <= 63). Both engines compare round(cosine, 4)
@@ -2827,4 +2863,556 @@ ORACLES["semantic_bucket_scurve"] = f"""
                CAST(sum(CASE WHEN bv = bw THEN 1 ELSE 0 END) * 10000
                     // count(*) AS BIGINT) AS collide_bp
         FROM pc GROUP BY alpha ORDER BY alpha
+"""
+
+
+# --- r12: exact-substring streaming ingest (VERDICT r11 #2: the 9th
+# and last dedup-modality sink — exact, Bloom, LSH, and semantic all
+# had ingest sinks + fold twins; exact-substring was batch-only) ---
+
+
+def es_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming EXACT-SUBSTRING sink driver-checked end-to-end:
+    three interleaved pseudo-batches of pool fragments fold through
+    streaming/es_ingest.py's OWN dataflow — pool_grams (per-position
+    16-gram xxhash64 anchors), merge_counts (the cumulative hot-gram
+    cap state), then es_dedup_batch (cross-batch anchor probe of the
+    persistent gram index, token-exact verify against the kept pool,
+    gaps-and-islands run recovery, drop at >= ES_MINRUN tokens, then
+    the in-batch one-pass pass, larger sid loses) — and the oracle
+    UNROLLS the same three folds in SQL over the IDENTICAL pool
+    construction (_ES_POOL_CTES, string-keyed grams so the gate itself
+    would catch a binding anchor-hash collision), pinning the sink's
+    ARRIVAL-ORDER keeper semantics: _COPY_SHIFT % 3 == 1, so a
+    fragment's quoting excerpt always lands one batch LATER modulo 3 —
+    a batch-0 parent kills its batch-1 excerpt, but a batch-0 excerpt
+    (parent in batch 2) is kept and kills its OWN PARENT two folds
+    later, an inversion no one-shot dedup reproduces.
+
+    The pool is the detector's (_es_pool): originals plus mid-span
+    excerpts of clamp(n/2, 16, 96) tokens in zzl/zzr markers. Excerpt
+    runs of >= ES_MINRUN(24) tokens (parents with >= 48 tokens) drop;
+    shorter quotes survive — both outcomes observable at every SF. The
+    corpus's natural tiled duplicates exercise the in-batch pass.
+
+    Scale: per-fold cost is anchors linear in batch tokens, hash
+    equi-joins fan-out-bounded by the cumulative ES_GCAP cap,
+    token-array shuffles for verified candidates only, and
+    (pair, diagonal)-partitioned islands windows; the gram index and
+    kept pool are unbounded state so no probe join carries a broadcast
+    hint (AQE sizes them). Exceeds the reference's ingest path
+    (content-hash change detection only, SURVEY §2 S12/S16)."""
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+    from codebase_rag_spark.streaming.es_ingest import (
+        es_dedup_batch,
+        merge_counts,
+        pool_grams,
+    )
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    pool_all = _es_pool(d)
+    index = None
+    kept_pool = None
+    counts = None
+    outs = []
+    for b in range(3):
+        bp = pool_all.filter(F.col("sid") % 3 == b).localCheckpoint(
+            eager=False
+        )
+        bg = pool_grams(bp).localCheckpoint(eager=False)
+        counts = merge_counts(counts, bg).localCheckpoint(eager=False)
+        kept = es_dedup_batch(
+            bp, bg, index, kept_pool, counts
+        ).localCheckpoint(eager=False)
+        outs.append(
+            kept.select(
+                F.col("sid").alias("frag_id"),
+                F.lit(b).cast("bigint").alias("ingest_batch"),
+            )
+        )
+        kg = bg.join(kept.select("sid"), "sid", "left_semi")
+        index = kg if index is None else index.unionByName(kg)
+        kp = kept.select("sid", "t")
+        kept_pool = kp if kept_pool is None else kept_pool.unionByName(kp)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("frag_id")
+
+
+QUERIES["es_ingest_fold"] = es_ingest_fold
+
+
+def _es_islands_sql(src: str, pos: str) -> str:
+    """Gaps-and-islands run recovery over verified hits — the _ES_CTES
+    runs step, parameterized by hit table and position column."""
+    return f"""
+            SELECT DISTINCT d2 AS sid FROM (
+                SELECT d1, d2, diag, count(*) + {ES_K} - 1 AS run
+                FROM (SELECT d1, d2, diag, {pos},
+                             {pos} - row_number() OVER (
+                                 PARTITION BY d1, d2, diag ORDER BY {pos}
+                             ) AS isl
+                      FROM {src})
+                GROUP BY d1, d2, diag, isl
+            ) WHERE run >= {ES_MINRUN}"""
+
+
+def _es_fold_batch_sql(b: int) -> str:
+    """One unrolled fold step: the cumulative hot-gram cap at fold b,
+    the cross-batch probe vs kept0..kept{b-1}'s grams, then the
+    in-batch one-pass among the cross-batch survivors."""
+    hot = f"""
+        hot{b} AS (
+            SELECT gram FROM (
+                SELECT gram, count(*) AS c FROM fgrams
+                WHERE b <= {b} GROUP BY gram
+            ) WHERE c > {ES_GCAP}
+        ),
+        eg{b} AS (
+            SELECT sid, pos, gram FROM fgrams
+            WHERE b = {b}
+              AND gram NOT IN (SELECT gram FROM hot{b})
+        )"""
+    if b == 0:
+        surv = f"""
+        surv{b} AS (SELECT sid FROM fp2 WHERE b = {b})"""
+    else:
+        kept_union = " UNION ALL ".join(
+            f"SELECT sid FROM kept{j}" for j in range(b)
+        )
+        surv = f"""
+        idxg{b} AS (
+            SELECT sid, pos, gram FROM fgrams
+            WHERE sid IN ({kept_union})
+              AND gram NOT IN (SELECT gram FROM hot{b})
+        ),
+        xver{b} AS (
+            SELECT i.sid AS d1, e.sid AS d2, e.pos AS px,
+                   e.pos - i.pos AS diag
+            FROM idxg{b} i JOIN eg{b} e ON i.gram = e.gram
+        ),
+        xdrop{b} AS ({_es_islands_sql(f"xver{b}", "px")}),
+        surv{b} AS (
+            SELECT sid FROM fp2 WHERE b = {b}
+              AND sid NOT IN (SELECT sid FROM xdrop{b})
+        )"""
+    return f"""{hot},{surv},
+        sg{b} AS (
+            SELECT * FROM eg{b}
+            WHERE sid IN (SELECT sid FROM surv{b})
+        ),
+        iver{b} AS (
+            SELECT x.sid AS d1, y.sid AS d2, x.pos AS px,
+                   x.pos - y.pos AS diag
+            FROM sg{b} x JOIN sg{b} y
+              ON x.gram = y.gram AND x.sid < y.sid
+        ),
+        idrop{b} AS ({_es_islands_sql(f"iver{b}", "px")}),
+        kept{b} AS (
+            SELECT sid FROM surv{b}
+            WHERE sid NOT IN (SELECT sid FROM idrop{b})
+        )"""
+
+
+ORACLES["es_ingest_fold"] = f"""
+        WITH {_ES_POOL_CTES},
+        fp2 AS (
+            SELECT sid, t, len(t) AS L, sid % 3 AS b
+            FROM pool WHERE len(t) >= {ES_K}
+        ),
+        fgrams AS (
+            SELECT sid, b, pos,
+                   array_to_string(t[pos : pos + {ES_K} - 1], ' ') AS gram
+            FROM (SELECT sid, b, t,
+                         unnest(generate_series(1, L - {ES_K} + 1)) AS pos
+                  FROM fp2)
+        ),
+        {_es_fold_batch_sql(0)},
+        {_es_fold_batch_sql(1)},
+        {_es_fold_batch_sql(2)}
+        SELECT sid AS frag_id, CAST(b AS BIGINT) AS ingest_batch
+        FROM (
+            SELECT sid, 0 AS b FROM kept0
+            UNION ALL SELECT sid, 1 AS b FROM kept1
+            UNION ALL SELECT sid, 2 AS b FROM kept2
+        ) ORDER BY frag_id
+"""
+
+
+# --- r12: exact-substring trim convergence audit (VERDICT r11 #3:
+# exact_substring_trim audits pass 1 only; production iterates to
+# convergence — this entry runs pass 2 and pins the iterated
+# semantics, including the islands-overlapping-on-different-diagonals
+# case single-run-per-pass exists to handle) ---
+
+
+def _es_pick_cut(runs: DataFrame) -> DataFrame:
+    """Per victim fragment (d2): THE single run removed by one trim
+    pass — longest run wins, ties broken by smallest victim-side start
+    (mp1 - diag), then smallest keeper id, then smallest diagonal, so
+    both engines pick the identical run. Returns (sid, s2, run)."""
+    from pyspark.sql import Window
+
+    c = runs.withColumn("s2", F.col("mp1") - F.col("diag"))
+    w = Window.partitionBy("d2").orderBy(
+        F.col("run").desc(), F.col("s2"), F.col("d1"), F.col("diag")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("d2").alias("sid"), "s2", "run")
+    )
+
+
+def _es_apply_cut(pool: DataFrame, cut: DataFrame) -> DataFrame:
+    """Remove each victim's picked run from its token array: keep
+    tokens [1, s2-1] and [s2+run, L] — non-victims pass through. The
+    trimmed pool feeds the SAME _pool_runs dataflow for the next
+    pass."""
+    return (
+        pool.join(cut, "sid", "left")
+        .select(
+            "sid",
+            "lang",
+            F.when(F.col("s2").isNull(), F.col("t"))
+            .otherwise(
+                F.expr(
+                    "concat(slice(t, 1, s2 - 1),"
+                    " slice(t, s2 + run,"
+                    " greatest(size(t) - (s2 + run) + 1, 0)))"
+                )
+            )
+            .alias("t"),
+        )
+    )
+
+
+def exact_substring_trim_pass2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-2 convergence audit of exact-substring trimming: apply pass
+    1 (each victim loses its single longest shared run — _es_pick_cut's
+    deterministic pick), rebuild the pool with the runs actually
+    REMOVED from the token arrays, re-run the IDENTICAL _pool_runs
+    dataflow on the trimmed pool, and account pass 2 next to pass 1 per
+    language. This pins the iterated semantics production runs to
+    convergence: one run per victim per pass, because removing all of a
+    victim's runs at once can over-delete where islands overlap on
+    different DIAGONALS (two runs sharing token positions would both
+    subtract their full lengths). The per-lang pass-2 columns measure
+    exactly the residue that rule leaves for the next pass — on a
+    corpus where every victim had one run, trimmed_p2 is 0 and the
+    fixpoint is reached in one pass.
+
+    Scale: two sequential instances of the bounded _pool_runs dataflow
+    (anchor rows linear in tokens, ES_GCAP-capped fan-out, verify on
+    candidates only) plus one manifest-sized pick/apply join per pass —
+    iterating to convergence multiplies by the pass count, never
+    changes the per-pass bound. The constructed-overlap referee test
+    (tests/test_r12_properties.py) pins the no-over-deletion property
+    with hand-built diagonal overlaps."""
+    pool, runs1 = _es_runs(spark, sf_dir)
+    pool = pool.localCheckpoint(eager=False)
+    cut1 = _es_pick_cut(runs1).localCheckpoint(eager=False)
+    pool2 = _es_apply_cut(pool, cut1).localCheckpoint(eager=False)
+    cut2 = _es_pick_cut(_pool_runs(pool2))
+    a = (
+        pool.select("sid", "lang", "L")
+        .join(
+            cut1.select("sid", F.col("run").alias("cut1")), "sid", "left"
+        )
+        .join(
+            cut2.select("sid", F.col("run").alias("cut2")), "sid", "left"
+        )
+    )
+    return (
+        a.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("frags_audited"),
+            F.count("cut1").cast("bigint").alias("trimmed_p1"),
+            F.sum(F.coalesce(F.col("cut1"), F.lit(0)))
+            .cast("bigint")
+            .alias("saved_p1"),
+            F.count("cut2").cast("bigint").alias("trimmed_p2"),
+            F.sum(F.coalesce(F.col("cut2"), F.lit(0)))
+            .cast("bigint")
+            .alias("saved_p2"),
+            F.sum("L").cast("bigint").alias("tokens_before"),
+        )
+        .withColumn(
+            "saved_total_bp",
+            F.expr(
+                "CAST((saved_p1 + saved_p2) * 10000"
+                " DIV tokens_before AS BIGINT)"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["exact_substring_trim_pass2"] = exact_substring_trim_pass2
+
+
+def _es_runs_sql(pool_cte: str, pfx: str) -> str:
+    """The anchor/island/pick chain on an arbitrary pool CTE — the SQL
+    mirror of _pool_runs + _es_pick_cut, emitted once per pass."""
+    return f"""{pfx}p2 AS (
+            SELECT sid, lang, t, len(t) AS L
+            FROM {pool_cte} WHERE len(t) >= {ES_K}
+        ),
+        {pfx}grams AS (
+            SELECT sid, pos,
+                   array_to_string(t[pos : pos + {ES_K} - 1], ' ') AS gram
+            FROM (SELECT sid, t,
+                         unnest(generate_series(1, L - {ES_K} + 1)) AS pos
+                  FROM {pfx}p2)
+        ),
+        {pfx}capped AS (
+            SELECT sid, pos, gram FROM (
+                SELECT sid, pos, gram,
+                       count(*) OVER (PARTITION BY gram) AS c
+                FROM {pfx}grams
+            ) WHERE c <= {ES_GCAP}
+        ),
+        {pfx}hits AS (
+            SELECT a.sid AS d1, b.sid AS d2, a.pos AS p1,
+                   a.pos - b.pos AS diag
+            FROM {pfx}capped a JOIN {pfx}capped b ON a.gram = b.gram
+            WHERE a.sid < b.sid
+        ),
+        {pfx}runs AS (
+            SELECT d1, d2, diag, count(*) + {ES_K} - 1 AS run,
+                   min(p1) AS mp1
+            FROM (SELECT d1, d2, diag, p1,
+                         p1 - row_number() OVER (
+                             PARTITION BY d1, d2, diag ORDER BY p1
+                         ) AS isl
+                  FROM {pfx}hits)
+            GROUP BY d1, d2, diag, isl
+        ),
+        {pfx}cut AS (
+            SELECT sid, s2, run FROM (
+                SELECT d2 AS sid, mp1 - diag AS s2, run,
+                       row_number() OVER (
+                           PARTITION BY d2
+                           ORDER BY run DESC, mp1 - diag ASC,
+                                    d1 ASC, diag ASC
+                       ) AS rn
+                FROM {pfx}runs
+            ) WHERE rn = 1
+        )"""
+
+
+ORACLES["exact_substring_trim_pass2"] = f"""
+        WITH {_ES_POOL_CTES},
+        {_es_runs_sql("pool", "a")},
+        pool2 AS (
+            SELECT p.sid, p.lang,
+                   CASE WHEN c.sid IS NULL THEN p.t
+                        ELSE p.t[1 : c.s2 - 1] || p.t[c.s2 + c.run :]
+                   END AS t
+            FROM ap2 p LEFT JOIN acut c ON p.sid = c.sid
+        ),
+        {_es_runs_sql("pool2", "b")},
+        acct AS (
+            SELECT p.lang,
+                   CAST(count(*) AS BIGINT) AS frags_audited,
+                   CAST(count(c1.sid) AS BIGINT) AS trimmed_p1,
+                   CAST(coalesce(sum(c1.run), 0) AS BIGINT) AS saved_p1,
+                   CAST(count(c2.sid) AS BIGINT) AS trimmed_p2,
+                   CAST(coalesce(sum(c2.run), 0) AS BIGINT) AS saved_p2,
+                   CAST(sum(p.L) AS BIGINT) AS tokens_before
+            FROM ap2 p LEFT JOIN acut c1 ON p.sid = c1.sid
+                       LEFT JOIN bcut c2 ON p.sid = c2.sid
+            GROUP BY p.lang
+        )
+        SELECT lang, frags_audited, trimmed_p1, saved_p1, trimmed_p2,
+               saved_p2, tokens_before,
+               CAST((saved_p1 + saved_p2) * 10000 // tokens_before
+                    AS BIGINT) AS saved_total_bp
+        FROM acct ORDER BY lang
+"""
+
+
+# --- r12: multi-table recall amplification (VERDICT r11 #4: the
+# semantic sink PRESCRIBES OR-of-tables / multi-probe for production
+# recall (streaming/semantic_ingest.py docstring) and
+# semantic_bucket_scurve measures ONE table; this registers the
+# amplification itself) ---
+
+# Number of independent sign-bucket tables: table j reads the 8
+# components j*8+1 .. j*8+8, so the 64-dim embeddings carry exactly 8
+# DISJOINT 8-plane tables — independent by construction, no extra
+# hash family needed. Shared by Spark and the oracle.
+SEM_TABLES = 8
+
+
+def _sem_table_bucket(vec, j: int):
+    """Sign bucket of table j: bit i set iff component j*8+i+1 >= 0 —
+    sign_bucket (streaming/semantic_ingest.py) shifted to table j's
+    dimension slice."""
+    bits = [
+        F.when(vec.getItem(j * 8 + i) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i in range(8)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def semantic_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall amplification of OR-ing independent sign-bucket
+    tables — the production recipe the semantic sink prescribes where
+    one table's recall (semantic_bucket_scurve: ~48% of cosine-0.97
+    pairs collide) is not enough. Same 4-grade cyclic-mix perturbation
+    as the scurve; per (grade, n_tables=1..SEM_TABLES) the entry pins
+    pair count, mean cosine (integer bp), and the OR-of-the-first-k-
+    tables collision rate. Theory: with per-table probability p the
+    k-table OR collides at 1 - (1-p)^k (the MinHash banding formula) —
+    the theory-shape test asserts monotonicity in k and the closed-form
+    ballpark, and this driver hash pins the measured curve so a planes
+    or table-slicing regression fails the gate, not a review.
+
+    One corpus scan, a 4x8 design-constant explode, one enum-keyed
+    aggregate — linear at any SF; per-row projection only (zero joins,
+    zero windows)."""
+    from codebase_rag_spark.functions.vector import as_double, cosine_similarity
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
+    v = as_double(F.col("embedding"))
+    g = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.explode(
+            F.array(*[F.lit(a) for a in SEM_CURVE_ALPHAS])
+        ).alias("alpha"),
+    )
+    vcol = F.col("v")
+    mixed = g.withColumn(
+        "w",
+        F.transform(
+            vcol,
+            lambda x, i: x
+            + F.col("alpha")
+            * F.element_at(vcol, ((i + 1) % F.lit(SEM_DIM)) + 1),
+        ),
+    )
+    wcol = F.col("w")
+    marr = F.array(
+        *[
+            _sem_table_bucket(vcol, j) == _sem_table_bucket(wcol, j)
+            for j in range(SEM_TABLES)
+        ]
+    )
+    scored = mixed.select(
+        "alpha",
+        F.round(cosine_similarity(vcol, wcol) * 10000)
+        .cast("bigint")
+        .alias("cbp"),
+        marr.alias("m"),
+    )
+    ex = scored.select(
+        "alpha",
+        "cbp",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, SEM_TABLES + 1)])
+        ).alias("n_tables"),
+        F.exists(
+            F.slice(F.col("m"), F.lit(1), F.col("n_tables")),
+            lambda x: x,
+        ).alias("hit"),
+    )
+    return (
+        ex.groupBy("alpha", "n_tables")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("CAST(sum(cbp) DIV count(*) AS BIGINT)").alias(
+                "mean_cos_bp"
+            ),
+            F.count(F.when(F.col("hit"), 1)).cast("bigint").alias(
+                "n_collide"
+            ),
+        )
+        .withColumn(
+            "collide_bp",
+            F.expr("CAST(n_collide * 10000 DIV n_pairs AS BIGINT)"),
+        )
+        .select(
+            "alpha",
+            F.col("n_tables").cast("bigint").alias("n_tables"),
+            "n_pairs",
+            "mean_cos_bp",
+            "n_collide",
+            "collide_bp",
+        )
+        .orderBy("alpha", "n_tables")
+    )
+
+
+QUERIES["semantic_multiprobe_recall"] = semantic_multiprobe_recall
+
+
+def _sem_table_bucket_sql(var: str, j: int) -> str:
+    """SQL mirror of _sem_table_bucket — table j's bucket match is the
+    conjunction of its 8 sign agreements (bucket equality == all sign
+    bits equal, so no integer bucket needs materializing)."""
+    return " AND ".join(
+        f"(({var}[{j * 8 + i + 1}] >= 0) = (w[{j * 8 + i + 1}] >= 0))"
+        for i in range(8)
+    )
+
+
+ORACLES["semantic_multiprobe_recall"] = f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        g AS (
+            SELECT vec_id, v,
+                   unnest([{", ".join(str(a) for a in SEM_CURVE_ALPHAS)}])
+                       AS alpha
+            FROM e
+        ),
+        m AS (
+            SELECT vec_id, alpha, v,
+                   list_transform(generate_series(1, {SEM_DIM}),
+                                  i -> v[i] + alpha * v[(i % {SEM_DIM}) + 1])
+                       AS w
+            FROM g
+        ),
+        mb AS (
+            SELECT vec_id, alpha, v, w,
+                   [{", ".join(_sem_table_bucket_sql("v", j)
+                               for j in range(SEM_TABLES))}] AS ml
+            FROM m
+        ),
+        pe AS (
+            SELECT vec_id, alpha, ml, unnest(v) AS x, unnest(w) AS y
+            FROM mb
+        ),
+        pc AS (
+            SELECT vec_id, alpha, ml,
+                   CAST(round(sum(x * y)
+                              / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                              * 10000) AS BIGINT) AS cbp
+            FROM pe GROUP BY vec_id, alpha, ml
+        ),
+        ex AS (
+            SELECT alpha, cbp, ml,
+                   unnest(generate_series(1, {SEM_TABLES})) AS k
+            FROM pc
+        )
+        SELECT alpha, CAST(k AS BIGINT) AS n_tables,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(cbp) // count(*) AS BIGINT) AS mean_cos_bp,
+               CAST(sum(CASE WHEN list_contains(ml[1 : k], true)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_collide,
+               CAST(sum(CASE WHEN list_contains(ml[1 : k], true)
+                             THEN 1 ELSE 0 END) * 10000 // count(*)
+                    AS BIGINT) AS collide_bp
+        FROM ex GROUP BY alpha, k ORDER BY alpha, n_tables
 """

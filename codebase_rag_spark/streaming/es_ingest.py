@@ -1,0 +1,336 @@
+"""Streaming EXACT-SUBSTRING dedup ingestion — the 9th foreachBatch
+sink, completing the dedup-modality grid: exact hash (dedup_ingest),
+Bloom (bloom_ingest), MinHash near-dup (lsh_ingest), and semantic
+(semantic_ingest) all had ingest sinks; exact-substring (the
+suffix-array family: "drop a document that shares a long verbatim token
+run with anything already kept") was batch-only
+(queries/dedupops.py:exact_substring_pairs).
+
+Each micro-batch:
+  1. fragments the batch into the pool shape (sid, token array, length)
+     and emits one (sid, pos, xxhash64(k-gram)) anchor row per token
+     position — the 16-byte-row anchor convention of the batch detector
+     (queries/dedupops.py:_es_runs);
+  2. caps hot grams: a k-gram whose TOTAL arrived count (persistent
+     counts state + this batch) exceeds ES_GCAP is boilerplate and is
+     excluded from anchoring on BOTH sides of every probe join — the
+     one quadratic-blowup mode of gram-anchor methods, capped on
+     cumulative corpus frequency exactly as the batch detector caps on
+     full-corpus frequency;
+  3. probes the persistent gram index (anchor rows of every KEPT
+     fragment): hash-equal hits are verified token-exact against the
+     kept pool's token arrays (a 64-bit anchor collision can never
+     fabricate a run), then the gaps-and-islands step recovers maximal
+     shared runs per (pair, diagonal); a batch fragment sharing a run
+     of >= ES_MINRUN tokens with ANY kept fragment is dropped;
+  4. repeats the anchor/verify/islands pass WITHIN the batch's
+     cross-batch survivors (larger sid loses to a smaller-sid run
+     partner — the one-pass arrival-order keeper rule every sink in
+     this package pins);
+  5. appends survivors' pool rows + anchor rows to the state, and the
+     batch's gram counts (ALL arrivals, kept or dropped — boilerplate
+     is a property of what arrived, not of keep decisions) to the
+     counts state.
+
+Scale: per-batch cost is anchors linear in batch tokens, a hash
+equi-join whose fan-out is bounded by ES_GCAP, token-array shuffles for
+verified-candidate pairs only, and (pair, diagonal)-partitioned islands
+windows — never batch x state on content. The gram index and kept pool
+are unbounded state, so no probe join carries a broadcast hint (AQE
+sizes them while small). Idempotence under foreachBatch replay: every
+state table (out, pool, grams, counts) is partitioned by ingest_batch
+and written with DYNAMIC partition overwrite — counts are stored as
+per-batch DELTAS and re-summed at read, so a replayed batch rewrites
+its own delta instead of double-counting (the dedup_ingest recipe).
+
+Fragments shorter than ES_K tokens emit no anchors and are always kept
+(route them through exact dedup_ingest — the sinks chain on one
+stream).
+
+Reference parity: generalizes the reference's incremental re-ingestion
+(content-hash change detection only, SURVEY §2 S12/S16) to verbatim
+substring contamination — the exact-substring dedup pass training-data
+pipelines run (the suffix-array dedup family), expressed
+shuffle-bounded instead of as a global suffix sort.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.functions.text import tokens
+from codebase_rag_spark.streaming.confutil import temp_conf
+
+# Anchor gram width / hot-gram cap — shared with the batch detector
+# (queries/dedupops.py imports these so the detector, the trimmer, the
+# sink, and every oracle interpolate the SAME values). ES_MINRUN is the
+# sink's drop threshold: a fragment sharing a maximal verified run of
+# at least this many tokens with an already-kept fragment is dropped.
+# 24 sits between the ES_K=16 discrimination floor and the ~50-token
+# classic training-corpus threshold, keeping both outcomes (drop and
+# survive) observable on this corpus's ~54-token average docs.
+ES_K = 16
+ES_GCAP = 128
+ES_MINRUN = 24
+
+
+def batch_pool(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalize a batch to the pool shape the batch detector runs on:
+    (sid, t token array, L). Pure projection — stays in the scan
+    stage. Keeps gram-less fragments (L < ES_K): they cannot match and
+    survive every anti-join below."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("sid"), t.alias("t")
+    ).withColumn("L", F.size("t"))
+
+
+def pool_grams(pool: DataFrame, k: int = ES_K) -> DataFrame:
+    """One anchor row per k-gram position: (sid, pos, h) with
+    h = xxhash64 of the k-token slice — 16 bytes rides the shuffle,
+    never token text (the _es_runs anchor convention)."""
+    return pool.filter(F.col("L") >= k).select(
+        "sid",
+        F.explode(
+            F.sequence(F.lit(1), F.col("L") - F.lit(k - 1))
+        ).alias("pos"),
+        "t",
+    ).select(
+        "sid",
+        "pos",
+        F.xxhash64(F.slice("t", F.col("pos"), F.lit(k))).alias("h"),
+    )
+
+
+def merge_counts(
+    counts: DataFrame | None, bg: DataFrame
+) -> DataFrame:
+    """Fold this batch's gram occurrences into the cumulative
+    arrived-gram counts: (h, cnt). One aggregate over the batch plus
+    one sum-merge — never a rescan of past batches' anchors."""
+    delta = bg.groupBy("h").agg(F.count("*").alias("cnt"))
+    if counts is None:
+        return delta
+    return (
+        counts.unionByName(delta)
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _runs(ver: DataFrame, order_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands over verified hits: a shared run of length
+    R >= k is exactly R-k+1 hits on one diagonal at consecutive
+    positions; returns (d1, d2, diag, run)."""
+    w = Window.partitionBy("d1", "d2", "diag").orderBy(order_col)
+    return (
+        ver.withColumn(
+            "isl", F.col(order_col) - F.row_number().over(w)
+        )
+        .groupBy("d1", "d2", "diag", "isl")
+        .agg((F.count("*") + F.lit(k - 1)).alias("run"))
+    )
+
+
+def es_dedup_batch(
+    pool: DataFrame,
+    bg: DataFrame,
+    index: DataFrame | None,
+    kept_pool: DataFrame | None,
+    counts: DataFrame,
+    k: int = ES_K,
+    gcap: int = ES_GCAP,
+    minrun: int = ES_MINRUN,
+) -> DataFrame:
+    """The sink's per-batch dataflow as a pure function (factored out so
+    the driver-checked fold twin `es_ingest_fold` exercises the SAME
+    code the stream runs — the lsh_dedup_batch/semantic_dedup_batch
+    convention). `pool`/`bg` are batch_pool/pool_grams output
+    (MATERIALIZED by the caller — each is consumed several times);
+    `index` is the persistent (sid, pos, h) anchor state and
+    `kept_pool` the matching (sid, t) token state (None on the first
+    batch ever); `counts` is the cumulative arrived-gram count table
+    INCLUDING this batch (merge_counts output). Returns surviving pool
+    rows (sid, t, L).
+
+    The hot-gram cap is time-varying by design: a gram under the cap at
+    batch 0 can go hot by batch 9 and stops anchoring everywhere from
+    then on — runs containing it fragment at that window, identically
+    in the stream, the fold twin, and the twin's oracle."""
+    hot = counts.filter(F.col("cnt") > gcap).select("h")
+    eb = bg.join(hot, "h", "left_anti")
+
+    surv = pool
+    if index is not None:
+        ei = index.join(hot, "h", "left_anti")
+        hits = (
+            ei.select(
+                F.col("sid").alias("d1"), F.col("pos").alias("p1"), "h"
+            )
+            .join(
+                eb.select(
+                    F.col("sid").alias("d2"),
+                    F.col("pos").alias("p2"),
+                    "h",
+                ),
+                "h",
+            )
+        )
+        ver = (
+            hits.join(
+                kept_pool.select(
+                    F.col("sid").alias("d1"), F.col("t").alias("ta")
+                ),
+                "d1",
+            )
+            .join(
+                pool.select(
+                    F.col("sid").alias("d2"), F.col("t").alias("tb")
+                ),
+                "d2",
+            )
+            .filter(
+                F.slice("ta", F.col("p1"), F.lit(k))
+                == F.slice("tb", F.col("p2"), F.lit(k))
+            )
+            .select(
+                "d1",
+                "d2",
+                "p2",
+                (F.col("p2") - F.col("p1")).alias("diag"),
+            )
+        )
+        dropped = (
+            _runs(ver, "p2", k)
+            .filter(F.col("run") >= minrun)
+            .select(F.col("d2").alias("sid"))
+            .distinct()
+        )
+        surv = pool.join(dropped, "sid", "left_anti")
+
+    sg = eb.join(surv.select("sid"), "sid", "left_semi")
+    ihits = (
+        sg.select(F.col("sid").alias("d1"), F.col("pos").alias("p1"), "h")
+        .join(
+            sg.select(
+                F.col("sid").alias("d2"), F.col("pos").alias("p2"), "h"
+            ),
+            "h",
+        )
+        .filter(F.col("d1") < F.col("d2"))
+    )
+    iver = (
+        ihits.join(
+            surv.select(F.col("sid").alias("d1"), F.col("t").alias("ta")),
+            "d1",
+        )
+        .join(
+            surv.select(F.col("sid").alias("d2"), F.col("t").alias("tb")),
+            "d2",
+        )
+        .filter(
+            F.slice("ta", F.col("p1"), F.lit(k))
+            == F.slice("tb", F.col("p2"), F.lit(k))
+        )
+        .select(
+            "d1", "d2", "p1", (F.col("p1") - F.col("p2")).alias("diag")
+        )
+    )
+    losers = (
+        _runs(iver, "p1", k)
+        .filter(F.col("run") >= minrun)
+        .select(F.col("d2").alias("sid"))
+        .distinct()
+    )
+    return surv.join(losers, "sid", "left_anti")
+
+
+def _read_state(
+    spark: SparkSession, path: str
+) -> DataFrame | None:
+    return spark.read.parquet(path) if os.path.exists(path) else None
+
+
+def es_dedup_ingest(
+    docs: DataFrame,
+    out_path: str,
+    state_dir: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = ES_K,
+    gcap: int = ES_GCAP,
+    minrun: int = ES_MINRUN,
+):
+    """Start an availableNow stream ingesting `docs` with cross-batch
+    exact-substring suppression. State lives under `state_dir`
+    ({pool,grams,counts} parquet tables). Returns the StreamingQuery;
+    await it, then read out_path."""
+    pool_path = os.path.join(state_dir, "pool")
+    grams_path = os.path.join(state_dir, "grams")
+    counts_path = os.path.join(state_dir, "counts")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pool = batch_pool(batch_df, id_col, text_col).localCheckpoint(
+            eager=True
+        )  # cut the lineage: reused by anchors, verify, and anti-joins
+        bg = pool_grams(pool, k).localCheckpoint(eager=True)
+
+        prev_counts = _read_state(spark, counts_path)
+        if prev_counts is not None:
+            # deltas per batch on disk; cumulative totals at read
+            prev_counts = prev_counts.groupBy("h").agg(
+                F.sum("cnt").alias("cnt")
+            )
+        counts = merge_counts(prev_counts, bg)
+        kept = es_dedup_batch(
+            pool,
+            bg,
+            _read_state(spark, grams_path),
+            _read_state(spark, pool_path),
+            counts,
+            k,
+            gcap,
+            minrun,
+        )
+        kept_ids = kept.select("sid")
+
+        out = batch_df.join(
+            kept_ids,
+            batch_df[id_col] == F.col("sid"),
+            "left_semi",
+        ).withColumn("ingest_batch", F.lit(batch_id))
+        stamp = F.lit(batch_id).alias("ingest_batch")
+        pool_delta = kept.select("sid", "t", "L", stamp)
+        gram_delta = bg.join(kept_ids, "sid", "left_semi").select(
+            "sid", "pos", "h", stamp
+        )
+        count_delta = bg.groupBy("h").agg(
+            F.count("*").alias("cnt")
+        ).select("h", "cnt", stamp)
+
+        with temp_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            for df, path in (
+                (out, out_path),
+                (pool_delta, pool_path),
+                (gram_delta, grams_path),
+                (count_delta, counts_path),
+            ):
+                df.write.mode("overwrite").partitionBy(
+                    "ingest_batch"
+                ).parquet(path)
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,366 @@
+"""Independent referees and structural invariants for the round-12
+operators (the test_r8..r11_properties convention): each new entry is
+re-derived in plain Python on sf0.001 — a third implementation besides
+Spark and the DuckDB oracle — plus identities that must hold for any
+data."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from codebase_rag_spark.catalog import load_table
+from codebase_rag_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SHIFT = 1_000_000_000
+K, GCAP, MINRUN = 16, 128, 24
+
+
+def _es_pool_py(docs):
+    """Python mirror of dedupops._es_pool (the r11 referee's helper)."""
+    pool = {}
+    for did, text in docs:
+        t = text.split()
+        n = len(t)
+        if n >= 16:
+            pool[did] = t
+        if n >= 32:
+            s = n // 4 + 1
+            m = min(max(n // 2, 16), 96)
+            pool[did + SHIFT] = (
+                [f"zzl{did}"] + t[s - 1 : s - 1 + m] + [f"zzr{did}"]
+            )
+    return pool
+
+
+def _islands_drop(hit_positions, minrun):
+    """{key: set(pos)} -> victims whose longest consecutive-position
+    island reaches minrun (run = island size + K - 1)."""
+    dropped = set()
+    for (d1, d2, diag), ps in hit_positions.items():
+        ps = sorted(ps)
+        start = prev = ps[0]
+        best = 0
+        for p in ps[1:] + [None]:
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            best = max(best, prev - start + K)
+            if p is not None:
+                start = prev = p
+        if best >= minrun:
+            dropped.add(d2)
+    return dropped
+
+
+def test_es_ingest_fold_full_python_referee(spark):
+    """Complete third-implementation referee of the streaming
+    exact-substring sink's fold twin: cumulative hot-gram cap,
+    cross-batch gram-index probe, diagonal islands at >= MINRUN, then
+    the in-batch one-pass (larger sid loses) — in plain Python dicts
+    over the identical pool."""
+    rows = QUERIES["es_ingest_fold"](spark, SF).collect()
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    pool = _es_pool_py(docs)
+
+    counts = Counter()
+    index = defaultdict(list)  # gram -> [(sid, pos)] of KEPT fragments
+    expect = {}
+    for b in range(3):
+        sids = sorted(s for s in pool if s % 3 == b)
+        bgrams = {
+            s: [
+                tuple(pool[s][p : p + K])
+                for p in range(len(pool[s]) - K + 1)
+            ]
+            for s in sids
+        }
+        for gs in bgrams.values():
+            counts.update(gs)
+        hot = {g for g, c in counts.items() if c > GCAP}
+
+        xhits = defaultdict(set)
+        for d2 in sids:
+            for p2, g in enumerate(bgrams[d2], start=1):
+                if g in hot:
+                    continue
+                for d1, p1 in index.get(g, ()):
+                    xhits[(d1, d2, p2 - p1)].add(p2)
+        surv = [s for s in sids if s not in _islands_drop(xhits, MINRUN)]
+
+        occ = defaultdict(list)
+        for s in surv:
+            for p, g in enumerate(bgrams[s], start=1):
+                if g not in hot:
+                    occ[g].append((s, p))
+        ihits = defaultdict(set)
+        for ps in occ.values():
+            for d1, p1 in ps:
+                for d2, p2 in ps:
+                    if d1 < d2:
+                        ihits[(d1, d2, p1 - p2)].add(p1)
+        losers = _islands_drop(ihits, MINRUN)
+        for s in surv:
+            if s in losers:
+                continue
+            expect[s] = b
+            for p, g in enumerate(bgrams[s], start=1):
+                index[g].append((s, p))
+
+    got = {r["frag_id"]: r["ingest_batch"] for r in rows}
+    assert got == expect
+    # the inversion the fold exists to pin: at least one ORIGINAL lost
+    # to its own earlier-arriving excerpt, and at least one excerpt
+    # lost to its earlier parent
+    dropped = set(pool) - set(got)
+    assert any(s >= SHIFT for s in dropped), "no excerpt was dropped"
+    assert any(
+        s < SHIFT and (s + SHIFT) in got for s in dropped
+    ), "no parent lost to its earlier-arriving excerpt"
+
+
+def test_es_dedup_batch_constructed_arrival_order(spark):
+    """Hand-built micro-case for the per-batch function itself: the
+    state side always wins regardless of id, the in-batch pass is
+    larger-sid-loses, and sub-MINRUN overlaps survive."""
+    from codebase_rag_spark.streaming.es_ingest import (
+        batch_pool,
+        es_dedup_batch,
+        merge_counts,
+        pool_grams,
+    )
+
+    w = [f"w{i}" for i in range(1, 41)]
+    u = [f"u{i}" for i in range(1, 11)]
+    mk = " ".join
+    b0 = spark.createDataFrame(
+        [(100, mk(w[:30]))], ["doc_id", "text"]
+    )  # big id arrives FIRST and must win over smaller later ids
+    p0 = batch_pool(b0)
+    g0 = pool_grams(p0)
+    c0 = merge_counts(None, g0)
+    k0 = es_dedup_batch(p0, g0, None, None, c0)
+    assert {r.sid for r in k0.collect()} == {100}
+
+    b1 = spark.createDataFrame(
+        [
+            (1, mk(u[:3] + w[2:28] + u[3:6])),  # 26-run vs state -> drop
+            (2, mk(u[:5] + w[:15] + ["q"] * 12)),  # 15 shared < K -> keep
+            (3, mk(["x"] + w[30:40] + [f"v{i}" for i in range(30)])),
+            (4, mk(["y"] + w[30:40] + [f"v{i}" for i in range(30)])),
+            # 3 and 4 share a 40-token run in-batch: 4 loses to 3
+        ],
+        ["doc_id", "text"],
+    )
+    p1 = batch_pool(b1)
+    g1 = pool_grams(p1)
+    c1 = merge_counts(c0, g1)
+    k1 = es_dedup_batch(
+        p1, g1, g0, p0.select("sid", "t"), c1
+    )
+    assert {r.sid for r in k1.collect()} == {2, 3}
+
+
+def test_es_ingest_stream_end_to_end(spark, tmp_path):
+    """The actual foreachBatch sink across two RUNS: a later doc
+    sharing a >= MINRUN token run with a kept doc is dropped via the
+    persistent gram-index state; short docs and sub-K overlaps pass;
+    state tables carry only survivors' grams."""
+    from codebase_rag_spark.streaming.es_ingest import es_dedup_ingest
+
+    src, out, st, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "st", "ck")
+    )
+    schema = "doc_id bigint, text string"
+    w = [f"w{i}" for i in range(1, 31)]
+    other = [f"o{i}" for i in range(1, 31)]
+    mk = " ".join
+
+    def run():
+        docs = spark.readStream.schema(schema).parquet(src)
+        q = es_dedup_ingest(docs, out, st, ckpt)
+        q.awaitTermination()
+
+    # run 1: base + in-batch 24-run quote (drops) + unrelated
+    spark.createDataFrame(
+        [
+            (1, mk(w)),
+            (2, mk(other)),
+            (3, mk(["x1"] + w[:24] + ["x2"])),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # run 2: cross-RUN 24-run quote dropped via state; tiny doc kept;
+    # 15-token overlap (< K) kept
+    spark.createDataFrame(
+        [
+            (9, mk(["y1", "y2"] + w[4:28] + ["y3"])),
+            (10, "tiny doc"),
+            (11, mk(["z1"] + w[:15] + ["z2"] * 16)),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 9 not in got
+    assert {1, 2, 10, 11}.issubset(got)
+    import os
+
+    gram_ids = {
+        r.sid
+        for r in spark.read.parquet(os.path.join(st, "grams")).collect()
+    }
+    assert 3 not in gram_ids and 9 not in gram_ids and 10 not in gram_ids
+    # counts state counts ARRIVALS (kept or dropped): doc 3's grams are in
+    counts = spark.read.parquet(os.path.join(st, "counts"))
+    total = counts.agg(F.sum("cnt")).first()[0]
+    per_batch = [
+        r.cnt
+        for r in counts.groupBy("ingest_batch")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    ]
+    assert total == sum(per_batch) and len(per_batch) == 2
+
+
+def test_trim_pass2_no_overdeletion_on_diagonal_overlap(spark):
+    """The failure mode single-run-per-pass exists for, constructed:
+    victim V contains w1..w60 where keeper A holds w1..w40 and keeper B
+    holds w21..w60 — two runs overlapping on V's positions via
+    different pairs/diagonals. Removing both runs at once would delete
+    80 tokens from a 60-token duplicated region; iterated
+    single-run-per-pass must converge with V = exactly its 10 unique
+    tokens — every duplicated token gone, NO unique token lost."""
+    from codebase_rag_spark.queries.dedupops import (
+        _es_apply_cut,
+        _es_pick_cut,
+        _pool_runs,
+    )
+
+    w = [f"w{i}" for i in range(1, 61)]
+    u = [f"u{i}" for i in range(1, 11)]
+    pool = spark.createDataFrame(
+        [
+            (1, "en", w[:40]),
+            (2, "en", w[20:]),
+            (3, "en", u[:5] + w + u[5:]),
+        ],
+        ["sid", "lang", "t"],
+    )
+    final = {}
+    for _pass in range(5):
+        cut = _es_pick_cut(_pool_runs(pool)).localCheckpoint(eager=True)
+        if not cut.take(1):
+            break
+        pool = _es_apply_cut(pool, cut).localCheckpoint(eager=True)
+    else:
+        raise AssertionError("trim passes did not converge in 5 passes")
+    final = {r.sid: r.t for r in pool.collect()}
+    assert final[1] == w[:40]  # smallest id: never a victim
+    assert final[3] == u  # all 60 dup tokens gone, all 10 unique kept
+    assert final[2] == w[40:]  # B lost exactly its run shared with A
+    assert _pass == 2  # fixpoint after exactly two trimming passes
+
+
+def test_trim_pass2_entry_consistent_with_pass1(spark):
+    """Registry-level reconciliation on the real corpus: pass-1 columns
+    of exact_substring_trim_pass2 must equal exact_substring_trim's
+    (same dataflow, same pick rule), and pass-2 savings can only touch
+    fragments that still exist."""
+    p1 = {
+        r["lang"]: r
+        for r in QUERIES["exact_substring_trim"](spark, SF).collect()
+    }
+    p2 = {
+        r["lang"]: r
+        for r in QUERIES["exact_substring_trim_pass2"](spark, SF).collect()
+    }
+    assert set(p1) == set(p2)
+    for lang, a in p2.items():
+        b = p1[lang]
+        assert a["frags_audited"] == b["frags_audited"]
+        assert a["trimmed_p1"] == b["frags_trimmed"]
+        assert a["saved_p1"] == b["tokens_saved"]
+        assert a["tokens_before"] == b["tokens_before"]
+        assert 0 <= a["trimmed_p2"] <= a["trimmed_p1"]
+        assert a["saved_p1"] + a["saved_p2"] <= a["tokens_before"]
+
+
+def test_semantic_multiprobe_recall_theory_shape(spark):
+    """OR-of-tables amplification: per grade the collision rate is
+    non-decreasing in n_tables, pair counts and mean cosine are
+    k-invariant, and the measured k-table recall at the nearest grade
+    tracks the 1-(1-p)^k closed form computed from the MEASURED
+    single-table rate (tables are disjoint dimension slices, so
+    near-independence is expected, not exact)."""
+    rows = QUERIES["semantic_multiprobe_recall"](spark, SF).collect()
+    by_alpha = defaultdict(dict)
+    for r in rows:
+        by_alpha[r["alpha"]][r["n_tables"]] = r
+    assert set(by_alpha) == {0.25, 0.5, 1.0, 2.0}
+    for alpha, ks in by_alpha.items():
+        assert sorted(ks) == list(range(1, 9))
+        seq = [ks[k]["collide_bp"] for k in range(1, 9)]
+        assert seq == sorted(seq), f"not monotone at alpha={alpha}: {seq}"
+        n0 = ks[1]["n_pairs"]
+        assert all(ks[k]["n_pairs"] == n0 for k in range(1, 9))
+        assert len({ks[k]["mean_cos_bp"] for k in range(1, 9)}) == 1
+    near = by_alpha[0.25]
+    p1 = near[1]["collide_bp"] / 10000.0
+    pred8 = 1.0 - (1.0 - p1) ** 8
+    meas8 = near[8]["collide_bp"] / 10000.0
+    assert abs(meas8 - pred8) < 0.15, (p1, pred8, meas8)
+    assert meas8 > p1  # amplification actually amplifies
+
+
+def test_cc_vs_onepass_constructed_star_delta(spark):
+    """The approximation the entry measures, demonstrated: edges (1,9)
+    and (5,9) — node 5's only scored partner is LARGER, so the one-pass
+    rule keeps it while CC folds it into component 1 and removes it.
+    Runs the same per-cluster logic as the registered entry on a
+    hand-built edge set."""
+    from codebase_rag_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("1", "9"), ("5", "9")], ["src", "dst"]
+    )
+    labels = connected_components(edges, iterations=3)
+    got = {r.node: r.component for r in labels.collect()}
+    assert got == {"1": "1", "5": "1", "9": "1"}
+    onepass_removed = {"9"}  # only 9 has a direct smaller-id edge
+    cc_removed = {n for n, c in got.items() if n != c}
+    assert cc_removed == {"5", "9"}
+    assert cc_removed - onepass_removed == {"5"}
+
+
+def test_cc_vs_onepass_entry_invariants(spark):
+    """Registry-level invariants on the real corpus: one-pass removals
+    are a subset of CC removals in every size class, size-2 clusters
+    have zero delta, and totals reconcile with dedup_clusters' cluster
+    census."""
+    rows = QUERIES["cc_vs_onepass_delta"](spark, SF).collect()
+    assert rows, "no clusters at sf0.001?"
+    for r in rows:
+        assert r["cc_removed"] == (r["cluster_size"] - 1) * r["n_clusters"]
+        assert 0 <= r["onepass_removed"] <= r["cc_removed"]
+        assert r["extra_removed"] == r["cc_removed"] - r["onepass_removed"]
+        if r["cluster_size"] == 2:
+            assert r["extra_removed"] == 0
+    census = {
+        (r["cluster_size"], r["n_clusters"])
+        for r in QUERIES["dedup_clusters"](spark, SF)
+        .groupBy(F.col("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .collect()
+    }
+    assert {(r["cluster_size"], r["n_clusters"]) for r in rows} == census

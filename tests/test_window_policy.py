@@ -1,0 +1,53 @@
+"""Repo-wide unpartitioned-window policy contract (VERDICT r11 nit #2).
+
+A window spec with no partition funnels its whole input through ONE
+task — the scale cliff operators/scalewin.py exists to avoid. Every
+``Window.orderBy(...)``-without-partitionBy site (and every explicit
+empty ``Window.partitionBy()``) in the package must be classified in
+tests/window_sites.json with a one-line argument for why the window's
+INPUT is bounded by something other than data volume (design spine,
+top-k head, manifest-sized aggregate, value-domain-bounded distinct).
+
+Adding an unpartitioned window, or changing the count inside an
+already-classified function, fails here until the manifest is
+re-reviewed — the same source-level forcing function as
+tests/test_broadcast_policy.py.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from codebase_rag_spark.plans.window_audit import scan_window_sites
+
+MANIFEST = pathlib.Path(__file__).parent / "window_sites.json"
+
+
+def test_every_unpartitioned_window_site_is_classified():
+    manifest = json.loads(MANIFEST.read_text())
+    sites = scan_window_sites()
+
+    unclassified = {k: n for k, n in sites.items() if k not in manifest}
+    assert not unclassified, (
+        "unpartitioned-window sites with no boundedness classification "
+        "in tests/window_sites.json (is the window's input bounded by "
+        "something other than data volume? if not, partition it or use "
+        f"operators/scalewin.py): {unclassified}"
+    )
+
+    drifted = {
+        k: (manifest[k]["count"], n)
+        for k, n in sites.items()
+        if manifest[k]["count"] != n
+    }
+    assert not drifted, (
+        "unpartitioned-window count changed in classified functions "
+        f"(manifest, actual) — re-review and update the manifest: {drifted}"
+    )
+
+    stale = sorted(set(manifest) - set(sites))
+    assert not stale, f"manifest rows with no matching source site: {stale}"
+
+    empty = [k for k, v in manifest.items() if not v.get("bound", "").strip()]
+    assert not empty, f"manifest rows missing a boundedness argument: {empty}"
