@@ -2910,7 +2910,17 @@ def es_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    pool_all = _es_pool(d)
+    # The pool depends only on text, never on fold state, so tokenize
+    # ONCE over the full fold corpus and slice per fold (r12, the
+    # lsh_ingest_fold shared-build recipe): the un-checkpointed pool
+    # re-ran the documents scan + tokenize + excerpt construction per
+    # fold for byte-identical rows. Each fold's slice is checkpointed
+    # small (1/3 size) so es_dedup_batch's several consumers re-scan
+    # the slice, not the full pool. Grams stay per-fold (each fold
+    # grams 1/3 of the pool — already one full pass total). The
+    # SEQUENTIAL semantics under test are untouched — they live in the
+    # per-fold merge_counts/es_dedup_batch calls below.
+    pool_all = _es_pool(d).localCheckpoint(eager=False)
     index = None
     kept_pool = None
     counts = None
@@ -2920,7 +2930,12 @@ def es_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=False
         )
         bg = pool_grams(bp).localCheckpoint(eager=False)
-        counts = merge_counts(counts, bg).localCheckpoint(eager=False)
+        # counts stays UN-checkpointed: each fold's cumulative count is a
+        # union of per-fold delta aggregates over already-checkpointed
+        # gram slices — a 3-deep lineage of small aggs, consumed once per
+        # fold (the hot filter). Checkpointing it bought nothing and cost
+        # one materialization job per fold (r12 measurement).
+        counts = merge_counts(counts, bg)
         kept = es_dedup_batch(
             bp, bg, index, kept_pool, counts
         ).localCheckpoint(eager=False)

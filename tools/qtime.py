@@ -1,0 +1,125 @@
+"""Per-query timing + plan harness for the optimization rounds.
+
+Usage: python tools/qtime.py [--sf DIR] [--plans OUTDIR] [--passes N] q1 q2 ...
+
+Replicates bench.py's methodology (same session factory, same warmups,
+min-of-N noop-sink timing) for a SUBSET of queries so a single query can
+be measured in isolation, and optionally dumps .explain("formatted") per
+query to OUTDIR/<name>.txt. Prints one line per query: name, each pass
+sec, best sec.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from codebase_rag_spark.queries import QUERIES  # noqa: E402
+from codebase_rag_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    plans_dir = None
+    passes = 2
+    names: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            sf_dir = args[i + 1]
+            i += 2
+        elif args[i] == "--plans":
+            plans_dir = args[i + 1]
+            i += 2
+        elif args[i] == "--passes":
+            passes = int(args[i + 1])
+            i += 2
+        else:
+            names.append(args[i])
+            i += 1
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(2)
+
+    spark = get_spark("qtime")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # bench.py warmups, abridged but same coverage: JVM, collation,
+    # Python worker, transpile codegen, per-table first-read.
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1).select(
+        F.lower(F.lit("Warm")).contains("w"),
+        F.upper(F.lit("w")),
+        F.regexp_extract(F.lit("a1"), r"(\d)", 1),
+        F.initcap(F.lit("x")),
+    ).collect()
+
+    def _ident(it):
+        yield from it
+
+    spark.range(1).mapInPandas(_ident, "id long").collect()
+    try:
+        from codebase_rag_spark.operators.sqlmeta import (
+            with_reverse_transpiled,
+            with_transpiled,
+        )
+
+        _w = spark.createDataFrame(
+            [("SELECT 1", "mysql")], "sql string, dialect string"
+        )
+        with_transpiled(_w, "sql", "dialect").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        with_reverse_transpiled(_w, "sql", "dialect").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        print(f"WARM SKIP transpile: {e}", file=sys.stderr)
+    from codebase_rag_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001
+            print(f"WARM SKIP {t}: {e}", file=sys.stderr)
+
+    import gc
+
+    for name in names:
+        spark.sparkContext.setJobDescription(f"qtime: {name}")
+        secs = []
+        df = None
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            secs.append(round(time.perf_counter() - t0, 4))
+        if plans_dir:
+            os.makedirs(plans_dir, exist_ok=True)
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            with open(os.path.join(plans_dir, f"{name}.txt"), "w") as f:
+                f.write(plan)
+        df = None
+        gc.collect()
+        spark.sparkContext.setJobDescription(None)
+        print(
+            f"{name:40s} passes={secs} best={min(secs):.3f}", flush=True
+        )
+
+
+if __name__ == "__main__":
+    main()
