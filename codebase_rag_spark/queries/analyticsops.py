@@ -1068,6 +1068,10 @@ def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
             .alias("delay_days"),
         )
+        # materialized once (r12): the fact-fact join feeds BOTH the
+        # rank machinery and the per-nation counts — un-cut lineage ran
+        # the whole 4-table join twice
+        .localCheckpoint(eager=False)
     )
     q = exact_rank_quantile(
         j, ["n_name"],

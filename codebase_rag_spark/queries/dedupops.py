@@ -2129,9 +2129,19 @@ def _pool_runs(pool: DataFrame):
         "pos",
         F.xxhash64(F.slice("t", F.col("pos"), F.lit(ES_K))).alias("h"),
     )
-    capped = grams.withColumn(
-        "c", F.count("*").over(Window.partitionBy("h"))
-    ).filter(F.col("c") <= ES_GCAP)
+    # Materialize the capped anchor table ONCE (r12): without this the
+    # whole scan -> tokenize -> explode -> xxhash64 -> cap-window
+    # pipeline is duplicated per join branch (the g1/g2 self-join sides
+    # each rebuilt it — 2 full gram pipelines and 6 documents scans in
+    # one plan, measured in plans/r12/exact_substring_pairs_before.txt).
+    capped = (
+        grams.withColumn(
+            "c", F.count("*").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("c") <= ES_GCAP)
+        .select("sid", "pos", "h")
+        .localCheckpoint(eager=False)
+    )
     g1 = capped.select(
         F.col("sid").alias("d1"), F.col("pos").alias("p1"), "h"
     )
@@ -2171,7 +2181,11 @@ def _es_runs(spark: SparkSession, sf_dir: str):
     from codebase_rag_spark.operators.fanout import spread_for_compute
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    pool = _es_pool(d)
+    # One tokenize pass (r12): the pool is consumed by the gram build,
+    # both verify array joins, and most callers' accounting join — the
+    # un-materialized form re-ran the documents scan + tokenize per
+    # branch.
+    pool = _es_pool(d).localCheckpoint(eager=False)
     return pool, _pool_runs(pool)
 
 
@@ -3125,8 +3139,7 @@ def exact_substring_trim_pass2(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes the per-pass bound. The constructed-overlap referee test
     (tests/test_r12_properties.py) pins the no-over-deletion property
     with hand-built diagonal overlaps."""
-    pool, runs1 = _es_runs(spark, sf_dir)
-    pool = pool.localCheckpoint(eager=False)
+    pool, runs1 = _es_runs(spark, sf_dir)  # pool arrives checkpointed (r12)
     cut1 = _es_pick_cut(runs1).localCheckpoint(eager=False)
     pool2 = _es_apply_cut(pool, cut1).localCheckpoint(eager=False)
     cut2 = _es_pick_cut(_pool_runs(pool2))

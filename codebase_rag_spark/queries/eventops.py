@@ -1112,9 +1112,14 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, ["event_type"], [F.col("value"), F.col("event_id")],
         "value", {"_med": 0.5},
     )
-    dev = base.join(
-        F.broadcast(med), "event_type"
-    ).withColumn("_dev", F.abs(F.col("value") - F.col("_med")))
+    dev = (
+        base.join(F.broadcast(med), "event_type")
+        .withColumn("_dev", F.abs(F.col("value") - F.col("_med")))
+        # materialized once (r12): dev feeds BOTH the MAD rank machinery
+        # and the flag pass — un-cut lineage re-read events and re-ran
+        # the median join per consumer
+        .localCheckpoint(eager=False)
+    )
     mad_df = exact_rank_quantile(
         dev.select("event_type", "event_id", "_dev"),
         ["event_type"], [F.col("_dev"), F.col("event_id")],
@@ -3384,13 +3389,18 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seg"),
     )
     wseg = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
-    wdesc = Window.partitionBy("user_id", "seg").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    # last-in-segment via rn == count over the SAME ascending window
+    # instead of a second full descending sort (r12, guide §2.4: the
+    # unordered count shares wseg's partitioning and sort); rowt is
+    # checkpointed because the union below consumes it twice — the
+    # whole events window pipeline used to execute once per branch.
     rowt = seq.select(
         "event_type",
         F.lag("event_type").over(wseg).alias("prev"),
-        F.row_number().over(wdesc).alias("rdesc"),
+        (
+            F.row_number().over(wseg)
+            == F.count("*").over(Window.partitionBy("user_id", "seg"))
+        ).alias("_last"),
     )
     trans = (
         rowt.select(
@@ -3401,7 +3411,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(
             rowt.filter(
-                (F.col("rdesc") == 1) & (F.col("event_type") != "purchase")
+                F.col("_last") & (F.col("event_type") != "purchase")
             ).select(
                 F.col("event_type").alias("from_state"),
                 F.lit("NULL").alias("to_state"),
@@ -3449,7 +3459,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("START").alias("state"),
         F.lit("1.0").cast("decimal(18,9)").alias("m"),
     )
-    for _ in range(12):
+    for i in range(12):
         m = (
             m.alias("mm")
             .join(
@@ -3467,8 +3477,14 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(18,9)")
                 .alias("m")
             )
-            .localCheckpoint(eager=False)
         )
+        # Each step references the previous state ONCE, so lineage grows
+        # linearly — checkpoint every 4th step to bound plan depth
+        # instead of paying one materialization job per step on a
+        # <= 35-row state table (12 jobs -> 3; r12, guide §1.2: the job
+        # chain, not the data, was the cost).
+        if (i + 1) % 4 == 0:
+            m = m.localCheckpoint(eager=False)
     conv = m.filter(F.col("state") == "CONV").select(
         "variant", F.col("m").alias("pconv")
     )

@@ -1055,7 +1055,20 @@ def view_dependency_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("view_name", "dep")
         .localCheckpoint(eager=False)
     )
-    layers = df.select("view_name").withColumn("layer", F.lit(1))
+    # r12 rewrite (guide §1.2/§2.4): the old round body referenced the
+    # previous layers TWICE (bump + outer left-join), so the plan doubled
+    # per round and each round needed its own localCheckpoint job — 6
+    # materializations for a dimension-sized table. The layer sequence is
+    # POINTWISE MONOTONE NON-DECREASING (induction: layer_1 >= layer_0 = 1,
+    # and cand_k = max over deps(layer_{k-1}) + 1 is monotone in its
+    # inputs), so for any view WITH deps cand_k >= layer_{k-1}(v), and
+    # greatest(layer, coalesce(cand, 1)) == coalesce(cand, 1): each round
+    # can rebuild layers from the view list + bump alone — ONE reference
+    # to the previous state, linear lineage, no per-round checkpoint.
+    # Results are bit-identical (driver re-checks vs the recursive-CTE
+    # oracle).
+    views_all = df.select("view_name")
+    layers = views_all.withColumn("layer", F.lit(1))
     for _ in range(6):
         bump = (
             vedges.join(
@@ -1068,15 +1081,9 @@ def view_dependency_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("view_name")
             .agg((F.max("dlayer") + 1).alias("cand"))
         )
-        layers = (
-            layers.join(bump, "view_name", "left")
-            .select(
-                "view_name",
-                F.greatest(
-                    F.col("layer"), F.coalesce(F.col("cand"), F.lit(1))
-                ).alias("layer"),
-            )
-            .localCheckpoint(eager=False)
+        layers = views_all.join(bump, "view_name", "left").select(
+            "view_name",
+            F.coalesce(F.col("cand"), F.lit(1)).alias("layer"),
         )
     deps = refs.select(
         "view_name",
