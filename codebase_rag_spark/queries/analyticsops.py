@@ -1959,9 +1959,13 @@ def cbo_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     super-linear, 23 s @ sf1, exponent 1.05). Values are identical to
     percentile_disc: disc(q) is the smallest value whose cumulative
     count reaches ceil(q*n) (oracle pins the rank form explicitly)."""
-    from codebase_rag_spark.operators.fanout import spread_for_compute
-
-    li = spread_for_compute(load_table(spark, sf_dir, "lineitem"))
+    # No spread_for_compute here (r12, measured): every branch is a
+    # hash-aggregate whose per-row work is trivial (hash/insert), so the
+    # round-robin exchange of the full table per branch (8 branches x
+    # 600k rows at sf0.1) cost more than the narrow-scan parallelism it
+    # bought. The partial aggregates shrink each branch's shuffle to its
+    # distinct values regardless of scan width.
+    li = load_table(spark, sf_dir, "lineitem")
     parts = []
     for c in _CBO_COLS:
         exact = F.countDistinct(F.col(c)).cast("bigint")

@@ -3269,9 +3269,12 @@ def cc_vs_onepass_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence. Scale: everything after the LSH shuffle is PAIR-sized;
     the per-cluster and per-size aggregates never touch the corpus."""
     d = load_table(spark, sf_dir, "documents")
+    # Materialized once (r12, guide §1.2): cands feeds BOTH the CC edge
+    # set and the one-pass rule — un-cut lineage ran the whole MinHash
+    # LSH pipeline twice in one plan.
     cands = minhash_lsh_candidates(
         d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3
-    )
+    ).localCheckpoint(eager=False)
     edges = cands.select(
         F.col("id_a").cast("string").alias("src"),
         F.col("id_b").cast("string").alias("dst"),

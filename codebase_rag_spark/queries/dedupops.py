@@ -1930,17 +1930,23 @@ def lsh_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text",
         num_hashes=NUM_HASHES, bands=BANDS, shingle_size=3,
     ).localCheckpoint(eager=False)
+    # Short docs (no shingle -> no signature) computed ONCE over the
+    # whole fold corpus instead of one corpus-scan + subtract per fold
+    # (r12): signature existence is fold-invariant, so the per-fold set
+    # is just a doc_id % 3 filter on this 16-byte-row table.
+    shorts_all = (
+        corpus.select(F.col("doc_id").alias("_id"))
+        .subtract(all_keyed.select("_id"))
+        .localCheckpoint(eager=False)
+    )
     index = None
     outs = []
     for b in range(3):
-        batch = corpus.filter(F.col("doc_id") % 3 == b)
         keyed = all_keyed.filter(F.col("_id") % 3 == b)
         kept = lsh_dedup_batch(
             keyed, index, num_hashes=NUM_HASHES, sim_threshold=0.75
         ).localCheckpoint(eager=False)
-        shorts = batch.select(F.col("doc_id").alias("_id")).subtract(
-            keyed.select("_id")
-        )
+        shorts = shorts_all.filter(F.col("_id") % 3 == b)
         ids = kept.select("_id").distinct().unionByName(shorts)
         outs.append(
             ids.select(
@@ -3335,46 +3341,57 @@ def semantic_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(SEM_TABLES)
         ]
     )
+    # r12 (guide §2.3 aggregate-before-shuffle): the old form exploded
+    # every pair 8x (one row per n_tables) and aggregated 8x the rows,
+    # each evaluating an interpreted exists(slice(m, 1, k)). The OR of
+    # the first k tables collides iff the FIRST colliding table index
+    # ft is <= k, so one per-row array_position + 8 conditional counts
+    # in a single per-alpha aggregate carry the identical curve; the
+    # n_tables axis is re-expanded by posexplode on the 4-row aggregate.
+    # Identical results: n_pairs/mean_cos_bp were k-invariant already
+    # (every pair contributed 8 identical copies — sum*8 DIV count*8 ==
+    # sum DIV count), and n_collide(k) == count(0 < ft <= k).
     scored = mixed.select(
         "alpha",
         F.round(cosine_similarity(vcol, wcol) * 10000)
         .cast("bigint")
         .alias("cbp"),
-        marr.alias("m"),
+        F.array_position(marr, F.lit(True)).alias("ft"),
     )
-    ex = scored.select(
-        "alpha",
-        "cbp",
-        F.explode(
-            F.array(*[F.lit(k) for k in range(1, SEM_TABLES + 1)])
-        ).alias("n_tables"),
-        F.exists(
-            F.slice(F.col("m"), F.lit(1), F.col("n_tables")),
-            lambda x: x,
-        ).alias("hit"),
+    agg = scored.groupBy("alpha").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("CAST(sum(cbp) DIV count(*) AS BIGINT)").alias(
+            "mean_cos_bp"
+        ),
+        *[
+            F.count(
+                F.when(
+                    (F.col("ft") > 0) & (F.col("ft") <= k), 1
+                )
+            )
+            .cast("bigint")
+            .alias(f"_c{k}")
+            for k in range(1, SEM_TABLES + 1)
+        ],
     )
     return (
-        ex.groupBy("alpha", "n_tables")
-        .agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.expr("CAST(sum(cbp) DIV count(*) AS BIGINT)").alias(
-                "mean_cos_bp"
-            ),
-            F.count(F.when(F.col("hit"), 1)).cast("bigint").alias(
-                "n_collide"
-            ),
-        )
-        .withColumn(
-            "collide_bp",
-            F.expr("CAST(n_collide * 10000 DIV n_pairs AS BIGINT)"),
+        agg.select(
+            "alpha",
+            "n_pairs",
+            "mean_cos_bp",
+            F.posexplode(
+                F.array(*[F.col(f"_c{k}") for k in range(1, SEM_TABLES + 1)])
+            ).alias("_k0", "n_collide"),
         )
         .select(
             "alpha",
-            F.col("n_tables").cast("bigint").alias("n_tables"),
+            (F.col("_k0") + 1).cast("bigint").alias("n_tables"),
             "n_pairs",
             "mean_cos_bp",
             "n_collide",
-            "collide_bp",
+            F.expr("CAST(n_collide * 10000 DIV n_pairs AS BIGINT)").alias(
+                "collide_bp"
+            ),
         )
         .orderBy("alpha", "n_tables")
     )

@@ -177,6 +177,13 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from codebase_rag_spark.functions.vector import cosine_similarity
 
+    # nn is materialized once (r12, guide §1.2): it feeds BOTH mutual-
+    # join sides, and un-cut lineage re-ran the quadratic bucket-pair
+    # join + top-1 window per side (16 embeddings scans in one plan).
+    # b itself stays lazy: its consumers live inside the ONE nn
+    # materialization job, and checkpointing it would store a full
+    # vector copy for a table the pruned parquet scan re-reads cheaply
+    # (measured: checkpointing b too was 0.5 s slower).
     b = random_hyperplane_buckets(emb, num_planes=8, dim=64).join(
         emb.select("vec_id", as_double(F.col("embedding")).alias("_v")), "vec_id"
     ).select("vec_id", "bucket", "_v")
@@ -193,7 +200,11 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("cosine"),
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
-    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=False)
+    )
     left = nn.select("id_a", "id_b", "cosine")
     right = nn.select(
         F.col("id_a").alias("_ra"), F.col("id_b").alias("_rb")

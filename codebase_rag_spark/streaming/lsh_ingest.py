@@ -115,7 +115,13 @@ def lsh_dedup_batch(
 
     survivors = keyed
     if dup_ids is not None:
-        survivors = keyed.join(dup_ids, "_id", "left_anti")
+        # Materialized once (r12, guide §1.2): survivors feeds both
+        # sides of the in-batch self-join AND the final anti-join — the
+        # un-cut form re-ran the cross-batch index probe + anti-join
+        # three times per batch.
+        survivors = keyed.join(dup_ids, "_id", "left_anti").localCheckpoint(
+            eager=False
+        )
 
     a, b = survivors.alias("a"), survivors.alias("b")
     in_batch_losers = (
