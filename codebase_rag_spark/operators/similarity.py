@@ -389,7 +389,15 @@ def mmr_rerank(
             .limit(1)
             .select(id_col, "cosine", F.lit(t).alias("rank"), "_score")
         )
-        sel = sel.unionByName(pick)
+        # Pin each round's selection (r12, guide §1.2 / §7.3 planning
+        # cost): sel is referenced THREE times per round (pen join,
+        # candidate anti-join, union), so un-cut lineage grows the plan
+        # 3x per greedy step — k=5 planned 322 subtree copies (5,184
+        # plan lines, 80 Exchange) for a <=5-row table. A lazy
+        # localCheckpoint per round keeps the plan linear in k; each
+        # materialization is a broadcast-join argmax over the pinned
+        # 20-row pool.
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.select(
         "rank", id_col, "cosine", F.round(F.col("_score"), 4).alias("mmr_score")
     )

@@ -1849,9 +1849,13 @@ def cbo_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs parallelize across columns. Width = total string length,
     integer-DIV bp. At 100 TB the documented swap is
     approx_count_distinct (HLL, mergeable) with the identical shape."""
-    from codebase_rag_spark.operators.fanout import spread_for_compute
-
-    li = spread_for_compute(load_table(spark, sf_dir, "lineitem"))
+    # No spread_for_compute (r12, measured — same verdict as the approx
+    # twin below): every branch is one partial aggregate whose per-row
+    # work (hash insert + string length) is trivial, so the full-table
+    # round-robin exchange per branch (6 branches) cost more than the
+    # scan parallelism it bought; the 6 branch scan stages already run
+    # concurrently within the one union job.
+    li = load_table(spark, sf_dir, "lineitem")
     parts = []
     for c in _CBO_COLS:
         s = F.col(c).cast("string")

@@ -996,6 +996,12 @@ def range_shard_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_tile")
         .agg(F.max("_c").alias("_b"))
         .select("_b")
+        # Pinned (r12, guide §1.2): the 7-row boundary table feeds THREE
+        # consumers (the assignment theta-join and both sides of the
+        # rank self-join), and the static plan carried three full copies
+        # of the ntile + shard-offsets subtree. One materialization of 7
+        # rows replaces two recomputes of the whole tiling machinery.
+        .localCheckpoint(eager=False)
     )
     assigned = (
         keyed.join(F.broadcast(bounds), F.col("_c") > F.col("_b"), "left")
