@@ -3069,6 +3069,11 @@ def quality_tertile_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("score"),
         )
+        # r12: per_doc feeds BOTH exact_rank_quantile (the cuts) and the
+        # final routing join — un-pinned, the explode + two aggregates +
+        # vocab join ran twice in one plan. Pin the narrow 4-column
+        # per-doc table once.
+        .localCheckpoint(eager=False)
     )
     cuts = exact_rank_quantile(
         per_doc,

@@ -469,34 +469,50 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     what share of revenue do the top 10%/20%/... customers hold.
     Revenue is DECIMAL end-to-end, so the running sum is exact and the
     decile shares are engine-identical after one rounded division."""
-    from codebase_rag_spark.operators.scalewin import global_ntile, global_order_stats
+    from codebase_rag_spark.operators.scalewin import global_order_stats
 
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
     )
     order_exprs = [F.desc("rev"), F.col("o_custkey")]
+    # One pass computes rn AND cum_rev; the decile is the ANSI-ntile
+    # closed form of (rn, N, 10) — identical arithmetic to
+    # scalewin.global_ntile, but reusing the rn already in hand instead
+    # of letting global_ntile re-shard `ranked` through a second range
+    # exchange + window + offsets pass (r12: 26 -> fewer exchanges).
+    # N and the revenue total both come from the SAME pinned per-customer
+    # table instead of a second orders scan+aggregate.
     ranked = global_order_stats(
         cust, order_exprs, rn_col="rn",
         cum_sums={"cum_rev": F.col("rev")}, num_shards=8,
+    ).localCheckpoint(eager=False)
+    tot = ranked.agg(
+        F.sum("rev").alias("_total"), F.count(F.lit(1)).alias("_N")
     )
-    tiled = global_ntile(ranked, order_exprs, 10, "decile", num_shards=8)
-    tot = cust.agg(
-        F.sum("rev").alias("_total"), F.count("*").alias("_n")
-    )
-    per_decile = tiled.groupBy("decile").agg(
-        F.count("*").alias("n_customers"),
-        F.max("cum_rev").alias("_cum_at_end"),
-    )
-    return (
-        per_decile.crossJoin(F.broadcast(tot))
-        .select(
-            "decile",
-            "n_customers",
-            F.round(
-                (F.col("_cum_at_end") / F.col("_total")).cast("double"), 6
-            ).alias("cum_revenue_share"),
+    rn, N = F.col("rn"), F.col("_N")
+    q = (N / 10).cast("bigint")
+    r = N % 10
+    big_span = r * (q + 1)
+    tile = F.when(
+        rn <= big_span, ((rn - 1) / (q + 1)).cast("bigint") + 1
+    ).otherwise(r + ((rn - big_span - 1) / q).cast("bigint") + 1)
+    per_decile = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("decile", tile.cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.max("cum_rev").alias("_cum_at_end"),
+            F.min("_total").alias("_total"),
         )
+    )
+    return per_decile.select(
+        "decile",
+        "n_customers",
+        F.round(
+            (F.col("_cum_at_end") / F.col("_total")).cast("double"), 6
+        ).alias("cum_revenue_share"),
     )
 
 
@@ -906,12 +922,18 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting joins (an orphan silently vanishes from every inner join
     downstream).
 
-    Plan per relation: one left-ANTI join of the child's key column
-    against the DISTINCT parent keys. Dimension parents (nation, region,
-    customer, supplier, part) broadcast; the one fact-fact relation
-    (lineitem->orders) is a key-partitioned shuffle anti-join — at
-    100 TB that is the irreducible cost, and it is one shuffle of keys
-    only (both sides column-pruned to the join key)."""
+    Plan per relation: ONE pass over the child's key column — a left
+    OUTER join against the DISTINCT parent keys (distinct makes the join
+    at-most-one-match, so row counts survive), with all three counts
+    taken from the same joined stream (orphan = non-null key whose
+    parent side came back null; bit-identical to the old anti-join
+    count). The r12 merge halves child scans: the old shape ran a
+    counts-only aggregate AND a separate anti-join pass per relation
+    (lineitem alone was scanned 6x across its 3 relations). Dimension
+    parents (nation, region, customer, supplier, part) broadcast; the
+    one fact-fact relation (lineitem->orders) is a key-partitioned
+    shuffle join — at 100 TB that is the irreducible cost, and it is one
+    shuffle of keys only (both sides column-pruned to the join key)."""
     out = None
     for name, child_t, ckey, parent_t, pkey in _FK_RELATIONS:
         child = load_table(spark, sf_dir, child_t).select(
@@ -919,25 +941,28 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parent = (
             load_table(spark, sf_dir, parent_t)
-            .select(F.col(pkey).alias("k"))
+            .select(F.col(pkey).alias("pk"))
             .distinct()
         )
-        base = child.agg(
-            F.count("*").cast("bigint").alias("n_child_rows"),
-            F.count(F.when(F.col("k").isNull(), 1))
-            .cast("bigint")
-            .alias("n_null_keys"),
-        )
-        orphans = (
-            child.filter(F.col("k").isNotNull())
-            .join(parent, "k", "left_anti")
-            .agg(F.count("*").cast("bigint").alias("n_orphans"))
-        )
-        row = base.crossJoin(orphans).select(
-            F.lit(name).alias("relation"),
-            "n_child_rows",
-            "n_null_keys",
-            "n_orphans",
+        row = (
+            child.join(parent, F.col("k") == F.col("pk"), "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_child_rows"),
+                F.count(F.when(F.col("k").isNull(), 1))
+                .cast("bigint")
+                .alias("n_null_keys"),
+                F.count(
+                    F.when(F.col("k").isNotNull() & F.col("pk").isNull(), 1)
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child_rows",
+                "n_null_keys",
+                "n_orphans",
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relation")

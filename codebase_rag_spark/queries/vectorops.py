@@ -636,7 +636,9 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = random_hyperplane_buckets(emb, num_planes=8, dim=64).join(
         emb.select("vec_id", "label", as_double(F.col("embedding")).alias("_v")),
         "vec_id",
-    ).select("vec_id", "label", "bucket", "_v")
+    ).select("vec_id", "label", "bucket", "_v").localCheckpoint(eager=False)
+    # r12: b feeds both sides of the bucket self-join — pinned once so
+    # the hyperplane bucketing + embeddings join doesn't run per side.
     a = b.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("lbl_a"),
         "bucket", F.col("_v").alias("_va"),
