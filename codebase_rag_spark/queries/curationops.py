@@ -192,6 +192,13 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_grams"),
             F.count(F.when(F.col("c") >= 2, 1)).alias("n_dup_hash"),
         )
+        # r12: doc_stats feeds BOTH the candidate filter and the final
+        # flagged join — un-pinned, the corpus-sized detection pass
+        # (explode + hash window + groupBy) ran once per consumer. The
+        # pinned table is 3 narrow columns, one row per doc, and sits
+        # POST-shuffle so it keeps full partitioning (the
+        # contamination_ngram_curve revert lesson doesn't apply).
+        .localCheckpoint(eager=False)
     )
     cand_docs = doc_stats.filter(F.col("n_dup_hash") >= 1).select("doc_id")
     cand_grams = d.join(cand_docs, "doc_id").select(
