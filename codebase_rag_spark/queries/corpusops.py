@@ -640,12 +640,18 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p.b").rlike(word_re)
         & (F.col("p.a") != F.col("p.b"))
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    edges = pr.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        pr.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # r12: symmetrize AFTER the aggregate, not before — the old
+    # edges = pr UNION pr-swapped put the corpus-sized explode+rlike
+    # subtree under BOTH union branches (two full corpus passes into one
+    # groupBy; the branches hash different key orders so no exchange is
+    # reusable). Count directed adjacent pairs once, then mirror the
+    # vocabulary-sized aggregate: ec(s,d) = c0(s,d) + c0(d,s) exactly.
+    c0 = pr.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c"))
     ec = (
-        edges.groupBy("src", "dst")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+        c0.select(F.col("a").alias("src"), F.col("b").alias("dst"), "c")
+        .unionAll(c0.select(F.col("b").alias("src"), F.col("a").alias("dst"), "c"))
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
         .localCheckpoint(eager=True)
     )
     st = ec.groupBy("src").agg(F.sum("cnt").cast("bigint").alias("s"))

@@ -2459,11 +2459,20 @@ def semantic_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
     )
+    # r12 (the es_ingest_fold recipe): the sign bucket depends only on
+    # the vector, so bucket the whole fold corpus ONCE and slice per
+    # fold — batch_vectors is per-row, hence commutes with the % 3
+    # filter; the old form re-derived scan + copy-union + bucket per
+    # fold. Each fold's slice is checkpointed at 1/3 size so the
+    # per-fold probe consumers never re-scan the full-corpus RDD
+    # through a filter (the measured full-pool-sharing regression).
+    keyed_all = batch_vectors(corpus, "vec_id", "embedding").localCheckpoint(
+        eager=False
+    )
     kept = None
     outs = []
     for b in range(3):
-        batch = corpus.filter(F.col("vec_id") % 3 == b)
-        keyed = batch_vectors(batch, "vec_id", "embedding").localCheckpoint(
+        keyed = keyed_all.filter(F.col("_id") % 3 == b).localCheckpoint(
             eager=False
         )
         surv = semantic_dedup_batch(keyed, kept).localCheckpoint(eager=False)
