@@ -246,9 +246,13 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     b = random_hyperplane_buckets(emb, num_planes=8, dim=64)
+    # r12 (the knn_label_consistency pin): v feeds both self-join sides
+    # AND the per-bucket vector counts (b joins emb 1:1, so counting
+    # v per bucket equals counting b per bucket) — pinned once, the
+    # bucketing matvec + embeddings join no longer run per consumer.
     v = b.join(
         emb.select("vec_id", as_double(F.col("embedding")).alias("_v")), "vec_id"
-    )
+    ).localCheckpoint(eager=False)
     a = v.select(F.col("vec_id").alias("id_a"), "bucket", F.col("_v").alias("_va"))
     c = v.select(F.col("vec_id").alias("id_b"), "bucket", F.col("_v").alias("_vb"))
     scored = (
@@ -282,7 +286,7 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_top"),
     )
-    counts = b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+    counts = v.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
     return counts.join(pair_stats, "bucket", "left").select(
         "bucket",
         "n_vecs",
