@@ -135,6 +135,33 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_span_doc_stats(d: DataFrame, toks) -> DataFrame:
+    """duplicated_spans' detection stream, un-checkpointed: per-doc
+    distinct-8-gram count and duplicated-hash count, keyed on 8-byte
+    xxhash64 grams (the r6 16-byte-shuffle-row contract). Factored out
+    so the plan test can assert the hash keying on the subtree the
+    query pins behind a localCheckpoint."""
+    from pyspark.sql import Window
+
+    det = d.filter(F.size(toks) >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.array_distinct(shingles(toks, 8)),
+                lambda g: F.xxhash64(g),
+            )
+        ).alias("h"),
+    )
+    return (
+        det.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("c") >= 2, 1)).alias("n_dup_hash"),
+        )
+    )
+
+
 def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level duplication: a word 8-gram appearing in >= 2
     distinct docs marks a duplicated span. Per lang: docs analyzed, docs
@@ -170,36 +197,20 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the corpus (9.5% of docs at sf0.1). r8 measured (noop
     basis, sf0.1): 3.1 -> 1.9 s via spread_for_compute on the
     single-row-group scan."""
-    from pyspark.sql import Window
-
     from codebase_rag_spark.operators.fanout import spread_for_compute
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
-    det = d.filter(F.size(toks) >= 8).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.array_distinct(shingles(toks, 8)),
-                lambda g: F.xxhash64(g),
-            )
-        ).alias("h"),
-    )
-    doc_stats = (
-        det.withColumn("c", F.count("*").over(Window.partitionBy("h")))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.count(F.when(F.col("c") >= 2, 1)).alias("n_dup_hash"),
-        )
-        # r12: doc_stats feeds BOTH the candidate filter and the final
-        # flagged join — un-pinned, the corpus-sized detection pass
-        # (explode + hash window + groupBy) ran once per consumer. The
-        # pinned table is 3 narrow columns, one row per doc, and sits
-        # POST-shuffle so it keeps full partitioning (the
-        # contamination_ngram_curve revert lesson doesn't apply).
-        .localCheckpoint(eager=False)
-    )
+    # r12: doc_stats feeds BOTH the candidate filter and the final
+    # flagged join — un-pinned, the corpus-sized detection pass
+    # (explode + hash window + groupBy) ran once per consumer. The
+    # pinned table is 3 narrow columns, one row per doc, and sits
+    # POST-shuffle so it keeps full partitioning (the
+    # contamination_ngram_curve revert lesson doesn't apply). The
+    # checkpoint truncates the final plan, so the 16-byte-key shuffle
+    # contract is asserted on _dup_span_doc_stats directly
+    # (test_duplicated_spans_gram_keyed_shuffles_only).
+    doc_stats = _dup_span_doc_stats(d, toks).localCheckpoint(eager=False)
     cand_docs = doc_stats.filter(F.col("n_dup_hash") >= 1).select("doc_id")
     cand_grams = d.join(cand_docs, "doc_id").select(
         "doc_id",
