@@ -241,14 +241,10 @@ def exact_rank_quantile(
     return ranked.groupBy(*key_cols).agg(*aggs)
 
 
-def global_ntile(
-    df: DataFrame,
-    order_exprs: list[Column],
-    n: int,
-    out_col: str = "tier",
-    num_shards: int | None = None,
-) -> DataFrame:
-    """Exact NTILE(n) over a total order, scale-safe.
+def ntile_expr(rn: Column, n_total: Column, n: int) -> Column:
+    """The ANSI-NTILE closed form as an expression over an existing
+    global row number (ADVICE r12: shared by global_ntile and
+    customer_pareto so the tile arithmetic has ONE home).
 
     ANSI NTILE: with N rows and q, r = divmod(N, n), the first r tiles
     hold q+1 rows and the rest hold q. Both are closed-form in the global
@@ -259,15 +255,27 @@ def global_ntile(
 
     (q == 0 implies r == N, so the divide-by-q branch is unreachable.)
     """
+    q = (n_total / n).cast("bigint")
+    r = n_total % n
+    big_span = r * (q + 1)
+    return F.when(
+        rn <= big_span, ((rn - 1) / (q + 1)).cast("bigint") + 1
+    ).otherwise(r + ((rn - big_span - 1) / q).cast("bigint") + 1)
+
+
+def global_ntile(
+    df: DataFrame,
+    order_exprs: list[Column],
+    n: int,
+    out_col: str = "tier",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over a total order, scale-safe: sharded global row
+    numbers (global_order_stats) + the ntile_expr closed form — no
+    second sort."""
     ranked = global_order_stats(df, order_exprs, rn_col="_gnt_rn", num_shards=num_shards)
     total = ranked.groupBy().agg(F.count(F.lit(1)).alias("_gnt_N"))
-    rn, N = F.col("_gnt_rn"), F.col("_gnt_N")
-    q = (N / n).cast("bigint")
-    r = N % n
-    big_span = r * (q + 1)
-    tile = F.when(rn <= big_span, ((rn - 1) / (q + 1)).cast("bigint") + 1).otherwise(
-        r + ((rn - big_span - 1) / q).cast("bigint") + 1
-    )
+    tile = ntile_expr(F.col("_gnt_rn"), F.col("_gnt_N"), n)
     return (
         ranked.crossJoin(F.broadcast(total))
         .withColumn(out_col, tile.cast("int"))

@@ -217,33 +217,30 @@ _DRIVER_CHECKED = {
     "semantic_ingest_fold",
 }
 
-# Round-12 window (rotation computed from CORRECTNESS_r11.json: all 50
-# rows green, union covers all 331 r11 entries). _PRIORITY = everything
-# REWRITTEN after its r11 driver row, so the next driver row postdates
-# the current implementation:
-#   * exact_substring_pairs + exact_substring_trim: their shared
-#     dataflow was refactored (_es_runs split into _pool_runs + pool,
-#     the runs aggregate gained the mp1 start column) for the pass-2
-#     convergence audit — outputs are unchanged but the code the driver
-#     checked is not;
-#   * semantic_ingest_fold: docstring-only SEM_PLANES fix (ADVICE r11),
-#     re-listed out of caution since the entry was touched;
-#   * lsh_ingest_fold: signatures now built once over the fold corpus
-#     and filtered per fold (VERDICT r11 #6 shave) — identical keyed
-#     rows, but the code the driver checked changed.
-# New round-12 entries (es_ingest_fold — the 9th streaming sink's fold
-# twin, exact_substring_trim_pass2, semantic_multiprobe_recall,
-# cc_vs_onepass_delta) are listed so their first driver row is
-# guaranteed this round.
+# Round-13 window (rotation rule: every entry REWRITTEN after its last
+# driver correctness row goes to the front, so its next driver row
+# postdates the current implementation). VERDICT r12 #2: the four
+# result-equivalent r12 rewrites whose driver hash predates the change
+# lead the window —
+#   * textrank_keywords (symmetrize-after-aggregate, corpusops.py),
+#   * ngram_novelty_curve (novel-count from the first-occurrence table,
+#     corpusops.py),
+#   * view_dependency_layers (single-reference round body, sqlmeta.py),
+#   * markov_removal_attribution (rn == count last-in-segment + cadence-4
+#     power-iteration checkpoints, eventops.py).
+# After them: every entry rewritten THIS round (r13) so each gets a
+# fresh driver row postdating its change.
 _PRIORITY = [
+    "textrank_keywords",
+    "ngram_novelty_curve",
+    "view_dependency_layers",
+    "markov_removal_attribution",
     "es_ingest_fold",
-    "exact_substring_trim_pass2",
-    "semantic_multiprobe_recall",
-    "cc_vs_onepass_delta",
+    "contamination_ngram_curve",
     "exact_substring_pairs",
     "exact_substring_trim",
-    "semantic_ingest_fold",
-    "lsh_ingest_fold",
+    "exact_substring_trim_pass2",
+    "customer_pareto",
 ]
 
 QUERIES = {

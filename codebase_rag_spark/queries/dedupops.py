@@ -907,12 +907,23 @@ def contamination_ngram_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (persists at n=8). Eval set = doc_id % 20 == 0 (the
     decontamination convention), train = the rest.
 
-    Determinism: integer doc counts, integer-DIV bp. Scale shape: per
-    n, eval n-grams are a DISTINCT broadcast-sized set semi-joined into
-    the exploded train grams (the decontamination shape — zero corpus
-    shuffle beyond the per-n distinct-doc count); the 5 sweep points
-    share one base scan definition and union 5 single-row aggregates."""
-    d = load_table(spark, sf_dir, "documents")
+    Determinism: integer doc counts, integer-DIV bp. Scale shape (r13,
+    VERDICT r12 #8): ALL five sweep points ride ONE n-tagged gram pass
+    per side — each doc emits its distinct (n, gram) rows for every
+    valid n in a single explode, so the corpus is tokenized twice total
+    (eval + train sides) instead of twice PER sweep point, and the five
+    eval-set joins collapse into one (n, gram)-keyed join + one per-n
+    aggregate. Identical per-n sets: the join key carries n, so a train
+    gram only ever meets the eval set of its own n; a sweep point with
+    zero hits is restored by the left join against the literal n table
+    (the old per-n no-groupBy aggregate produced its 0 row directly).
+    spread_for_compute fans the narrow scan out so the single merged
+    gram build keeps full-cluster parallelism (the r12 lesson: the 10
+    independent branches each got their own scan task, so naive merging
+    would have LOST parallelism at this SF)."""
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.lower(F.col("text")))
     base = d.select(
         "doc_id", (F.col("doc_id") % 20 == 0).alias("_ev"), toks.alias("_t")
@@ -922,41 +933,59 @@ def contamination_ngram_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from codebase_rag_spark.functions.hashing import shingles
 
-    rows = []
-    for n in (1, 2, 3, 4, 8):
-        g = F.explode(
-            F.array_distinct(shingles(F.col("_t"), n))
-        ).alias("gram")
-        ev = (
-            base.filter(F.col("_ev") & (F.size("_t") >= n))
-            .select(g)
-            .distinct()
+    ns = (1, 2, 3, 4, 8)
+
+    def _tagged(n: int):
+        g = F.when(
+            F.size("_t") >= n, F.array_distinct(shingles(F.col("_t"), n))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            g,
+            lambda x: F.struct(
+                F.lit(n).cast("int").alias("n"), x.alias("gram")
+            ),
         )
-        hits = (
-            base.filter(~F.col("_ev") & (F.size("_t") >= n))
-            .select("doc_id", g)
-            .join(ev, "gram")
-            .agg(
-                F.countDistinct("doc_id")
-                .cast("bigint")
-                .alias("n_contaminated")
-            )
+
+    grams = base.select(
+        "doc_id",
+        "_ev",
+        F.explode(F.flatten(F.array(*[_tagged(n) for n in ns]))).alias("g"),
+    ).select("doc_id", "_ev", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    ev = grams.filter(F.col("_ev")).select("n", "gram").distinct()
+    hits = (
+        grams.filter(~F.col("_ev"))
+        .join(ev, ["n", "gram"])
+        .groupBy(F.col("n").alias("ngram_n"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("_hit")
         )
-        rows.append(
-            train_total.crossJoin(F.broadcast(hits)).select(
-                F.lit(n).cast("int").alias("ngram_n"),
-                "n_train_docs",
-                "n_contaminated",
-                F.expr(
-                    "CAST((n_contaminated * 10000) DIV n_train_docs"
-                    " AS BIGINT)"
-                ).alias("rate_bp"),
-            )
+    )
+    pts = train_total.select(
+        F.explode(
+            F.array(*[F.lit(n).cast("int") for n in ns])
+        ).alias("ngram_n"),
+        "n_train_docs",
+    )
+    return (
+        pts.join(F.broadcast(hits), "ngram_n", "left")
+        .select(
+            "ngram_n",
+            "n_train_docs",
+            F.coalesce(F.col("_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("ngram_n")
+        .select(
+            "ngram_n",
+            "n_train_docs",
+            "n_contaminated",
+            F.expr(
+                "CAST((n_contaminated * 10000) DIV n_train_docs"
+                " AS BIGINT)"
+            ).alias("rate_bp"),
+        )
+        .orderBy("ngram_n")
+    )
 
 
 QUERIES["contamination_ngram_curve"] = contamination_ngram_curve
@@ -2146,7 +2175,6 @@ def _pool_runs(pool: DataFrame):
         )
         .filter(F.col("c") <= ES_GCAP)
         .select("sid", "pos", "h")
-        .localCheckpoint(eager=False)
     )
     g1 = capped.select(
         F.col("sid").alias("d1"), F.col("pos").alias("p1"), "h"
@@ -2934,7 +2962,6 @@ def es_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codebase_rag_spark.operators.fanout import spread_for_compute
     from codebase_rag_spark.streaming.es_ingest import (
         es_dedup_batch,
-        merge_counts,
         pool_grams,
     )
 
@@ -2948,25 +2975,50 @@ def es_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the slice, not the full pool. Grams stay per-fold (each fold
     # grams 1/3 of the pool — already one full pass total). The
     # SEQUENTIAL semantics under test are untouched — they live in the
-    # per-fold merge_counts/es_dedup_batch calls below.
+    # per-fold es_dedup_batch calls below.
     pool_all = _es_pool(d).localCheckpoint(eager=False)
-    index = None
-    kept_pool = None
-    counts = None
-    outs = []
+    bps, bgs = [], []
     for b in range(3):
         bp = pool_all.filter(F.col("sid") % 3 == b).localCheckpoint(
             eager=False
         )
-        bg = pool_grams(bp).localCheckpoint(eager=False)
-        # counts stays UN-checkpointed: each fold's cumulative count is a
-        # union of per-fold delta aggregates over already-checkpointed
-        # gram slices — a 3-deep lineage of small aggs, consumed once per
-        # fold (the hot filter). Checkpointing it bought nothing and cost
-        # one materialization job per fold (r12 measurement).
-        counts = merge_counts(counts, bg)
+        bps.append(bp)
+        bgs.append(pool_grams(bp).localCheckpoint(eager=False))
+    # r13 (VERDICT r12 #1): ALL three folds' cumulative hot-gram counts
+    # from ONE aggregate over the already-checkpointed gram slices,
+    # instead of the per-fold merge_counts chain (each fold re-shuffled
+    # a corpus-sized count table and fed a corpus-sized `hot` lineage
+    # into two probe anti-joins). A gram's fold-b cumulative count is
+    # its occurrence count over folds <= b, and a gram can be hot at
+    # SOME fold iff it is hot by fold 2 (counts only grow), so the
+    # checkpointed table below carries ONLY the (rare) hot-by-end grams
+    # — each fold's `counts` arg projects its own cumulative column,
+    # and es_dedup_batch's hot filter recovers the identical per-fold
+    # hot set (c_b > gcap implies c2 >= c_b > gcap, so no hot gram is
+    # lost by the c2 pre-filter). The probe-side anti-joins now see a
+    # tiny broadcastable table instead of the full count aggregate.
+    allg = (
+        bgs[0].select("h", F.lit(0).alias("_b"))
+        .unionByName(bgs[1].select("h", F.lit(1).alias("_b")))
+        .unionByName(bgs[2].select("h", F.lit(2).alias("_b")))
+    )
+    hots = (
+        allg.groupBy("h")
+        .agg(
+            F.count(F.when(F.col("_b") <= 0, 1)).alias("c0"),
+            F.count(F.when(F.col("_b") <= 1, 1)).alias("c1"),
+            F.count("*").alias("c2"),
+        )
+        .filter(F.col("c2") > ES_GCAP)
+        .localCheckpoint(eager=False)
+    )
+    index = None
+    kept_pool = None
+    outs = []
+    for b in range(3):
+        counts = hots.select("h", F.col(f"c{b}").alias("cnt"))
         kept = es_dedup_batch(
-            bp, bg, index, kept_pool, counts
+            bps[b], bgs[b], index, kept_pool, counts
         ).localCheckpoint(eager=False)
         outs.append(
             kept.select(
@@ -2974,7 +3026,7 @@ def es_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(b).cast("bigint").alias("ingest_batch"),
             )
         )
-        kg = bg.join(kept.select("sid"), "sid", "left_semi")
+        kg = bgs[b].join(kept.select("sid"), "sid", "left_semi")
         index = kg if index is None else index.unionByName(kg)
         kp = kept.select("sid", "t")
         kept_pool = kp if kept_pool is None else kept_pool.unionByName(kp)

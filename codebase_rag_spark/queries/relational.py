@@ -469,20 +469,22 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     what share of revenue do the top 10%/20%/... customers hold.
     Revenue is DECIMAL end-to-end, so the running sum is exact and the
     decile shares are engine-identical after one rounded division."""
-    from codebase_rag_spark.operators.scalewin import global_order_stats
+    from codebase_rag_spark.operators.scalewin import (
+        global_order_stats,
+        ntile_expr,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
     )
     order_exprs = [F.desc("rev"), F.col("o_custkey")]
-    # One pass computes rn AND cum_rev; the decile is the ANSI-ntile
-    # closed form of (rn, N, 10) — identical arithmetic to
-    # scalewin.global_ntile, but reusing the rn already in hand instead
-    # of letting global_ntile re-shard `ranked` through a second range
-    # exchange + window + offsets pass (r12: 26 -> fewer exchanges).
-    # N and the revenue total both come from the SAME pinned per-customer
-    # table instead of a second orders scan+aggregate.
+    # One pass computes rn AND cum_rev; the decile is the shared
+    # ANSI-ntile closed form (scalewin.ntile_expr) over the rn already
+    # in hand instead of letting global_ntile re-shard `ranked` through
+    # a second range exchange + window + offsets pass (r12: 26 -> fewer
+    # exchanges). N and the revenue total both come from the SAME pinned
+    # per-customer table instead of a second orders scan+aggregate.
     ranked = global_order_stats(
         cust, order_exprs, rn_col="rn",
         cum_sums={"cum_rev": F.col("rev")}, num_shards=8,
@@ -490,13 +492,7 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ranked.agg(
         F.sum("rev").alias("_total"), F.count(F.lit(1)).alias("_N")
     )
-    rn, N = F.col("rn"), F.col("_N")
-    q = (N / 10).cast("bigint")
-    r = N % 10
-    big_span = r * (q + 1)
-    tile = F.when(
-        rn <= big_span, ((rn - 1) / (q + 1)).cast("bigint") + 1
-    ).otherwise(r + ((rn - big_span - 1) / q).cast("bigint") + 1)
+    tile = ntile_expr(F.col("rn"), F.col("_N"), 10)
     per_decile = (
         ranked.crossJoin(F.broadcast(tot))
         .withColumn("decile", tile.cast("int"))

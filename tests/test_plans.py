@@ -177,7 +177,6 @@ def test_duplicated_spans_gram_keyed_shuffles_only(spark, sf_dir):
     xxhash64 keys; gram STRINGS shuffle only on the candidate subset —
     assert the hash window exists, the string stage is join-gated, and
     no all-pairs join anywhere."""
-    from codebase_rag_spark.functions.hashing import shingles  # noqa: F401
     from codebase_rag_spark.functions.text import tokens
     from codebase_rag_spark.operators.fanout import spread_for_compute
     from codebase_rag_spark.plans import explain_str
@@ -190,17 +189,108 @@ def test_duplicated_spans_gram_keyed_shuffles_only(spark, sf_dir):
     # (it feeds two consumers), which truncates the final plan — so the
     # 16-byte-key contract is asserted on the UN-pinned detection
     # subtree the query builds from (_dup_span_doc_stats): it keys on
-    # xxhash64, not gram strings.
+    # xxhash64, not gram strings, and its exchange count is bounded too
+    # (ADVICE r12: the budget on the truncated final plan alone left
+    # the corpus-sized detection stage outside the net).
     from codebase_rag_spark.catalog import load_table
     from pyspark.sql import functions as F
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    det_plan = explain_str(_dup_span_doc_stats(d, tokens(F.col("text"))))
+    det = _dup_span_doc_stats(d, tokens(F.col("text")))
+    det_plan = explain_str(det)
     assert "xxhash64" in det_plan
+    # spread fan-out + hash window + per-doc agg
+    assert count_exchanges(det) <= 3
     # hash window + per-doc agg + candidate join + gram stage + joins +
     # lang agg — byte volume, not exchange count, is the r6 win; down
     # from 11 in r12 (the pinned detection stream runs once)
     assert count_exchanges(df) <= 7
+
+
+def test_ingest_fold_prechkpt_plan_contracts(spark, sf_dir):
+    """VERDICT r12 #7: the ingest-fold twins' committed plans are
+    checkpoint-truncated (ExistingRDD scans), so their key-width /
+    join-shape contracts are asserted on the PRE-checkpoint per-batch
+    dataflows the twins fold through (the duplicated_spans pattern) —
+    a reintroduced string-keyed or unbucketed shuffle behind the
+    checkpoint fails here even though the twin's own plan cannot see it.
+    Inputs are lazily checkpointed exactly as the twins pin them, so the
+    counted plan is the SAME per-batch subtree the twins execute."""
+    from pyspark.sql import functions as F
+
+    from codebase_rag_spark.catalog import load_table
+    from codebase_rag_spark.operators.fanout import spread_for_compute
+    from codebase_rag_spark.plans import explain_str
+    from codebase_rag_spark.queries.dedupops import _es_pool
+
+    # es: anchors ride as xxhash64 of the k-token slice (16-byte rows,
+    # never gram strings); the merged cross+in-batch pass is ONE h-keyed
+    # equi-join + one verify + one islands window + the keeper
+    # distincts (sf1-adjudicated load-bearing, OPTIMIZATION_r13.md) —
+    # 8 exchanges, no cartesian/BNLJ anywhere.
+    from codebase_rag_spark.streaming.es_ingest import (
+        es_dedup_batch,
+        pool_grams,
+    )
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    pool = _es_pool(d).localCheckpoint(eager=False)
+    bg = pool_grams(pool).localCheckpoint(eager=False)
+    assert "xxhash64" in explain_str(pool_grams(pool))
+    counts = (
+        bg.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    for nm, batch in (
+        ("first", es_dedup_batch(pool, bg, None, None, counts)),
+        (
+            "cross",
+            es_dedup_batch(pool, bg, bg, pool.select("sid", "t"), counts),
+        ),
+    ):
+        p = explain_str(batch)
+        assert "CartesianProduct" not in p, nm
+        assert "BroadcastNestedLoopJoin" not in p, nm
+        assert count_exchanges(batch) <= 8, nm
+
+    # lsh: one explode + one keyed minhash aggregate build the band
+    # keys (md5 family); the per-batch dedup meets ONLY on band_key
+    # equi-joins — 2 exchanges, no cartesian/BNLJ.
+    from codebase_rag_spark.streaming.lsh_ingest import (
+        batch_signatures,
+        lsh_dedup_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = batch_signatures(
+        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_size=3
+    )
+    assert "md5" in explain_str(keyed)
+    assert count_exchanges(keyed) <= 2
+    keyed = keyed.localCheckpoint(eager=False)
+    lb = lsh_dedup_batch(keyed, keyed.select("band_key", "sig"), num_hashes=4)
+    p = explain_str(lb)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert count_exchanges(lb) <= 2
+
+    # semantic: bucketing is a pure scan-stage expression (ZERO
+    # exchanges); the per-batch dedup meets only on bucket equi-joins.
+    from codebase_rag_spark.streaming.semantic_ingest import (
+        batch_vectors,
+        semantic_dedup_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    kv = batch_vectors(e, "vec_id", "embedding")
+    assert count_exchanges(kv) == 0
+    kv = kv.localCheckpoint(eager=False)
+    sb = semantic_dedup_batch(kv, kv)
+    p = explain_str(sb)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert count_exchanges(sb) <= 7
 
 
 def test_session_overlap_join_is_bucketed_not_cartesian(spark, sf_dir):
