@@ -2004,6 +2004,13 @@ def cbo_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = stacked.groupBy("column_name", "_v").agg(
         F.count("*").alias("_cnt")
     )
+    # r13 (guide §2.4): the per-column total used to ride a SECOND
+    # window over the same partition (unbounded frame — a full second
+    # buffering pass over each column's histogram inside the one window
+    # task); a 4-row aggregate + broadcast join delivers the identical
+    # _n and the window stage now makes one pass. Bounded: one row per
+    # stacked column, a design constant (see broadcast_sites.json).
+    ntab = hist.groupBy("column_name").agg(F.sum("_cnt").alias("_n"))
     cum = hist.withColumn(
         "_cum",
         F.sum("_cnt").over(
@@ -2011,9 +2018,7 @@ def cbo_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("_v")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    ).withColumn(
-        "_n", F.sum("_cnt").over(Window.partitionBy("column_name"))
-    )
+    ).join(F.broadcast(ntab), "column_name")
 
     def disc(q: float) -> Column:
         return F.min(
